@@ -1,0 +1,542 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface of SURVEY.md §2 (the stock-PostgreSQL
+  * part of the reference executor), expressed as idiomatic Spark
+  * DataFrame plans, each paired with an ANSI-SQL oracle (DuckDB).
+  *
+  * Conventions that keep the driver's hash-compare stable:
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - double aggregates are rounded to 2 decimals on both sides;
+  *  - every query ends in a total ORDER BY on its output key(s);
+  *  - time keys are emitted as DATE (never raw timestamps).
+  *
+  * Scale notes (100 TB thinking): dims `region`/`nation` are constant
+  * size -> always broadcast; fact-fact joins shuffle on their join key
+  * and aggregate partially map-side (Catalyst does both when the plan
+  * is declarative); every scan projects only needed columns so parquet
+  * column pruning + predicate pushdown engage.
+  */
+object RelationalQueries {
+  import Tables.load
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact distributed sum of a double money/qty column: cast to
+    * decimal first so partial-aggregation order can't wiggle the last
+    * ulp (sum of doubles is order-dependent; decimal sums are exact,
+    * so Spark and the DuckDB oracle agree bit-for-bit). Mirrored in SQL
+    * as CAST(sum(CAST(x AS DECIMAL(18,p))) AS DOUBLE).
+    */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // ---- scans / filters / projections -------------------------------
+    // SeqScan + Filter + Projection (SURVEY §2.1/§2.2): predicate and
+    // column pruning both reach the parquet scan.
+    "q01_filter_project" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .where(col("l_quantity") > 45 && col("l_discount") <= lit(0.02))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // TPC-H Q1 shape: hash aggregate w/ partial+final (nodeAgg.c).
+    "q02_agg_groupby" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(dsum(col("l_quantity")), 2).as("sum_qty"),
+          round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_discount").cast("decimal(28,6)")) / count(lit(1)), 4)
+            .cast("double").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- joins -------------------------------------------------------
+    // Shuffled hash/sort-merge equi-join on the fact keys (nodeHashjoin.c).
+    "q03_join_agg" -> { (s, d) =>
+      val orders = load(s, d, "orders")
+      val cust = load(s, d, "customer")
+      orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(dsum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Multi-way join with broadcast dims (TPC-H Q5 shape). nation/region
+    // are constant-size -> broadcast; the fact-side joins shuffle once.
+    "q04_join_multiway" -> { (s, d) =>
+      val li = load(s, d, "lineitem")
+      val ord = load(s, d, "orders")
+      val cust = load(s, d, "customer")
+      val nat = broadcast(load(s, d, "nation"))
+      val reg = broadcast(load(s, d, "region"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2)
+          .as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // LEFT OUTER join (customers with possibly no orders).
+    "q05_left_join" -> { (s, d) =>
+      val cust = load(s, d, "customer")
+      val ord = load(s, d, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(dsum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+        .orderBy("c_custkey")
+    },
+
+    // SEMI join — EXISTS (JOIN_SEMI, nodes.h:788).
+    "q06_semi_join" -> { (s, d) =>
+      val cust = load(s, d, "customer")
+      val ord = load(s, d, "orders").where(col("o_totalprice") > 100000)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ANTI join — NOT EXISTS (JOIN_ANTI).
+    "q07_anti_join" -> { (s, d) =>
+      val cust = load(s, d, "customer")
+      val ord = load(s, d, "orders").where(col("o_totalprice") > 250000)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // FULL OUTER join over disjoint-ish key ranges.
+    "q08_full_outer" -> { (s, d) =>
+      val hi = load(s, d, "supplier").where(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nk"), col("s_acctbal"))
+        .groupBy("nk").agg(count(lit(1)).as("n_hi"))
+      val lo = load(s, d, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_nationkey").as("nk"), col("s_acctbal"))
+        .groupBy("nk").agg(count(lit(1)).as("n_lo"))
+      hi.join(lo, Seq("nk"), "full_outer")
+        .select(col("nk"), coalesce(col("n_hi"), lit(0)).as("n_hi"),
+          coalesce(col("n_lo"), lit(0)).as("n_lo"))
+        .orderBy("nk")
+    },
+
+    // ---- aggregation variants ---------------------------------------
+    // DISTINCT aggregate (nodeAgg.c DISTINCT path).
+    "q09_distinct_agg" -> { (s, d) =>
+      load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ROLLUP (grouping-sets phase machinery of nodeAgg.c).
+    "q10_rollup" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // CUBE.
+    "q11_cube" -> { (s, d) =>
+      load(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"), col("n"))
+        .orderBy("st", "pri")
+    },
+
+    // ---- window functions (§2.6, nodeWindowAgg.c) -------------------
+    // Ranking: top-3 orders per customer by price (fully deterministic
+    // tiebreak on o_orderkey).
+    "q12_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      load(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    },
+
+    // Analytic lag/lead + running aggregate over frames.
+    "q13_window_analytic" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(lag("o_orderkey", 1).over(w), lit(-1)).as("prev_key"),
+          round(sum("o_totalprice").over(wsum), 2).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- sort / limit / top-k / distinct / set ops (§2.7) -----------
+    // Limit-over-Sort fuses to TakeOrderedAndProject.
+    "q14_topk" -> { (s, d) =>
+      load(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // OFFSET (Cypher SKIP) + LIMIT.
+    "q15_offset_limit" -> { (s, d) =>
+      load(s, d, "orders")
+        .orderBy(col("o_orderkey"))
+        .offset(10).limit(15)
+        .select("o_orderkey", "o_custkey")
+    },
+
+    // DISTINCT (nodeUnique.c).
+    "q16_distinct" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // UNION ALL / INTERSECT / EXCEPT (nodeSetOp.c / nodeAppend.c).
+    "q17_union_all" -> { (s, d) =>
+      val a = load(s, d, "customer").where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k"))
+      val b = load(s, d, "customer").where(col("c_acctbal") < -900)
+        .select(col("c_custkey").as("k"))
+      a.unionAll(b).orderBy("k")
+    },
+    "q18_intersect" -> { (s, d) =>
+      val a = load(s, d, "orders").where(col("o_totalprice") > 50000)
+        .select(col("o_custkey").as("k"))
+      val b = load(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.intersect(b).orderBy("k")
+    },
+    "q19_except" -> { (s, d) =>
+      val a = load(s, d, "customer").where(col("c_acctbal") > 8000)
+        .select(col("c_custkey").as("k"))
+      val b = load(s, d, "orders").where(col("o_totalprice") > 250000)
+        .select(col("o_custkey").as("k"))
+      a.except(b).orderBy("k")
+    },
+
+    // ---- subqueries --------------------------------------------------
+    // IN-subquery (hashed semi-join after decorrelation).
+    "q20_in_subquery" -> { (s, d) =>
+      val nat = load(s, d, "nation")
+      val sup = load(s, d, "supplier")
+      val nks = sup.where(col("s_acctbal") > 9000)
+        .select(col("s_nationkey")).distinct()
+      nat.join(nks, nat("n_nationkey") === nks("s_nationkey"), "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    },
+
+    // Scalar subquery: rows above the global average.
+    "q21_scalar_subquery" -> { (s, d) =>
+      val ord = load(s, d, "orders")
+      val avgPrice = ord.agg(avg("o_totalprice").as("a"))
+      ord.crossJoin(broadcast(avgPrice))
+        .where(col("o_totalprice") > col("a") * 1.8)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // VALUES scan joined against a table (nodeValuesscan.c).
+    "q22_values_join" -> { (s, d) =>
+      import s.implicits._
+      val wanted = Seq(("AMERICA"), ("ASIA")).toDF("r_name2")
+      val reg = load(s, d, "region")
+      reg.join(broadcast(wanted), reg("r_name") === col("r_name2"))
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    },
+
+    // ---- SRF / explode (nodeProjectSet.c / FunctionScan) ------------
+    "q23_explode" -> { (s, d) =>
+      load(s, d, "documents")
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+        .orderBy("doc_id")
+    },
+
+    // ---- scalar expression surface ----------------------------------
+    // CASE / COALESCE / IS NULL (3VL; grammar gram.y:17404).
+    "q24_case_null" -> { (s, d) =>
+      load(s, d, "customer")
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("band"),
+          col("c_acctbal").isNull.as("bal_is_null"))
+        .groupBy("band", "bal_is_null")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("band", "bal_is_null")
+    },
+
+    // String function long tail (§2.8 string fns).
+    "q25_string_fns" -> { (s, d) =>
+      load(s, d, "part").where(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          length(col("p_name")).as("len"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+          reverse(col("p_type")).as("rev"),
+          trim(concat(lit("  "), col("p_brand"), lit(" "))).as("trimmed"),
+          col("p_name").startsWith("a").as("sw"),
+          col("p_name").contains("re").as("ct"))
+        .orderBy("p_partkey")
+    },
+
+    // Math function long tail (§2.8 math fns) — rounded for float safety.
+    "q26_math_fns" -> { (s, d) =>
+      load(s, d, "supplier").where(col("s_suppkey") <= 200)
+        .select(col("s_suppkey"),
+          round(abs(col("s_acctbal")), 2).as("abs_bal"),
+          ceil(col("s_acctbal")).cast("long").as("ceil_bal"),
+          floor(col("s_acctbal")).cast("long").as("floor_bal"),
+          round(sqrt(abs(col("s_acctbal"))), 4).as("sqrt_bal"),
+          signum(col("s_acctbal")).cast("int").as("sign_bal"),
+          pmod(col("s_suppkey"), lit(7)).as("mod7"),
+          round(pow(col("s_suppkey"), 2), 1).as("pow2"),
+          round(log(col("s_suppkey") + 1), 4).as("ln1"))
+        .orderBy("s_suppkey")
+    },
+
+    // ---- time-series over events ------------------------------------
+    // Tumbling-window aggregation expressed relationally (date_trunc) so
+    // the same plan works batch & streaming (see graft.streaming).
+    "q27_time_bucket" -> { (s, d) =>
+      load(s, d, "events")
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total"))
+        .orderBy("day", "event_type")
+    },
+
+    // JSON property access on events.props (jsonb-ish surface over SQL).
+    "q28_json_extract" -> { (s, d) =>
+      load(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    // Correlated EXISTS via join (LATERAL shape of OPTIONAL MATCH).
+    "q29_groupjoin" -> { (s, d) =>
+      val nat = broadcast(load(s, d, "nation"))
+      val cust = load(s, d, "customer")
+      val perNation = cust.groupBy("c_nationkey")
+        .agg(round(sum(col("c_acctbal").cast("decimal(28,4)")) / count(lit(1)), 2)
+          .cast("double").as("avg_bal"),
+          count(lit(1)).as("n_cust"))
+      nat.join(perNation, nat("n_nationkey") === perNation("c_nationkey"), "left")
+        .select(col("n_name"), coalesce(col("avg_bal"), lit(0.0)).as("avg_bal"),
+          coalesce(col("n_cust"), lit(0)).as("n_cust"))
+        .orderBy("n_name")
+    },
+
+    // Sample scan surface (deterministic variant: modulo-hash sampling so
+    // the oracle can reproduce it exactly; df.sample() is the
+    // non-deterministic API analog).
+    "q30_sample_deterministic" -> { (s, d) =>
+      load(s, d, "orders")
+        .where(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE), 2) AS sum_base_price,
+        |  CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) / count(*)
+        |    AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_join_multiway" ->
+      """SELECT r_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q05_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 0), 2) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_full_outer" ->
+      """WITH hi AS (SELECT s_nationkey AS nk, count(*) AS n_hi
+        |  FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey),
+        |lo AS (SELECT s_nationkey AS nk, count(*) AS n_lo
+        |  FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey)
+        |SELECT coalesce(hi.nk, lo.nk) AS nk,
+        |  coalesce(n_hi, 0) AS n_hi, coalesce(n_lo, 0) AS n_lo
+        |FROM hi FULL OUTER JOIN lo ON hi.nk = lo.nk ORDER BY nk""".stripMargin,
+    "q09_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q10_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q11_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    "q12_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+    "q13_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |  coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_key,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW), 2) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q14_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q15_offset_limit" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey LIMIT 15 OFFSET 10""".stripMargin,
+    "q16_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q17_union_all" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal < -900
+        |ORDER BY k""".stripMargin,
+    "q18_intersect" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+    "q19_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 8000
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000
+        |ORDER BY k""".stripMargin,
+    "q20_in_subquery" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey IN (SELECT s_nationkey FROM supplier
+        |  WHERE s_acctbal > 9000)
+        |ORDER BY n_nationkey""".stripMargin,
+    "q21_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+        |ORDER BY o_orderkey""".stripMargin,
+    "q22_values_join" ->
+      """SELECT r_regionkey, r_name FROM region
+        |JOIN (VALUES ('AMERICA'), ('ASIA')) AS v(r_name2)
+        |  ON r_name = r_name2
+        |ORDER BY r_regionkey""".stripMargin,
+    "q23_explode" ->
+      """SELECT doc_id, count(*) AS n_words
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents WHERE doc_id < 50) t
+        |WHERE length(word) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q24_case_null" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |  WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+        |  c_acctbal IS NULL AS bal_is_null, count(*) AS n
+        |FROM customer GROUP BY 1, 2 ORDER BY band, bal_is_null""".stripMargin,
+    "q25_string_fns" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substring(p_name, 1, 5) AS sub5, length(p_name) AS len,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+        |  reverse(p_type) AS rev,
+        |  trim('  ' || p_brand || ' ') AS trimmed,
+        |  starts_with(p_name, 'a') AS sw,
+        |  contains(p_name, 're') AS ct
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+    "q26_math_fns" ->
+      """SELECT s_suppkey, round(abs(s_acctbal), 2) AS abs_bal,
+        |  CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
+        |  round(sqrt(abs(s_acctbal)), 4) AS sqrt_bal,
+        |  CAST(sign(s_acctbal) AS INT) AS sign_bal,
+        |  s_suppkey % 7 AS mod7,
+        |  round(pow(s_suppkey, 2), 1) AS pow2,
+        |  round(ln(s_suppkey + 1), 4) AS ln1
+        |FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey""".stripMargin,
+    "q27_time_bucket" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q28_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1 ORDER BY k""".stripMargin,
+    "q29_groupjoin" ->
+      """SELECT n_name,
+        |  coalesce(CAST(round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,4)))
+        |    / count(c_custkey) AS DECIMAL(28,6)), 2) AS DOUBLE), 0) AS avg_bal,
+        |  count(c_custkey) AS n_cust
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q30_sample_deterministic" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin
+  )
+}
