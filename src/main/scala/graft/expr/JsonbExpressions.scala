@@ -1,0 +1,352 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for jsonb semantics (SURVEY §2.8, §4.3).
+  *
+  * Each expression is a thin codegen-capable shim over the static
+  * [[JsonbRT]] runtime: `doGenCode` emits one static call, so plans
+  * containing these stay inside whole-stage codegen.
+  */
+object ops {
+  val RT = "graft.expr.JsonbRT"
+
+  /** jsonb x jsonb -> jsonb binary ops. */
+  case class JsonbBinary(op: String, left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = s"jsonb_$op"
+
+    @transient private lazy val fn: (UTF8String, UTF8String) => UTF8String =
+      op match {
+        case "add"    => JsonbRT.add
+        case "sub"    => JsonbRT.sub
+        case "mul"    => JsonbRT.mul
+        case "div"    => JsonbRT.div
+        case "mod"    => JsonbRT.mod
+        case "pow"    => JsonbRT.pow
+        case "concat" => JsonbRT.concat
+        case "get"    => JsonbRT.get
+        case "delete" => JsonbRT.deleteKey
+      }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      fn(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = op match {
+        case "delete" => "deleteKey"
+        case o        => o
+      }
+      defineCodeGen(ctx, ev, (l, r) => s"$RT.$m($l, $r)")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** jsonb btree comparison returning SQL bool with 3VL nulls. */
+  case class JsonbComparison(op: String, left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def prettyName: String = s"jsonb_$op"
+
+    private def decide(c: Int): Boolean = op match {
+      case "eq" => c == 0
+      case "ne" => c != 0
+      case "lt" => c < 0
+      case "le" => c <= 0
+      case "gt" => c > 0
+      case "ge" => c >= 0
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      decide(JsonbRT.cmp(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String]))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cmpOp = op match {
+        case "eq" => "=="; case "ne" => "!="; case "lt" => "<"
+        case "le" => "<="; case "gt" => ">"; case "ge" => ">="
+      }
+      defineCodeGen(ctx, ev, (l, r) => s"($RT.cmp($l, $r) $cmpOp 0)")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** jsonb @> containment / ? existence. */
+  case class JsonbPredicate(op: String, left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def prettyName: String = s"jsonb_$op"
+
+    override def nullSafeEval(l: Any, r: Any): Any = op match {
+      case "contains" =>
+        JsonbRT.contains(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+      case "exists" =>
+        JsonbRT.existsKey(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = if (op == "contains") "contains" else "existsKey"
+      defineCodeGen(ctx, ev, (l, r) => s"$RT.$m($l, $r)")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** jsonb -> jsonb unary ops (also covers text<->jsonb casts whose
+    * output is a string column).
+    */
+  case class JsonbUnary(op: String, child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = s"jsonb_$op"
+
+    @transient private lazy val fn: UTF8String => UTF8String = op match {
+      case "uminus"    => JsonbRT.uminus
+      case "uplus"     => JsonbRT.uplus
+      case "astext"    => JsonbRT.asText
+      case "fromtext"  => JsonbRT.fromText
+      case "keys"      => JsonbRT.keys
+      case "head"      => JsonbRT.head
+      case "last"      => JsonbRT.last
+      case "tail"      => JsonbRT.tail
+      case "toboolean" => JsonbRT.cypherToBoolean
+      case "tostring"  => JsonbRT.cypherToString
+    }
+
+    override def nullSafeEval(x: Any): Any = fn(x.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = op match {
+        case "astext" => "asText"; case "fromtext" => "fromText"
+        case "toboolean" => "cypherToBoolean"; case "tostring" => "cypherToString"
+        case o => o
+      }
+      defineCodeGen(ctx, ev, x => s"$RT.$m($x)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** jsonb -> primitive casts. */
+  case class JsonbCast(to: String, child: Expression) extends UnaryExpression {
+    override def dataType: DataType = to match {
+      case "bool"   => BooleanType
+      case "double" => DoubleType
+      case "long"   => LongType
+    }
+    override def nullable: Boolean = true
+    override def prettyName: String = s"jsonb_to_$to"
+
+    override def nullSafeEval(x: Any): Any = to match {
+      case "bool"   => JsonbRT.toBool(x.asInstanceOf[UTF8String])
+      case "double" => JsonbRT.asDouble(x.asInstanceOf[UTF8String])
+      case "long"   => JsonbRT.asLong(x.asInstanceOf[UTF8String])
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = to match {
+        case "bool" => "toBool"; case "double" => "asDouble"; case "long" => "asLong"
+      }
+      // boxed results: unwrap with a null check
+      val jt = to match {
+        case "bool" => "Boolean"; case "double" => "Double"; case "long" => "Long"
+      }
+      nullSafeCodeGen(ctx, ev, x => {
+        s"""java.lang.$jt tmp_${ev.value} = $RT.$m($x);
+           |if (tmp_${ev.value} == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = tmp_${ev.value}.${to match {
+                case "bool" => "booleanValue"
+                case "double" => "doubleValue"
+                case "long" => "longValue"}}(); }
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** jsonb length() -> long (string/array/object). */
+  case class JsonbLength(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jsonb_length"
+
+    override def nullSafeEval(x: Any): Any = {
+      val r = JsonbRT.length(x.asInstanceOf[UTF8String])
+      if (r == null) null else r.longValue
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x =>
+        s"""java.lang.Long tmp_${ev.value} = $RT.length($x);
+           |if (tmp_${ev.value} == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = tmp_${ev.value}.longValue(); }
+           |""".stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** List slice l[a..b]; open bounds are SQL NULLs (so cannot use
+    * null-intolerant TernaryExpression defaults).
+    */
+  case class JsonbSlice(list: Expression, from: Expression, to: Expression)
+      extends Expression {
+    override def children: Seq[Expression] = Seq(list, from, to)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jsonb_slice"
+    override lazy val deterministic: Boolean = true
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val l = list.eval(input)
+      if (l == null) return null
+      val f = from.eval(input)
+      val t = to.eval(input)
+      JsonbRT.slice(l.asInstanceOf[UTF8String],
+        f.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lg = list.genCode(ctx); val fg = from.genCode(ctx); val tg = to.genCode(ctx)
+      val code =
+        s"""${lg.code}
+           |boolean ${ev.isNull} = true;
+           |UTF8String ${ev.value} = null;
+           |if (!${lg.isNull}) {
+           |  ${fg.code}
+           |  ${tg.code}
+           |  ${ev.value} = $RT.slice(${lg.value},
+           |    ${fg.isNull} ? null : ${fg.value},
+           |    ${tg.isNull} ? null : ${tg.value});
+           |  ${ev.isNull} = ${ev.value} == null;
+           |}
+           |""".stripMargin
+      ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(code)).code())
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(list = newChildren(0), from = newChildren(1), to = newChildren(2))
+  }
+
+  /** SET n.k = v / REMOVE n.k — SQL-NULL value deletes the key. */
+  case class JsonbSetKey(obj: Expression, key: Expression, value: Expression)
+      extends Expression {
+    override def children: Seq[Expression] = Seq(obj, key, value)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jsonb_set_key"
+    override lazy val deterministic: Boolean = true
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val o = obj.eval(input)
+      if (o == null) return null
+      val k = key.eval(input)
+      if (k == null) return o
+      JsonbRT.setKey(o.asInstanceOf[UTF8String], k.asInstanceOf[UTF8String],
+        value.eval(input).asInstanceOf[UTF8String])
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val og = obj.genCode(ctx); val kg = key.genCode(ctx); val vg = value.genCode(ctx)
+      val code =
+        s"""${og.code}
+           |boolean ${ev.isNull} = true;
+           |UTF8String ${ev.value} = null;
+           |if (!${og.isNull}) {
+           |  ${kg.code}
+           |  if (${kg.isNull}) { ${ev.value} = ${og.value}; ${ev.isNull} = false; }
+           |  else {
+           |    ${vg.code}
+           |    ${ev.value} = $RT.setKey(${og.value}, ${kg.value},
+           |      ${vg.isNull} ? null : ${vg.value});
+           |    ${ev.isNull} = false;
+           |  }
+           |}
+           |""".stripMargin
+      ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(code)).code())
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(obj = newChildren(0), key = newChildren(1), value = newChildren(2))
+  }
+}
+
+/** Column-level API over the jsonb expressions. */
+object J {
+  import ops._
+  private def e(c: Column): Expression = ColumnBridge.expression(c)
+  private def col(x: Expression): Column = ColumnBridge.column(x)
+
+  def lit(json: String): Column =
+    col(Literal(UTF8String.fromString(graft.jsonb.Jsonb.parse(json).render), StringType))
+
+  def add(l: Column, r: Column): Column = col(JsonbBinary("add", e(l), e(r)))
+  def sub(l: Column, r: Column): Column = col(JsonbBinary("sub", e(l), e(r)))
+  def mul(l: Column, r: Column): Column = col(JsonbBinary("mul", e(l), e(r)))
+  def div(l: Column, r: Column): Column = col(JsonbBinary("div", e(l), e(r)))
+  def mod(l: Column, r: Column): Column = col(JsonbBinary("mod", e(l), e(r)))
+  def pow(l: Column, r: Column): Column = col(JsonbBinary("pow", e(l), e(r)))
+  def concat(l: Column, r: Column): Column = col(JsonbBinary("concat", e(l), e(r)))
+  def deleteKey(l: Column, r: Column): Column = col(JsonbBinary("delete", e(l), e(r)))
+  def uminus(x: Column): Column = col(JsonbUnary("uminus", e(x)))
+  def uplus(x: Column): Column = col(JsonbUnary("uplus", e(x)))
+
+  def eq(l: Column, r: Column): Column = col(JsonbComparison("eq", e(l), e(r)))
+  def ne(l: Column, r: Column): Column = col(JsonbComparison("ne", e(l), e(r)))
+  def lt(l: Column, r: Column): Column = col(JsonbComparison("lt", e(l), e(r)))
+  def le(l: Column, r: Column): Column = col(JsonbComparison("le", e(l), e(r)))
+  def gt(l: Column, r: Column): Column = col(JsonbComparison("gt", e(l), e(r)))
+  def ge(l: Column, r: Column): Column = col(JsonbComparison("ge", e(l), e(r)))
+
+  def contains(l: Column, r: Column): Column = col(JsonbPredicate("contains", e(l), e(r)))
+  def existsKey(l: Column, r: Column): Column = col(JsonbPredicate("exists", e(l), e(r)))
+
+  /** property access n.k — key given as a plain string. */
+  def getKey(l: Column, key: String): Column =
+    col(JsonbBinary("get", e(l), Literal(UTF8String.fromString(
+      graft.jsonb.JStr(key).render), StringType)))
+  /** dynamic access l[expr] (expr is a jsonb string/number). */
+  def getDyn(l: Column, k: Column): Column = col(JsonbBinary("get", e(l), e(k)))
+  def slice(l: Column, from: Column, to: Column): Column =
+    col(JsonbSlice(e(l), e(from), e(to)))
+  def setKey(o: Column, k: Column, v: Column): Column =
+    col(JsonbSetKey(e(o), e(k), e(v)))
+
+  def asText(x: Column): Column = col(JsonbUnary("astext", e(x)))
+  def fromText(x: Column): Column = col(JsonbUnary("fromtext", e(x)))
+  def keysOf(x: Column): Column = col(JsonbUnary("keys", e(x)))
+  def head(x: Column): Column = col(JsonbUnary("head", e(x)))
+  def last(x: Column): Column = col(JsonbUnary("last", e(x)))
+  def tail(x: Column): Column = col(JsonbUnary("tail", e(x)))
+  def toBooleanFn(x: Column): Column = col(JsonbUnary("toboolean", e(x)))
+  def toStringFn(x: Column): Column = col(JsonbUnary("tostring", e(x)))
+
+  def toBool(x: Column): Column = col(JsonbCast("bool", e(x)))
+  def toDouble(x: Column): Column = col(JsonbCast("double", e(x)))
+  def toLong(x: Column): Column = col(JsonbCast("long", e(x)))
+  def lengthOf(x: Column): Column = col(JsonbLength(e(x)))
+}

@@ -1,0 +1,176 @@
+package graft.expr
+
+import graft.jsonb._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static runtime for jsonb Catalyst expressions — called from both
+  * interpreted eval and generated code (one static call per op keeps
+  * the expressions inside whole-stage codegen).
+  *
+  * All inputs/outputs are canonical-JSON UTF8Strings; a Java `null`
+  * is SQL NULL (distinct from jsonb `"null"` — reference:
+  * parse_cypher_expr.c:17-19 "We use SQL NULL instead of 'null'::jsonb").
+  */
+object JsonbRT {
+  private def v(s: UTF8String): JValue = Jsonb.parse(s.toString)
+  private def out(v: JValue): UTF8String = UTF8String.fromString(v.render)
+
+  // arithmetic -------------------------------------------------------
+  def add(l: UTF8String, r: UTF8String): UTF8String = out(Jsonb.add(v(l), v(r)))
+  def sub(l: UTF8String, r: UTF8String): UTF8String = out(Jsonb.sub(v(l), v(r)))
+  def mul(l: UTF8String, r: UTF8String): UTF8String = out(Jsonb.mul(v(l), v(r)))
+  def div(l: UTF8String, r: UTF8String): UTF8String = out(Jsonb.div(v(l), v(r)))
+  def mod(l: UTF8String, r: UTF8String): UTF8String = out(Jsonb.mod(v(l), v(r)))
+  def pow(l: UTF8String, r: UTF8String): UTF8String = out(Jsonb.pow(v(l), v(r)))
+  def uminus(r: UTF8String): UTF8String = out(Jsonb.uminus(v(r)))
+  def uplus(r: UTF8String): UTF8String = out(Jsonb.uplus(v(r)))
+
+  // compare (jsonb btree order) -------------------------------------
+  def cmp(l: UTF8String, r: UTF8String): Int = Jsonb.compare(v(l), v(r))
+
+  // containment / existence -----------------------------------------
+  def contains(l: UTF8String, r: UTF8String): Boolean = Jsonb.contains(v(l), v(r))
+  def existsKey(l: UTF8String, k: UTF8String): Boolean = Jsonb.exists(v(l), k.toString)
+
+  // access -----------------------------------------------------------
+  /** Object field / array index access (`n.k`, `l[i]`); SQL NULL when
+    * missing. Mirrors jsonb `->`.
+    */
+  def get(l: UTF8String, key: UTF8String): UTF8String = {
+    val kv = Jsonb.parse(key.toString) // key arrives as a jsonb value
+    val res = (v(l), kv) match {
+      case (o: JObj, JStr(k)) => o.get(k).orNull
+      case (JArr(items), JNum(n)) =>
+        val i0 = n.intValue
+        val i = if (i0 < 0) items.length + i0 else i0
+        if (i >= 0 && i < items.length) items(i) else null
+      case _ => null
+    }
+    if (res == null) null else out(res)
+  }
+
+  /** List slice `l[a..b]` with Cypher/Python-style negatives; null
+    * bounds mean open ends.
+    */
+  def slice(l: UTF8String, from: UTF8String, to: UTF8String): UTF8String =
+    v(l) match {
+      case JArr(items) =>
+        def bound(b: UTF8String, dflt: Int): Int =
+          if (b == null) dflt
+          else Jsonb.parse(b.toString) match {
+            case JNum(n) =>
+              val i = n.intValue
+              if (i < 0) Math.max(0, items.length + i) else Math.min(i, items.length)
+            case _ => dflt
+          }
+        val s = bound(from, 0)
+        val e = bound(to, items.length)
+        out(JArr(if (s >= e) Vector.empty else items.slice(s, e)))
+      case _ => null
+    }
+
+  /** jsonb || (concat) — object merge / array concat (SET += uses it). */
+  def concat(l: UTF8String, r: UTF8String): UTF8String = {
+    val res = (v(l), v(r)) match {
+      case (JObj(a), JObj(b)) => Jsonb.mkObj(a ++ b)
+      case (JArr(a), JArr(b)) => JArr(a ++ b)
+      case (JArr(a), b)       => JArr(a :+ b)
+      case (a, JArr(b))       => JArr(a +: b)
+      case (a, b)             => JArr(Vector(a, b))
+    }
+    out(res)
+  }
+
+  /** jsonb - key (delete key/element). */
+  def deleteKey(l: UTF8String, k: UTF8String): UTF8String = v(l) match {
+    case JObj(fields) => out(JObj(fields.filterNot(_._1 == k.toString)))
+    case JArr(items)  => out(JArr(items.filterNot {
+      case JStr(s) => s == k.toString
+      case _ => false
+    }))
+    case other => out(other)
+  }
+
+  /** Set/overwrite a top-level key (SET n.k = v); SQL-NULL value
+    * deletes the key (Cypher REMOVE / SET n.k = NULL semantics).
+    */
+  def setKey(l: UTF8String, k: UTF8String, value: UTF8String): UTF8String = {
+    val base = v(l) match {
+      case JObj(fields) => fields
+      case _            => Vector.empty[(String, JValue)]
+    }
+    val key = k.toString
+    val cleaned = base.filterNot(_._1 == key)
+    if (value == null) out(JObj(cleaned))
+    else out(Jsonb.mkObj(cleaned :+ (key -> Jsonb.parse(value.toString))))
+  }
+
+  // casts -------------------------------------------------------------
+  /** jsonb -> SQL text: strings unquote, others render as json. */
+  def asText(l: UTF8String): UTF8String = v(l) match {
+    case JNull   => null
+    case JStr(s) => UTF8String.fromString(s)
+    case other   => out(other)
+  }
+
+  /** jsonb -> bool cast ('' 0 false [] {} -> false). */
+  def toBool(l: UTF8String): java.lang.Boolean = Jsonb.toBool(v(l))
+
+  def asDouble(l: UTF8String): java.lang.Double = {
+    val n = Jsonb.asNumeric(v(l))
+    if (n == null) null else java.lang.Double.valueOf(n.doubleValue)
+  }
+
+  def asLong(l: UTF8String): java.lang.Long = {
+    val n = Jsonb.asNumeric(v(l))
+    if (n == null) null
+    else java.lang.Long.valueOf(n.setScale(0, java.math.RoundingMode.DOWN).longValueExact)
+  }
+
+  /** SQL string -> jsonb string value (quote/escape). */
+  def fromText(s: UTF8String): UTF8String = out(JStr(s.toString))
+  def fromLong(x: Long): UTF8String = out(JNum(java.math.BigDecimal.valueOf(x)))
+  def fromDouble(x: Double): UTF8String = out(JNum(new java.math.BigDecimal(x.toString)))
+  def fromBool(b: Boolean): UTF8String = out(JBool(b))
+
+  // misc scalar fns ---------------------------------------------------
+  /** length(jsonb): string length / array length / object pair count
+    * (cypher_funcs.c jsonb_length).
+    */
+  def length(l: UTF8String): java.lang.Long = v(l) match {
+    case JStr(s)      => s.length.toLong
+    case JArr(items)  => items.length.toLong
+    case JObj(fields) => fields.length.toLong
+    case _            => null
+  }
+
+  def keys(l: UTF8String): UTF8String = v(l) match {
+    case JObj(fields) => out(JArr(fields.map(f => JStr(f._1))))
+    case _            => null
+  }
+
+  def head(l: UTF8String): UTF8String = v(l) match {
+    case JArr(items) => if (items.isEmpty) null else out(items.head)
+    case _           => null
+  }
+  def last(l: UTF8String): UTF8String = v(l) match {
+    case JArr(items) => if (items.isEmpty) null else out(items.last)
+    case _           => null
+  }
+  def tail(l: UTF8String): UTF8String = v(l) match {
+    case JArr(items) => out(JArr(if (items.isEmpty) items else items.tail))
+    case _           => null
+  }
+
+  def cypherToBoolean(l: UTF8String): UTF8String = {
+    val r = Jsonb.cypherToBoolean(v(l))
+    if (r == JNull) null else out(r)
+  }
+
+  def cypherToString(l: UTF8String): UTF8String = v(l) match {
+    case JStr(_)  => l
+    case JNum(n)  => out(JStr(Jsonb.renderNum(n)))
+    case JBool(b) => out(JStr(if (b) "true" else "false"))
+    case _        => null
+  }
+}

@@ -1,0 +1,462 @@
+package graft.jsonb
+
+import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+import scala.collection.mutable.ArrayBuffer
+
+/** PostgreSQL-jsonb value model with PG-exact semantics.
+  *
+  * Cypher expressions in the reference are jsonb-in/jsonb-out
+  * (reference: src/backend/parser/parse_cypher_expr.c:11-19). We carry
+  * jsonb values through Spark as canonical JSON strings; this module is
+  * the single source of truth for parse / render / compare / arithmetic.
+  *
+  * Semantics replicated from the reference:
+  *  - type order Null < String < Numeric < Bool < Array < Object
+  *    (jbvType enum, src/include/utils/jsonb.h);
+  *  - container compare: arrays by length then elementwise, objects by
+  *    pair count then sorted-pairwise (jsonb_util.c compareJsonbContainers);
+  *  - object keys sorted by (length, bytes) (jsonb_util.c
+  *    lengthCompareJsonbStringValue);
+  *  - numeric semantics of PG `numeric` (scale rules of numeric.c:
+  *    add/sub max(s1,s2), mul s1+s2, div select_div_scale with >=16
+  *    significant digits);
+  *  - render style of jsonb_out: ", " separators, ": " after keys,
+  *    numbers via numeric_out (display scale preserved: 7.0 renders "7.0").
+  */
+sealed trait JValue {
+  def typeRank: Int = this match {
+    case JNull      => 0
+    case _: JStr    => 1
+    case _: JNum    => 2
+    case _: JBool   => 3
+    case _: JArr    => 4
+    case _: JObj    => 5
+  }
+  def render: String = { val sb = new StringBuilder; Jsonb.render(this, sb); sb.toString }
+}
+case object JNull extends JValue
+final case class JBool(b: Boolean) extends JValue
+final case class JNum(n: JBigDecimal) extends JValue
+final case class JStr(s: String) extends JValue
+final case class JArr(items: Vector[JValue]) extends JValue
+/** fields are kept sorted in PG jsonb key order: (length, bytes). */
+final case class JObj(fields: Vector[(String, JValue)]) extends JValue {
+  def get(k: String): Option[JValue] = {
+    // fields are sorted; linear scan is fine for property-map sizes
+    val it = fields.iterator
+    while (it.hasNext) { val (fk, fv) = it.next(); if (fk == k) return Some(fv) }
+    None
+  }
+}
+
+object Jsonb {
+
+  // ---------------------------------------------------------------- parse
+
+  /** Parse JSON text to a JValue. Strict; throws on malformed input. */
+  def parse(s: String): JValue = {
+    val p = new Parser(s)
+    val v = p.parseValue()
+    p.skipWs()
+    if (!p.atEnd) throw new IllegalArgumentException(s"trailing data in json: $s")
+    v
+  }
+
+  def parseOrNull(s: String): JValue =
+    if (s == null) null else parse(s)
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def skipWs(): Unit = while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' || s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+    private def fail(msg: String) = throw new IllegalArgumentException(s"invalid json at $i: $msg")
+
+    def parseValue(): JValue = {
+      skipWs()
+      if (atEnd) fail("unexpected end")
+      s.charAt(i) match {
+        case '{' => parseObject()
+        case '[' => parseArray()
+        case '"' => JStr(parseString())
+        case 't' => expect("true"); JBool(true)
+        case 'f' => expect("false"); JBool(false)
+        case 'n' => expect("null"); JNull
+        case c if c == '-' || (c >= '0' && c <= '9') => parseNumber()
+        case c => fail(s"unexpected char '$c'")
+      }
+    }
+
+    private def expect(word: String): Unit = {
+      if (!s.regionMatches(i, word, 0, word.length)) fail(s"expected $word")
+      i += word.length
+    }
+
+    private def parseObject(): JValue = {
+      i += 1; skipWs()
+      val buf = new ArrayBuffer[(String, JValue)]()
+      if (!atEnd && s.charAt(i) == '}') { i += 1; return JObj(Vector.empty) }
+      while (true) {
+        skipWs()
+        if (atEnd || s.charAt(i) != '"') fail("expected object key")
+        val k = parseString()
+        skipWs()
+        if (atEnd || s.charAt(i) != ':') fail("expected ':'")
+        i += 1
+        val v = parseValue()
+        buf += ((k, v))
+        skipWs()
+        if (atEnd) fail("unterminated object")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; return mkObj(buf)
+          case c   => fail(s"unexpected '$c' in object")
+        }
+      }
+      JNull // unreachable
+    }
+
+    private def parseArray(): JValue = {
+      i += 1; skipWs()
+      val buf = new ArrayBuffer[JValue]()
+      if (!atEnd && s.charAt(i) == ']') { i += 1; return JArr(Vector.empty) }
+      while (true) {
+        val v = parseValue()
+        buf += v
+        skipWs()
+        if (atEnd) fail("unterminated array")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case ']' => i += 1; return JArr(buf.toVector)
+          case c   => fail(s"unexpected '$c' in array")
+        }
+      }
+      JNull // unreachable
+    }
+
+    private def parseString(): String = {
+      i += 1 // opening quote
+      val sb = new StringBuilder
+      while (true) {
+        if (atEnd) fail("unterminated string")
+        val c = s.charAt(i)
+        if (c == '"') { i += 1; return sb.toString }
+        else if (c == '\\') {
+          i += 1
+          if (atEnd) fail("bad escape")
+          s.charAt(i) match {
+            case '"'  => sb += '"'; i += 1
+            case '\\' => sb += '\\'; i += 1
+            case '/'  => sb += '/'; i += 1
+            case 'b'  => sb += '\b'; i += 1
+            case 'f'  => sb += '\f'; i += 1
+            case 'n'  => sb += '\n'; i += 1
+            case 'r'  => sb += '\r'; i += 1
+            case 't'  => sb += '\t'; i += 1
+            case 'u'  =>
+              if (i + 4 >= s.length) fail("bad \\u escape")
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 5
+            case c2 => fail(s"bad escape '\\$c2'")
+          }
+        } else { sb += c; i += 1 }
+      }
+      "" // unreachable
+    }
+
+    private def parseNumber(): JValue = {
+      val start = i
+      if (s.charAt(i) == '-') i += 1
+      while (i < s.length && { val c = s.charAt(i); (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-' }) i += 1
+      JNum(new JBigDecimal(s.substring(start, i)))
+    }
+  }
+
+  /** PG jsonb object key order: length first, then bytewise (UTF-8). */
+  def keyLt(a: String, b: String): Boolean = keyCmp(a, b) < 0
+  def keyCmp(a: String, b: String): Int = {
+    val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+    if (ab.length != bb.length) ab.length - bb.length
+    else {
+      var i = 0
+      while (i < ab.length) {
+        val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** Build an object value: sort keys PG-style, last duplicate wins
+    * (PG jsonb semantics for duplicate keys).
+    */
+  def mkObj(pairs: collection.Seq[(String, JValue)]): JObj = {
+    val dedup = scala.collection.mutable.LinkedHashMap[String, JValue]()
+    pairs.foreach { case (k, v) => dedup(k) = v }
+    JObj(dedup.toVector.sortWith((x, y) => keyLt(x._1, y._1)))
+  }
+
+  // --------------------------------------------------------------- render
+
+  def render(v: JValue, sb: StringBuilder): Unit = v match {
+    case JNull    => sb.append("null")
+    case JBool(b) => sb.append(if (b) "true" else "false")
+    case JNum(n)  => sb.append(renderNum(n))
+    case JStr(s)  => renderString(s, sb)
+    case JArr(items) =>
+      sb.append('[')
+      var first = true
+      items.foreach { it =>
+        if (!first) sb.append(", ")
+        first = false
+        render(it, sb)
+      }
+      sb.append(']')
+    case JObj(fields) =>
+      sb.append('{')
+      var first = true
+      fields.foreach { case (k, fv) =>
+        if (!first) sb.append(", ")
+        first = false
+        renderString(k, sb)
+        sb.append(": ")
+        render(fv, sb)
+      }
+      sb.append('}')
+  }
+
+  /** numeric_out semantics: display scale preserved (7.0 -> "7.0");
+    * negative scales (from E-notation) print plain ("6.02E23" ->
+    * "602000000000000000000000").
+    */
+  def renderNum(n: JBigDecimal): String = {
+    val adj = if (n.scale < 0) n.setScale(0) else n
+    adj.toPlainString
+  }
+
+  def renderString(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c2 if c2 < ' ' => sb.append(f"\\u${c2.toInt}%04x")
+        case c2   => sb.append(c2)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  // -------------------------------------------------------------- compare
+
+  /** Total order identical to jsonb btree compare
+    * (jsonb_util.c compareJsonbContainers + compareJsonbScalarValue).
+    */
+  def compare(a: JValue, b: JValue): Int = {
+    if (a.typeRank != b.typeRank) return Integer.compare(a.typeRank, b.typeRank)
+    (a, b) match {
+      case (JNull, JNull)         => 0
+      case (JStr(x), JStr(y))     => strCmp(x, y)
+      case (JNum(x), JNum(y))     => x.compareTo(y)
+      case (JBool(x), JBool(y))   => java.lang.Boolean.compare(x, y)
+      case (JArr(x), JArr(y))     =>
+        if (x.length != y.length) Integer.compare(x.length, y.length)
+        else {
+          var i = 0
+          while (i < x.length) {
+            val c = compare(x(i), y(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+      case (JObj(x), JObj(y))     =>
+        if (x.length != y.length) Integer.compare(x.length, y.length)
+        else {
+          var i = 0
+          while (i < x.length) {
+            val ck = strCmp(x(i)._1, y(i)._1)
+            if (ck != 0) return ck
+            val cv = compare(x(i)._2, y(i)._2)
+            if (cv != 0) return cv
+            i += 1
+          }
+          0
+        }
+      case _ => 0 // unreachable: ranks matched
+    }
+  }
+
+  /** String compare for VALUES (varstr_cmp under C-ish collation). */
+  private def strCmp(a: String, b: String): Int = a.compareTo(b)
+
+  // ------------------------------------------------------------ contains
+
+  /** jsonb containment `@>` (jsonb_op.c / JsonbDeepContains). */
+  def contains(a: JValue, b: JValue): Boolean = (a, b) match {
+    case (JObj(_), JObj(bf)) =>
+      val ao = a.asInstanceOf[JObj]
+      bf.forall { case (k, bv) => ao.get(k).exists(av => containsVal(av, bv)) }
+    case (JArr(ai), JArr(bi)) =>
+      bi.forall(bv => ai.exists(av => containsVal(av, bv)))
+    case (JArr(ai), scalar) if scalar.typeRank <= 3 =>
+      ai.exists(av => compare(av, scalar) == 0)
+    case _ => compare(a, b) == 0
+  }
+
+  private def containsVal(av: JValue, bv: JValue): Boolean = (av, bv) match {
+    case (JObj(_), JObj(_)) | (JArr(_), JArr(_)) => contains(av, bv)
+    case (JArr(_), _)                            => false // nested scalars must match exactly inside pair values
+    case _                                       => compare(av, bv) == 0
+  }
+
+  /** jsonb existence `?` — top-level key or array element string. */
+  def exists(a: JValue, key: String): Boolean = a match {
+    case o: JObj  => o.get(key).isDefined
+    case JArr(it) => it.exists { case JStr(s) => s == key; case _ => false }
+    case JStr(s)  => s == key
+    case _        => false
+  }
+
+  // ----------------------------------------------------------- arithmetic
+
+  private def invalidOp(op: String, l: JValue, r: JValue): Nothing =
+    throw new IllegalArgumentException(
+      s"invalid expression: ${l.render} $op ${r.render}")
+  private def invalidUnary(op: String, r: JValue): Nothing =
+    throw new IllegalArgumentException(s"invalid expression: $op${r.render}")
+
+  /** `+` — cypher_ops.c jsonb_add: number+number, string concat,
+    * string+number concat, list concat via jsonb_concat; scalar/object
+    * `+` combos error.
+    */
+  def add(l: JValue, r: JValue): JValue = (l, r) match {
+    case (JNum(a), JNum(b)) => JNum(a.add(b))
+    case (JStr(a), JStr(b)) => JStr(a + b)
+    case (JStr(a), JNum(b)) => JStr(a + renderNum(b))
+    case (JNum(a), JStr(b)) => JStr(renderNum(a) + b)
+    case (JArr(a), JArr(b)) => JArr(a ++ b)
+    case (JArr(a), other)   => JArr(a :+ other)
+    case (other, JArr(b))   => JArr(other +: b)
+    case _                  => invalidOp("+", l, r)
+  }
+
+  private def num2(op: String, l: JValue, r: JValue): (JBigDecimal, JBigDecimal) =
+    (l, r) match {
+      case (JNum(a), JNum(b)) => (a, b)
+      case _                  => invalidOp(op, l, r)
+    }
+
+  def sub(l: JValue, r: JValue): JValue = {
+    val (a, b) = num2("-", l, r); JNum(a.subtract(b))
+  }
+  def mul(l: JValue, r: JValue): JValue = {
+    val (a, b) = num2("*", l, r); JNum(a.multiply(b))
+  }
+
+  /** numeric.c select_div_scale: result scale gives >= 16 significant
+    * digits and is >= either input's display scale; then cypher_ops.c
+    * jnumber_op truncates to scale 0 when both inputs have scale 0
+    * (integer division).
+    */
+  def div(l: JValue, r: JValue): JValue = {
+    val (a, b) = num2("/", l, r)
+    if (b.signum == 0) throw new ArithmeticException("division by zero")
+    val q = a.divide(b, divScale(a, b), RoundingMode.HALF_UP)
+    JNum(truncIfIntInputs(a, b, q))
+  }
+
+  def mod(l: JValue, r: JValue): JValue = {
+    val (a, b) = num2("%", l, r)
+    if (b.signum == 0) throw new ArithmeticException("division by zero")
+    JNum(a.remainder(b))
+  }
+
+  /** numeric_power + the jnumber_op integer-trunc rule. */
+  def pow(l: JValue, r: JValue): JValue = {
+    val (a, b) = num2("^", l, r)
+    val res: JBigDecimal =
+      if (b.stripTrailingZeros.scale <= 0 && b.abs.compareTo(new JBigDecimal(1000)) <= 0) {
+        val e = b.intValueExact()
+        if (e >= 0) a.pow(e)
+        else JBigDecimal.ONE.divide(a.pow(-e), 16 + a.scale * (-e), RoundingMode.HALF_UP)
+      } else {
+        new JBigDecimal(Math.pow(a.doubleValue(), b.doubleValue()), MathContext.DECIMAL64)
+      }
+    JNum(truncIfIntInputs(a, b, res))
+  }
+
+  def uminus(r: JValue): JValue = r match {
+    case JNum(n) => JNum(n.negate)
+    case _       => invalidUnary("-", r)
+  }
+  def uplus(r: JValue): JValue = r match {
+    case JNum(_) => r
+    case _       => invalidUnary("+", r)
+  }
+
+  private def truncIfIntInputs(a: JBigDecimal, b: JBigDecimal, res: JBigDecimal): JBigDecimal =
+    if (a.scale.max(0) + b.scale.max(0) == 0)
+      res.setScale(0, RoundingMode.DOWN)
+    else res
+
+  /** Replica of numeric.c select_div_scale (base-10000 weights). */
+  private def divScale(a: JBigDecimal, b: JBigDecimal): Int = {
+    def w(x: JBigDecimal): (Int, Int) = { // (weight in base-10000 digits, first digit group)
+      if (x.signum == 0) (0, 0)
+      else {
+        val u = x.abs.stripTrailingZeros
+        // decimal exponent of most significant digit
+        val msdExp = u.precision - u.scale - 1 // 10^msdExp <= u < 10^(msdExp+1)
+        val weight = Math.floorDiv(msdExp, 4)
+        // first base-10000 digit group (1..9999), like NumericVar digits[0]
+        val fd = u.movePointLeft(weight * 4).intValue()
+        (weight, fd)
+      }
+    }
+    val (w1, f1) = w(a)
+    val (w2, f2) = w(b)
+    var qweight = w1 - w2
+    if (f1 <= f2) qweight -= 1
+    var rscale = 16 - qweight * 4
+    rscale = Math.max(rscale, a.scale.max(0))
+    rscale = Math.max(rscale, b.scale.max(0))
+    rscale = Math.max(rscale, 0)
+    Math.min(rscale, 1000)
+  }
+
+  // ---------------------------------------------------------------- casts
+
+  /** jsonb -> bool (pg_cast.dat:517; falsy: '' 0 false [] {} null). */
+  def toBool(v: JValue): java.lang.Boolean = v match {
+    case JNull        => null
+    case JBool(b)     => b
+    case JNum(n)      => n.signum != 0
+    case JStr(s)      => s.nonEmpty
+    case JArr(items)  => items.nonEmpty
+    case JObj(fields) => fields.nonEmpty
+  }
+
+  /** Cypher toBoolean(): strings 'true'/'false', bools pass, else null. */
+  def cypherToBoolean(v: JValue): JValue = v match {
+    case JBool(_)      => v
+    case JStr("true")  => JBool(true)
+    case JStr("false") => JBool(false)
+    case _             => JNull
+  }
+
+  def asNumeric(v: JValue): JBigDecimal = v match {
+    case JNum(n) => n
+    case JStr(s) => try new JBigDecimal(s.trim) catch { case _: NumberFormatException => null }
+    case JBool(b) => if (b) JBigDecimal.ONE else JBigDecimal.ZERO
+    case _       => null
+  }
+}

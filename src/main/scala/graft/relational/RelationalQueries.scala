@@ -357,6 +357,28 @@ object RelationalQueries {
         .orderBy("n_name")
     },
 
+    // ---- jsonb expression surface (graft.expr custom Expressions) ---
+    // Property extraction via the custom JsonbBinary("get") expression
+    // (the same operator Cypher property access compiles to).
+    "q31_jsonb_get" -> { (s, d) =>
+      import graft.expr.J
+      load(s, d, "events")
+        .select(col("event_id"), J.toLong(J.getKey(col("props"), "k")).as("k"))
+        .where(col("k").isNotNull && col("k") >= 80)
+        .orderBy("event_id")
+    },
+
+    // jsonb comparison + arithmetic in a filter + aggregate.
+    "q32_jsonb_filter_agg" -> { (s, d) =>
+      import graft.expr.J
+      load(s, d, "events")
+        .where(J.gt(J.getKey(col("props"), "k"), J.lit("50")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(J.toLong(J.add(J.getKey(col("props"), "k"), J.lit("1")))).as("sum_k1"))
+        .orderBy("event_type")
+    },
+
     // Sample scan surface (deterministic variant: modulo-hash sampling so
     // the oracle can reproduce it exactly; df.sample() is the
     // non-deterministic API analog).
@@ -537,6 +559,19 @@ object RelationalQueries {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q30_sample_deterministic" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin
+        |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q31_jsonb_get" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 80
+        |ORDER BY event_id""".stripMargin,
+    "q32_jsonb_filter_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1)
+        |    AS BIGINT) AS sum_k1
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
