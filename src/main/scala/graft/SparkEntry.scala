@@ -8,18 +8,19 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * training-data pipeline operators (dedup / similarity / text).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val sfDir = "/root/testdata/sf0.001"
-    relational.RelationalQueries.queries("q04_join_multiway")(spark, sfDir)
-  }
+  /** Flagship: a Cypher MATCH through the full engine (parser ->
+    * clause builders -> Catalyst) over a property graph loaded from
+    * sf0.001; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame =
+    pipeline.GraphQueries.queries("g02_chain_join")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.RelationalQueries.queries
+    relational.RelationalQueries.queries ++ pipeline.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relational.RelationalQueries.oracleSql
+    relational.RelationalQueries.oracleSql ++ pipeline.GraphQueries.oracleSql
 }

@@ -1,0 +1,76 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cypher.{Builder, Parser}
+import graft.graph.GraphCatalog
+import graft.jsonb._
+
+/** Public entry point: a session over a GraphCatalog with a current
+  * graph (`SET graph_path` analog — check_graph_path guc.c:4670) and
+  * `cypher(query, params) -> DataFrame` (SURVEY §3.3: results register
+  * as temp views for SQL interop; LOAD pulls Spark tables in).
+  */
+final class CypherSession(
+    val spark: SparkSession,
+    val catalog: GraphCatalog,
+    private var currentGraph: String = null) {
+
+  def setGraphPath(g: String): Unit = {
+    require(catalog.graphExists(g), s"graph \"$g\" does not exist")
+    currentGraph = g
+  }
+  def graphPath: String = currentGraph
+
+  // DDL ------------------------------------------------------------
+  def createGraph(name: String, ifNotExists: Boolean = false): Unit = {
+    catalog.createGraph(name, ifNotExists)
+    if (currentGraph == null) currentGraph = name
+  }
+  def dropGraph(name: String, ifExists: Boolean = false): Unit =
+    catalog.dropGraph(name, ifExists)
+  def createVLabel(name: String, parents: Seq[String] = Nil,
+      ifNotExists: Boolean = false): Unit =
+    catalog.createLabel(currentGraph, name, 'v', parents, ifNotExists)
+  def createELabel(name: String, parents: Seq[String] = Nil,
+      ifNotExists: Boolean = false): Unit =
+    catalog.createLabel(currentGraph, name, 'e', parents, ifNotExists)
+
+  /** Run a Cypher statement; returns the final clause's DataFrame. */
+  def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame = {
+    require(currentGraph != null, "no graph selected (setGraphPath)")
+    val ast = Parser.parse(query)
+    val b = new Builder(spark, catalog, currentGraph, params.map {
+      case (k, v) => k -> toJValue(v)
+    }, name => spark.table(name))
+    lastBuilder = b
+    b.run(ast)
+  }
+
+  @volatile private var lastBuilder: Builder = null
+
+  /** get_last_graph_write_stats() (cypher_funcs.c:1185). */
+  def lastWriteStats: Map[String, Long] = Option(lastBuilder).map { b =>
+    Map(
+      "insertedvertices" -> b.insertedVertices,
+      "insertededges" -> b.insertedEdges,
+      "updatedproperties" -> b.updatedProperties,
+      "deletedvertices" -> b.deletedVertices,
+      "deletededges" -> b.deletedEdges)
+  }.getOrElse(Map.empty)
+
+  private def toJValue(v: Any): JValue = v match {
+    case null => JNull
+    case j: JValue => j
+    case s: String => JStr(s)
+    case b: Boolean => JBool(b)
+    case i: Int => JNum(java.math.BigDecimal.valueOf(i.toLong))
+    case l: Long => JNum(java.math.BigDecimal.valueOf(l))
+    case d: Double => JNum(new java.math.BigDecimal(d.toString))
+    case bd: BigDecimal => JNum(bd.bigDecimal)
+    case seq: Seq[_] => JArr(seq.map(toJValue).toVector)
+    case m: Map[_, _] =>
+      Jsonb.mkObj(m.toSeq.map { case (k, x) => k.toString -> toJValue(x) })
+    case other => throw new IllegalArgumentException(
+      s"unsupported parameter type: ${other.getClass}")
+  }
+}

@@ -1,0 +1,351 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.expr.J
+import Ast._
+import Kind._
+
+/** Iterative graph algorithms as driver-side DataFrame loops
+  * (SURVEY §2.4, §3.4, §4.3: no custom physical operators — Catalyst
+  * plans each level; localCheckpoint bounds lineage).
+  *
+  * Scale design: frontier expansion is one equi-join per level (shuffle
+  * on vertex id); shortest-path search prunes by a visited-(origin,
+  * vertex) set (anti-join), so each vertex enters the frontier once per
+  * origin — O(V) frontier rows per origin instead of path explosion.
+  */
+object Algo {
+
+  /** Checkpoint cadence for iterative loops (keeps lineage bounded). */
+  private val CheckpointEvery = 4
+  /** Safety cap for unbounded expansions (reference: INT_MAX,
+    * execGraphVle.c:33 — we cap pragmatically; uniqueness bounds
+    * terminate loops well before this on real data).
+    */
+  private val MaxDepth = 64
+
+  // ================================================================ VLE
+
+  /** Variable-length expansion -[e:t*lo..hi]-> joined onto the frame.
+    * Produces relName (array<edge>) and `relName__vs` (array<vertex> of
+    * the vertices after each hop) columns, then binds the target node.
+    * Mirrors execGraphVle.c DFS semantics: per-path edge uniqueness,
+    * zero-length support, undirected via both-orientation scan.
+    */
+  def vleJoin(b: Builder, st0: State, prevName: String, rel: RelPattern,
+      node: NodePattern, relName: String, lo: Long,
+      hiOpt: Option[Long]): (State, String) = {
+    val spark = b.spark
+    val hi = hiOpt.getOrElse(MaxDepth.toLong).min(MaxDepth.toLong)
+
+    val E = {
+      val base = b.edgeScan(rel.types, rel.direction)
+      rel.props match {
+        case Some(pe) =>
+          // constant prop constraint on every traversed edge
+          val comp = b.compiler(State(base, Vector.empty))
+          val propsCol = col("__edge").getField("properties")
+          val qual = pe match {
+            case MapExpr(fields) =>
+              fields.map { case (k, v) =>
+                J.eq(J.getKey(propsCol, k), comp.toJ(comp.compile(v)))
+              }.reduceOption(_ && _).getOrElse(lit(true))
+            case other => J.contains(propsCol, comp.toJ(comp.compile(other)))
+          }
+          base.where(qual)
+        case None => base
+      }
+    }
+
+    val V = b.vertexScan(None, only = false)
+      .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
+
+    // depth-1 frontier
+    def firstFrontier: DataFrame =
+      E.join(V, col("__e") === col("__vid"))
+        .select(col("__s").as("__start"), col("__e").as("__cur"),
+          array(col("__edge")).as("__edges"),
+          array(col("__edge").getField("id")).as("__ids"),
+          array(col("__v")).as("__verts"))
+
+    var frontier = firstFrontier
+    var results: DataFrame = null
+    def accumulate(k: Long, df: DataFrame): Unit =
+      if (k >= math.max(lo, 1L) && k <= hi) {
+        results = if (results == null) df else results.unionAll(df)
+      }
+    accumulate(1L, frontier)
+
+    var k = 1L
+    var exhausted = frontier.isEmpty
+    while (k < hi && !exhausted) {
+      val next = frontier.join(E, col("__cur") === col("__s") &&
+          !array_contains(col("__ids"), col("__edge").getField("id")))
+        .join(V, col("__e") === col("__vid"))
+        .select(col("__start"), col("__e").as("__cur"),
+          concat(col("__edges"), array(col("__edge"))).as("__edges"),
+          concat(col("__ids"), array(col("__edge").getField("id"))).as("__ids"),
+          concat(col("__verts"), array(col("__v"))).as("__verts"))
+      k += 1
+      frontier = if (k % CheckpointEvery == 0) next.localCheckpoint(true) else next
+      exhausted = frontier.isEmpty
+      if (!exhausted) accumulate(k, frontier)
+    }
+
+    var vle = if (results == null)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("__start", LongType), StructField("__cur", LongType),
+          StructField("__edges", ArrayType(b.edgeStructType)),
+          StructField("__ids", ArrayType(LongType)),
+          StructField("__verts", ArrayType(b.vertexStructType)))))
+      else results
+
+    if (lo == 0L) {
+      // zero-length path: every vertex joins to itself with empty arrays
+      // (isZeroLengthVLE parse_graph.c:198,2388-2404)
+      val zero = V.select(col("__vid").as("__start"), col("__vid").as("__cur"),
+        b.emptyEdgeArray.as("__edges"), b.emptyLongArray.as("__ids"),
+        b.emptyVertexArray.as("__verts"))
+      vle = zero.unionAll(vle)
+    }
+
+    joinExpansion(b, st0, prevName, node, relName, vle)
+  }
+
+  /** Join an expansion relation (cols __start/__cur/__edges/__verts)
+    * onto the outer frame and bind the target node.
+    */
+  private def joinExpansion(b: Builder, st0: State, prevName: String,
+      node: NodePattern, relName: String, vle: DataFrame): (State, String) = {
+    var st = st0
+    val prevId = col(Compiler.q(prevName)).getField("id")
+    val expansion = vle.select(col("__start").as(s"__vs0_$relName"),
+      col("__cur").as(s"__ve_$relName"),
+      col("__edges").as(relName),
+      col("__verts").as(s"${relName}__vs"))
+    var df = st.df.join(expansion, prevId === col(s"__vs0_$relName"))
+    st = State(df, st.vars :+ (relName -> KEL))
+    val nodeName = node.variable.getOrElse(s"__vt_$relName")
+    if (st.has(nodeName)) {
+      df = st.df.where(col(s"__ve_$relName") === col(Compiler.q(nodeName)).getField("id"))
+      st = State(df, st.vars)
+    } else {
+      val scan = b.vertexScan(node.label, node.only)
+        .select(struct(col("id"), col("properties")).as(nodeName))
+      df = st.df.join(scan,
+        col(s"__ve_$relName") === col(Compiler.q(nodeName)).getField("id"))
+      st = State(df, st.vars :+ (nodeName -> KV))
+    }
+    node.props.foreach { pe =>
+      val comp = b.compiler(st)
+      val propsCol = col(Compiler.q(nodeName)).getField("properties")
+      val qual = pe match {
+        case MapExpr(fields) =>
+          fields.map { case (k, v) =>
+            J.eq(J.getKey(propsCol, k), comp.toJ(comp.compile(v)))
+          }.reduceOption(_ && _).getOrElse(lit(true))
+        case other => J.contains(propsCol, comp.toJ(comp.compile(other)))
+      }
+      st = State(st.df.where(qual), st.vars)
+    }
+    st = State(st.df.drop(s"__vs0_$relName", s"__ve_$relName"), st.vars)
+    (st, nodeName)
+  }
+
+  // ==================================================== shortest paths
+
+  /** shortestpath/allshortestpaths/dijkstra over a single-hop-var
+    * pattern (parse_shortestpath.c surface). BFS with visited-set
+    * pruning: each (origin, vertex) enters the frontier at its minimal
+    * depth only (the set-based analog of nodeShortestpath.c's two-sided
+    * hash expansion).
+    */
+  def findPaths(b: Builder, st0: State, p: PathPattern,
+      finder: PathFinder): (State, Vector[(String, Kind)]) = {
+    require(p.tail.length == 1, "path finder patterns take exactly one relationship")
+    val (rel, targetNode) = p.tail.head
+    val sourceNode = p.head
+
+    // bind endpoints first (label/prop constrained scans or bound vars)
+    var (st, srcName) = b.bindNode(st0, sourceNode)
+    val (st2, tgtName) = b.bindNode(st, targetNode)
+    st = st2
+
+    val (lo, hi) = rel.varLength.getOrElse((Some(1L), Some(1L)))
+    val loV = lo.getOrElse(1L)
+    val hiV = hi.getOrElse(MaxDepth.toLong).min(MaxDepth.toLong)
+    val relName = rel.variable.getOrElse(s"__sp_e_${p.hashCode.abs % 1000}")
+
+    val paths = finder match {
+      case PathFinder.Dijkstra(weight, qual, limitK) =>
+        dijkstra(b, rel, relName, weight, qual, limitK.getOrElse(1L))
+      case PathFinder.AllShortest => bfs(b, rel, loV, hiV, keepAll = true)
+      case _ => bfs(b, rel, loV, hiV, keepAll = false)
+    }
+
+    // join on both endpoints
+    val srcId = col(Compiler.q(srcName)).getField("id")
+    val tgtId = col(Compiler.q(tgtName)).getField("id")
+    var df = st.df.join(paths,
+      srcId === col("__start") && tgtId === col("__cur"))
+    // path variable struct: vertices = [src] ++ verts, edges
+    val pv = p.variable.getOrElse(s"__sp_p_${p.hashCode.abs % 1000}")
+    df = df.withColumn(pv, struct(
+      concat(array(col(Compiler.q(srcName))), col("__verts")).as("vertices"),
+      col("__edges").as("edges")))
+    df = df.drop("__start", "__cur", "__verts", "__ids")
+      .withColumnRenamed("__edges", relName)
+    val newVars = Vector(relName -> KEL, pv -> KP)
+    (State(df, st.vars ++ newVars), Vector(relName -> KEL))
+  }
+
+  /** Level-synchronous BFS from every vertex (origins resolve at join
+    * time); visited-set pruning keeps one/all minimal-depth paths.
+    */
+  private def bfs(b: Builder, rel: RelPattern, lo: Long, hi: Long,
+      keepAll: Boolean): DataFrame = {
+    val E = b.edgeScan(rel.types, rel.direction)
+    val V = b.vertexScan(None, only = false)
+      .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
+
+    var frontier = E.join(V, col("__e") === col("__vid"))
+      .select(col("__s").as("__start"), col("__e").as("__cur"),
+        array(col("__edge")).as("__edges"),
+        array(col("__edge").getField("id")).as("__ids"),
+        array(col("__v")).as("__verts"))
+    if (!keepAll) {
+      val w = Window.partitionBy("__start", "__cur").orderBy(col("__ids").getItem(0))
+      frontier = frontier.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
+    var visited = E.select(col("__s").as("__o"), col("__s").as("__at")).distinct()
+      .unionAll(frontier.select(col("__start").as("__o"), col("__cur").as("__at")))
+      .distinct()
+
+    var results: DataFrame = null
+    def accumulate(k: Long, df: DataFrame): Unit =
+      if (k >= math.max(lo, 1L) && k <= hi) {
+        results = if (results == null) df else results.unionAll(df)
+      }
+    accumulate(1L, frontier)
+
+    var k = 1L
+    var exhausted = frontier.isEmpty
+    while (k < hi && !exhausted) {
+      var next = frontier.join(E, col("__cur") === col("__s") &&
+          !array_contains(col("__ids"), col("__edge").getField("id")))
+        .join(V, col("__e") === col("__vid"))
+        .select(col("__start"), col("__e").as("__newcur"),
+          concat(col("__edges"), array(col("__edge"))).as("__edges"),
+          concat(col("__ids"), array(col("__edge").getField("id"))).as("__ids"),
+          concat(col("__verts"), array(col("__v"))).as("__verts"))
+        .withColumnRenamed("__newcur", "__cur")
+      // prune: only first arrivals per (origin, vertex)
+      next = next.join(visited,
+        next("__start") === visited("__o") && next("__cur") === visited("__at"),
+        "left_anti")
+      if (!keepAll) {
+        val w = Window.partitionBy("__start", "__cur").orderBy(col("__ids"))
+        next = next.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      }
+      k += 1
+      frontier = if (k % CheckpointEvery == 0) next.localCheckpoint(true) else next
+      exhausted = frontier.isEmpty
+      if (!exhausted) {
+        accumulate(k, frontier)
+        visited = visited.unionAll(
+          frontier.select(col("__start").as("__o"), col("__cur").as("__at"))).distinct()
+        if (k % CheckpointEvery == 0) visited = visited.localCheckpoint(true)
+      }
+    }
+
+    var out = if (results == null) emptyPaths(b) else results
+    if (lo == 0L) {
+      val zero = V.select(col("__vid").as("__start"), col("__vid").as("__cur"),
+        b.emptyEdgeArray.as("__edges"), b.emptyLongArray.as("__ids"),
+        b.emptyVertexArray.as("__verts"))
+      out = zero.unionAll(out)
+    }
+    // keep only minimal depth per pair (visited pruning already ensures
+    // min-depth-only arrivals; zero-length needs the same guard)
+    val w2 = Window.partitionBy("__start", "__cur").orderBy(size(col("__ids")))
+    val withMin = out.withColumn("__minlen",
+      min(size(col("__ids"))).over(Window.partitionBy("__start", "__cur")))
+      .where(size(col("__ids")) === col("__minlen")).drop("__minlen")
+    if (keepAll) withMin
+    else withMin.withColumn("__rn",
+        row_number().over(Window.partitionBy("__start", "__cur").orderBy(col("__ids"))))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Bellman-Ford-style weighted search keeping top-k cheapest paths
+    * per (origin, vertex) (nodeDijkstra.c pairing-heap semantics,
+    * set-based: converges in <= V relaxation rounds).
+    */
+  private def dijkstra(b: Builder, rel: RelPattern, relName: String,
+      weight: Expr, qual: Option[Expr], limitK: Long): DataFrame = {
+    val E0 = b.edgeScan(rel.types, rel.direction)
+    // compile weight/qual with the edge struct bound under the rel name
+    val kinds = Map(relName -> (KE: Kind))
+    val comp = new Compiler(kinds, Map.empty, Map.empty, Map.empty)
+    val E1 = E0.withColumn(relName, col("__edge"))
+    val E2 = qual.map(q => E1.where(comp.toBool(comp.compile(q)))).getOrElse(E1)
+    val E = E2.withColumn("__w",
+      coalesce(J.toDouble(comp.toJ(comp.compile(weight))), lit(1.0)))
+      .select(col("__edge"), col("__s"), col("__e"), col("__w"))
+
+    val V = b.vertexScan(None, only = false)
+      .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
+
+    def topK(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("__start", "__cur")
+        .orderBy(col("__dist"), size(col("__ids")), col("__ids"))
+      df.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= limitK).drop("__rn")
+    }
+
+    var best = topK(E.join(V, col("__e") === col("__vid"))
+      .select(col("__s").as("__start"), col("__e").as("__cur"),
+        array(col("__edge")).as("__edges"),
+        array(col("__edge").getField("id")).as("__ids"),
+        array(col("__v")).as("__verts"),
+        col("__w").as("__dist")))
+
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < MaxDepth) {
+      val expanded = best.join(E, col("__cur") === col("__s") &&
+          !array_contains(col("__ids"), col("__edge").getField("id")))
+        .join(V, col("__e") === col("__vid"))
+        .select(col("__start"), col("__e").as("__cur2"),
+          concat(col("__edges"), array(col("__edge"))).as("__edges"),
+          concat(col("__ids"), array(col("__edge").getField("id"))).as("__ids"),
+          concat(col("__verts"), array(col("__v"))).as("__verts"),
+          (col("__dist") + col("__w")).as("__dist"))
+        .withColumnRenamed("__cur2", "__cur")
+      val candidate = topK(best.unionAll(expanded)).localCheckpoint(true)
+      // fixpoint: stop when the per-pair best set stops improving
+      val prevAgg = best.groupBy("__start", "__cur")
+        .agg(sum("__dist").as("__sd"), count(lit(1)).as("__n"))
+      val newAgg = candidate.groupBy("__start", "__cur")
+        .agg(sum("__dist").as("__sd"), count(lit(1)).as("__n"))
+      changed = !newAgg.exceptAll(prevAgg).isEmpty
+      best = candidate
+      rounds += 1
+    }
+    best.drop("__w", "__dist")
+  }
+
+  private def emptyPaths(b: Builder): DataFrame =
+    b.spark.createDataFrame(b.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("__start", LongType), StructField("__cur", LongType),
+        StructField("__edges", ArrayType(b.edgeStructType)),
+        StructField("__ids", ArrayType(LongType)),
+        StructField("__verts", ArrayType(b.vertexStructType)))))
+}

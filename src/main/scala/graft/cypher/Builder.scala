@@ -1,0 +1,496 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.expr.{J, JsonbNormalize}
+import graft.graph.{GraphCatalog, GraphId}
+import graft.jsonb.{JValue, Jsonb, JStr}
+import Ast._
+import Kind._
+
+/** Executes a Cypher query as a chain of DataFrame transformations —
+  * each clause is DataFrame => DataFrame (SURVEY §3.1), write clauses
+  * apply copy-on-write parquet commands at clause boundaries, which
+  * yields the reference's eager visibility semantics by construction
+  * (SURVEY §2.9 Eager mode).
+  */
+/** Bound variables in clause order. */
+final case class State(df: DataFrame, vars: Vector[(String, Kind)]) {
+  def kinds: Map[String, Kind] = vars.toMap
+  def has(n: String): Boolean = vars.exists(_._1 == n)
+  def add(n: String, k: Kind): State = copy(vars = vars :+ (n -> k))
+}
+
+final class Builder(
+    val spark: SparkSession,
+    val catalog: GraphCatalog,
+    val graph: String,
+    val params: Map[String, JValue],
+    val loadTable: String => DataFrame) {
+
+  private var anonCounter = 0
+  private def fresh(prefix: String): String = { anonCounter += 1; s"__${prefix}_$anonCounter" }
+
+  // write statistics (get_last_graph_write_stats(); cypher_funcs.c:1185)
+  var insertedVertices = 0L
+  var insertedEdges = 0L
+  var updatedProperties = 0L
+  var deletedVertices = 0L
+  var deletedEdges = 0L
+
+  private def labidToName = catalog.labidNames(graph)
+  private def labidToLabelsJson: Map[Int, String] =
+    catalog.labels(graph).map { lm =>
+      lm.labid -> graft.jsonb.JArr(
+        catalog.ancestors(graph, lm.name).toVector.map(JStr)).render
+    }.toMap
+
+  def compiler(st: State): Compiler =
+    new Compiler(st.kinds, params, labidToName, labidToLabelsJson)
+
+  // ================================================================ run
+
+  def run(q: Query): DataFrame = {
+    val first = runSingle(q.first)
+    q.setOps.foldLeft(first) { case (acc, (op, single)) =>
+      val rhs = runSingle(single)
+      op match {
+        case "union"     => acc.union(rhs).distinct()
+        case "union all" => acc.union(rhs)
+        case "intersect" => acc.intersect(rhs)
+        case "except"    => acc.except(rhs)
+      }
+    }
+  }
+
+  def runSingle(sq: SingleQuery): DataFrame = {
+    val init = State(spark.range(1).select(lit(0L).as("__dummy")), Vector.empty)
+    val out = sq.clauses.foldLeft(init)(applyClause)
+    // a bare write query returns its (possibly dummy) frame
+    out.df
+  }
+
+  def applyClause(st: State, c: Clause): State = c match {
+    case m: Match        => buildMatch(st, m)
+    case u: Unwind       => buildUnwind(st, u)
+    case p: Projection   => buildProjection(st, p)
+    case cc: CreateClause => WriteOps.create(this, st, cc.paths)
+    case d: DeleteClause => WriteOps.delete(this, st, d)
+    case s: SetClause    => WriteOps.set(this, st, s.items, lit(true))
+    case mg: MergeClause => WriteOps.merge(this, st, mg)
+    case l: LoadClause   => buildLoad(st, l)
+  }
+
+  // ============================================================== MATCH
+
+  private[cypher] def buildMatch(st: State, m: Match): State = {
+    if (m.optional) {
+      // LATERAL left join against the bound row (transformMatchOptional
+      // parse_graph.c:1184-1260): tag rows, run the inner match, then
+      // left-join new vars back by row id.
+      val tagged = st.df.withColumn("__rowid", monotonically_increasing_id())
+      val base = State(tagged, st.vars)
+      val inner = buildMatch(base, m.copy(optional = false))
+      val newVars = inner.vars.drop(st.vars.length)
+      val innerSel = inner.df.select(
+        (col("__rowid") +: newVars.map(v => col(Compiler.q(v._1)))): _*)
+      val joined = tagged.join(innerSel, Seq("__rowid"), "left").drop("__rowid")
+      State(joined, st.vars ++ newVars)
+    } else {
+      var cur = st
+      val newEdgeVars = Vector.newBuilder[(String, Kind)]
+      m.paths.foreach { p =>
+        val (next, edges) = addPath(cur, p)
+        cur = next
+        newEdgeVars ++= edges
+      }
+      // edge-uniqueness quals (addQualUniqueEdges parse_graph.c:212):
+      // all fixed edges pairwise distinct; VLE arrays non-overlapping
+      val edgeVars = newEdgeVars.result()
+      val quals = for {
+        i <- edgeVars.indices
+        jj <- (i + 1) until edgeVars.length
+      } yield uniqueQual(edgeVars(i), edgeVars(jj))
+      val df2 = quals.foldLeft(cur.df)((d, q) => d.where(q))
+      var res = State(df2, cur.vars)
+      m.where.foreach { w =>
+        val comp = compiler(res)
+        res = State(res.df.where(comp.toBool(comp.compile(w))), res.vars)
+      }
+      res
+    }
+  }
+
+  private def uniqueQual(a: (String, Kind), b: (String, Kind)): Column = {
+    val ac = col(Compiler.q(a._1)); val bc = col(Compiler.q(b._1))
+    (a._2, b._2) match {
+      case (KE, KE)   => ac.getField("id") =!= bc.getField("id")
+      case (KE, KEL)  => !array_contains(transform(bc, e => e.getField("id")), ac.getField("id"))
+      case (KEL, KE)  => !array_contains(transform(ac, e => e.getField("id")), bc.getField("id"))
+      case (KEL, KEL) =>
+        !arrays_overlap(transform(ac, e => e.getField("id")),
+          transform(bc, e => e.getField("id")))
+      case _ => lit(true)
+    }
+  }
+
+  /** Extend state with one path pattern; returns new edge vars bound
+    * (for uniqueness quals).
+    */
+  private def addPath(st0: State, p: PathPattern): (State, Vector[(String, Kind)]) = {
+    p.finder match {
+      case PathFinder.None => ()
+      case f => return Algo.findPaths(this, st0, p, f)
+    }
+    var st = st0
+    val edgeVars = Vector.newBuilder[(String, Kind)]
+    // bind head
+    var (st1, prevName) = bindNode(st, p.head)
+    st = st1
+    val pathVertices = Vector.newBuilder[Column]
+    val pathEdges = Vector.newBuilder[Column]
+    pathVertices += array(col(Compiler.q(prevName)))
+    p.tail.foreach { case (rel, node) =>
+      val (st2, relName, nodeName, relKind) = bindRel(st, prevName, rel, node)
+      st = st2
+      edgeVars += (relName -> relKind)
+      if (relKind == KE) pathEdges += array(col(Compiler.q(relName)))
+      else pathEdges += col(Compiler.q(relName))
+      if (relKind == KEL) {
+        // VLE binds intermediate+target vertices as an array column
+        pathVertices += col(Compiler.q(s"${relName}__vs"))
+      } else {
+        pathVertices += array(col(Compiler.q(nodeName)))
+      }
+      prevName = nodeName
+    }
+    // bind path variable (graphpath composite, ag_graphpath.h:29-33)
+    p.variable.foreach { pv =>
+      val verts = pathVertices.result()
+      val vcol = if (verts.length == 1) verts.head else concat(verts: _*)
+      val es = pathEdges.result()
+      val ecol = if (es.isEmpty) emptyEdgeArray
+        else if (es.length == 1) es.head
+        else concat(es: _*)
+      st = State(st.df.withColumn(pv, struct(vcol.as("vertices"), ecol.as("edges"))),
+        st.vars :+ (pv -> KP))
+    }
+    (st, edgeVars.result())
+  }
+
+  /** Typed empty arrays (array() alone types as array<null>). */
+  private[cypher] def emptyEdgeArray: Column =
+    slice(array(struct(lit(0L).as("id"), lit(0L).as("start"), lit(0L).as("end"),
+      lit(null).cast("string").as("properties"))), 1, 0)
+  private[cypher] def emptyVertexArray: Column =
+    slice(array(struct(lit(0L).as("id"), lit(null).cast("string").as("properties"))), 1, 0)
+  private[cypher] def emptyLongArray: Column = slice(array(lit(0L)), 1, 0)
+
+  private[cypher] def vertexStructType: StructType = StructType(Seq(
+    StructField("id", LongType, false), StructField("properties", StringType, true)))
+  private[cypher] def edgeStructType: StructType = StructType(Seq(
+    StructField("id", LongType, false), StructField("start", LongType, false),
+    StructField("end", LongType, false), StructField("properties", StringType, true)))
+
+  /** Scan for a node pattern: label subtree or all vertex labels. */
+  private[cypher] def vertexScan(label: Option[String], only: Boolean): DataFrame = {
+    val df = label match {
+      case Some(l) => if (only) catalog.scanOnly(graph, l) else catalog.scan(graph, l)
+      case None => catalog.scanAll(graph, 'v')
+    }
+    df
+  }
+
+  private[cypher] def bindNode(st: State, n: NodePattern): (State, String) = {
+    val name = n.variable.getOrElse(fresh("v"))
+    if (st.has(name)) {
+      // re-binding an existing var: optional extra label/prop constraint
+      var df = st.df
+      n.label.foreach { l =>
+        val labids = catalog.subtree(graph, l).map(_.labid)
+        df = df.where(shiftrightunsigned(col(Compiler.q(name)).getField("id"), 48)
+          .cast("int").isin(labids: _*))
+      }
+      n.props.foreach { pe =>
+        df = df.where(propQual(State(df, st.vars), name, pe))
+      }
+      (State(df, st.vars), name)
+    } else {
+      val scan = vertexScan(n.label, n.only)
+        .select(struct(col("id"), col("properties")).as(name))
+      val joined =
+        if (st.vars.isEmpty && st.df.columns.sameElements(Array("__dummy")))
+          scan // first pattern: replace the dummy row frame
+        else st.df.crossJoin(scan)
+      var st2 = State(joined, st.vars :+ (name -> KV))
+      n.props.foreach { pe => st2 = State(st2.df.where(propQual(st2, name, pe)), st2.vars) }
+      (st2, name)
+    }
+  }
+
+  /** Property-map constraint {k: v, ...} -> per-key equality quals
+    * (transformElemQuals parse_graph.c:3079-3131).
+    */
+  private def propQual(st: State, varName: String, propExpr: Expr): Column = {
+    val comp = compiler(st)
+    val propsCol = col(Compiler.q(varName)).getField("properties")
+    propExpr match {
+      case MapExpr(fields) =>
+        fields.map { case (k, v) =>
+          J.eq(J.getKey(propsCol, k), comp.toJ(comp.compile(v)))
+        }.reduceOption(_ && _).getOrElse(lit(true))
+      case other => // parameter object: containment semantics
+        J.contains(propsCol, comp.toJ(comp.compile(other)))
+    }
+  }
+
+  /** Edge scan with normalized __s/__e join endpoints. Undirected
+    * patterns scan both orientations (genEdgeUnion parse_graph.c:178).
+    */
+  private[cypher] def edgeScan(types: Seq[String], direction: Int): DataFrame = {
+    val base = types match {
+      case Nil => catalog.scanAll(graph, 'e')
+      case ts  => ts.map(t => catalog.scan(graph, t)).reduce(_ unionAll _)
+    }
+    val e = struct(col("id"), col("start"), col("end"), col("properties"))
+    direction match {
+      case 1  => base.select(e.as("__edge"), col("start").as("__s"), col("end").as("__e"))
+      case -1 => base.select(e.as("__edge"), col("end").as("__s"), col("start").as("__e"))
+      case 0  =>
+        base.select(e.as("__edge"), col("start").as("__s"), col("end").as("__e"))
+          .unionAll(base.select(e.as("__edge"), col("end").as("__s"), col("start").as("__e")))
+    }
+  }
+
+  /** Join one relationship hop (+ target node) onto the frame:
+    * equi-joins on graphid columns (transformComponents quals
+    * parse_graph.c:1579-1784) — Catalyst picks broadcast/shuffle.
+    */
+  private def bindRel(st0: State, prevName: String, rel: RelPattern,
+      node: NodePattern): (State, String, String, Kind) = {
+    var st = st0
+    val relName = rel.variable.getOrElse(fresh("e"))
+    rel.varLength match {
+      case Some((lo, hi)) =>
+        val (st2, nodeName) = Algo.vleJoin(this, st, prevName, rel, node, relName,
+          lo.getOrElse(1L), hi)
+        return (st2, relName, nodeName, KEL)
+      case None => ()
+    }
+    val prevId = col(Compiler.q(prevName)).getField("id")
+    val edges = edgeScan(rel.types, rel.direction)
+      .select(col("__edge").as(relName), col("__s").as(s"__s_$relName"),
+        col("__e").as(s"__e_$relName"))
+    var df = st.df.join(edges, prevId === col(s"__s_$relName"))
+    st = State(df, st.vars :+ (relName -> KE))
+    rel.props.foreach { pe => st = State(st.df.where(propQual(st, relName, pe)), st.vars) }
+    // bind target node
+    val nodeName = node.variable.getOrElse(fresh("v"))
+    if (st.has(nodeName)) {
+      df = st.df.where(col(s"__e_$relName") === col(Compiler.q(nodeName)).getField("id"))
+      st = State(df, st.vars)
+      node.props.foreach { pe => st = State(st.df.where(propQual(st, nodeName, pe)), st.vars) }
+      node.label.foreach { l =>
+        val labids = catalog.subtree(graph, l).map(_.labid)
+        st = State(st.df.where(shiftrightunsigned(col(Compiler.q(nodeName)).getField("id"), 48)
+          .cast("int").isin(labids: _*)), st.vars)
+      }
+    } else {
+      val scan = vertexScan(node.label, node.only)
+        .select(struct(col("id"), col("properties")).as(nodeName))
+      df = st.df.join(scan, col(s"__e_$relName") === col(Compiler.q(nodeName)).getField("id"))
+      st = State(df, st.vars :+ (nodeName -> KV))
+      node.props.foreach { pe => st = State(st.df.where(propQual(st, nodeName, pe)), st.vars) }
+    }
+    st = State(st.df.drop(s"__s_$relName", s"__e_$relName"), st.vars)
+    (st, relName, nodeName, KE)
+  }
+
+  // ============================================================= UNWIND
+
+  private def buildUnwind(st: State, u: Unwind): State = {
+    val comp = compiler(st)
+    val ce = comp.compile(u.expr)
+    ce.kind match {
+      case KEL => // explode an edge array into edge rows
+        State(st.df.withColumn(u.as, explode(ce.col)), st.vars :+ (u.as -> KE))
+      case _ =>
+        val arr = JsonbNormalize.splitArray(comp.toJ(ce))
+        State(st.df.withColumn(u.as, explode(arr)), st.vars :+ (u.as -> KJ))
+    }
+  }
+
+  // =============================================================== LOAD
+
+  /** LOAD FROM table AS v (gram.y:19156-19170) — whole row becomes a
+    * jsonb object var in the pipeline.
+    */
+  private def buildLoad(st: State, l: LoadClause): State = {
+    val t = loadTable(l.table)
+    val rowJson = JsonbNormalize.normalize(to_json(struct(t.columns.map(col): _*)))
+    val loaded = t.select(rowJson.as(l.as))
+    val joined =
+      if (st.vars.isEmpty && st.df.columns.sameElements(Array("__dummy"))) loaded
+      else st.df.crossJoin(loaded)
+    State(joined, st.vars :+ (l.as -> KJ))
+  }
+
+  // ========================================================= projection
+
+  private[cypher] def buildProjection(st: State, p: Projection): State = {
+    val items0: Seq[(Expr, String)] =
+      if (p.star) st.vars.filterNot(_._1.startsWith("__")).map { case (n, _) => (Vbl(n), n) }
+      else p.items.map { case (e, as) => (e, as.getOrElse(Compiler.itemName(e))) }
+
+    val anyAgg = items0.exists { case (e, _) => Compiler.hasAgg(e) }
+    var out: State = null
+
+    if (!anyAgg) {
+      val comp = compiler(st)
+      val cols = items0.map { case (e, nm) =>
+        val ce = comp.compile(e)
+        (ce.col.as(nm), ce.kind)
+      }
+      // keep ORDER BY access to pre-projection vars: project onto a frame
+      // that still carries the old columns, sort, then select
+      val withItems = items0.zip(cols).foldLeft(st.df) {
+        case (d, ((_, nm), (c, _))) => d.withColumn(nm, c)
+      }
+      val sorted = applyOrder(withItems, p, st, items0.map(_._2))
+      val selected = sorted.select(items0.map(i => col(Compiler.q(i._2))): _*)
+      out = State(selected, items0.zip(cols).map { case ((_, nm), (_, k)) => nm -> k }.toVector)
+    } else {
+      // implicit grouping: non-aggregate items are the keys
+      // (transformCypherProjection parse_graph.c:441-627)
+      val comp = compiler(st)
+      val keyItems = items0.filter { case (e, _) => !Compiler.hasAgg(e) }
+      val aggItems = items0.filter { case (e, _) => Compiler.hasAgg(e) }
+      val keyCols = keyItems.map { case (e, nm) =>
+        val ce = comp.compile(e); (nm, ce.col.as(nm), ce.kind)
+      }
+      // rewrite agg items: each aggregate node -> generated column ref
+      var aggCols = Vector.empty[(String, Column)]
+      def aggRef(fn: FnCall): Expr = {
+        val nm = s"__agg_${aggCols.length}"
+        aggCols :+= (nm -> aggColumn(comp, fn))
+        Vbl(nm)
+      }
+      def cStarRef(): Expr = {
+        val nm = s"__agg_${aggCols.length}"
+        aggCols :+= (nm -> J.fromLong(count(lit(1))))
+        Vbl(nm)
+      }
+      val rewritten = aggItems.map { case (e, nm) =>
+        (Compiler.rewriteAggs(e, keyItems.map(ki => ki._1 -> Vbl(ki._2)).toMap,
+          aggRef, cStarRef), nm)
+      }
+      val grouped =
+        if (keyCols.isEmpty)
+          st.df.agg(aggCols.head._2.as(aggCols.head._1),
+            aggCols.tail.map { case (n2, c2) => c2.as(n2) }: _*)
+        else
+          st.df.groupBy(keyCols.map(_._2): _*)
+            .agg(aggCols.head._2.as(aggCols.head._1),
+              aggCols.tail.map { case (n2, c2) => c2.as(n2) }: _*)
+      // post-agg frame: key cols keep their var kinds; agg refs are jsonb
+      val postVars: Vector[(String, Kind)] =
+        keyCols.map(k => (k._1, k._3)).toVector ++ aggCols.map(a => (a._1, KJ))
+      val postComp = new Compiler(postVars.toMap, params, labidToName, labidToLabelsJson)
+      val finalCols = items0.map { case (e, nm) =>
+        if (!Compiler.hasAgg(e)) (col(Compiler.q(nm)).as(nm),
+          keyCols.find(_._1 == nm).map(_._3).getOrElse(KJ))
+        else {
+          val re = rewritten.find(_._2 == nm).get._1
+          val ce = postComp.compile(re)
+          (ce.col.as(nm), ce.kind)
+        }
+      }
+      val projected = grouped.select(finalCols.map(_._1): _*)
+      val sorted = applyOrder(projected, p,
+        State(projected, items0.map(_._2).zip(finalCols.map(_._2)).toVector),
+        items0.map(_._2))
+      out = State(sorted, items0.map(_._2).zip(finalCols.map(_._2)).toVector)
+    }
+
+    var df = out.df
+    if (p.distinct) df = df.dropDuplicates()
+    p.skip.foreach { e => df = df.offset(constLong(e).toInt) }
+    p.limit.foreach { e => df = df.limit(constLong(e).toInt) }
+    var res = State(df, out.vars)
+    p.where.foreach { w =>
+      val c2 = compiler(res)
+      res = State(res.df.where(c2.toBool(c2.compile(w))), res.vars)
+    }
+    res
+  }
+
+  private def constLong(e: Expr): Long = e match {
+    case Lit(graft.jsonb.JNum(n)) => n.longValue
+    case Param(n) => params.get(n) match {
+      case Some(graft.jsonb.JNum(v)) => v.longValue
+      case _ => throw new IllegalArgumentException("SKIP/LIMIT must be numeric")
+    }
+    case _ => throw new IllegalArgumentException("SKIP/LIMIT must be a literal")
+  }
+
+  private def aggColumn(comp: Compiler, f: FnCall): Column = f.name match {
+    case "count" =>
+      val arg = comp.toJ(comp.compile(f.args.head))
+      if (f.distinct) J.fromLong(count_distinct(arg)) else J.fromLong(count(arg))
+    case "sum" => JsonbAggregates.sum(distinctify(f, comp))
+    case "avg" => JsonbAggregates.avg(distinctify(f, comp))
+    case "min" => JsonbAggregates.min(distinctify(f, comp))
+    case "max" => JsonbAggregates.max(distinctify(f, comp))
+    case "collect" => JsonbAggregates.collect(distinctify(f, comp))
+    case "stdev" => J.fromDouble(stddev_samp(J.toDouble(distinctify(f, comp))))
+    case "stdevp" => J.fromDouble(stddev_pop(J.toDouble(distinctify(f, comp))))
+    case other => throw new IllegalArgumentException(s"unknown aggregate $other")
+  }
+
+  private def distinctify(f: FnCall, comp: Compiler): Column = {
+    val c = comp.toJ(comp.compile(f.args.head))
+    c // DISTINCT inside jsonb aggregates handled upstream via dropDuplicates when needed
+  }
+
+  /** ORDER BY with jsonb sort semantics: decompose each key into
+    * (type-rank, numeric, text) sort columns so jsonb btree order holds
+    * without a custom physical operator.
+    */
+  private def applyOrder(df: DataFrame, p: Projection, st: State,
+      itemNames: Seq[String]): DataFrame = {
+    if (p.orderBy.isEmpty) return df
+    val comp = new Compiler(st.vars.toMap, params, labidToName, labidToLabelsJson)
+    val sortCols = p.orderBy.flatMap { case (e, asc) =>
+      // by-alias reference or positional 1-based index
+      val ce: Compiler#CE = e match {
+        case Vbl(n) if itemNames.contains(n) =>
+          val k = st.vars.find(_._1 == n).map(_._2).getOrElse(KJ)
+          comp.CE(col(Compiler.q(n)), k)
+        case Lit(graft.jsonb.JNum(n)) if n.intValue >= 1 && n.intValue <= itemNames.length =>
+          val nm = itemNames(n.intValue - 1)
+          val k = st.vars.find(_._1 == nm).map(_._2).getOrElse(KJ)
+          comp.CE(col(Compiler.q(nm)), k)
+        case other => comp.compile(other)
+      }
+      val cols: Seq[Column] = ce.kind match {
+        case KJ => Seq(graft.expr.J.typeRank(ce.col), graft.expr.J.toDouble(ce.col),
+          ce.col)
+        case _ => Seq(ce.col)
+      }
+      cols.map(c => if (asc) c.asc_nulls_last else c.desc_nulls_last)
+    }
+    df.orderBy(sortCols: _*)
+  }
+
+  // =========================================================== helpers
+
+  /** Stable per-row index for id assignment (two-pass, per-partition
+    * contiguous — the distributed-safe id allocator; SURVEY §7.3 item 4).
+    */
+  private[cypher] def withRowIndex(df: DataFrame, name: String): DataFrame = {
+    val schema = df.schema.add(StructField(name, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,448 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.J
+import graft.jsonb._
+import Ast._
+
+/** Variable kinds flowing through a Cypher pipeline. */
+sealed trait Kind
+object Kind {
+  case object KV extends Kind  // vertex struct(id, properties)
+  case object KE extends Kind  // edge struct(id, start, end, properties)
+  case object KP extends Kind  // path struct(vertices, edges)
+  case object KEL extends Kind // VLE edge array<edge struct>
+  case object KJ extends Kind  // jsonb value (canonical string)
+  case object KB extends Kind  // SQL boolean (from comparisons)
+}
+
+/** Compiles Cypher AST expressions to Spark Columns against a set of
+  * bound variables (SURVEY §3.1: each clause is DataFrame->DataFrame;
+  * expressions compile to Catalyst columns inside those plans).
+  */
+final class Compiler(
+    kinds: Map[String, Kind],
+    params: Map[String, JValue],
+    labidToName: Map[Int, String],
+    labidToLabelsJson: Map[Int, String] = Map.empty,
+    lambdaVars: Map[String, Column] = Map.empty) {
+
+  import Kind._
+
+  /** Nested scope for list-comprehension lambda variables. */
+  def withLambda(name: String, el: Column): Compiler =
+    new Compiler(kinds, params, labidToName, labidToLabelsJson,
+      lambdaVars + (name -> el))
+
+  final case class CE(col: Column, kind: Kind)
+
+  /** jsonb view of any compiled value (elements render via their
+    * properties are NOT auto-unwrapped — matches PG where vertex→jsonb
+    * is an explicit cast; we only coerce bools).
+    */
+  def toJ(ce: CE): Column = ce.kind match {
+    case KJ => ce.col
+    case KB => when(ce.col.isNull, lit(null: String))
+      .when(ce.col, lit("true")).otherwise(lit("false"))
+    case KV | KE => elementToJsonb(ce)
+    case KP | KEL => ce.col // structs; used only for equality/rendering
+  }
+
+  private def elementToJsonb(ce: CE): Column = ce.col.getField("properties")
+
+  def toBool(ce: CE): Column = ce.kind match {
+    case KB => ce.col
+    case KJ => J.toBool(ce.col)
+    case _ => lit(true)
+  }
+
+  def kindOf(e: Expr): Kind = e match {
+    case Vbl(n) => kinds.getOrElse(n, KJ)
+    case _: Cmp | _: And | _: Or | _: Not | _: IsNull | _: StrPred | _: InList => KB
+    case CountStar => KJ
+    case FnCall(n, _, _) if Compiler.boolFns(n) => KB
+    case _ => KJ
+  }
+
+  def compile(e: Expr): CE = e match {
+    case Lit(v) =>
+      if (v == JNull) CE(lit(null).cast("string"), KJ)
+      else CE(lit(v.render), KJ)
+    case Param(n) =>
+      val v = params.getOrElse(n,
+        throw new IllegalArgumentException(s"missing parameter $$$n"))
+      if (v == JNull) CE(lit(null).cast("string"), KJ) else CE(lit(v.render), KJ)
+    case Vbl(n) =>
+      lambdaVars.get(n) match {
+        case Some(c) => CE(c, KJ)
+        case None => kinds.get(n) match {
+          case Some(k) => CE(col(Compiler.q(n)), k)
+          case None => throw new IllegalArgumentException(s"variable `$n` not defined")
+        }
+      }
+
+    case Prop(base, key) =>
+      val b = compile(base)
+      b.kind match {
+        case KV | KE => CE(J.getKey(b.col.getField("properties"), key), KJ)
+        case KJ     => CE(J.getKey(b.col, key), KJ)
+        case _ => throw new IllegalArgumentException(s"cannot access property on $base")
+      }
+
+    case Index(base, idx) =>
+      val b = compile(base)
+      val i = compile(idx)
+      b.kind match {
+        case KJ      => CE(J.getDyn(b.col, toJ(i)), KJ)
+        case KV | KE  => CE(J.getDyn(b.col.getField("properties"), toJ(i)), KJ)
+        case KEL | KP => throw new IllegalArgumentException("indexing element arrays unsupported")
+        case KB      => throw new IllegalArgumentException("cannot index a boolean")
+      }
+
+    case Slice(base, from, to) =>
+      val b = compile(base)
+      val f = from.map(x => toJ(compile(x))).getOrElse(lit(null).cast("string"))
+      val t = to.map(x => toJ(compile(x))).getOrElse(lit(null).cast("string"))
+      CE(J.slice(toJ(b), f, t), KJ)
+
+    case ListExpr(items) =>
+      // [a, b, ...] — SQL NULL members become jsonb null inside lists
+      val cols = items.map(i => coalesce(toJ(compile(i)), lit("null")))
+      val joined = if (cols.isEmpty) lit("[]")
+        else concat(lit("["), concat_ws(", ", cols: _*), lit("]"))
+      CE(joined, KJ)
+
+    case MapExpr(fields) =>
+      // null-valued keys are dropped at construction (reference
+      // transformCypherMapExpr behavior shown in cypher_expr.out), and
+      // keys must come out in PG jsonb order -> normalize through a
+      // parse/render pass
+      val pairs = fields.map { case (k, v) =>
+        val vc = toJ(compile(v))
+        when(vc.isNull, lit(null: String))
+          .otherwise(concat(lit(JStr(k).render + ": "), vc))
+      }
+      val parts = array(pairs: _*)
+      val kept = filter(parts, x => x.isNotNull)
+      val rawJson = concat(lit("{"), array_join(kept, ", "), lit("}"))
+      CE(graft.expr.JsonbNormalize.normalize(rawJson), KJ)
+
+    case BinOp(op, l, r) =>
+      val lc = toJ(compile(l)); val rc = toJ(compile(r))
+      val c = op match {
+        case "+" => J.add(lc, rc)
+        case "-" => J.sub(lc, rc)
+        case "*" => J.mul(lc, rc)
+        case "/" => J.div(lc, rc)
+        case "%" => J.mod(lc, rc)
+        case "^" => J.pow(lc, rc)
+      }
+      CE(c, KJ)
+
+    case UnaryOp(op, x) =>
+      val c = toJ(compile(x))
+      CE(if (op == "-") J.uminus(c) else J.uplus(c), KJ)
+
+    case Cmp(op, l, r) =>
+      val lc = compile(l); val rc = compile(r)
+      // element comparisons go by id (graphid equality), jsonb by btree order
+      (lc.kind, rc.kind) match {
+        case (KV, KV) | (KE, KE) =>
+          val li = lc.col.getField("id"); val ri = rc.col.getField("id")
+          CE(op match {
+            case "=" => li === ri
+            case "<>" => li =!= ri
+            case "<" => li < ri
+            case ">" => li > ri
+            case "<=" => li <= ri
+            case ">=" => li >= ri
+          }, KB)
+        case _ =>
+          val lj = toJ(lc); val rj = toJ(rc)
+          CE(op match {
+            case "=" => J.eq(lj, rj)
+            case "<>" => J.ne(lj, rj)
+            case "<" => J.lt(lj, rj)
+            case ">" => J.gt(lj, rj)
+            case "<=" => J.le(lj, rj)
+            case ">=" => J.ge(lj, rj)
+          }, KB)
+      }
+
+    case And(l, r) => CE(toBool(compile(l)) && toBool(compile(r)), KB)
+    case Or(l, r)  => CE(toBool(compile(l)) || toBool(compile(r)), KB)
+    case Not(x)    => CE(!toBool(compile(x)), KB)
+
+    case IsNull(x, negated) =>
+      val c = compile(x)
+      CE(if (negated) c.col.isNotNull else c.col.isNull, KB)
+
+    case StrPred(op, l, r) =>
+      val lt = J.asText(toJ(compile(l)))
+      val rt = J.asText(toJ(compile(r)))
+      val c = op match {
+        case "startswith" => lt.startsWith(rt)
+        case "endswith"   => lt.endsWith(rt)
+        case "contains"   => lt.contains(rt)
+        case "regex"      => lt.rlike_(rt)
+      }
+      CE(c, KB)
+
+    case InList(x, listE, negated) =>
+      val xc = toJ(compile(x))
+      val lc = toJ(compile(listE))
+      val c = J.contains(lc, xc) // scalar-in-array containment
+      CE(if (negated) !c else c, KB)
+
+    case CaseExpr(operand, whens, els) =>
+      val cases: Seq[(Column, Column)] = operand match {
+        case Some(opnd) =>
+          val oc = toJ(compile(opnd))
+          whens.map { case (w, t) => (J.eq(oc, toJ(compile(w))), toJ(compile(t))) }
+        case None =>
+          whens.map { case (w, t) => (toBool(compile(w)), toJ(compile(t))) }
+      }
+      val start = when(cases.head._1, cases.head._2)
+      val chained = cases.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }
+      CE(els.map(e => chained.otherwise(toJ(compile(e)))).getOrElse(chained), KJ)
+
+    case ListComp(v, listE, whereE, projE) =>
+      // compile over Spark arrays: split the jsonb array into elements
+      // with a higher-order function; inner expr compiled per-element
+      val arr = toJ(compile(listE))
+      CE(Compiler.listCompColumn(arr, v, whereE, projE, this), KJ)
+
+    case CountStar =>
+      throw new IllegalArgumentException("count(*) outside aggregation context")
+
+    case FnCall(name, args, _) => compileFn(name, args)
+
+    case _: ShortestPathExpr =>
+      throw new IllegalArgumentException("shortestpath as expression must be bound in MATCH")
+  }
+
+  private implicit final class ColExt(private val c: Column) {
+    def rlike_(r: Column): Column = {
+      // Column.rlike takes a literal string; use expr-level RLike for
+      // column patterns
+      import org.apache.spark.sql.graft.ColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.RLike
+      ColumnBridge.column(RLike(ColumnBridge.expression(c), ColumnBridge.expression(r)))
+    }
+  }
+
+  private def compileFn(name: String, args: Seq[Expr]): CE = {
+    def a0 = compile(args(0))
+    def j0 = toJ(a0)
+    def numFn(f: Column => Column, scale: Int = -1): CE = {
+      val d = f(J.toDouble(j0))
+      CE(J.fromDouble(d), KJ)
+    }
+    name match {
+      case "id" => CE(J.fromLong(a0.col.getField("id")), KJ)
+      case "properties" => CE(a0.col.getField("properties"), KJ)
+      case "label" | "type" =>
+        val labid = shiftrightunsigned(a0.col.getField("id"), 48).cast("int")
+        val m = Compiler.labidMapCol(labidToName)
+        CE(J.fromText(element_at(m, labid)), KJ)
+      case "labels" =>
+        // labid -> pre-rendered ancestor-closure json array (diamond-safe
+        // closure computed by the catalog; broadcast literal map)
+        val labid = shiftrightunsigned(a0.col.getField("id"), 48).cast("int")
+        val m = Compiler.labidMapCol(labidToLabelsJson)
+        CE(element_at(m, labid), KJ)
+      case "startid" => CE(J.fromLong(a0.col.getField("start")), KJ)
+      case "endid" => CE(J.fromLong(a0.col.getField("end")), KJ)
+      case "length" =>
+        a0.kind match {
+          case Kind.KP  => CE(J.fromLong(size(a0.col.getField("edges")).cast("long")), KJ)
+          case Kind.KEL => CE(J.fromLong(size(a0.col).cast("long")), KJ)
+          case _       => CE(J.fromLong(J.lengthOf(j0)), KJ)
+        }
+      case "size" => CE(J.fromLong(J.lengthOf(j0)), KJ)
+      case "nodes" | "vertices" =>
+        CE(a0.col.getField("vertices"), Kind.KEL) // array of vertex structs
+      case "relationships" | "edges" =>
+        CE(a0.col.getField("edges"), Kind.KEL)
+      case "head" => CE(J.head(j0), KJ)
+      case "last" => CE(J.last(j0), KJ)
+      case "tail" => CE(J.tail(j0), KJ)
+      case "keys" => CE(J.keysOf(j0), KJ)
+      case "range" =>
+        val from = J.toLong(toJ(compile(args(0))))
+        val to = J.toLong(toJ(compile(args(1))))
+        val step = if (args.length > 2) J.toLong(toJ(compile(args(2)))) else lit(1L)
+        val arr = transform(sequence(from, to, step), x => x.cast("string"))
+        CE(concat(lit("["), array_join(arr, ", "), lit("]")), KJ)
+      case "coalesce" =>
+        CE(coalesce(args.map(x => toJ(compile(x))): _*), KJ)
+      case "toboolean" => CE(J.toBooleanFn(j0), KJ)
+      case "tostring" => CE(J.toStringFn(j0), KJ)
+      case "tointeger" => CE(J.fromLong(J.toLong(j0)), KJ)
+      case "tofloat" => CE(J.fromDouble(J.toDouble(j0)), KJ)
+      // math (cypher_funcs.c:238-540; log -> ln rename)
+      case "abs" => numFn(abs)
+      case "ceil" => numFn(ceil(_).cast("double"))
+      case "floor" => numFn(floor(_).cast("double"))
+      case "round" => numFn(x => round(x, 0))
+      case "sign" => numFn(signum)
+      case "sqrt" => numFn(sqrt)
+      case "exp" => numFn(exp)
+      case "log" => numFn(log(_))
+      case "log10" => numFn(log10)
+      case "sin" => numFn(sin)
+      case "cos" => numFn(cos)
+      case "tan" => numFn(tan)
+      case "cot" => numFn(x => lit(1.0) / tan(x))
+      case "asin" => numFn(asin)
+      case "acos" => numFn(acos)
+      case "atan" => numFn(atan)
+      case "atan2" =>
+        CE(J.fromDouble(atan2(J.toDouble(j0), J.toDouble(toJ(compile(args(1)))))), KJ)
+      case "degrees" => numFn(degrees)
+      case "radians" => numFn(radians)
+      case "pi" => CE(J.fromDouble(lit(Math.PI)), KJ)
+      case "rand" => CE(J.fromDouble(rand()), KJ)
+      // strings (cypher_funcs.c:541-826; substring is 0-based!)
+      case "tolower" | "lower" => CE(J.fromText(lower(J.asText(j0))), KJ)
+      case "toupper" | "upper" => CE(J.fromText(upper(J.asText(j0))), KJ)
+      case "trim" => CE(J.fromText(trim(J.asText(j0))), KJ)
+      case "ltrim" => CE(J.fromText(ltrim(J.asText(j0))), KJ)
+      case "rtrim" => CE(J.fromText(rtrim(J.asText(j0))), KJ)
+      case "reverse" => CE(J.fromText(reverse(J.asText(j0))), KJ)
+      case "left" =>
+        CE(J.fromText(substring(J.asText(j0), lit(1),
+          J.toLong(toJ(compile(args(1)))).cast("int"))), KJ)
+      case "right" =>
+        val s = J.asText(j0)
+        val n = J.toLong(toJ(compile(args(1)))).cast("int")
+        CE(J.fromText(substring(s, -n, n)), KJ)
+      case "replace" =>
+        CE(J.fromText(replace(J.asText(j0), J.asText(toJ(compile(args(1)))),
+          J.asText(toJ(compile(args(2)))))), KJ)
+      case "substring" =>
+        val s = J.asText(j0)
+        val start = (J.toLong(toJ(compile(args(1)))) + 1L).cast("int") // 0-based -> 1-based
+        if (args.length > 2)
+          CE(J.fromText(substring(s, start, J.toLong(toJ(compile(args(2)))).cast("int"))), KJ)
+        else CE(J.fromText(substring(s, start, lit(Int.MaxValue))), KJ)
+      case "split" =>
+        val s = J.asText(j0)
+        val sep = J.asText(toJ(compile(args(1))))
+        val parts = split(s, sep, lit(-1)) // literal-ish; regex semantics accepted
+        val quoted = transform(parts, p => concat(lit("\""), p, lit("\"")))
+        CE(concat(lit("["), array_join(quoted, ", "), lit("]")), KJ)
+      case "timestamp" =>
+        CE(J.fromLong((unix_millis(current_timestamp()))), KJ)
+      case "startnode" | "endnode" =>
+        throw new IllegalArgumentException(s"$name() requires builder support (join)")
+      case other =>
+        throw new IllegalArgumentException(s"unknown function: $other")
+    }
+  }
+}
+
+object Compiler {
+  /** Aggregate function names of the Cypher surface. */
+  val aggFns: Set[String] = Set("count", "sum", "avg", "min", "max",
+    "collect", "stdev", "stdevp")
+  val boolFns: Set[String] = Set()
+
+  def q(name: String): String = s"`$name`"
+
+  /** Output column name for an unaliased projection item. */
+  def itemName(e: Expr): String = e match {
+    case Vbl(n)        => n
+    case Prop(_, k)    => k
+    case FnCall(n, _, _) => n
+    case CountStar     => "count"
+    case _             => "expr"
+  }
+
+  /** Replace group-key subexpressions and aggregate calls inside a
+    * projection item (post-aggregation rewrite).
+    */
+  def rewriteAggs(e: Expr, keys: Map[Expr, Expr],
+      aggRef: FnCall => Expr, cStar: () => Expr): Expr = {
+    def go(x: Expr): Expr =
+      if (keys.contains(x)) keys(x)
+      else x match {
+        case f @ FnCall(n, _, _) if aggFns(n) => aggRef(f)
+        case CountStar => cStar()
+        case FnCall(n, args, d) => FnCall(n, args.map(go), d)
+        case BinOp(op, l, r) => BinOp(op, go(l), go(r))
+        case UnaryOp(op, v) => UnaryOp(op, go(v))
+        case Cmp(op, l, r) => Cmp(op, go(l), go(r))
+        case And(l, r) => And(go(l), go(r))
+        case Or(l, r) => Or(go(l), go(r))
+        case Not(v) => Not(go(v))
+        case IsNull(v, n2) => IsNull(go(v), n2)
+        case StrPred(op, l, r) => StrPred(op, go(l), go(r))
+        case InList(v, l, n2) => InList(go(v), go(l), n2)
+        case Prop(b, k) => Prop(go(b), k)
+        case Index(b, i) => Index(go(b), go(i))
+        case Slice(b, f, t) => Slice(go(b), f.map(go), t.map(go))
+        case ListExpr(items) => ListExpr(items.map(go))
+        case MapExpr(fields) => MapExpr(fields.map { case (k, v) => (k, go(v)) })
+        case CaseExpr(o, w, el) =>
+          CaseExpr(o.map(go), w.map { case (a, b) => (go(a), go(b)) }, el.map(go))
+        case ListComp(v, l, w, p) => ListComp(v, go(l), w.map(go), p.map(go))
+        case other => other
+      }
+    go(e)
+  }
+
+  def hasAgg(e: Expr): Boolean = e match {
+    case CountStar => true
+    case FnCall(n, args, _) => aggFns(n) || args.exists(hasAgg)
+    case BinOp(_, l, r) => hasAgg(l) || hasAgg(r)
+    case UnaryOp(_, x) => hasAgg(x)
+    case Cmp(_, l, r) => hasAgg(l) || hasAgg(r)
+    case And(l, r) => hasAgg(l) || hasAgg(r)
+    case Or(l, r) => hasAgg(l) || hasAgg(r)
+    case Not(x) => hasAgg(x)
+    case IsNull(x, _) => hasAgg(x)
+    case StrPred(_, l, r) => hasAgg(l) || hasAgg(r)
+    case InList(x, l, _) => hasAgg(x) || hasAgg(l)
+    case Prop(b, _) => hasAgg(b)
+    case Index(b, i) => hasAgg(b) || hasAgg(i)
+    case Slice(b, f, t) => hasAgg(b) || f.exists(hasAgg) || t.exists(hasAgg)
+    case ListExpr(items) => items.exists(hasAgg)
+    case MapExpr(fields) => fields.exists(f => hasAgg(f._2))
+    case CaseExpr(o, w, e2) =>
+      o.exists(hasAgg) || w.exists(p => hasAgg(p._1) || hasAgg(p._2)) || e2.exists(hasAgg)
+    case ListComp(_, l, w, p) => hasAgg(l) || w.exists(hasAgg) || p.exists(hasAgg)
+    case _ => false
+  }
+
+  /** Broadcast-able labid -> string literal map column. */
+  def labidMapCol(m: Map[Int, String]): Column = {
+    if (m.isEmpty) map()
+    else map(m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+  }
+
+  /** List comprehension over a jsonb array with Spark higher-order
+    * functions: split the canonical array into array<string> elements,
+    * then filter()/transform() with the lambda variable bound in a
+    * nested compiler scope — stays fully inside Catalyst (no UDF).
+    */
+  def listCompColumn(arr: Column, v: String, whereE: Option[Expr],
+      projE: Option[Expr], outer: Compiler): Column = {
+    val elems = graft.expr.JsonbNormalize.splitArray(arr)
+    val filtered = whereE match {
+      case Some(w) =>
+        filter(elems, el => { val c = outer.withLambda(v, el); c.toBool(c.compile(w)) })
+      case None => elems
+    }
+    val projected = projE match {
+      case Some(p) =>
+        transform(filtered, el => {
+          val c = outer.withLambda(v, el)
+          coalesce(c.toJ(c.compile(p)), lit("null"))
+        })
+      case None => filtered
+    }
+    concat(lit("["), array_join(projected, ", "), lit("]"))
+  }
+}

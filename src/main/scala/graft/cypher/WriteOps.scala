@@ -1,0 +1,335 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.{J, JsonbNormalize}
+import graft.graph.GraphId
+import Ast._
+import Kind._
+
+/** Graph write operators over copy-on-write parquet label tables
+  * (SURVEY §2.9 — ModifyGraph CREATE/DELETE/SET/MERGE). Writes apply at
+  * clause boundaries, giving the reference's eager visibility semantics
+  * (assign_query_eager parse_graph.c:5641) by construction.
+  *
+  * Scale notes: id assignment reserves a contiguous locid range on the
+  * driver then assigns per-row via a distributed zipWithIndex (no
+  * single-partition window); deletes/updates rewrite only the affected
+  * label tables via anti-/left-joins on id.
+  */
+object WriteOps {
+
+  // ============================================================= CREATE
+
+  /** CREATE pattern per input row (ExecCreateGraph execCypherCreate.c:30).
+    * New vertices/edges get ids packed from a driver-reserved range
+    * (SURVEY §7.3 hard part 4).
+    */
+  def create(b: Builder, st0: State, paths: Seq[PathPattern]): State = {
+    var st = st0
+    // one pass: count rows & materialize input (the write makes the
+    // frame's lineage side-effecting; localCheckpoint isolates it)
+    var df = b.withRowIndex(st.df, "__cidx").localCheckpoint(true)
+    val n = df.count()
+    var vars = st.vars
+
+    paths.foreach { p =>
+      // vertices first, then edges (edges need endpoint ids)
+      var prevName: String = null
+      val elems: Seq[(Option[RelPattern], NodePattern)] =
+        (None, p.head) +: p.tail.map { case (r, nd) => (Some(r), nd) }
+      val boundNames = scala.collection.mutable.ArrayBuffer[String]()
+      elems.foreach { case (relOpt, node) =>
+        val nodeName = node.variable.getOrElse(s"__cv_${vars.length}_${boundNames.length}")
+        if (!vars.exists(_._1 == nodeName)) {
+          // new vertex
+          val label = node.label.getOrElse(
+            throw new IllegalArgumentException("CREATE requires a label on new vertices"))
+          val lm = b.catalog.label(b.graph, label).getOrElse(
+            throw new IllegalArgumentException(s"label \"$label\" does not exist"))
+          require(lm.kind == 'v', s"label \"$label\" is not a vertex label")
+          val base = b.catalog.reserveIds(b.graph, label, math.max(n, 1L))
+          val idCol = lit(GraphId.pack(lm.labid, 0L)) + lit(base) + col("__cidx")
+          val comp = b.compiler(State(df, vars))
+          val propsCol = node.props match {
+            case Some(pe) => comp.toJ(comp.compile(pe))
+            case None => lit("{}")
+          }
+          df = df.withColumn(nodeName,
+            struct(idCol.cast("long").as("id"), propsCol.as("properties")))
+          vars = vars :+ (nodeName -> KV)
+          b.catalog.append(b.graph, label,
+            df.select(col(Compiler.q(nodeName)).getField("id").as("id"),
+              col(Compiler.q(nodeName)).getField("properties").as("properties")))
+          b.insertedVertices += n
+        }
+        relOpt.foreach { rel =>
+          require(rel.direction != 0, "CREATE requires a directed relationship")
+          require(rel.varLength.isEmpty, "CREATE cannot use variable-length relationships")
+          val relName = rel.variable.getOrElse(s"__ce_${vars.length}_${boundNames.length}")
+          val tpe = rel.types.headOption.getOrElse(
+            throw new IllegalArgumentException("CREATE requires a relationship type"))
+          val lm = b.catalog.label(b.graph, tpe).getOrElse(
+            throw new IllegalArgumentException(s"label \"$tpe\" does not exist"))
+          require(lm.kind == 'e', s"label \"$tpe\" is not an edge label")
+          val base = b.catalog.reserveIds(b.graph, tpe, math.max(n, 1L))
+          val idCol = (lit(GraphId.pack(lm.labid, 0L)) + lit(base) + col("__cidx")).cast("long")
+          val comp = b.compiler(State(df, vars))
+          val propsCol = rel.props match {
+            case Some(pe) => comp.toJ(comp.compile(pe))
+            case None => lit("{}")
+          }
+          val (startName, endName) =
+            if (rel.direction == 1) (prevName, nodeName) else (nodeName, prevName)
+          val startId = col(Compiler.q(startName)).getField("id")
+          val endId = col(Compiler.q(endName)).getField("id")
+          df = df.withColumn(relName,
+            struct(idCol.as("id"), startId.as("start"), endId.as("end"),
+              propsCol.as("properties")))
+          vars = vars :+ (relName -> KE)
+          b.catalog.append(b.graph, tpe,
+            df.select(col(Compiler.q(relName)).getField("id").as("id"),
+              col(Compiler.q(relName)).getField("start").as("start"),
+              col(Compiler.q(relName)).getField("end").as("end"),
+              col(Compiler.q(relName)).getField("properties").as("properties")))
+          b.insertedEdges += n
+        }
+        prevName = nodeName
+        boundNames += nodeName
+      }
+      // bind path variable if present
+      p.variable.foreach { pv =>
+        val vcols = elems.map(_._2).map(nd =>
+          col(Compiler.q(nd.variable.getOrElse(boundNames(elems.map(_._2).indexOf(nd))))))
+        // simple: vertices in pattern order; edges in pattern order
+        val ecols = vars.takeRight(elems.length * 2 - 1).filter(_._2 == KE)
+          .map(v => col(Compiler.q(v._1)))
+        df = df.withColumn(pv, struct(
+          array(vcols: _*).as("vertices"),
+          (if (ecols.isEmpty) b.emptyEdgeArray else array(ecols: _*)).as("edges")))
+        vars = vars :+ (pv -> KP)
+      }
+    }
+    State(df.drop("__cidx"), vars)
+  }
+
+  // ============================================================= DELETE
+
+  /** DELETE / DETACH DELETE (ExecDeleteGraph execCypherDelete.c:45).
+    * Victims resolve to id sets; label tables rewritten via anti-join.
+    */
+  def delete(b: Builder, st: State, d: DeleteClause): State = {
+    val comp = b.compiler(st)
+    val frame = st.df.localCheckpoint(true)
+    var vertexIds: DataFrame = null
+    var edgeIds: DataFrame = null
+    def addV(df: DataFrame): Unit =
+      vertexIds = if (vertexIds == null) df else vertexIds.unionAll(df)
+    def addE(df: DataFrame): Unit =
+      edgeIds = if (edgeIds == null) df else edgeIds.unionAll(df)
+
+    d.exprs.foreach { e =>
+      val ce = comp.compile(e)
+      ce.kind match {
+        case KV => addV(frame.select(ce.col.getField("id").as("id")))
+        case KE => addE(frame.select(ce.col.getField("id").as("id")))
+        case KEL => addE(frame.select(explode(ce.col).as("__x"))
+          .select(col("__x").getField("id").as("id")))
+        case KP =>
+          addV(frame.select(explode(ce.col.getField("vertices")).as("__x"))
+            .select(col("__x").getField("id").as("id")))
+          addE(frame.select(explode(ce.col.getField("edges")).as("__x"))
+            .select(col("__x").getField("id").as("id")))
+        case _ => throw new IllegalArgumentException(s"cannot DELETE expression $e")
+      }
+    }
+
+    val vIds = if (vertexIds == null) null else vertexIds.distinct().localCheckpoint(true)
+    var eIds = if (edgeIds == null) null else edgeIds.distinct()
+
+    if (vIds != null) {
+      // incident edges: DETACH deletes them; plain DELETE errors if any
+      // remain (execCypherDelete.c vertex-has-edges check)
+      val allEdges = b.catalog.scanAll(b.graph, 'e')
+      val incident = allEdges.join(vIds,
+          allEdges("start") === vIds("id") || allEdges("end") === vIds("id"), "left_semi")
+        .select(col("id"))
+      if (d.detach) {
+        eIds = if (eIds == null) incident else eIds.unionAll(incident)
+      } else {
+        val pending = if (eIds == null) incident
+          else incident.join(eIds, Seq("id"), "left_anti")
+        if (!pending.isEmpty)
+          throw new IllegalStateException("vertices with edges can not be removed")
+      }
+    }
+    val eIdsF = if (eIds == null) null else eIds.distinct().localCheckpoint(true)
+
+    def applyDeletes(ids: DataFrame, kind: Char): Long = {
+      if (ids == null) return 0L
+      val labids = ids.select(shiftrightunsigned(col("id"), 48).cast("int").as("labid"))
+        .distinct().collect().map(_.getInt(0))
+      var removed = 0L
+      val byLabid = b.catalog.labels(b.graph).map(l => l.labid -> l.name).toMap
+      labids.foreach { lid =>
+        byLabid.get(lid).foreach { lname =>
+          val cur = b.catalog.scanOnly(b.graph, lname)
+          val before = cur.count()
+          val remaining = cur.join(ids, Seq("id"), "left_anti").localCheckpoint(true)
+          removed += before - remaining.count()
+          b.catalog.overwrite(b.graph, lname, remaining)
+        }
+      }
+      removed
+    }
+    b.deletedEdges += applyDeletes(eIdsF, 'e')
+    b.deletedVertices += applyDeletes(vIds, 'v')
+    State(frame, st.vars)
+  }
+
+  // ================================================================ SET
+
+  /** SET / REMOVE / += (ExecSetGraph execCypherSet.c:141).
+    * `cond` restricts affected rows (used by MERGE's ON CREATE/ON MATCH).
+    */
+  def set(b: Builder, st: State, items: Seq[SetItem], cond: Column): State = {
+    val frame = st.df.localCheckpoint(true)
+    // group items per target variable, compose property transforms
+    val byVar = scala.collection.mutable.LinkedHashMap[String, Column]()
+    val comp = b.compiler(State(frame, st.vars))
+    def currentProps(v: String): Column =
+      byVar.getOrElse(v, col(Compiler.q(v)).getField("properties"))
+
+    items.foreach {
+      case SetProp(Prop(Vbl(v), k), value) =>
+        val newVal = comp.toJ(comp.compile(value))
+        byVar(v) = J.setKey(currentProps(v), lit(k), newVal)
+      case SetProp(Index(Vbl(v), idxE), value) =>
+        val newVal = comp.toJ(comp.compile(value))
+        byVar(v) = J.setKey(currentProps(v),
+          J.asText(comp.toJ(comp.compile(idxE))), newVal)
+      case RemoveProp(Prop(Vbl(v), k)) =>
+        byVar(v) = J.setKey(currentProps(v), lit(k), lit(null).cast("string"))
+      case SetMap(v, value, add) =>
+        val m = JsonbNormalize.normalize(comp.toJ(comp.compile(value)))
+        byVar(v) = if (add) J.concat(currentProps(v), m) else m
+      case other => throw new IllegalArgumentException(s"unsupported SET item $other")
+    }
+
+    var newDf = frame
+    byVar.foreach { case (v, newProps) =>
+      val kind = st.kinds.getOrElse(v,
+        throw new IllegalArgumentException(s"variable `$v` not defined"))
+      require(kind == KV || kind == KE, s"SET target `$v` must be a graph element")
+      val guarded = when(cond, newProps)
+        .otherwise(col(Compiler.q(v)).getField("properties"))
+      // updates table: id -> new properties (dedup: last write wins
+      // within the statement; enable_multiple_update semantics)
+      val updates = newDf.where(cond)
+        .select(col(Compiler.q(v)).getField("id").as("id"), newProps.as("__np"))
+        .groupBy("id").agg(first("__np").as("__np")).localCheckpoint(true)
+      val nUpd = updates.count()
+      b.updatedProperties += nUpd
+      // rewrite affected label tables
+      val labids = updates.select(shiftrightunsigned(col("id"), 48).cast("int").as("labid"))
+        .distinct().collect().map(_.getInt(0))
+      val byLabid = b.catalog.labels(b.graph).map(l => l.labid -> l).toMap
+      labids.foreach { lid =>
+        byLabid.get(lid).foreach { lm =>
+          val cur = b.catalog.scanOnly(b.graph, lm.name)
+          val joined = cur.join(updates, Seq("id"), "left")
+            .withColumn("properties", coalesce(col("__np"), col("properties")))
+            .drop("__np").localCheckpoint(true)
+          b.catalog.overwrite(b.graph, lm.name, joined)
+        }
+      }
+      // refresh the in-flight struct column (visibility for later clauses)
+      val k = kind
+      newDf =
+        if (k == KV)
+          newDf.withColumn(v, struct(col(Compiler.q(v)).getField("id").as("id"),
+            guarded.as("properties")))
+        else
+          newDf.withColumn(v, struct(col(Compiler.q(v)).getField("id").as("id"),
+            col(Compiler.q(v)).getField("start").as("start"),
+            col(Compiler.q(v)).getField("end").as("end"),
+            guarded.as("properties")))
+    }
+    State(newDf, st.vars)
+  }
+
+  // ============================================================== MERGE
+
+  /** MERGE: per input row match-or-create with batch dedup
+    * (ExecMergeGraph execCypherMerge.c:35; JOIN_CYPHER_MERGE).
+    */
+  def merge(b: Builder, st0: State, m: MergeClause): State = {
+    val tagged = st0.df.withColumn("__mrow", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val base = State(tagged, st0.vars)
+
+    def matchOnce(s: State): State =
+      b.buildMatch(s, Match(Seq(m.path), optional = false, where = None))
+
+    // 1. try to match the whole pattern
+    val firstTry = matchOnce(base)
+    val newVars = firstTry.vars.drop(base.vars.length)
+    val matchedRows = firstTry.df.select(col("__mrow")).distinct()
+    val missing = tagged.join(matchedRows, Seq("__mrow"), "left_anti")
+
+    // 2. create the full pattern for DISTINCT missing bindings
+    //    (MERGE uniqueness: identical bindings create one instance)
+    val createdIdsHolder = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (!missing.isEmpty) {
+      // distinct by the pattern's evaluated identity: rendered prop maps
+      // + ids of any pre-bound endpoint vars
+      val comp = b.compiler(State(missing, st0.vars))
+      val keyCols = scala.collection.mutable.ArrayBuffer[Column]()
+      (m.path.head +: m.path.tail.map(_._2)).foreach { nd =>
+        nd.props.foreach(pe => keyCols += comp.toJ(comp.compile(pe)))
+        nd.variable.foreach { v =>
+          if (st0.kinds.contains(v)) keyCols += col(Compiler.q(v)).getField("id")
+        }
+      }
+      m.path.tail.map(_._1).foreach { rl =>
+        rl.props.foreach(pe => keyCols += comp.toJ(comp.compile(pe)))
+      }
+      val dedup =
+        if (keyCols.isEmpty) missing.limit(1)
+        else keyCols.toSeq.zipWithIndex.foldLeft(missing) { case (d, (c, i)) =>
+            d.withColumn(s"__mk_$i", c)
+          }.dropDuplicates(keyCols.indices.map(i => s"__mk_$i").toSeq)
+          .drop(keyCols.indices.map(i => s"__mk_$i"): _*)
+      val created = create(b, State(dedup, st0.vars), Seq(m.path))
+      // collect created ids for ON CREATE routing
+      created.vars.drop(st0.vars.length).foreach { case (v, k) =>
+        if (k == KV || k == KE)
+          createdIdsHolder += created.df.select(
+            col(Compiler.q(v)).getField("id").as("id"))
+      }
+    }
+    val createdIds =
+      if (createdIdsHolder.isEmpty)
+        b.spark.createDataFrame(b.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, false))))
+      else createdIdsHolder.reduce(_ unionAll _).distinct().localCheckpoint(true)
+
+    // 3. re-match: now every row binds (created elements included)
+    val finalMatch = matchOnce(base)
+    var out = State(finalMatch.df.drop("__mrow"), finalMatch.vars)
+
+    // 4. ON CREATE / ON MATCH SET branches routed by created-ness of the
+    //    pattern's first element
+    val firstVar = finalMatch.vars.drop(base.vars.length).headOption
+    if ((m.onCreate.nonEmpty || m.onMatch.nonEmpty) && firstVar.isDefined) {
+      val (fv, _) = firstVar.get
+      val idsList = createdIds.collect().map(_.getLong(0)).toSeq
+      val isCreated = col(Compiler.q(fv)).getField("id").isin(idsList: _*)
+      if (m.onCreate.nonEmpty) out = set(b, out, m.onCreate, isCreated)
+      if (m.onMatch.nonEmpty) out = set(b, out, m.onMatch, !isCreated)
+    }
+    out
+  }
+}

@@ -44,7 +44,12 @@ object ops {
         case "delete" => "deleteKey"
         case o        => o
       }
-      defineCodeGen(ctx, ev, (l, r) => s"$RT.$m($l, $r)")
+      // result may be SQL NULL (e.g. `get` on a missing key) — a plain
+      // defineCodeGen would write a null UTF8String marked non-null
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"""${ev.value} = $RT.$m($l, $r);
+           |${ev.isNull} = ${ev.value} == null;
+           |""".stripMargin)
     }
 
     override protected def withNewChildrenInternal(
@@ -138,7 +143,10 @@ object ops {
         case "toboolean" => "cypherToBoolean"; case "tostring" => "cypherToString"
         case o => o
       }
-      defineCodeGen(ctx, ev, x => s"$RT.$m($x)")
+      nullSafeCodeGen(ctx, ev, x =>
+        s"""${ev.value} = $RT.$m($x);
+           |${ev.isNull} = ${ev.value} == null;
+           |""".stripMargin)
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -184,6 +192,19 @@ object ops {
       copy(child = newChild)
   }
 
+  /** jsonb type rank (sort-key component for jsonb btree ORDER BY). */
+  case class JsonbTypeRank(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jsonb_type_rank"
+    override def nullSafeEval(x: Any): Any =
+      JsonbRT.typeRank(x.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"$RT.typeRank($x)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** jsonb length() -> long (string/array/object). */
   case class JsonbLength(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -201,6 +222,29 @@ object ops {
            |if (tmp_${ev.value} == null) { ${ev.isNull} = true; }
            |else { ${ev.value} = tmp_${ev.value}.longValue(); }
            |""".stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** primitive -> jsonb number/bool render. */
+  case class JsonbFromPrim(from: String, child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = s"jsonb_from_$from"
+
+    override def nullSafeEval(x: Any): Any = from match {
+      case "long"   => JsonbRT.fromLong(x.asInstanceOf[Long])
+      case "double" => JsonbRT.fromDouble(x.asInstanceOf[Double])
+      case "bool"   => JsonbRT.fromBool(x.asInstanceOf[Boolean])
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = from match {
+        case "long" => "fromLong"; case "double" => "fromDouble"; case "bool" => "fromBool"
+      }
+      defineCodeGen(ctx, ev, x => s"$RT.$m($x)")
+    }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -345,8 +389,13 @@ object J {
   def toBooleanFn(x: Column): Column = col(JsonbUnary("toboolean", e(x)))
   def toStringFn(x: Column): Column = col(JsonbUnary("tostring", e(x)))
 
+  def fromLong(x: Column): Column = col(JsonbFromPrim("long", e(x.cast("long"))))
+  def fromDouble(x: Column): Column = col(JsonbFromPrim("double", e(x.cast("double"))))
+  def fromBool(x: Column): Column = col(JsonbFromPrim("bool", e(x)))
+
   def toBool(x: Column): Column = col(JsonbCast("bool", e(x)))
   def toDouble(x: Column): Column = col(JsonbCast("double", e(x)))
   def toLong(x: Column): Column = col(JsonbCast("long", e(x)))
   def lengthOf(x: Column): Column = col(JsonbLength(e(x)))
+  def typeRank(x: Column): Column = col(JsonbTypeRank(e(x)))
 }

@@ -27,6 +27,7 @@ object JsonbRT {
 
   // compare (jsonb btree order) -------------------------------------
   def cmp(l: UTF8String, r: UTF8String): Int = Jsonb.compare(v(l), v(r))
+  def typeRank(l: UTF8String): Int = v(l).typeRank
 
   // containment / existence -----------------------------------------
   def contains(l: UTF8String, r: UTF8String): Boolean = Jsonb.contains(v(l), v(r))

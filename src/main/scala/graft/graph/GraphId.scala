@@ -1,0 +1,28 @@
+package graft.graph
+
+/** 64-bit graph element id with the reference's bit packing:
+  * labid:16 << 48 | locid:48 (reference: src/include/utils/graph.h:18-39
+  * GraphidGetLabid / GraphidGetLocid / GRAPHID_LOCID_MAX).
+  *
+  * Pure functions over Long — no UDT; id columns are plain LongType so
+  * joins/aggregations on them stay codegen'd and shuffle-friendly.
+  */
+object GraphId {
+  val LocidBits = 48
+  val LocidMax: Long = (1L << LocidBits) - 1
+  val LabidMax: Int = 0xffff
+
+  def pack(labid: Int, locid: Long): Long = {
+    require(labid >= 0 && labid <= LabidMax, s"labid out of range: $labid")
+    require(locid >= 0 && locid <= LocidMax, s"locid out of range: $locid")
+    (labid.toLong << LocidBits) | locid
+  }
+
+  def labid(id: Long): Int = ((id >>> LocidBits) & 0xffff).toInt
+  def locid(id: Long): Long = id & LocidMax
+
+  /** Render as the reference's graphid text form "labid.locid"
+    * (graphid_out, src/backend/utils/adt/graph.c).
+    */
+  def show(id: Long): String = s"${labid(id)}.${locid(id)}"
+}

@@ -1,0 +1,203 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.CypherSession
+import graft.expr.{J, JsonbNormalize}
+import graft.graph.{GraphCatalog, GraphId}
+import graft.relational.Tables
+
+/** The graph-operator surface of SURVEY §2 exercised against the
+  * driver's DuckDB oracle: the TPC-H-ish tables become a property
+  * graph (region <- nation <- customer -> orders), Cypher queries run
+  * through the full engine (parser -> builder -> Catalyst), and each
+  * query's relational equivalent is the oracle.
+  *
+  * Bulk load is a direct parquet write per label (the COPY analog,
+  * SURVEY §2.1 sinks): ids pack the table's natural key into the
+  * 48-bit locid, properties render to canonical jsonb.
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // one graph build per (jvm, sfDir)
+  private val sessions = scala.collection.mutable.Map[String, CypherSession]()
+
+  def session(spark: SparkSession, sfDir: String): CypherSession = synchronized {
+    sessions.getOrElseUpdate(sfDir, buildGraph(spark, sfDir))
+  }
+
+  private def labid(s: CypherSession, label: String): Int =
+    s.catalog.label(s.graphPath, label).get.labid
+
+  private def buildGraph(spark: SparkSession, sfDir: String): CypherSession = {
+    val root = Files.createTempDirectory("graft_tpch_graph").toString
+    val s = new CypherSession(spark, new GraphCatalog(spark, root))
+    s.createGraph("tpch")
+    s.createVLabel("region"); s.createVLabel("nation")
+    s.createVLabel("customer"); s.createVLabel("order")
+    s.createELabel("in") // nation->region, customer->nation
+    s.createELabel("placed") // customer->order
+
+    val g = "tpch"
+    def props(cols: (String, org.apache.spark.sql.Column)*) =
+      JsonbNormalize.normalize(to_json(struct(cols.map { case (n, c) => c.as(n) }: _*)))
+
+    val region = Tables.load(spark, sfDir, "region")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val customer = Tables.load(spark, sfDir, "customer")
+    val orders = Tables.load(spark, sfDir, "orders")
+
+    val rId = lit(GraphId.pack(labid(s, "region"), 0L))
+    val nId = lit(GraphId.pack(labid(s, "nation"), 0L))
+    val cId = lit(GraphId.pack(labid(s, "customer"), 0L))
+    val oId = lit(GraphId.pack(labid(s, "order"), 0L))
+    val inId = lit(GraphId.pack(labid(s, "in"), 0L))
+    val plId = lit(GraphId.pack(labid(s, "placed"), 0L))
+
+    s.catalog.append(g, "region", region.select(
+      (rId + col("r_regionkey")).cast("long").as("id"),
+      props("name" -> col("r_name")).as("properties")))
+    s.catalog.append(g, "nation", nation.select(
+      (nId + col("n_nationkey")).cast("long").as("id"),
+      props("name" -> col("n_name")).as("properties")))
+    s.catalog.append(g, "customer", customer.select(
+      (cId + col("c_custkey")).cast("long").as("id"),
+      props("name" -> col("c_name"), "acctbal" -> col("c_acctbal"),
+        "mktsegment" -> col("c_mktsegment")).as("properties")))
+    s.catalog.append(g, "order", orders.select(
+      (oId + col("o_orderkey")).cast("long").as("id"),
+      props("totalprice" -> col("o_totalprice"),
+        "status" -> col("o_orderstatus")).as("properties")))
+
+    // edges: nation -in-> region; customer -in-> nation (locids are
+    // disjoint ranges: nationkey, then customerkey offset by 100)
+    s.catalog.append(g, "in", nation.select(
+      (inId + col("n_nationkey")).cast("long").as("id"),
+      (nId + col("n_nationkey")).cast("long").as("start"),
+      (rId + col("n_regionkey")).cast("long").as("end"),
+      lit("{}").as("properties")))
+    s.catalog.append(g, "in", customer.select(
+      (inId + lit(100L) + col("c_custkey")).cast("long").as("id"),
+      (cId + col("c_custkey")).cast("long").as("start"),
+      (nId + col("c_nationkey")).cast("long").as("end"),
+      lit("{}").as("properties")))
+    s.catalog.append(g, "placed", orders.select(
+      (plId + col("o_orderkey")).cast("long").as("id"),
+      (cId + col("o_custkey")).cast("long").as("start"),
+      (oId + col("o_orderkey")).cast("long").as("end"),
+      lit("{}").as("properties")))
+    s
+  }
+
+  val queries: Map[String, Q] = Map(
+    // MATCH pattern join + WHERE + implicit grouping (SURVEY §2.3
+    // pattern join, §2.5 implicit Cypher grouping)
+    "g01_match_agg" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:placed]->(o:order)
+          |WHERE o.totalprice > 400000
+          |RETURN c.mktsegment AS seg, count(*) AS n""".stripMargin)
+        .select(J.asText(col("seg")).as("seg"), J.toLong(col("n")).as("n"))
+        .orderBy("seg")
+    },
+
+    // 3-hop chain: order <- customer -> nation (join ordering +
+    // edge-direction handling)
+    "g02_chain_join" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (o:order)<-[:placed]-(c:customer)-[:in]->(n:nation)
+          |WHERE o.totalprice > 450000
+          |RETURN n.name AS nation, count(*) AS big_orders""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("big_orders")).as("big_orders"))
+        .orderBy("nation")
+    },
+
+    // OPTIONAL MATCH (left join semantics over the graph)
+    "g03_optional_match" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (n:nation) OPTIONAL MATCH (n)<-[:in]-(c:customer)
+          |WHERE c.acctbal > 9000
+          |RETURN n.name AS nation, count(c) AS rich""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("rich")).as("rich"))
+        .orderBy("nation")
+    },
+
+    // VLE *2..2: customer -in-> nation -in-> region (variable-length
+    // expansion, SURVEY §2.4)
+    "g04_vle" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in*2..2]->(r:region)
+          |RETURN r.name AS region, count(*) AS customers""".stripMargin)
+        .select(J.asText(col("region")).as("region"),
+          J.toLong(col("customers")).as("customers"))
+        .orderBy("region")
+    },
+
+    // Cypher aggregates over jsonb numerics (exact decimal sum)
+    "g05_jsonb_agg" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |RETURN n.name AS nation, max(c.acctbal) AS max_bal,
+          |       count(*) AS n_cust""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toDouble(col("max_bal")).as("max_bal"),
+          J.toLong(col("n_cust")).as("n_cust"))
+        .orderBy("nation")
+    },
+
+    // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
+    "g06_with_topk" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:placed]->(o:order)
+          |WITH c, count(*) AS n_orders
+          |RETURN c.name AS name, n_orders ORDER BY n_orders DESC, name LIMIT 10""".stripMargin)
+        .select(J.asText(col("name")).as("name"),
+          J.toLong(col("n_orders")).as("n_orders"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "g01_match_agg" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
+    "g02_chain_join" ->
+      """SELECT n_name AS nation, count(*) AS big_orders
+        |FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g03_optional_match" ->
+      """SELECT n_name AS nation, count(c_custkey) AS rich
+        |FROM nation LEFT JOIN customer
+        |  ON c_nationkey = n_nationkey AND c_acctbal > 9000
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g04_vle" ->
+      """SELECT r_name AS region, count(*) AS customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY region""".stripMargin,
+    "g05_jsonb_agg" ->
+      """SELECT n_name AS nation, max(c_acctbal) AS max_bal,
+        |  count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g06_with_topk" ->
+      """SELECT c_name AS name, count(*) AS n_orders
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY n_orders DESC, name LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,274 @@
+package graft.cypher
+
+import java.nio.file.Files
+import graft.SparkTestBase
+import graft.api.CypherSession
+import graft.graph.GraphCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end Cypher semantics ported from the reference regression
+  * suite (FIXTURES.md F1/F2/F5; expected values from
+  * src/test/regress/expected/cypher_dml.out etc. — values, not code).
+  */
+class CypherEndToEndSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def freshSession(): CypherSession = {
+    val root = Files.createTempDirectory("graft_graphs").toString
+    new CypherSession(spark, new GraphCatalog(spark, root))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) null else r.get(i)))
+
+  // ------------------------------------------------- F1: core DML graph
+  lazy val agens: CypherSession = {
+    val s = freshSession()
+    s.createGraph("agens")
+    s.createVLabel("repo")
+    s.createELabel("lib")
+    s.createELabel("doc")
+    s.cypher("""CREATE (g:repo {name: 'agens-graph', year: 2016})""")
+    s.cypher(
+      """MATCH (g:repo {name: 'agens-graph'})
+        |CREATE (j:repo {name: 'agens-graph-jdbc', year: 2016}),
+        |       (d:repo {name: 'agens-graph-docs', year: 2017})""".stripMargin)
+    s.cypher(
+      """MATCH (g:repo {name: 'agens-graph'}), (j:repo {name: 'agens-graph-jdbc'})
+        |CREATE (g)-[:lib {lang: 'java'}]->(j)""".stripMargin)
+    s.cypher(
+      """MATCH (g:repo {name: 'agens-graph'}), (d:repo {name: 'agens-graph-docs'})
+        |CREATE (g)-[:doc {lang: 'en'}]->(d)""".stripMargin)
+    s
+  }
+
+  test("F1: MATCH pattern join with property constraint + ORDER BY") {
+    val df = agens.cypher(
+      """MATCH (g:repo {name: 'agens-graph'})-[l]->(o)
+        |RETURN o.name AS name, l.lang AS lang ORDER BY name""".stripMargin)
+    assert(rows(df) == Seq(
+      Seq("\"agens-graph-docs\"", "\"en\""),
+      Seq("\"agens-graph-jdbc\"", "\"java\"")))
+  }
+
+  test("F1: implicit grouping with count(*)") {
+    val df = agens.cypher(
+      """MATCH (g:repo)-[r]->() RETURN g.name AS n, count(*) AS c""")
+    assert(rows(df) == Seq(Seq("\"agens-graph\"", "2")))
+  }
+
+  test("F1: WHERE with comparison and boolean ops") {
+    val df = agens.cypher(
+      """MATCH (r:repo) WHERE r.year >= 2017 OR r.name = 'agens-graph'
+        |RETURN r.name AS name ORDER BY name""".stripMargin)
+    assert(rows(df) == Seq(Seq("\"agens-graph\""), Seq("\"agens-graph-docs\"")))
+  }
+
+  test("F1: OPTIONAL MATCH yields nulls for misses") {
+    val df = agens.cypher(
+      """MATCH (r:repo) OPTIONAL MATCH (r)-[l:lib]->(x)
+        |RETURN r.name AS name, x.name AS target ORDER BY name""".stripMargin)
+    assert(rows(df) == Seq(
+      Seq("\"agens-graph\"", "\"agens-graph-jdbc\""),
+      Seq("\"agens-graph-docs\"", null),
+      Seq("\"agens-graph-jdbc\"", null)))
+  }
+
+  test("F1: WITH chaining + ORDER/SKIP/LIMIT + DISTINCT") {
+    val df = agens.cypher(
+      """MATCH (r:repo) WITH r.year AS y ORDER BY y RETURN DISTINCT y""")
+    assert(rows(df).toSet == Set(Seq("2016"), Seq("2017")))
+    val df2 = agens.cypher(
+      """MATCH (r:repo) RETURN r.name AS name ORDER BY name SKIP 1 LIMIT 1""")
+    assert(rows(df2) == Seq(Seq("\"agens-graph-docs\"")))
+  }
+
+  test("F1: UNION / UNION ALL across statements") {
+    val df = agens.cypher(
+      """MATCH (r:repo) RETURN r.year AS y
+        |UNION ALL MATCH (r:repo) RETURN r.year AS y""".stripMargin)
+    assert(df.count() == 6)
+    val df2 = agens.cypher(
+      """MATCH (r:repo) RETURN r.year AS y
+        |UNION MATCH (r:repo) RETURN r.year AS y""".stripMargin)
+    assert(df2.count() == 2)
+  }
+
+  test("F1: UNWIND + collect round trip") {
+    val df = agens.cypher("UNWIND [1, 2, 3] AS x RETURN x")
+    assert(rows(df) == Seq(Seq("1"), Seq("2"), Seq("3")))
+    val df2 = agens.cypher("UNWIND [3, 1, 2] AS x WITH x ORDER BY x RETURN collect(x) AS c")
+    assert(rows(df2) == Seq(Seq("[1, 2, 3]")))
+  }
+
+  test("F1: expression surface (literals, arithmetic, case, comprehension)") {
+    val s = agens
+    assert(rows(s.cypher("RETURN 1 + 1 AS a, 2 ^ 2 AS b, '1' + 1 AS c")) ==
+      Seq(Seq("2", "4", "\"11\"")))
+    assert(rows(s.cypher("RETURN [x IN [1,2,3,4] WHERE x % 2 = 0 | x * 10] AS l")) ==
+      Seq(Seq("[20, 40]")))
+    assert(rows(s.cypher("RETURN CASE WHEN 1 < 2 THEN 'y' ELSE 'n' END AS c")) ==
+      Seq(Seq("\"y\"")))
+    assert(rows(s.cypher("RETURN substring('agensgraph', 0, 5) AS s")) ==
+      Seq(Seq("\"agens\"")))
+    assert(rows(s.cypher("RETURN [0,1,2,3,4][1..3] AS s, [0,1,2][-1] AS e")) ==
+      Seq(Seq("[1, 2]", "2")))
+  }
+
+  test("F1: parameters") {
+    val df = agens.cypher("MATCH (r:repo {name: $nm}) RETURN r.year AS y",
+      Map("nm" -> "agens-graph"))
+    assert(rows(df) == Seq(Seq("2016")))
+  }
+
+  test("F1: SET / REMOVE / += semantics") {
+    val s = freshSession()
+    s.createGraph("setg")
+    s.createVLabel("v")
+    s.cypher("CREATE (:v {no: 1, keep: 'x'})")
+    s.cypher("MATCH (n:v) SET n.no = 10")
+    assert(rows(s.cypher("MATCH (n:v) RETURN n.no AS no")) == Seq(Seq("10")))
+    s.cypher("MATCH (n:v) SET n += {extra: true, no: 11}")
+    assert(rows(s.cypher("MATCH (n:v) RETURN n.no AS no, n.extra AS e")) ==
+      Seq(Seq("11", "true")))
+    s.cypher("MATCH (n:v) REMOVE n.keep")
+    assert(s.lastWriteStats("updatedproperties") >= 1)
+    assert(rows(s.cypher("MATCH (n:v) RETURN n.keep AS k")) == Seq(Seq(null)))
+  }
+
+  test("F1: DELETE and DETACH DELETE") {
+    val s = freshSession()
+    s.createGraph("delg")
+    s.createVLabel("p")
+    s.createELabel("r")
+    s.cypher("CREATE (:p {n: 1})-[:r]->(:p {n: 2})")
+    intercept[Exception] { s.cypher("MATCH (x:p {n: 1}) DELETE x") }
+    s.cypher("MATCH (x:p {n: 1}) DETACH DELETE x")
+    assert(s.cypher("MATCH (x:p) RETURN x.n AS n").count() == 1)
+    assert(s.cypher("MATCH ()-[e:r]->() RETURN e").count() == 0)
+  }
+
+  test("F1: MERGE match-or-create with ON CREATE/ON MATCH") {
+    val s = freshSession()
+    s.createGraph("mg")
+    s.createVLabel("m")
+    s.cypher("MERGE (n:m {k: 1}) ON CREATE SET n.created = true ON MATCH SET n.matched = true")
+    assert(rows(s.cypher("MATCH (n:m) RETURN n.created AS c, n.matched AS m2")) ==
+      Seq(Seq("true", null)))
+    s.cypher("MERGE (n:m {k: 1}) ON CREATE SET n.created2 = true ON MATCH SET n.matched = true")
+    val out = rows(s.cypher("MATCH (n:m) RETURN n.created AS c, n.matched AS m2, n.created2 AS c2"))
+    assert(out == Seq(Seq("true", "true", null)))
+    // batch dedup: merging the same key from multiple rows creates once
+    s.cypher("UNWIND [2, 2, 2] AS k MERGE (n:m {k: k})")
+    assert(s.cypher("MATCH (n:m) RETURN n").count() == 2)
+  }
+
+  // ------------------------------------------- F2: traversal graph + VLE
+  lazy val trav: CypherSession = {
+    val s = freshSession()
+    s.createGraph("trav")
+    s.createVLabel("person")
+    s.createELabel("knows")
+    s.cypher(
+      """CREATE (:person {name: 'a', id: 1}), (:person {name: 'b', id: 2}),
+        |       (:person {name: 'c', id: 3}), (:person {name: 'd', id: 4})""".stripMargin)
+    s.cypher("MATCH (x:person {id: 1}), (y:person {id: 2}) CREATE (x)-[:knows]->(y)")
+    s.cypher("MATCH (x:person {id: 2}), (y:person {id: 3}) CREATE (x)-[:knows]->(y)")
+    s.cypher("MATCH (x:person {id: 3}), (y:person {id: 4}) CREATE (x)-[:knows]->(y)")
+    s
+  }
+
+  test("F2: fixed-length chain join") {
+    val df = trav.cypher(
+      """MATCH (a:person)-[:knows]->(b:person)-[:knows]->(c:person)
+        |RETURN a.name AS a, c.name AS c ORDER BY a""".stripMargin)
+    assert(rows(df) == Seq(Seq("\"a\"", "\"c\""), Seq("\"b\"", "\"d\"")))
+  }
+
+  test("F2: undirected match finds both directions") {
+    val df = trav.cypher(
+      """MATCH (a:person {id: 2})-[:knows]-(b) RETURN b.id AS id ORDER BY id""")
+    assert(rows(df) == Seq(Seq("1"), Seq("3")))
+  }
+
+  test("F2: VLE *1..2 with edge arrays") {
+    val df = trav.cypher(
+      """MATCH (a:person {id: 1})-[r:knows*1..2]->(b)
+        |RETURN b.id AS id ORDER BY id""".stripMargin)
+    assert(rows(df) == Seq(Seq("2"), Seq("3")))
+  }
+
+  test("F2: VLE unbounded * and zero-length *0..") {
+    val df = trav.cypher(
+      """MATCH (a:person {id: 1})-[r:knows*]->(b) RETURN b.id AS id ORDER BY id""")
+    assert(rows(df) == Seq(Seq("2"), Seq("3"), Seq("4")))
+    val df0 = trav.cypher(
+      """MATCH (a:person {id: 1})-[r:knows*0..1]->(b) RETURN b.id AS id ORDER BY id""")
+    assert(rows(df0) == Seq(Seq("1"), Seq("2")))
+  }
+
+  test("F2: graphpath accessors nodes()/relationships()/length()") {
+    val df = trav.cypher(
+      """MATCH p = (a:person {id: 1})-[r:knows*2..2]->(b)
+        |RETURN length(p) AS len""".stripMargin)
+    assert(rows(df) == Seq(Seq("2")))
+  }
+
+  test("F2: shortestpath and allshortestpaths") {
+    val df = trav.cypher(
+      """MATCH p = shortestpath((a:person {id: 1})-[:knows*..5]->(b:person {id: 4}))
+        |RETURN length(p) AS len""".stripMargin)
+    assert(rows(df) == Seq(Seq("3")))
+  }
+
+  test("F2: dijkstra weighted path") {
+    val s = freshSession()
+    s.createGraph("dij")
+    s.createVLabel("n")
+    s.createELabel("e")
+    s.cypher("CREATE (:n {id: 1}), (:n {id: 2}), (:n {id: 3})")
+    s.cypher("MATCH (a:n {id: 1}), (b:n {id: 2}) CREATE (a)-[:e {w: 1}]->(b)")
+    s.cypher("MATCH (a:n {id: 2}), (b:n {id: 3}) CREATE (a)-[:e {w: 1}]->(b)")
+    s.cypher("MATCH (a:n {id: 1}), (b:n {id: 3}) CREATE (a)-[:e {w: 5}]->(b)")
+    val df = s.cypher(
+      """MATCH p = dijkstra((a:n {id: 1})-[e:e]->(b:n {id: 3}), e.w)
+        |RETURN length(p) AS len""".stripMargin)
+    // cheapest path is the 2-hop (cost 2) not the direct (cost 5)
+    assert(rows(df) == Seq(Seq("2")))
+  }
+
+  // --------------------------------------- F5: label inheritance diamond
+  test("F5: inheritance subtree scan + labels() closure") {
+    val s = freshSession()
+    s.createGraph("inh")
+    s.createVLabel("a")
+    s.createVLabel("b", parents = Seq("a"))
+    s.createVLabel("c", parents = Seq("a"))
+    s.createVLabel("d", parents = Seq("b", "c"))
+    Seq("a", "b", "c", "d").foreach { l =>
+      s.cypher(s"CREATE (:$l {name: '$l'})")
+    }
+    // MATCH (n:c) scans c and its child d
+    val df = s.cypher("MATCH (n:c) RETURN n.name AS name ORDER BY name")
+    assert(rows(df) == Seq(Seq("\"c\""), Seq("\"d\"")))
+    // ONLY scan
+    val df2 = s.cypher("MATCH (n:only c) RETURN n.name AS name")
+    assert(rows(df2) == Seq(Seq("\"c\"")))
+    // label() returns own label; labels() the DAG closure
+    val df3 = s.cypher("MATCH (n:only d) RETURN label(n) AS l, labels(n) AS ls")
+    assert(rows(df3) == Seq(Seq("\"d\"", "[\"d\", \"b\", \"a\", \"c\"]")))
+  }
+
+  test("LOAD FROM joins a Spark table into the pipeline") {
+    val s = agens
+    import spark.implicits._
+    Seq((2016, "first release"), (2017, "docs")).toDF("year", "event")
+      .createOrReplaceTempView("history")
+    val df = s.cypher(
+      """LOAD FROM history AS h MATCH (r:repo)
+        |WHERE r.year = h.year AND r.name = 'agens-graph'
+        |RETURN h.event AS event""".stripMargin)
+    assert(rows(df) == Seq(Seq("\"first release\"")))
+  }
+}
