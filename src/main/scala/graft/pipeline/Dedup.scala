@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design:
+  *  - exact dedup is a hash-groupBy (one shuffle on the digest);
+  *  - MinHash+LSH is the scalable near-dup path: per-doc signatures via
+  *    map-side min-aggregation, banding -> bucket join, candidate
+  *    verification joins only bucket-mates (no O(n^2) pair scan);
+  *  - brute-force Jaccard is kept as the small-N verification baseline.
+  */
+object Dedup {
+
+  /** Tokenize to distinct word set (unigram shingles). */
+  def wordSet(text: Column): Column = array_distinct(split(text, "\\s+"))
+
+  /** k-word shingles ("n-gram" dedup unit). */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(text, "\\s+")
+    when(size(words) < k, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - k),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+  }
+
+  /** Exact dedup: keep the lowest id per digest of the normalized
+    * text. Returns the kept rows.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("__digest").orderBy(col(idCol))
+    docs.withColumn("__digest", md5(lower(col(textCol))))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__digest")
+  }
+
+  /** Brute-force pairwise Jaccard over word sets — the correctness
+    * baseline (O(n^2): only for bounded subsets / verification).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val withSets = docs.select(col(idCol).as("__id"), wordSet(col(textCol)).as("__ws"))
+    val a = withSets.select(col("__id").as("da"), col("__ws").as("wa"))
+    val b = withSets.select(col("__id").as("db"), col("__ws").as("wb"))
+    a.join(b, col("da") < col("db"))
+      .withColumn("jac",
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))))
+      .where(col("jac") >= threshold)
+      .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** MinHash signatures: numPerm permutations approximated by seeded
+    * xxhash64 min-aggregation over shingles (explode -> groupBy doc ->
+    * numPerm min() columns; fully map-side-combinable).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numPerm: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), k)).as("__sh"))
+    val mins = (0 until numPerm).map(i =>
+      min(xxhash64(col("__sh"), lit(i))).as(s"__mh_$i"))
+    exploded.groupBy("__id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`,
+    * hash each band, emit (band_idx, band_hash, id) — same-bucket ids
+    * are candidate near-duplicates.
+    */
+  def lshBuckets(sigs: DataFrame, numPerm: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numPerm / rowsPerBand
+    val bands = (0 until numBands).map { bIdx =>
+      val cols = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
+        .map(i => col(s"__mh_$i"))
+      sigs.select(col("__id"), lit(bIdx).as("band"),
+        xxhash64(cols: _*).as("bucket"))
+    }
+    bands.reduce(_ unionAll _)
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: signatures -> bucket join ->
+    * candidate pairs -> exact-Jaccard verification (verification joins
+    * word sets only for candidates).
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerm: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
+    val buckets = lshBuckets(sigs, numPerm, rowsPerBand)
+    val l = buckets.select(col("band"), col("bucket"), col("__id").as("da"))
+    val r = buckets.select(col("band"), col("bucket"), col("__id").as("db"))
+    val candidates = l.join(r, Seq("band", "bucket")).where(col("da") < col("db"))
+      .select("da", "db").distinct()
+    // verify candidates with exact shingle-set Jaccard
+    val sets = docs.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("__ss"))
+    candidates
+      .join(sets.select(col("__id").as("da"), col("__ss").as("sa")), "da")
+      .join(sets.select(col("__id").as("db"), col("__ss").as("sb")), "db")
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .where(col("jac") >= threshold)
+      .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** 64-bit SimHash per document: sign of per-bit weighted token-hash
+    * sums (explode -> 64 conditional sums -> bit reassembly).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("__id"),
+      explode(split(col(textCol), "\\s+")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("__h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b_$b")
+    }
+    val agg = tokens.groupBy("__id").agg(bitSums.head, bitSums.tail: _*)
+    val hashCol = (0 until 64).map { b =>
+      when(col(s"__b_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    agg.select(col("__id"), hashCol.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
+    * 16-bit banding (dist<=3 pairs must share at least one of 4 bands).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val bands = (0 until 4).map { i =>
+      sh.select(col("__id"), lit(i).as("band"),
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(0xffffL).as("piece"))
+    }.reduce(_ unionAll _)
+    val l = bands.select(col("band"), col("piece"), col("__id").as("da"))
+    val r = bands.select(col("band"), col("piece"), col("__id").as("db"))
+    val cand = l.join(r, Seq("band", "piece")).where(col("da") < col("db")).distinct()
+    val withH = cand
+      .join(sh.select(col("__id").as("da"), col("simhash").as("ha")), "da")
+      .join(sh.select(col("__id").as("db"), col("simhash").as("hb")), "db")
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("dist") <= maxDist)
+    withH.select("da", "db", "dist").distinct()
+  }
+}

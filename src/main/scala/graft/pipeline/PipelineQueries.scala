@@ -1,0 +1,221 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.relational.Tables
+
+/** Training-data pipeline operators over documents/embeddings —
+  * dedup, similarity search, text analysis, multimodal plumbing —
+  * each with a DuckDB oracle where SQL can express the same logic
+  * (hash-based sketches are deterministic but engine-specific ->
+  * rows-only checks, verified in ScalaTest instead).
+  *
+  * Pair-producing (O(n^2)) queries restrict to a doc_id prefix: the
+  * brute-force forms are verification baselines; the LSH forms are the
+  * scale path.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.load
+
+  val queries: Map[String, Q] = Map(
+    // ---- dedup -------------------------------------------------------
+    "p01_dedup_exact" -> { (s, d) =>
+      Dedup.exact(load(s, d, "documents"), "doc_id", "text")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    },
+
+    "p02_dedup_jaccard" -> { (s, d) =>
+      Dedup.jaccardPairs(load(s, d, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", 0.9)
+        .orderBy("da", "db")
+    },
+
+    "p03_dedup_minhash_lsh" -> { (s, d) =>
+      // deterministic but hash-specific -> rows-only driver check;
+      // recall vs p02's exact baseline asserted in PipelineSpec
+      Dedup.minhashLsh(load(s, d, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", shingleK = 1, numPerm = 32, rowsPerBand = 4,
+        threshold = 0.9)
+        .orderBy("da", "db")
+    },
+
+    "p04_dedup_simhash" -> { (s, d) =>
+      Dedup.simhashPairs(load(s, d, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", maxDist = 8)
+        .orderBy("da", "db")
+    },
+
+    // ---- similarity search ------------------------------------------
+    "p05_ann_bruteforce" -> { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+      Similarity.bruteForceTopK(vecs.where(col("vec_id") < 20), vecs, 3)
+        .orderBy("qid", "rank")
+    },
+
+    "p06_embedding_neardup" -> { (s, d) =>
+      Similarity.cosineNearDupPairs(load(s, d, "embeddings")
+        .where(col("vec_id") < 300), 0.45)
+        .orderBy("da", "db")
+    },
+
+    "p07_ann_lsh" -> { (s, d) =>
+      // hash-specific signature -> rows-only; recall asserted in tests
+      Similarity.lshTopK(load(s, d, "embeddings"), dim = 64, numPlanes = 8, k = 3)
+        .where(col("qid") < 50)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- text analysis ----------------------------------------------
+    "p08_token_stats" -> { (s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
+    "p09_quality_score" -> { (s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          round(TextOps.stopwordRatio(col("text")), 6).as("sw_ratio"),
+          round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy("doc_id")
+    },
+
+    "p10_langid" -> { (s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang")
+    },
+
+    "p11_fingerprint" -> { (s, d) =>
+      load(s, d, "documents")
+        .select(TextOps.vocabFingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("fp"))
+    },
+
+    // ---- multimodal plumbing ----------------------------------------
+    "p12_multimodal_decode" -> { (s, d) =>
+      val media = Multimodal.asMediaTable(load(s, d, "documents"), "doc_id", "text")
+      val decoded = Multimodal.decode(media)
+      Multimodal.resize(decoded, 128)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(element_at(col("features"), 1).cast("double"), 2).as("f0"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_dedup_exact" ->
+      """SELECT source, count(*) AS n_kept FROM (
+        |  SELECT source, row_number() OVER
+        |    (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
+    "p02_dedup_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jac
+        |FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |ORDER BY da, db""".stripMargin,
+    "p05_ann_bruteforce" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20),
+        |ranked AS (
+        |  SELECT qid, cid, cos, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, rank, cos
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "p06_embedding_neardup" ->
+      """SELECT a.vec_id AS da, b.vec_id AS db,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY da, db""".stripMargin,
+    "p08_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+        |    AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p09_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  regexp_split_to_array(text, '\s+') AS ws,
+        |  greatest(length(text), 1) AS n FROM documents),
+        |m AS (SELECT doc_id, text, n,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |    / greatest(len(ws), 1) AS swr,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / n AS pr,
+        |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n AS dr
+        |  FROM t)
+        |SELECT doc_id,
+        |  round((CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.4
+        |       WHEN length(text) >= 20 THEN 0.2 ELSE 0.0 END)
+        |  + (CASE WHEN pr <= 0.1 THEN 0.3 ELSE 0.0 END)
+        |  + (CASE WHEN dr <= 0.2 THEN 0.1 ELSE 0.0 END)
+        |  + (CASE WHEN swr >= 0.05 THEN 0.2 ELSE 0.0 END), 2) AS quality,
+        |  round(swr, 6) AS sw_ratio, round(pr, 6) AS punct_ratio
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "p10_langid" ->
+      """WITH s AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws,
+        |  greatest(len(regexp_split_to_array(text, '\s+')), 1) AS n
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','and','is')))::DOUBLE / n AS s_en,
+        |  len(list_filter(ws, w -> w IN ('der','die','das','und','ist')))::DOUBLE / n AS s_de,
+        |  len(list_filter(ws, w -> w IN ('le','la','et','est','une')))::DOUBLE / n AS s_fr,
+        |  len(list_filter(ws, w -> w IN ('el','la','y','es','una')))::DOUBLE / n AS s_es,
+        |  len(list_filter(ws, w -> w IN ('de5','shi4','le5','he2','zai4')))::DOUBLE / n AS s_zh
+        |  FROM s),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN s_zh > greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
+        |       WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+        |       WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+        |       WHEN s_de > s_en THEN 'de'
+        |       ELSE 'en' END AS pred_lang
+        |  FROM sc)
+        |SELECT pred_lang, count(*) AS n FROM p
+        |GROUP BY 1 ORDER BY pred_lang""".stripMargin,
+    "p11_fingerprint" ->
+      """SELECT fp, count(*) AS n_docs FROM (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
+        |  FROM documents) t
+        |GROUP BY fp HAVING count(*) > 1
+        |ORDER BY n_docs DESC, fp""".stripMargin,
+    "p12_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, length(text) AS n,
+        |  greatest(length(text) % 256, 1) AS w0,
+        |  greatest((length(text) // 256) % 256, 1) AS h0
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(floor(w0 * least(128.0 / greatest(w0, h0), 1.0)) AS INT) AS width,
+        |  CAST(floor(h0 * least(128.0 / greatest(w0, h0), 1.0)) AS INT) AS height,
+        |  3 AS channels,
+        |  round(list_sum(list_transform(
+        |    generate_series(1, length(d2.text), 8),
+        |    i -> ord(substr(d2.text, i, 1)))), 2) AS f0
+        |FROM d JOIN documents d2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Brute-force cosine is the exactness baseline (O(n*m) pair join);
+  * the scale path is random-hyperplane LSH bucketing: at 100 TB the
+  * bucket join touches only same-signature vectors, and the plane
+  * projections are a single codegen'd higher-order-function pass per
+  * row (no UDFs, no driver collect).
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision via zip_with + aggregate. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (brute force).
+    * queries/corpus: (id, embedding).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    // rank on the ROUNDED score (+ cid tiebreak) so cross-engine
+    // last-ulp noise cannot flip orders near ties
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * hash -> uniform in [-1, 1). No RNG state, so executors agree.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(1000003L)).cast("double") /
+      lit(500001.5)) - lit(1.0)
+
+  /** numPlanes-bit signature: sign of the projection on each plane. */
+  def lshSignature(v: Column, dim: Int, numPlanes: Int): Column = {
+    val planes = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH buckets: same-signature vectors are candidates;
+    * exact cosine ranks within the bucket. Recall grows with fewer
+    * planes / multiple tables; one table here (documented trade-off).
+    */
+  def lshTopK(vectors: DataFrame, dim: Int, numPlanes: Int, k: Int): DataFrame = {
+    val sig = vectors.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), dim, numPlanes).as("sig"))
+    val l = sig.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig"))
+    val r = sig.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("sig"))
+    val scored = l.join(r, Seq("sig")).where(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold. */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("da"), col("embedding").as("va"))
+    val b = vectors.select(col("vec_id").as("db"), col("embedding").as("vb"))
+    a.join(b, col("da") < col("db"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
+  }
+}

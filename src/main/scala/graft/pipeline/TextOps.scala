@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data curation: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs) — each is one narrow pass
+  * over the text column and aggregates map-side.
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword unit count: word chunks + standalone punctuation
+    * (the usual pre-tokenizer regex).
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Heuristic quality score in [0, 1]:
+    * length band + punctuation density + stopword presence — the
+    * standard cheap filters applied before expensive model scoring.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    size(filter(ts, t => t.isin(Stopwords: _*))).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def digitRatio(text: Column): Column =
+    regexp_count(text, lit("[0-9]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(length(text) >= 100 && length(text) <= 10000, 0.4)
+      .when(length(text) >= 20, 0.2).otherwise(0.0)
+    val punctScore = when(punctRatio(text) <= 0.1, 0.3).otherwise(0.0)
+    val digitScore = when(digitRatio(text) <= 0.2, 0.1).otherwise(0.0)
+    val swScore = when(stopwordRatio(text) >= 0.05, 0.2).otherwise(0.0)
+    round(lenScore + punctScore + digitScore + swScore, 2)
+  }
+
+  /** Stopword-profile language ID: score per language = fraction of
+    * tokens in that language's marker list; argmax with deterministic
+    * tie order. (An n-gram-profile model plugs into the same shape.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "une"),
+    "es" -> Seq("el", "la", "y", "es", "una"),
+    "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val ts = tokens(text)
+    LangMarkers.map { case (lang, markers) =>
+      lang -> (size(filter(ts, t => t.isin(markers: _*))).cast("double") /
+        greatest(size(ts), lit(1)).cast("double"))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax, ties resolved by list order (en first)
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lang).otherwise(bestLang),
+          greatest(score, bestScore))
+    }._1
+  }
+
+  /** Content-defined fingerprint: digest of the sorted distinct word
+    * set — clusters documents with identical vocabulary regardless of
+    * order (the cheap canonical form for bag-level dedup).
+    */
+  def vocabFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(lower(text), "\\s+")))))
+}

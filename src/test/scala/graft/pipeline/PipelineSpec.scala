@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality checks for the hash-based (non-SQL-oracle) pipeline ops:
+  * LSH candidates must recover a high fraction of the exact baseline.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH recalls most exact-jaccard pairs") {
+    val docs = graft.relational.Tables.load(spark, sf, "documents")
+      .where(col("doc_id") < 100)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleK = 1, numPerm = 32, rowsPerBand = 4, threshold = 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step guarantees precision = 1.0
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("simhash near-dup pairs have verified hamming distance") {
+    val docs = graft.relational.Tables.load(spark, sf, "documents")
+      .where(col("doc_id") < 100)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 8).collect()
+    assert(pairs.forall(_.getInt(2) <= 8))
+  }
+
+  test("embedding LSH top-k ranks within-bucket candidates by exact cosine") {
+    val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
+    val lsh = Similarity.lshTopK(vecs, dim = 64, numPlanes = 6, k = 3)
+    val rows = lsh.where(col("qid") < 30).collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..k and cosines non-increasing per query
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length))
+      val cosines = sorted.map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
+  test("multimodal decode: partition batches produce typed features") {
+    val docs = graft.relational.Tables.load(spark, sf, "documents").limit(20)
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema("content").dataType.typeName == "binary")
+    val decoded = Multimodal.decode(media)
+    val r = decoded.orderBy("doc_id").first()
+    assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    assert(decoded.count() == 20)
+  }
+}
