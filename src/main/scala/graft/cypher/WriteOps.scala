@@ -193,7 +193,17 @@ object WriteOps {
     * `cond` restricts affected rows (used by MERGE's ON CREATE/ON MATCH).
     */
   def set(b: Builder, st: State, items: Seq[SetItem], cond: Column): State = {
-    val frame = st.df.localCheckpoint(true)
+    // __setord gives last-write-wins ordering for multiple updates of
+    // one element within a statement (enable_multiple_update analog).
+    // Key = bound element ids in binding order — the deterministic
+    // analog of PG's ascending nested-loop iteration order.
+    val ordCols = st.vars.collect {
+      case (w, KV) => format_string("%020d", col(Compiler.q(w)).getField("id"))
+      case (w, KE) => format_string("%020d", col(Compiler.q(w)).getField("id"))
+    }
+    val frame = st.df.withColumn("__setord",
+        if (ordCols.isEmpty) lit("0") else concat(ordCols: _*))
+      .localCheckpoint(true)
     // group items per target variable, compose property transforms
     val byVar = scala.collection.mutable.LinkedHashMap[String, Column]()
     val comp = b.compiler(State(frame, st.vars))
@@ -221,13 +231,14 @@ object WriteOps {
       val kind = st.kinds.getOrElse(v,
         throw new IllegalArgumentException(s"variable `$v` not defined"))
       require(kind == KV || kind == KE, s"SET target `$v` must be a graph element")
-      val guarded = when(cond, newProps)
-        .otherwise(col(Compiler.q(v)).getField("properties"))
-      // updates table: id -> new properties (dedup: last write wins
-      // within the statement; enable_multiple_update semantics)
+      // updates table: id -> new properties; last write (statement row
+      // order) wins when several rows update one element
+      // (enable_multiple_update analog, nodeModifyGraph.c:33)
       val updates = newDf.where(cond)
-        .select(col(Compiler.q(v)).getField("id").as("id"), newProps.as("__np"))
-        .groupBy("id").agg(first("__np").as("__np")).localCheckpoint(true)
+        .select(col(Compiler.q(v)).getField("id").as("id"),
+          newProps.as("__np"), col("__setord"))
+        .groupBy("id").agg(max_by(col("__np"), col("__setord")).as("__np"))
+        .localCheckpoint(true)
       val nUpd = updates.count()
       b.updatedProperties += nUpd
       // rewrite affected label tables
@@ -243,19 +254,28 @@ object WriteOps {
           b.catalog.overwrite(b.graph, lm.name, joined)
         }
       }
-      // refresh the in-flight struct column (visibility for later clauses)
-      val k = kind
-      newDf =
-        if (k == KV)
-          newDf.withColumn(v, struct(col(Compiler.q(v)).getField("id").as("id"),
-            guarded.as("properties")))
-        else
-          newDf.withColumn(v, struct(col(Compiler.q(v)).getField("id").as("id"),
-            col(Compiler.q(v)).getField("start").as("start"),
-            col(Compiler.q(v)).getField("end").as("end"),
-            guarded.as("properties")))
+      // refresh EVERY in-flight element var by id (heap semantics:
+      // aliases of the same element observe the update; PG rereads the
+      // heap with a new CommandId between clauses)
+      st.vars.foreach { case (w, wk) =>
+        if (wk == KV || wk == KE) {
+          val upd = updates.select(col("id").as("__uid"), col("__np").as("__unp"))
+          val wId = col(Compiler.q(w)).getField("id")
+          val props2 = coalesce(col("__unp"), col(Compiler.q(w)).getField("properties"))
+          newDf = newDf.join(upd, wId === col("__uid"), "left")
+          newDf =
+            if (wk == KV)
+              newDf.withColumn(w, struct(wId.as("id"), props2.as("properties")))
+            else
+              newDf.withColumn(w, struct(wId.as("id"),
+                col(Compiler.q(w)).getField("start").as("start"),
+                col(Compiler.q(w)).getField("end").as("end"),
+                props2.as("properties")))
+          newDf = newDf.drop("__uid", "__unp")
+        }
+      }
     }
-    State(newDf, st.vars)
+    State(newDf.drop("__setord"), st.vars)
   }
 
   // ============================================================== MERGE

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties the 100 TB story depends on —
+  * predicate pushdown reaching parquet, constant dims broadcast,
+  * whole-stage codegen over the jsonb expressions.
+  */
+class ExplainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter + projection push into the parquet scan") {
+    val p = planOf("q01_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // column pruning: only the 5 needed columns in ReadSchema
+    assert(!p.contains("l_extendedprice"), p)
+  }
+
+  test("q04: constant dims broadcast, no cartesian products") {
+    val p = planOf("q04_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("g02: Cypher chain join compiles to pruned-scan equi-joins") {
+    val p = planOf("g02_chain_join")
+    // pattern joins become hash equi-joins (no cartesian fallback)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // jsonb predicate evaluates at the scan (DataFilters), and unused
+    // struct fields are pruned from the read schema
+    assert(p.contains("jsonb_gt"), p)
+    assert(p.contains("ReadSchema: struct<id:bigint>"), p)
+  }
+
+  test("q02: aggregation is partial+final (map-side combine)") {
+    val p = planOf("q02_agg_groupby")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+}
