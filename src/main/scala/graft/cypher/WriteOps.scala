@@ -58,6 +58,8 @@ object WriteOps {
           df = df.withColumn(nodeName,
             struct(idCol.cast("long").as("id"), propsCol.as("properties")))
           vars = vars :+ (nodeName -> KV)
+          checkConstraints(b, label,
+            df.select(col(Compiler.q(nodeName)).getField("properties").as("properties")))
           b.catalog.append(b.graph, label,
             df.select(col(Compiler.q(nodeName)).getField("id").as("id"),
               col(Compiler.q(nodeName)).getField("properties").as("properties")))
@@ -111,6 +113,63 @@ object WriteOps {
       }
     }
     State(df.drop("__cidx"), vars)
+  }
+
+  /** Write-time constraint validation (reference:
+    * CreateConstraintCommand graphcmds.c:550; CHECK/UNIQUE tests
+    * cypher_ddl.sql:240-362). Bare identifiers in constraint bodies
+    * refer to properties of the inserted element.
+    */
+  private def checkConstraints(b: Builder, label: String,
+      newRows: DataFrame): Unit = {
+    val applicable = b.catalog.constraints(b.graph).filter(c =>
+      b.catalog.ancestors(b.graph, label).contains(c.label))
+    if (applicable.isEmpty) return
+    // compile the body against a one-var frame (__self holds the props)
+    val selfVars: Vector[(String, Kind)] = Vector("__self" -> KV)
+    val frame = newRows.select(struct(lit(0L).as("id"),
+      col("properties").as("properties")).as("__self"))
+    def mapChildren(e: Expr): Expr = e match {
+      case Vbl(n) => Prop(Vbl("__self"), n)
+      case BinOp(op, l, r) => BinOp(op, mapChildren(l), mapChildren(r))
+      case UnaryOp(op, x) => UnaryOp(op, mapChildren(x))
+      case Cmp(op, l, r) => Cmp(op, mapChildren(l), mapChildren(r))
+      case And(l, r) => And(mapChildren(l), mapChildren(r))
+      case Or(l, r) => Or(mapChildren(l), mapChildren(r))
+      case Not(x) => Not(mapChildren(x))
+      case IsNull(x, neg) => IsNull(mapChildren(x), neg)
+      case StrPred(op, l, r) => StrPred(op, mapChildren(l), mapChildren(r))
+      case InList(x, l, neg) => InList(mapChildren(x), mapChildren(l), neg)
+      case Prop(bse, k) => Prop(mapChildren(bse), k)
+      case Index(bse, i) => Index(mapChildren(bse), mapChildren(i))
+      case FnCall(nm, args, d) => FnCall(nm, args.map(mapChildren), d)
+      case other => other
+    }
+    val comp = new Compiler(selfVars.toMap, Map.empty, Map.empty, Map.empty)
+    applicable.foreach { c =>
+      val body = Parser.parseExpression(c.expr)
+      c.kind match {
+        case "check" =>
+          val cond = comp.toBool(comp.compile(mapChildren(body)))
+          if (!frame.where(!coalesce(cond, lit(false))).isEmpty)
+            throw new IllegalStateException(
+              s"""new row for label "$label" violates check constraint "${c.name}"""")
+        case "unique" =>
+          val keyCol = comp.toJ(comp.compile(mapChildren(body)))
+          val newKeys = frame.select(keyCol.as("__k")).where(col("__k").isNotNull)
+          // within-batch duplicates
+          if (!newKeys.groupBy("__k").count().where(col("count") > 1).isEmpty)
+            throw new IllegalStateException(
+              s"""duplicate key value violates unique constraint "${c.name}"""")
+          // against the existing subtree
+          val existing = b.catalog.scan(b.graph, c.label)
+            .select(struct(lit(0L).as("id"), col("properties")).as("__self"))
+            .select(keyCol.as("__k"))
+          if (!newKeys.join(existing, Seq("__k"), "left_semi").isEmpty)
+            throw new IllegalStateException(
+              s"""duplicate key value violates unique constraint "${c.name}"""")
+      }
+    }
   }
 
   // ============================================================= DELETE

@@ -209,6 +209,81 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  // --------------------------------------------------------- graphmeta
+
+  /** Edge-count statistics matrix (start labid, edge labid, end labid)
+    * -> count — ag_graphmeta (reference ag_graphmeta.h:30-37). The
+    * reference maintains it on write (auto_gather_graphmeta); here it
+    * is one aggregation over the edge tables — always fresh, no
+    * write-path coupling, and the same shape feeds join-size estimates.
+    */
+  def graphmeta(graph: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val names = labidNames(graph)
+    val nameCol = {
+      val m = names.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+      if (m.isEmpty) map() else map(m: _*)
+    }
+    scanAll(graph, 'e')
+      .select(shiftrightunsigned(col("id"), 48).cast("int").as("edge_labid"),
+        shiftrightunsigned(col("start"), 48).cast("int").as("start_labid"),
+        shiftrightunsigned(col("end"), 48).cast("int").as("end_labid"))
+      .groupBy("start_labid", "edge_labid", "end_labid")
+      .agg(count(lit(1)).as("edgecount"))
+      .select(element_at(nameCol, col("start_labid")).as("start"),
+        element_at(nameCol, col("edge_labid")).as("edge"),
+        element_at(nameCol, col("end_labid")).as("end"),
+        col("edgecount"))
+  }
+
+  // ------------------------------------------------------- constraints
+
+  /** Label constraints (reference: CreateConstraintCommand
+    * graphcmds.c:550; tests cypher_ddl.sql:240-362). kind: "unique"
+    * (property expression unique across the label subtree) or "check"
+    * (boolean Cypher expression over properties).
+    */
+  final case class ConstraintMeta(label: String, name: String, kind: String,
+      expr: String)
+
+  private def constraintsPath(g: String): Path =
+    graphDir(g).resolve("_constraints.json")
+
+  def addConstraint(graph: String, label: String, name: String, kind: String,
+      expr: String): Unit = {
+    require(Seq("unique", "check").contains(kind), s"bad constraint kind $kind")
+    require(this.label(graph, label).isDefined, s"label \"$label\" does not exist")
+    val cur = constraints(graph)
+    require(!cur.exists(_.name == name), s"constraint \"$name\" already exists")
+    writeConstraints(graph, cur :+ ConstraintMeta(label, name, kind, expr))
+  }
+
+  def dropConstraint(graph: String, name: String): Unit =
+    writeConstraints(graph, constraints(graph).filterNot(_.name == name))
+
+  def constraints(graph: String): Seq[ConstraintMeta] = {
+    import graft.jsonb._
+    if (!Files.exists(constraintsPath(graph))) return Nil
+    Jsonb.parse(Files.readString(constraintsPath(graph))) match {
+      case JArr(items) => items.collect { case o: JObj =>
+        ConstraintMeta(
+          o.get("label").collect { case JStr(s) => s }.get,
+          o.get("name").collect { case JStr(s) => s }.get,
+          o.get("kind").collect { case JStr(s) => s }.get,
+          o.get("expr").collect { case JStr(s) => s }.get)
+      }
+      case _ => Nil
+    }
+  }
+
+  private def writeConstraints(g: String, cs: Seq[ConstraintMeta]): Unit = {
+    import graft.jsonb._
+    val doc = JArr(cs.toVector.map(c => Jsonb.mkObj(Seq(
+      "label" -> JStr(c.label), "name" -> JStr(c.name),
+      "kind" -> JStr(c.kind), "expr" -> JStr(c.expr)))))
+    Files.writeString(constraintsPath(g), doc.render)
+  }
+
   // ----------------------------------------------------- meta (de)ser
 
   private case class GraphMeta(

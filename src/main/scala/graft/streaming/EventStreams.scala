@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming subsystem (SURVEY §2.10) — this is
+  * additive scope designed Spark-first: the same column expressions
+  * used in the batch queries run under `readStream`, watermarks bound
+  * state, and custom per-key state uses mapGroupsWithState (the
+  * engine-managed distributed state store — scales with executors).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark —
+    * the streaming twin of q27_time_bucket.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window per-user activity. */
+  def slidingUserActivity(events: DataFrame, windowLen: String,
+      slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("n_events"))
+
+  /** Session windows (gap-based) per user. */
+  def sessionWindows(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"),
+        col("n_events"), col("session_value"))
+
+  // ---- custom keyed state (mapGroupsWithState) ----------------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total: Double)
+
+  /** Running per-user totals via explicit state — the
+    * KeyValueGroupedDataset.mapGroupsWithState surface (SURVEY §2.10
+    * North-star item); state lives in the engine's checkpointed store.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val (n, tot) = rows.foldLeft((prev.n_events, prev.total)) {
+            case ((cn, ct), e) => (cn + 1, ct + e.value)
+          }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the streaming operators end-to-end with MemoryStream sources
+  * and memory sinks, and checks batch/stream agreement for the
+  * windowed aggregation (same columns, same results).
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private def sampleEvents: Seq[EventStreams.Event] = Seq(
+    EventStreams.Event(1, ts(0), 100, "click", 1.0),
+    EventStreams.Event(2, ts(1), 100, "click", 2.0),
+    EventStreams.Event(3, ts(2), 200, "view", 3.0),
+    EventStreams.Event(4, ts(11), 100, "click", 4.0),
+    EventStreams.Event(5, ts(12), 200, "view", 5.0))
+
+  test("tumbling-window counts: stream result equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    input.addData(sampleEvents: _*)
+    val streamDf = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "1 minute")
+    val q = streamDf.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tumbling_out")
+      .select("w_start", "event_type", "n", "total")
+      .orderBy("w_start", "event_type").collect().map(_.toSeq).toSeq
+    val want = EventStreams.tumblingCounts(sampleEvents.toDF(), "10 minutes", "1 minute")
+      .select("w_start", "event_type", "n", "total")
+      .orderBy("w_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.size == 4) // 2 windows x 2 types
+  }
+
+  test("session windows close after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    input.addData(sampleEvents: _*)
+    val q = EventStreams.sessionWindows(input.toDF(), "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("session_out")
+      .orderBy("user_id", "s_start").collect()
+    // user 100: events at 0,1 then 11 -> two sessions; user 200: 2 and 12
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 1L, 1L))
+  }
+
+  test("mapGroupsWithState keeps running totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("update").start()
+    input.addData(sampleEvents.take(3): _*)
+    q.processAllAvailable()
+    input.addData(sampleEvents.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running_out")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total").as("t"))
+      .orderBy("user_id").collect()
+    assert(last.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((100L, 3L, 7.0), (200L, 2L, 8.0)))
+  }
+}
