@@ -116,6 +116,37 @@ class CypherEndToEndSpec extends AnyFunSuite {
       Seq(Seq("[1, 2]", "2")))
   }
 
+  test("F7: literal surface from cypher_expr.out") {
+    val s = agens
+    // hex/octal literals (scan.l:993-998)
+    assert(rows(s.cypher("RETURN -0x7fffffff AS a, 0x7fffffff AS b")) ==
+      Seq(Seq("-2147483647", "2147483647")))
+    assert(rows(s.cypher("RETURN -017777777777 AS a, 017777777777 AS b")) ==
+      Seq(Seq("-2147483647", "2147483647")))
+    // E-notation prints plain; int8 boundaries keep exact values
+    assert(rows(s.cypher("RETURN 6.02E23 AS x, 3.14 AS y")) ==
+      Seq(Seq("602000000000000000000000", "3.14")))
+    assert(rows(s.cypher("RETURN -9223372036854775808 AS a, 9223372036854775807 AS b")) ==
+      Seq(Seq("-9223372036854775808", "9223372036854775807")))
+    // escape processing in strings ('\n' value) but raw map keys
+    assert(rows(s.cypher("RETURN {i: 7, s: 'x', 'z': NULL, l: [0, 1]} AS m")) ==
+      Seq(Seq("""{"i": 7, "l": [0, 1], "s": "x"}""")))
+    // list with nested structures renders PG-style
+    assert(rows(s.cypher("RETURN [7, 7.0, true, null, [0], {p: 'p'}] AS l")) ==
+      Seq(Seq("""[7, 7.0, true, null, [0], {"p": "p"}]""")))
+    // integer division truncation and decimal division scale
+    assert(rows(s.cypher("RETURN 1 / 2 AS a, 7 % 3 AS b, 2 ^ 10 AS c")) ==
+      Seq(Seq("0", "1", "1024")))
+    // string predicates
+    assert(rows(s.cypher(
+      "RETURN 'agens' STARTS WITH 'ag' AS a, 'agens' ENDS WITH 'ns' AS b, " +
+        "'agens' CONTAINS 'gen' AS c, 'agens' =~ 'a.*s' AS d")) ==
+      Seq(Seq(true, true, true, true)))
+    // IN list + IS NULL
+    assert(rows(s.cypher("RETURN 2 IN [1, 2, 3] AS a, null IS NULL AS b")) ==
+      Seq(Seq(true, true)))
+  }
+
   test("F1: parameters") {
     val df = agens.cypher("MATCH (r:repo {name: $nm}) RETURN r.year AS y",
       Map("nm" -> "agens-graph"))
