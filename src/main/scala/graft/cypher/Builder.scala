@@ -338,10 +338,49 @@ final class Builder(
 
   // ========================================================= projection
 
-  private[cypher] def buildProjection(st: State, p: Projection): State = {
+  private[cypher] def buildProjection(st0: State, p: Projection): State = {
+    // startnode()/endnode() re-fetch vertices by the edge's endpoint id
+    // (graph.c edge_start_vertex): rewrite to hidden joined vars first
+    val (st, p2) = rewriteEndpointFns(st0, p)
     val items0: Seq[(Expr, String)] =
-      if (p.star) st.vars.filterNot(_._1.startsWith("__")).map { case (n, _) => (Vbl(n), n) }
-      else p.items.map { case (e, as) => (e, as.getOrElse(Compiler.itemName(e))) }
+      if (p2.star) st.vars.filterNot(_._1.startsWith("__")).map { case (n, _) => (Vbl(n), n) }
+      else p2.items.map { case (e, as) => (e, as.getOrElse(Compiler.itemName(e))) }
+    val p3 = p2
+    buildProjectionImpl(st, p3, items0)
+  }
+
+  /** Replace startnode(e)/endnode(e) with hidden vertex vars joined by
+    * endpoint id (left join: dangling endpoints yield SQL NULL).
+    */
+  private def rewriteEndpointFns(st0: State, p: Projection): (State, Projection) = {
+    var st = st0
+    def rewriteExpr(e: Expr): Expr = e match {
+      case FnCall(fn @ ("startnode" | "endnode"), Seq(Vbl(ev)), _)
+          if st.kinds.get(ev).contains(KE) =>
+        val hidden = s"__${fn.take(5)}_$ev"
+        if (!st.has(hidden)) {
+          val endpointField = if (fn == "startnode") "start" else "end"
+          val scan = vertexScan(None, only = false)
+            .select(struct(col("id"), col("properties")).as(hidden))
+          val joined = st.df.join(scan,
+            col(Compiler.q(ev)).getField(endpointField) ===
+              col(Compiler.q(hidden)).getField("id"), "left")
+          st = State(joined, st.vars :+ (hidden -> KV))
+        }
+        Vbl(hidden)
+      case FnCall(n, args, d) => FnCall(n, args.map(rewriteExpr), d)
+      case BinOp(op, l, r) => BinOp(op, rewriteExpr(l), rewriteExpr(r))
+      case Cmp(op, l, r) => Cmp(op, rewriteExpr(l), rewriteExpr(r))
+      case Prop(b2, k) => Prop(rewriteExpr(b2), k)
+      case other => other
+    }
+    val items = p.items.map { case (e, as) => (rewriteExpr(e), as) }
+    val order = p.orderBy.map { case (e, asc) => (rewriteExpr(e), asc) }
+    (st, p.copy(items = items, orderBy = order))
+  }
+
+  private def buildProjectionImpl(st: State, p: Projection,
+      items0: Seq[(Expr, String)]): State = {
 
     val anyAgg = items0.exists { case (e, _) => Compiler.hasAgg(e) }
     var out: State = null

@@ -291,6 +291,13 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df3) == Seq(Seq("\"d\"", "[\"d\", \"b\", \"a\", \"c\"]")))
   }
 
+  test("startnode()/endnode() re-fetch endpoint vertices") {
+    val df = agens.cypher(
+      """MATCH ()-[l:lib]->()
+        |RETURN startnode(l).name AS s, endnode(l).name AS e""".stripMargin)
+    assert(rows(df) == Seq(Seq("\"agens-graph\"", "\"agens-graph-jdbc\"")))
+  }
+
   test("LOAD FROM joins a Spark table into the pipeline") {
     val s = agens
     import spark.implicits._
