@@ -298,6 +298,32 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq("\"agens-graph\"", "\"agens-graph-jdbc\"")))
   }
 
+  test("ORDER BY follows jsonb btree type ranks across mixed types") {
+    val df = agens.cypher(
+      """UNWIND [{a: 1}, [1], true, 1, 'x', null] AS v
+        |RETURN v ORDER BY v""".stripMargin)
+    // jsonb null is a VALUE (lowest rank), distinct from SQL NULL;
+    // rank: null < string < numeric < bool < array < object
+    assert(rows(df).map(_.head) ==
+      Seq("null", "\"x\"", "1", "true", "[1]", """{"a": 1}"""))
+  }
+
+  test("OPTIONAL MATCH as first clause joins against one dummy row") {
+    val s = freshSession()
+    s.createGraph("om")
+    s.createVLabel("z")
+    val df = s.cypher("OPTIONAL MATCH (n:z) RETURN n.k AS k")
+    assert(rows(df) == Seq(Seq(null))) // one row, null binding
+  }
+
+  test("invalid jsonb operator combos raise 'invalid expression'") {
+    val ex = intercept[Exception] {
+      agens.cypher("RETURN '' + false AS x").collect()
+    }
+    assert(ex.getMessage.contains("invalid expression") ||
+      ex.getCause != null)
+  }
+
   test("LOAD FROM joins a Spark table into the pipeline") {
     val s = agens
     import spark.implicits._

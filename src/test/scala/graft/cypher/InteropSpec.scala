@@ -1,0 +1,74 @@
+package graft.cypher
+
+import java.nio.file.Files
+import graft.SparkTestBase
+import graft.api.CypherSession
+import graft.graph.GraphCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL ⇄ Cypher hybrid surface (SURVEY §3.3): Cypher results are
+  * DataFrames (register as views for SQL), SQL tables enter Cypher via
+  * LOAD FROM — one engine, no runtime boundary.
+  */
+class InteropSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private lazy val s: CypherSession = {
+    val root = Files.createTempDirectory("graft_interop").toString
+    val ses = new CypherSession(spark, new GraphCatalog(spark, root))
+    ses.createGraph("ig")
+    ses.createVLabel("city")
+    ses.createELabel("road")
+    ses.createELabel("rail")
+    ses.cypher(
+      """CREATE (:city {name: 'a', pop: 10}), (:city {name: 'b', pop: 20}),
+        |       (:city {name: 'c', pop: 30})""".stripMargin)
+    ses.cypher("MATCH (x:city {name: 'a'}), (y:city {name: 'b'}) CREATE (x)-[:road {km: 5}]->(y)")
+    ses.cypher("MATCH (x:city {name: 'b'}), (y:city {name: 'c'}) CREATE (x)-[:rail {km: 7}]->(y)")
+    ses
+  }
+
+  test("Cypher result as SQL table (cypher-in-FROM analog)") {
+    import graft.expr.J
+    import org.apache.spark.sql.functions.col
+    s.cypher("MATCH (c:city) RETURN c.name AS name, c.pop AS pop")
+      .select(J.asText(col("name")).as("name"), J.toLong(col("pop")).as("pop"))
+      .createOrReplaceTempView("cities")
+    val out = spark.sql(
+      "SELECT name FROM cities WHERE pop > 15 ORDER BY name").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("b", "c"))
+  }
+
+  test("SQL table into Cypher via LOAD FROM (rowid analog)") {
+    import spark.implicits._
+    Seq(("a", "alpha"), ("c", "gamma")).toDF("key", "word")
+      .createOrReplaceTempView("aliases")
+    val out = s.cypher(
+      """LOAD FROM aliases AS al
+        |MATCH (c:city) WHERE c.name = al.key
+        |RETURN al.word AS word ORDER BY word""".stripMargin)
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("\"alpha\"", "\"gamma\""))
+  }
+
+  test("multi-type relationship alternation [:road|rail]") {
+    val out = s.cypher(
+      """MATCH (x:city)-[e:road|rail]->(y:city)
+        |RETURN x.name AS x, y.name AS y, e.km AS km ORDER BY km""".stripMargin)
+    assert(out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("\"a\"", "\"b\"", "5"), ("\"b\"", "\"c\"", "7")))
+  }
+
+  test("type(e) distinguishes edge labels") {
+    val out = s.cypher(
+      """MATCH ()-[e]->() RETURN type(e) AS t ORDER BY t""")
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("\"rail\"", "\"road\""))
+  }
+
+  test("RETURN * projects all named variables") {
+    val out = s.cypher("MATCH (c:city {name: 'a'})-[e:road]->(d) RETURN *")
+    assert(out.columns.toSeq == Seq("c", "e", "d"))
+    assert(out.count() == 1)
+  }
+}
