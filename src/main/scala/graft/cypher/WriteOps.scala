@@ -341,8 +341,56 @@ object WriteOps {
 
   /** MERGE: per input row match-or-create with batch dedup
     * (ExecMergeGraph execCypherMerge.c:35; JOIN_CYPHER_MERGE).
+    *
+    * When an ON CREATE/ON MATCH expression reads the merged variable's
+    * own properties (e.g. `ON MATCH SET a.cnt = a.cnt + 1`), rows are
+    * order-dependent: each input row must observe earlier rows'
+    * updates. That shape takes the row-sequential path (bounded driver
+    * loop — the reference is row-at-a-time here too and the shape is
+    * inherently sequential); everything else uses the set-based path.
     */
   def merge(b: Builder, st0: State, m: MergeClause): State = {
+    val mergeVars: Set[String] =
+      (m.path.head.variable.toSeq ++
+        m.path.tail.flatMap { case (r, nd2) => r.variable.toSeq ++ nd2.variable.toSeq }).toSet
+    def readsMergeVar(e: Expr): Boolean = e match {
+      case Vbl(n) => mergeVars.contains(n)
+      case Prop(x, _) => readsMergeVar(x)
+      case Index(x, i) => readsMergeVar(x) || readsMergeVar(i)
+      case BinOp(_, l, r) => readsMergeVar(l) || readsMergeVar(r)
+      case UnaryOp(_, x) => readsMergeVar(x)
+      case Cmp(_, l, r) => readsMergeVar(l) || readsMergeVar(r)
+      case And(l, r) => readsMergeVar(l) || readsMergeVar(r)
+      case Or(l, r) => readsMergeVar(l) || readsMergeVar(r)
+      case Not(x) => readsMergeVar(x)
+      case FnCall(_, args, _) => args.exists(readsMergeVar)
+      case CaseExpr(o, w, el) => o.exists(readsMergeVar) ||
+        w.exists(p => readsMergeVar(p._1) || readsMergeVar(p._2)) ||
+        el.exists(readsMergeVar)
+      case _ => false
+    }
+    val selfRef = (m.onCreate ++ m.onMatch).exists {
+      case SetProp(_, v) => readsMergeVar(v)
+      case SetMap(_, v, _) => readsMergeVar(v)
+      case _ => false
+    }
+    if (selfRef) {
+      val n = st0.df.count()
+      require(n <= 10000,
+        "row-sequential MERGE (self-referential ON SET) limited to 10k input rows")
+      val tagged = b.withRowIndex(st0.df, "__seq").localCheckpoint(true)
+      var result: State = null
+      (0L until n).foreach { i =>
+        val rowState = State(tagged.where(col("__seq") === i).drop("__seq"), st0.vars)
+        val r = mergeBatch(b, rowState, m)
+        result = if (result == null) r
+          else State(result.df.unionByName(r.df), r.vars)
+      }
+      if (result == null) mergeBatch(b, st0, m) else result
+    } else mergeBatch(b, st0, m)
+  }
+
+  private def mergeBatch(b: Builder, st0: State, m: MergeClause): State = {
     val tagged = st0.df.withColumn("__mrow", monotonically_increasing_id())
       .localCheckpoint(true)
     val base = State(tagged, st0.vars)

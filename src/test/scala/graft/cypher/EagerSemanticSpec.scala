@@ -129,6 +129,19 @@ class EagerSemanticSpec extends AnyFunSuite {
       """{"no": 3, "matched": true}"""))
   }
 
+  test("MERGE - SET - MERGE: row-sequential self-referential ON SET") {
+    // cypher_eager.out: each row observes the previous row's counter
+    val s = fresh()
+    val out = s.cypher(
+      """MATCH (:v1)
+        |MERGE (a:v2 {no: 1})
+        |  ON MATCH SET a.cnt = a.cnt + 1
+        |  ON CREATE SET a.cnt = 0
+        |MERGE (b:v2 {cnt: 2})
+        |RETURN a = b AS eq""".stripMargin)
+    assert(out.collect().map(_.getBoolean(0)).toSeq == Seq(true, true, true))
+  }
+
   test("MERGE - DELETE: deleted vertices invisible to later scans") {
     val s = fresh()
     s.cypher("MATCH (a:v1) CREATE (:v2 =properties(a))")
