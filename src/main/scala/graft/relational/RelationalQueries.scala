@@ -357,6 +357,46 @@ object RelationalQueries {
         .orderBy("n_name")
     },
 
+    // Explicit GROUPING SETS (nodeAgg.c phases; SQL-side surface).
+    "q33_grouping_sets" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+          |  coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY st, pri""".stripMargin)
+    },
+
+    // Ordered string aggregation (string_agg / listagg analog).
+    "q34_listagg" -> { (s, d) =>
+      load(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy("n_regionkey")
+    },
+
+    // RANGE frame: sum over a value range around the current row.
+    "q35_window_range" -> { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderkey"))
+        .rangeBetween(-5, 0)
+      load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          count(lit(1)).over(w).as("n_near"))
+        .orderBy("o_orderkey")
+    },
+
+    // percent_rank / ntile ranking analytics (exact rationals).
+    "q36_percent_rank" -> { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      load(s, d, "orders").where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- jsonb expression surface (graft.expr custom Expressions) ---
     // Property extraction via the custom JsonbBinary("get") expression
     // (the same operator Cypher property access compiles to).
@@ -560,6 +600,28 @@ object RelationalQueries {
     "q30_sample_deterministic" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q33_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri""".stripMargin,
+    "q34_listagg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q35_window_range" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q36_percent_rank" ->
+      """SELECT o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q31_jsonb_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events
