@@ -12,7 +12,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * parse_cypher_expr.c:17-19 "We use SQL NULL instead of 'null'::jsonb").
   */
 object JsonbRT {
-  private def v(s: UTF8String): JValue = Jsonb.parse(s.toString)
+  /** Tiny per-thread memo: expression trees touch the same properties
+    * string several times per row (n.a = 1 AND n.b = 2 parses twice);
+    * JValues are immutable so sharing is safe. Two slots cover the
+    * typical binary-op case (left/right operands).
+    */
+  private final class Memo {
+    var k1: String = null; var v1: JValue = null
+    var k2: String = null; var v2: JValue = null
+    def get(s: String): JValue =
+      if (s == k1) v1
+      else if (s == k2) v2
+      else {
+        val parsed = Jsonb.parse(s)
+        k2 = k1; v2 = v1
+        k1 = s; v1 = parsed
+        parsed
+      }
+  }
+  private val memo = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo
+  }
+
+  private def v(s: UTF8String): JValue = memo.get().get(s.toString)
   private def out(v: JValue): UTF8String = UTF8String.fromString(v.render)
 
   // arithmetic -------------------------------------------------------
