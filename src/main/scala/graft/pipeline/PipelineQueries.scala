@@ -68,6 +68,14 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     },
 
+    "p13_ann_ivf" -> { (s, d) =>
+      // k-means cell assignment is seed-deterministic but engine-
+      // specific -> rows-only; recall vs brute force asserted in tests
+      Similarity.ivfTopK(load(s, d, "embeddings"), k = 3, nList = 16, nProbe = 4)
+        .where(col("qid") < 50)
+        .orderBy("qid", "rank")
+    },
+
     // ---- text analysis ----------------------------------------------
     "p08_token_stats" -> { (s, d) =>
       load(s, d, "documents")

@@ -75,6 +75,42 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer (MLlib, fixed
+    * seed), candidates = vectors in the query's nProbe nearest cells,
+    * exact cosine ranks within. The classic recall/cost dial for
+    * billion-vector scale: cells shard the corpus, probes bound the
+    * scanned fraction.
+    */
+  def ivfTopK(vectors: DataFrame, k: Int, nList: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MLVector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = vectors.withColumn("__f", toVec(col("embedding")))
+    val model = new KMeans().setK(nList).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("__f").setPredictionCol("__cell").fit(feat)
+    val assigned = model.transform(feat).drop("__f")
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val probes = udf((a: Seq[Float]) => {
+      val v = a.map(_.toDouble).toArray
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    val q = assigned.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      explode(probes(col("embedding"))).as("__cell"))
+    val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("__cell"))
+    val scored = q.join(c, Seq("__cell")).where(col("qid") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .select("qid", "cid", "cos").distinct()
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
     val a = vectors.select(col("vec_id").as("da"), col("embedding").as("va"))

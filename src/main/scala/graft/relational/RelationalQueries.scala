@@ -419,6 +419,27 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // Skew-aware join: salt the hot key N ways, replicate the dim rows
+    // per salt, join on (key, salt) — the standard remedy when one key
+    // dominates a shuffle (AQE skew-join does this adaptively; the
+    // explicit form survives any planner). Oracle = the plain join.
+    "q37_skew_salted_join" -> { (s, d) =>
+      val salts = 8
+      // skew source: every lineitem mapped to a single hot dim key
+      val li = load(s, d, "lineitem")
+        .withColumn("hot_key", when(col("l_orderkey") % 10 < 8, 0)
+          .otherwise(col("l_orderkey") % 10))
+        .withColumn("__salt", pmod(col("l_linenumber") + col("l_orderkey"), lit(salts)))
+      val dim = load(s, d, "region")
+        .select(col("r_regionkey").as("hot_key"), col("r_name"))
+        .crossJoin(broadcast(
+          s.range(0, salts).select(col("id").cast("int").as("__salt"))))
+      li.join(dim, Seq("hot_key", "__salt"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n"), round(dsum(col("l_quantity")), 2).as("qty"))
+        .orderBy("r_name")
+    },
+
     // Sample scan surface (deterministic variant: modulo-hash sampling so
     // the oracle can reproduce it exactly; df.sample() is the
     // non-deterministic API analog).
@@ -600,6 +621,13 @@ object RelationalQueries {
     "q30_sample_deterministic" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q37_skew_salted_join" ->
+      """SELECT r_name, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 2) AS qty
+        |FROM (SELECT *, CASE WHEN l_orderkey % 10 < 8 THEN 0
+        |        ELSE l_orderkey % 10 END AS hot_key FROM lineitem) li
+        |JOIN region ON hot_key = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q33_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS st,
         |  coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n

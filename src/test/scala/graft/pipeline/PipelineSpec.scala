@@ -49,6 +49,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recalls most brute-force top-k neighbors") {
+    val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(vecs.where(col("vec_id") < 30), vecs, 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, k = 3, nList = 8, nProbe = 4)
+      .where(col("qid") < 30)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("multimodal decode: partition batches produce typed features") {
     val docs = graft.relational.Tables.load(spark, sf, "documents").limit(20)
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
