@@ -396,7 +396,7 @@ final class Builder(
       val withItems = items0.zip(cols).foldLeft(st.df) {
         case (d, ((_, nm), (c, _))) => d.withColumn(nm, c)
       }
-      val sorted = applyOrder(withItems, p, st, items0.map(_._2))
+      val sorted = applyOrder(withItems, p, st, items0.map(_._2), items0)
       val selected = sorted.select(items0.map(i => col(Compiler.q(i._2))): _*)
       out = State(selected, items0.zip(cols).map { case ((_, nm), (_, k)) => nm -> k }.toVector)
     } else {
@@ -448,7 +448,7 @@ final class Builder(
       val projected = grouped.select(finalCols.map(_._1): _*)
       val sorted = applyOrder(projected, p,
         State(projected, items0.map(_._2).zip(finalCols.map(_._2)).toVector),
-        items0.map(_._2))
+        items0.map(_._2), items0)
       out = State(sorted, items0.map(_._2).zip(finalCols.map(_._2)).toVector)
     }
 
@@ -497,15 +497,21 @@ final class Builder(
     * without a custom physical operator.
     */
   private def applyOrder(df: DataFrame, p: Projection, st: State,
-      itemNames: Seq[String]): DataFrame = {
+      itemNames: Seq[String], itemExprs: Seq[(Expr, String)] = Nil): DataFrame = {
     if (p.orderBy.isEmpty) return df
     val comp = new Compiler(st.vars.toMap, params, labidToName, labidToLabelsJson)
+    val byExpr = itemExprs.toMap
     val sortCols = p.orderBy.flatMap { case (e, asc) =>
-      // by-alias reference or positional 1-based index
+      // by-alias reference, positional 1-based index, or a structural
+      // match of an output item (e.g. ORDER BY count(*))
       val ce: Compiler#CE = e match {
         case Vbl(n) if itemNames.contains(n) =>
           val k = st.vars.find(_._1 == n).map(_._2).getOrElse(KJ)
           comp.CE(col(Compiler.q(n)), k)
+        case _ if byExpr.contains(e) =>
+          val nm = byExpr(e)
+          val k = st.vars.find(_._1 == nm).map(_._2).getOrElse(KJ)
+          comp.CE(col(Compiler.q(nm)), k)
         case Lit(graft.jsonb.JNum(n)) if n.intValue >= 1 && n.intValue <= itemNames.length =>
           val nm = itemNames(n.intValue - 1)
           val k = st.vars.find(_._1 == nm).map(_._2).getOrElse(KJ)

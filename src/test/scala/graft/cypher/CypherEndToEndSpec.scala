@@ -291,6 +291,30 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df3) == Seq(Seq("\"d\"", "[\"d\", \"b\", \"a\", \"c\"]")))
   }
 
+  test("ORDER BY aggregate expression (ORDER BY count(*))") {
+    val df = trav.cypher(
+      """MATCH (a:person)-[:knows*1..3]->(b:person)
+        |RETURN a.name AS name, count(*) AS c ORDER BY count(*) DESC, name LIMIT 2""".stripMargin)
+    assert(rows(df) == Seq(Seq("\"a\"", "3"), Seq("\"b\"", "2")))
+  }
+
+  test("WITH ... WHERE on aggregate (HAVING shape)") {
+    val df = trav.cypher(
+      """MATCH (a:person)-[:knows*1..3]->(b:person)
+        |WITH a.name AS name, count(*) AS c WHERE c >= 2
+        |RETURN name, c ORDER BY name""".stripMargin)
+    assert(rows(df) == Seq(Seq("\"a\"", "3"), Seq("\"b\"", "2")))
+  }
+
+  test("reversed and undirected VLE") {
+    val df = trav.cypher(
+      """MATCH (b:person {id: 4})<-[r:knows*1..2]-(a) RETURN a.id AS id ORDER BY id""")
+    assert(rows(df) == Seq(Seq("2"), Seq("3")))
+    val df2 = trav.cypher(
+      """MATCH (b:person {id: 2})-[r:knows*1..1]-(x) RETURN x.id AS id ORDER BY id""")
+    assert(rows(df2) == Seq(Seq("1"), Seq("3")))
+  }
+
   test("startnode()/endnode() re-fetch endpoint vertices") {
     val df = agens.cypher(
       """MATCH ()-[l:lib]->()
