@@ -107,6 +107,42 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Connected components over near-dup pairs (min-label propagation:
+    * one join per round, converges in graph-diameter rounds — the
+    * standard scale-out dedup-cluster step after LSH pair generation).
+    * Input cols (da, db); output (id, comp) with comp = min member id.
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("da").as("id"), col("db").as("nb"))
+      .unionAll(pairs.select(col("db").as("id"), col("da").as("nb")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("comp", col("id"))
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 50) {
+      val viaNeighbor = sym.join(labels.withColumnRenamed("id", "nb2"),
+          sym("nb") === col("nb2"))
+        .select(sym("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .unionAll(viaNeighbor)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      changed = !next.exceptAll(labels).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Keep one representative (min id) per duplicate cluster. */
+  def keepRepresentatives(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cl = clusters(pairs)
+    val victims = cl.where(col("id") =!= col("comp")).select("id")
+    docs.join(victims, docs(idCol) === victims("id"), "left_anti")
+  }
+
   /** 64-bit SimHash per document: sign of per-bit weighted token-hash
     * sums (explode -> 64 conditional sums -> bit reassembly).
     */

@@ -48,6 +48,16 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p14_dedup_clusters" -> { (s, d) =>
+      // LSH pairs -> connected components -> keep min-id per cluster
+      val docs = load(s, d, "documents").where(col("doc_id") < 200)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 1, numPerm = 32, rowsPerBand = 4, threshold = 0.9)
+      Dedup.keepRepresentatives(docs, "doc_id", pairs)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // ---- similarity search ------------------------------------------
     "p05_ann_bruteforce" -> { (s, d) =>
       val vecs = load(s, d, "embeddings")

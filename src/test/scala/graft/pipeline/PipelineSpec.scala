@@ -49,6 +49,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster labels form valid connected components") {
+    import spark.implicits._
+    // two triangles + an isolated pair: components {1,2,3},{4,5},{7,8,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L), (8L, 9L), (9L, 7L))
+      .toDF("da", "db")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("IVF ANN recalls most brute-force top-k neighbors") {
     val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
     val exact = Similarity.bruteForceTopK(vecs.where(col("vec_id") < 30), vecs, 3)
