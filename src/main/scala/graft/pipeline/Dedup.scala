@@ -118,18 +118,24 @@ object Dedup {
       .localCheckpoint(true)
     var labels = sym.select(col("id")).distinct()
       .withColumn("comp", col("id"))
+    // min-label sum strictly decreases until the fixpoint — a scalar
+    // convergence check instead of a per-round exceptAll join
+    def total(df: DataFrame): Long =
+      df.agg(sum("comp")).head().getLong(0)
+    var prev = total(labels)
     var changed = true
     var rounds = 0
     while (changed && rounds < 50) {
       val viaNeighbor = sym.join(labels.withColumnRenamed("id", "nb2"),
           sym("nb") === col("nb2"))
         .select(sym("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp"))
+      labels = labels.select(col("id"), col("comp"))
         .unionAll(viaNeighbor)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
-      changed = !next.exceptAll(labels).isEmpty
-      labels = next
+      val cur = total(labels)
+      changed = cur != prev
+      prev = cur
       rounds += 1
     }
     labels
@@ -144,21 +150,43 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: sign of per-bit weighted token-hash
-    * sums (explode -> 64 conditional sums -> bit reassembly).
+    * sums. One typed Aggregator holds the 64 bit-counters (64 separate
+    * agg columns would codegen a giant method; the aggregator is a
+    * tight JVM loop and still partial-aggregates map-side).
     */
+  private object SimhashAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) buf(b) += 1 else buf(b) -= 1
+        b += 1
+      }
+      buf
+    }
+    def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+      var b = 0
+      while (b < 64) { x(b) += y(b); b += 1 }
+      x
+    }
+    def finish(buf: Array[Int]): Long = {
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (buf(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Int]]
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("__id"),
       explode(split(col(textCol), "\\s+")).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftrightunsigned(col("__h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b_$b")
-    }
-    val agg = tokens.groupBy("__id").agg(bitSums.head, bitSums.tail: _*)
-    val hashCol = (0 until 64).map { b =>
-      when(col(s"__b_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-    agg.select(col("__id"), hashCol.as("simhash"))
+    val aggFn = org.apache.spark.sql.functions.udaf(SimhashAgg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    tokens.groupBy("__id").agg(aggFn(col("__h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
