@@ -315,6 +315,8 @@ final class Builder(
     ce.kind match {
       case KEL => // explode an edge array into edge rows
         State(st.df.withColumn(u.as, explode(ce.col)), st.vars :+ (u.as -> KE))
+      case KVL =>
+        State(st.df.withColumn(u.as, explode(ce.col)), st.vars :+ (u.as -> KV))
       case _ =>
         val arr = JsonbNormalize.splitArray(comp.toJ(ce))
         State(st.df.withColumn(u.as, explode(arr)), st.vars :+ (u.as -> KJ))
@@ -355,19 +357,31 @@ final class Builder(
   private def rewriteEndpointFns(st0: State, p: Projection): (State, Projection) = {
     var st = st0
     def rewriteExpr(e: Expr): Expr = e match {
-      case FnCall(fn @ ("startnode" | "endnode"), Seq(Vbl(ev)), _)
-          if st.kinds.get(ev).contains(KE) =>
-        val hidden = s"__${fn.take(5)}_$ev"
-        if (!st.has(hidden)) {
-          val endpointField = if (fn == "startnode") "start" else "end"
-          val scan = vertexScan(None, only = false)
-            .select(struct(col("id"), col("properties")).as(hidden))
-          val joined = st.df.join(scan,
-            col(Compiler.q(ev)).getField(endpointField) ===
-              col(Compiler.q(hidden)).getField("id"), "left")
-          st = State(joined, st.vars :+ (hidden -> KV))
+      case FnCall(fn @ ("startnode" | "endnode"), Seq(arg), _) =>
+        val argR = arg match {
+          case Vbl(_) => arg
+          case other => other match {
+            case Index(b2, i2) => Index(rewriteExpr(b2), i2)
+            case x => x
+          }
         }
-        Vbl(hidden)
+        val comp0 = compiler(st)
+        val ceTry = try Some(comp0.compile(argR)) catch { case _: Exception => None }
+        ceTry match {
+          case Some(ce) if ce.kind == KE =>
+            val hidden = s"__${fn.take(5)}_${math.abs(argR.hashCode) % 100000}"
+            if (!st.has(hidden)) {
+              val endpointField = if (fn == "startnode") "start" else "end"
+              val scan = vertexScan(None, only = false)
+                .select(struct(col("id"), col("properties")).as(hidden))
+              val joined = st.df.join(scan,
+                ce.col.getField(endpointField) ===
+                  col(Compiler.q(hidden)).getField("id"), "left")
+              st = State(joined, st.vars :+ (hidden -> KV))
+            }
+            Vbl(hidden)
+          case _ => FnCall(fn, Seq(argR))
+        }
       case FnCall(n, args, d) => FnCall(n, args.map(rewriteExpr), d)
       case BinOp(op, l, r) => BinOp(op, rewriteExpr(l), rewriteExpr(r))
       case Cmp(op, l, r) => Cmp(op, rewriteExpr(l), rewriteExpr(r))

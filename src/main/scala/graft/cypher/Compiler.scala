@@ -13,6 +13,7 @@ object Kind {
   case object KE extends Kind  // edge struct(id, start, end, properties)
   case object KP extends Kind  // path struct(vertices, edges)
   case object KEL extends Kind // VLE edge array<edge struct>
+  case object KVL extends Kind // vertex array<vertex struct> (nodes(p))
   case object KJ extends Kind  // jsonb value (canonical string)
   case object KB extends Kind  // SQL boolean (from comparisons)
 }
@@ -46,7 +47,7 @@ final class Compiler(
     case KB => when(ce.col.isNull, lit(null: String))
       .when(ce.col, lit("true")).otherwise(lit("false"))
     case KV | KE => elementToJsonb(ce)
-    case KP | KEL => ce.col // structs; used only for equality/rendering
+    case KP | KEL | KVL => ce.col // structs; used only for equality/rendering
   }
 
   private def elementToJsonb(ce: CE): Column = ce.col.getField("properties")
@@ -96,7 +97,11 @@ final class Compiler(
       b.kind match {
         case KJ      => CE(J.getDyn(b.col, toJ(i)), KJ)
         case KV | KE  => CE(J.getDyn(b.col.getField("properties"), toJ(i)), KJ)
-        case KEL | KP => throw new IllegalArgumentException("indexing element arrays unsupported")
+        case KEL     => // edges array: r[0] is an edge (1-based element_at)
+          CE(element_at(b.col, (J.toLong(toJ(i)) + 1L).cast("int")), KE)
+        case KVL     => // vertex array: nodes(p)[0] is a vertex
+          CE(element_at(b.col, (J.toLong(toJ(i)) + 1L).cast("int")), KV)
+        case KP      => throw new IllegalArgumentException("cannot index a path")
         case KB      => throw new IllegalArgumentException("cannot index a boolean")
       }
 
@@ -257,12 +262,12 @@ final class Compiler(
       case "length" =>
         a0.kind match {
           case Kind.KP  => CE(J.fromLong(size(a0.col.getField("edges")).cast("long")), KJ)
-          case Kind.KEL => CE(J.fromLong(size(a0.col).cast("long")), KJ)
+          case Kind.KEL | Kind.KVL => CE(J.fromLong(size(a0.col).cast("long")), KJ)
           case _       => CE(J.fromLong(J.lengthOf(j0)), KJ)
         }
       case "size" => CE(J.fromLong(J.lengthOf(j0)), KJ)
       case "nodes" | "vertices" =>
-        CE(a0.col.getField("vertices"), Kind.KEL) // array of vertex structs
+        CE(a0.col.getField("vertices"), Kind.KVL)
       case "relationships" | "edges" =>
         CE(a0.col.getField("edges"), Kind.KEL)
       case "head" => CE(J.head(j0), KJ)

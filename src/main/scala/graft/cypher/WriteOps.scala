@@ -194,6 +194,8 @@ object WriteOps {
         case KE => addE(frame.select(ce.col.getField("id").as("id")))
         case KEL => addE(frame.select(explode(ce.col).as("__x"))
           .select(col("__x").getField("id").as("id")))
+        case KVL => addV(frame.select(explode(ce.col).as("__x"))
+          .select(col("__x").getField("id").as("id")))
         case KP =>
           addV(frame.select(explode(ce.col.getField("vertices")).as("__x"))
             .select(col("__x").getField("id").as("id")))

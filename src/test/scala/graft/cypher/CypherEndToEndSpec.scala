@@ -246,6 +246,31 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq("2")))
   }
 
+  test("F2: path element access nodes(p)[i] / relationships(p)[i]") {
+    // mirrors cypher_dml.sql:345-366 "VLE with graph path"
+    val df = trav.cypher(
+      """MATCH p = (a:person {id: 1})-[r:knows*2..2]->(b)
+        |RETURN properties(nodes(p)[0]) AS first,
+        |       properties(nodes(p)[1]) AS second,
+        |       properties(nodes(p)[2]) AS third,
+        |       id(nodes(p)[0]) = id(startnode(r[0])) AS cs,
+        |       id(nodes(p)[1]) = id(endnode(r[0])) AS ce""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getString(0) == """{"id": 1, "name": "a"}""")
+    assert(r.getString(1) == """{"id": 2, "name": "b"}""")
+    assert(r.getString(2) == """{"id": 3, "name": "c"}""")
+    assert(r.getBoolean(3) && r.getBoolean(4))
+  }
+
+  test("F2: multi-pattern OPTIONAL MATCH (cypher_dml.sql:241-278 shape)") {
+    val df = trav.cypher(
+      """MATCH (n:person {id: 1}), (m:person {id: 4})
+        |OPTIONAL MATCH (n)-[r:knows]->(p2), (m)-[s:knows]->(q)
+        |RETURN p2.id AS p2, q.id AS q""".stripMargin)
+    // id 4 has no outgoing edge -> whole optional side is null
+    assert(rows(df) == Seq(Seq(null, null)))
+  }
+
   test("F2: shortestpath and allshortestpaths") {
     val df = trav.cypher(
       """MATCH p = shortestpath((a:person {id: 1})-[:knows*..5]->(b:person {id: 4}))
