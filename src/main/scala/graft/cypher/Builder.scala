@@ -487,23 +487,30 @@ final class Builder(
     case _ => throw new IllegalArgumentException("SKIP/LIMIT must be a literal")
   }
 
-  private def aggColumn(comp: Compiler, f: FnCall): Column = f.name match {
-    case "count" =>
-      val arg = comp.toJ(comp.compile(f.args.head))
-      if (f.distinct) J.fromLong(count_distinct(arg)) else J.fromLong(count(arg))
-    case "sum" => JsonbAggregates.sum(distinctify(f, comp))
-    case "avg" => JsonbAggregates.avg(distinctify(f, comp))
-    case "min" => JsonbAggregates.min(distinctify(f, comp))
-    case "max" => JsonbAggregates.max(distinctify(f, comp))
-    case "collect" => JsonbAggregates.collect(distinctify(f, comp))
-    case "stdev" => J.fromDouble(stddev_samp(J.toDouble(distinctify(f, comp))))
-    case "stdevp" => J.fromDouble(stddev_pop(J.toDouble(distinctify(f, comp))))
-    case other => throw new IllegalArgumentException(s"unknown aggregate $other")
-  }
-
-  private def distinctify(f: FnCall, comp: Compiler): Column = {
-    val c = comp.toJ(comp.compile(f.args.head))
-    c // DISTINCT inside jsonb aggregates handled upstream via dropDuplicates when needed
+  /** Aggregate compilation. DISTINCT variants collect the group into a
+    * jsonb array, dedup by jsonb equality, then fold — one extra pass
+    * over each group's values, still shuffle-free beyond the groupBy.
+    */
+  private def aggColumn(comp: Compiler, f: FnCall): Column = {
+    val arg = comp.toJ(comp.compile(f.args.head))
+    def distinctArr = J.arrDistinct(JsonbAggregates.collect(arg))
+    f.name match {
+      case "count" =>
+        if (f.distinct) J.fromLong(count_distinct(arg)) else J.fromLong(count(arg))
+      case "sum" =>
+        if (f.distinct) J.arrSum(distinctArr) else JsonbAggregates.sum(arg)
+      case "avg" =>
+        if (f.distinct) J.arrAvg(distinctArr) else JsonbAggregates.avg(arg)
+      case "min" =>
+        if (f.distinct) J.arrMin(distinctArr) else JsonbAggregates.min(arg)
+      case "max" =>
+        if (f.distinct) J.arrMax(distinctArr) else JsonbAggregates.max(arg)
+      case "collect" =>
+        if (f.distinct) distinctArr else JsonbAggregates.collect(arg)
+      case "stdev" => J.fromDouble(stddev_samp(J.toDouble(arg)))
+      case "stdevp" => J.fromDouble(stddev_pop(J.toDouble(arg)))
+      case other => throw new IllegalArgumentException(s"unknown aggregate $other")
+    }
   }
 
   /** ORDER BY with jsonb sort semantics: decompose each key into

@@ -270,9 +270,23 @@ final class Compiler(
         CE(a0.col.getField("vertices"), Kind.KVL)
       case "relationships" | "edges" =>
         CE(a0.col.getField("edges"), Kind.KEL)
-      case "head" => CE(J.head(j0), KJ)
-      case "last" => CE(J.last(j0), KJ)
-      case "tail" => CE(J.tail(j0), KJ)
+      // head/last/tail work on jsonb lists AND element arrays
+      // (cypher_funcs.c array_head/array_last/array_tail :1248-1338)
+      case "head" => a0.kind match {
+        case KEL => CE(element_at(a0.col, 1), KE)
+        case KVL => CE(element_at(a0.col, 1), KV)
+        case _   => CE(J.head(j0), KJ)
+      }
+      case "last" => a0.kind match {
+        case KEL => CE(element_at(a0.col, -1), KE)
+        case KVL => CE(element_at(a0.col, -1), KV)
+        case _   => CE(J.last(j0), KJ)
+      }
+      case "tail" => a0.kind match {
+        case KEL => CE(slice(a0.col, 2, Int.MaxValue), KEL)
+        case KVL => CE(slice(a0.col, 2, Int.MaxValue), KVL)
+        case _   => CE(J.tail(j0), KJ)
+      }
       case "keys" => CE(J.keysOf(j0), KJ)
       case "range" =>
         val from = J.toLong(toJ(compile(args(0))))

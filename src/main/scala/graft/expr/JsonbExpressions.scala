@@ -133,6 +133,11 @@ object ops {
       case "tail"      => JsonbRT.tail
       case "toboolean" => JsonbRT.cypherToBoolean
       case "tostring"  => JsonbRT.cypherToString
+      case "arrdistinct" => JsonbRT.arrayDistinct
+      case "arrsum"    => JsonbRT.arraySum
+      case "arravg"    => JsonbRT.arrayAvg
+      case "arrmin"    => JsonbRT.arrayMin
+      case "arrmax"    => JsonbRT.arrayMax
     }
 
     override def nullSafeEval(x: Any): Any = fn(x.asInstanceOf[UTF8String])
@@ -141,6 +146,9 @@ object ops {
       val m = op match {
         case "astext" => "asText"; case "fromtext" => "fromText"
         case "toboolean" => "cypherToBoolean"; case "tostring" => "cypherToString"
+        case "arrdistinct" => "arrayDistinct"; case "arrsum" => "arraySum"
+        case "arravg" => "arrayAvg"; case "arrmin" => "arrayMin"
+        case "arrmax" => "arrayMax"
         case o => o
       }
       nullSafeCodeGen(ctx, ev, x =>
@@ -388,6 +396,11 @@ object J {
   def tail(x: Column): Column = col(JsonbUnary("tail", e(x)))
   def toBooleanFn(x: Column): Column = col(JsonbUnary("toboolean", e(x)))
   def toStringFn(x: Column): Column = col(JsonbUnary("tostring", e(x)))
+  def arrDistinct(x: Column): Column = col(JsonbUnary("arrdistinct", e(x)))
+  def arrSum(x: Column): Column = col(JsonbUnary("arrsum", e(x)))
+  def arrAvg(x: Column): Column = col(JsonbUnary("arravg", e(x)))
+  def arrMin(x: Column): Column = col(JsonbUnary("arrmin", e(x)))
+  def arrMax(x: Column): Column = col(JsonbUnary("arrmax", e(x)))
 
   def fromLong(x: Column): Column = col(JsonbFromPrim("long", e(x.cast("long"))))
   def fromDouble(x: Column): Column = col(JsonbFromPrim("double", e(x.cast("double"))))

@@ -190,6 +190,47 @@ object JsonbRT {
     if (r == JNull) null else out(r)
   }
 
+  // array folds (DISTINCT aggregate support: aggregate the collected
+  // array after jsonb-order dedup) --------------------------------
+  def arrayDistinct(l: UTF8String): UTF8String = v(l) match {
+    case JArr(items) =>
+      val out = scala.collection.mutable.ArrayBuffer[JValue]()
+      items.foreach { it =>
+        if (!out.exists(x => Jsonb.compare(x, it) == 0)) out += it
+      }
+      this.out(JArr(out.toVector))
+    case _ => null
+  }
+
+  def arraySum(l: UTF8String): UTF8String = v(l) match {
+    case JArr(items) =>
+      val nums = items.collect { case JNum(n) => n }
+      if (nums.isEmpty) null
+      else this.out(JNum(nums.reduce(_.add(_))))
+    case _ => null
+  }
+
+  def arrayAvg(l: UTF8String): UTF8String = v(l) match {
+    case JArr(items) =>
+      val nums = items.collect { case JNum(n) => n }
+      if (nums.isEmpty) null
+      else this.out(Jsonb.div(JNum(nums.reduce(_.add(_))),
+        JNum(java.math.BigDecimal.valueOf(nums.size.toLong))))
+    case _ => null
+  }
+
+  def arrayMin(l: UTF8String): UTF8String = v(l) match {
+    case JArr(items) if items.nonEmpty =>
+      this.out(items.reduce((a, b) => if (Jsonb.compare(a, b) <= 0) a else b))
+    case _ => null
+  }
+
+  def arrayMax(l: UTF8String): UTF8String = v(l) match {
+    case JArr(items) if items.nonEmpty =>
+      this.out(items.reduce((a, b) => if (Jsonb.compare(a, b) >= 0) a else b))
+    case _ => null
+  }
+
   def cypherToString(l: UTF8String): UTF8String = v(l) match {
     case JStr(_)  => l
     case JNum(n)  => out(JStr(Jsonb.renderNum(n)))

@@ -271,6 +271,24 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq(null, null)))
   }
 
+  test("DISTINCT aggregates (sum/collect/count DISTINCT)") {
+    val df = agens.cypher(
+      """UNWIND [1, 2, 2, 3, 3, 3] AS x
+        |RETURN count(DISTINCT x) AS c, sum(DISTINCT x) AS s,
+        |       collect(DISTINCT x) AS l, min(DISTINCT x) AS mn""".stripMargin)
+    assert(rows(df) == Seq(Seq("3", "6", "[1, 2, 3]", "1")))
+  }
+
+  test("head/last on path element arrays") {
+    val df = trav.cypher(
+      """MATCH p = (a:person {id: 1})-[r:knows*2..2]->(b)
+        |RETURN properties(head(nodes(p))) AS h,
+        |       properties(last(nodes(p))) AS l""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getString(0) == """{"id": 1, "name": "a"}""")
+    assert(r.getString(1) == """{"id": 3, "name": "c"}""")
+  }
+
   test("F2: shortestpath and allshortestpaths") {
     val df = trav.cypher(
       """MATCH p = shortestpath((a:person {id: 1})-[:knows*..5]->(b:person {id: 4}))
