@@ -397,6 +397,49 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // As-of join: each event matched to the latest order at-or-before
+    // its timestamp for the same key (SURVEY §2.3 range/as-of row —
+    // absent from the reference, standard for feature pipelines).
+    // Equi-join on key + per-event max-date filter: shuffles once on
+    // the key, the window runs inside the partition.
+    "q38_asof_join" -> { (s, d) =>
+      val ev = load(s, d, "events").where(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("ev_day"))
+      val ord = load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_day"))
+      val joined = ev.join(ord,
+        ev("user_id") === ord("o_custkey") && col("o_day") <= col("ev_day"), "left")
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_day").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+      joined.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey").as("asof_order"))
+        .orderBy("event_id")
+    },
+
+    // Batch sessionization: gap-based islands via lag + running sum —
+    // the batch twin of graft.streaming session windows, expressed so
+    // the oracle can run the identical logic.
+    "q39_sessionize" -> { (s, d) =>
+      val gapMinutes = 30
+      val ev = load(s, d, "events").where(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val flagged = ev.withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >
+              gapMinutes * 60, 1).otherwise(0))
+      flagged.withColumn("sess", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_sess_len"))
+        .orderBy("user_id")
+    },
+
     // ---- jsonb expression surface (graft.expr custom Expressions) ---
     // Property extraction via the custom JsonbBinary("get") expression
     // (the same operator Cypher property access compiles to).
@@ -628,6 +671,38 @@ object RelationalQueries {
         |        ELSE l_orderkey % 10 END AS hot_key FROM lineitem) li
         |JOIN region ON hot_key = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q38_asof_join" ->
+      """WITH j AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY CAST(o.o_orderdate AS DATE) DESC NULLS LAST,
+        |               o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM (SELECT event_id, user_id, CAST(ts AS DATE) AS ev_day
+        |        FROM events WHERE event_id < 2000) e
+        |  LEFT JOIN orders o ON e.user_id = o.o_custkey
+        |    AND CAST(o.o_orderdate AS DATE) <= e.ev_day)
+        |SELECT event_id, o_orderkey AS asof_order
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q39_sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events WHERE user_id < 50),
+        |g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |k AS (SELECT user_id, sess, count(*) AS n_events
+        |      FROM h GROUP BY user_id, sess)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(max(n_events) AS BIGINT) AS max_sess_len
+        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q33_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS st,
         |  coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n
