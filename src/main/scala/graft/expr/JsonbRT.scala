@@ -194,9 +194,12 @@ object JsonbRT {
   // array after jsonb-order dedup) --------------------------------
   def arrayDistinct(l: UTF8String): UTF8String = v(l) match {
     case JArr(items) =>
+      // sorted output in jsonb order — PG evaluates DISTINCT aggregates
+      // over sorted input, and sorting also makes the result independent
+      // of partition merge order
       val out = scala.collection.mutable.ArrayBuffer[JValue]()
-      items.foreach { it =>
-        if (!out.exists(x => Jsonb.compare(x, it) == 0)) out += it
+      items.sortWith((a, b) => Jsonb.compare(a, b) < 0).foreach { it =>
+        if (out.isEmpty || Jsonb.compare(out.last, it) != 0) out += it
       }
       this.out(JArr(out.toVector))
     case _ => null

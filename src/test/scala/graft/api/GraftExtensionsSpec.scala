@@ -8,13 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // the shared test session already exists; use the runtime
+    // registration path (the extensions class is the same list)
+    val s = graft.SparkTestBase.spark
+    GraftExtensions.register(s)
+    s
+  }
 
   test("jsonb functions callable from spark.sql") {
     def one(sql: String): Any = {
