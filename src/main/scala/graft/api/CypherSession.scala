@@ -24,6 +24,10 @@ final class CypherSession(
   // DDL ------------------------------------------------------------
   def createGraph(name: String, ifNotExists: Boolean = false): Unit = {
     catalog.createGraph(name, ifNotExists)
+    // implicit base vertex label: unlabeled CREATE (n) targets it
+    // (the ag_vertex base table of the reference, ag_vertex.h:29-33)
+    if (catalog.graphExists(name) && catalog.label(name, "ag_vertex").isEmpty)
+      catalog.createLabel(name, "ag_vertex", 'v', Nil, ifNotExists = true)
     if (currentGraph == null) currentGraph = name
   }
   def dropGraph(name: String, ifExists: Boolean = false): Unit =

@@ -42,9 +42,8 @@ object WriteOps {
       elems.foreach { case (relOpt, node) =>
         val nodeName = node.variable.getOrElse(s"__cv_${vars.length}_${boundNames.length}")
         if (!vars.exists(_._1 == nodeName)) {
-          // new vertex
-          val label = node.label.getOrElse(
-            throw new IllegalArgumentException("CREATE requires a label on new vertices"))
+          // new vertex; unlabeled CREATE targets the implicit base label
+          val label = node.label.getOrElse("ag_vertex")
           val lm = b.catalog.label(b.graph, label).getOrElse(
             throw new IllegalArgumentException(s"label \"$label\" does not exist"))
           require(lm.kind == 'v', s"label \"$label\" is not a vertex label")

@@ -289,6 +289,31 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(r.getString(1) == """{"id": 3, "name": "c"}""")
   }
 
+  test("AG-154 regression: unbounded VLE over a tree (unlabeled CREATE)") {
+    val s = freshSession()
+    s.createGraph("ag154")
+    s.createELabel("rel")
+    s.cypher("CREATE ({id: 1})-[:rel]->({id: 11})")
+    for ((from, to) <- Seq(11 -> 111, 111 -> 1111, 111 -> 1112, 111 -> 1113,
+      11 -> 112, 112 -> 1121, 112 -> 1122, 11 -> 113, 113 -> 1131, 113 -> 1132))
+      s.cypher(s"MATCH (a {id: $from}) CREATE (a)-[:rel]->({id: $to})")
+    val lens = s.cypher(
+      "MATCH ({id: 1})-[r:rel*]->() RETURN length(r) AS len ORDER BY len")
+      .collect().map(_.getString(0)).toSeq
+    assert(lens == Seq("1", "2", "2", "2", "3", "3", "3", "3", "3", "3", "3"))
+  }
+
+  test("AG-216a regression: shared variable across CREATE paths") {
+    val s = freshSession()
+    s.createGraph("ag216a")
+    s.createVLabel("v1"); s.createVLabel("v2")
+    s.createELabel("e1")
+    s.cypher("CREATE (n:v1)-[:e1]->(:v2 {lv: 1}), (n)-[:e1]->(:v2 {lv: 1})")
+    // one v1 vertex, two v2 vertices, both edges from the same v1
+    assert(s.cypher("MATCH (n:v1) RETURN n").count() == 1)
+    assert(s.cypher("MATCH (:v1)-[:e1]->(m:v2) RETURN m").count() == 2)
+  }
+
   test("F2: shortestpath and allshortestpaths") {
     val df = trav.cypher(
       """MATCH p = shortestpath((a:person {id: 1})-[:knows*..5]->(b:person {id: 4}))
