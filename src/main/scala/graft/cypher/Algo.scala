@@ -222,8 +222,10 @@ object Algo {
       frontier = frontier.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
     }
-    var visited = E.select(col("__s").as("__o"), col("__s").as("__at")).distinct()
-      .unionAll(frontier.select(col("__start").as("__o"), col("__cur").as("__at")))
+    // note: the origin itself is NOT pre-marked visited — a cycle back
+    // to the origin is a valid shortest path (shortestpath((a)-[*]->(a)))
+    var visited = frontier
+      .select(col("__start").as("__o"), col("__cur").as("__at"))
       .distinct()
 
     var results: DataFrame = null

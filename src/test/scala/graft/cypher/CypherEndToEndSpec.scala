@@ -321,6 +321,19 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq("3")))
   }
 
+  test("F4: shortestpath over a cycle back to the origin") {
+    val s = freshSession()
+    s.createGraph("cyc")
+    s.createVLabel("n"); s.createELabel("e")
+    s.cypher("CREATE (:n {id: 1})-[:e]->(:n {id: 2})")
+    s.cypher("MATCH (a:n {id: 2}) CREATE (a)-[:e]->(:n {id: 3})")
+    s.cypher("MATCH (a:n {id: 3}), (b:n {id: 1}) CREATE (a)-[:e]->(b)")
+    val df = s.cypher(
+      """MATCH p = shortestpath((a:n {id: 1})-[:e*..5]->(b:n {id: 1}))
+        |RETURN length(p) AS len""".stripMargin)
+    assert(rows(df) == Seq(Seq("3")))
+  }
+
   test("F2: dijkstra weighted path") {
     val s = freshSession()
     s.createGraph("dij")
