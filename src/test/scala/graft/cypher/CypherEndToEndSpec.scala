@@ -334,6 +334,23 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq("3")))
   }
 
+  test("F4: allshortestpaths keeps all minimal paths (diamond)") {
+    val s = freshSession()
+    s.createGraph("dia")
+    s.createVLabel("n"); s.createELabel("e")
+    s.cypher("CREATE (:n {id: 1}), (:n {id: 2}), (:n {id: 3}), (:n {id: 4})")
+    for ((f, t) <- Seq(1 -> 2, 1 -> 3, 2 -> 4, 3 -> 4))
+      s.cypher(s"MATCH (a:n {id: $f}), (b:n {id: $t}) CREATE (a)-[:e]->(b)")
+    val all = s.cypher(
+      """MATCH p = allshortestpaths((a:n {id: 1})-[:e*..4]->(b:n {id: 4}))
+        |RETURN length(p) AS len""".stripMargin)
+    assert(all.collect().map(_.getString(0)).toSeq == Seq("2", "2"))
+    val one = s.cypher(
+      """MATCH p = shortestpath((a:n {id: 1})-[:e*..4]->(b:n {id: 4}))
+        |RETURN length(p) AS len""".stripMargin)
+    assert(one.count() == 1)
+  }
+
   test("F2: dijkstra weighted path") {
     val s = freshSession()
     s.createGraph("dij")
