@@ -446,6 +446,35 @@ class CypherEndToEndSpec extends AnyFunSuite {
       ex.getCause != null)
   }
 
+  test("F5: deep inheritance DAG subtree scans") {
+    val s = freshSession()
+    s.createGraph("deep")
+    // chain a<-b<-c<-d<-e plus side-branch f INHERITS (b)
+    s.createVLabel("a")
+    s.createVLabel("b", parents = Seq("a"))
+    s.createVLabel("c", parents = Seq("b"))
+    s.createVLabel("d", parents = Seq("c"))
+    s.createVLabel("e2", parents = Seq("d"))
+    s.createVLabel("f", parents = Seq("b"))
+    Seq("a", "b", "c", "d", "e2", "f").foreach(l => s.cypher(s"CREATE (:$l {name: '$l'})"))
+    assert(s.cypher("MATCH (n:a) RETURN n").count() == 6)
+    assert(s.cypher("MATCH (n:b) RETURN n").count() == 5)
+    assert(s.cypher("MATCH (n:c) RETURN n").count() == 3)
+    assert(s.cypher("MATCH (n:only b) RETURN n").count() == 1)
+    val ls = s.cypher("MATCH (n:only e2) RETURN labels(n) AS ls").collect()(0).getString(0)
+    assert(ls == """["e2", "d", "c", "b", "a"]""")
+  }
+
+  test("SET on edge properties") {
+    val s = freshSession()
+    s.createGraph("eset")
+    s.createVLabel("v"); s.createELabel("r")
+    s.cypher("CREATE (:v {k: 1})-[:r {w: 1}]->(:v {k: 2})")
+    s.cypher("MATCH ()-[e:r]->() SET e.w = 9, e.tag = 'x'")
+    val out = s.cypher("MATCH ()-[e:r]->() RETURN e.w AS w, e.tag AS t")
+    assert(rows(out) == Seq(Seq("9", "\"x\"")))
+  }
+
   test("LOAD FROM joins a Spark table into the pipeline") {
     val s = agens
     import spark.implicits._
