@@ -79,20 +79,27 @@ object Algo {
       }
     accumulate(1L, frontier)
 
+    // Emptiness probes cost a full materialization of the frontier
+    // plan, so only pay them when the remaining depth is unbounded in
+    // practice (short bounded ranges like *2..3 just run their <=2
+    // extra joins lazily inside the final plan).
+    val probeEmptiness = hi - 1L > CheckpointEvery
     var k = 1L
-    var exhausted = frontier.isEmpty
+    var exhausted = false
     while (k < hi && !exhausted) {
-      val next = frontier.join(E, col("__cur") === col("__s") &&
-          !array_contains(col("__ids"), col("__edge").getField("id")))
-        .join(V, col("__e") === col("__vid"))
-        .select(col("__start"), col("__e").as("__cur"),
-          concat(col("__edges"), array(col("__edge"))).as("__edges"),
-          concat(col("__ids"), array(col("__edge").getField("id"))).as("__ids"),
-          concat(col("__verts"), array(col("__v"))).as("__verts"))
-      k += 1
-      frontier = if (k % CheckpointEvery == 0) next.localCheckpoint(true) else next
-      exhausted = frontier.isEmpty
-      if (!exhausted) accumulate(k, frontier)
+      if (probeEmptiness) exhausted = frontier.isEmpty
+      if (!exhausted) {
+        val next = frontier.join(E, col("__cur") === col("__s") &&
+            !array_contains(col("__ids"), col("__edge").getField("id")))
+          .join(V, col("__e") === col("__vid"))
+          .select(col("__start"), col("__e").as("__cur"),
+            concat(col("__edges"), array(col("__edge"))).as("__edges"),
+            concat(col("__ids"), array(col("__edge").getField("id"))).as("__ids"),
+            concat(col("__verts"), array(col("__v"))).as("__verts"))
+        k += 1
+        frontier = if (k % CheckpointEvery == 0) next.localCheckpoint(true) else next
+        accumulate(k, frontier)
+      }
     }
 
     var vle = if (results == null)

@@ -28,13 +28,16 @@ object Dedup {
 
   /** Exact dedup: keep the lowest id per digest of the normalized
     * text. Returns the kept rows.
+    *
+    * Shape: min-aggregate on (digest, id) then a semi-join back — the
+    * shuffle carries 2 narrow columns instead of whole rows (a window
+    * over the digest would sort full documents through the exchange).
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy("__digest").orderBy(col(idCol))
-    docs.withColumn("__digest", md5(lower(col(textCol))))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn", "__digest")
+    val keep = docs
+      .select(md5(lower(col(textCol))).as("__digest"), col(idCol).as("__kid"))
+      .groupBy("__digest").agg(min("__kid").as("__kid"))
+    docs.join(keep, docs(idCol) === keep("__kid"), "left_semi")
   }
 
   /** Brute-force pairwise Jaccard over word sets — the correctness
@@ -72,13 +75,15 @@ object Dedup {
     */
   def lshBuckets(sigs: DataFrame, numPerm: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numPerm / rowsPerBand
-    val bands = (0 until numBands).map { bIdx =>
+    // one pass: posexplode an array of band hashes (a per-band
+    // union would re-run the signature aggregation numBands times)
+    val bandHashes = array((0 until numBands).map { bIdx =>
       val cols = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
         .map(i => col(s"__mh_$i"))
-      sigs.select(col("__id"), lit(bIdx).as("band"),
-        xxhash64(cols: _*).as("bucket"))
-    }
-    bands.reduce(_ unionAll _)
+      xxhash64(cols: _*)
+    }: _*)
+    sigs.select(col("__id"), posexplode(bandHashes))
+      .toDF("__id", "band", "bucket")
   }
 
   /** Full MinHash+LSH near-dup pipeline: signatures -> bucket join ->
@@ -88,7 +93,10 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numPerm: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
+    // signatures are tiny relative to the text (numPerm longs/doc):
+    // persist them — the bucket self-join reads them twice
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = lshBuckets(sigs, numPerm, rowsPerBand)
     val l = buckets.select(col("band"), col("bucket"), col("__id").as("da"))
     val r = buckets.select(col("band"), col("bucket"), col("__id").as("db"))
@@ -118,24 +126,30 @@ object Dedup {
       .localCheckpoint(true)
     var labels = sym.select(col("id")).distinct()
       .withColumn("comp", col("id"))
-    // min-label sum strictly decreases until the fixpoint — a scalar
-    // convergence check instead of a per-round exceptAll join
-    def total(df: DataFrame): Long =
-      df.agg(sum("comp")).head().getLong(0)
-    var prev = total(labels)
     var changed = true
     var rounds = 0
     while (changed && rounds < 50) {
+      // min-label propagation + pointer jumping (also adopt the label
+      // of my current label) -> converges in O(log diameter) rounds
       val viaNeighbor = sym.join(labels.withColumnRenamed("id", "nb2"),
           sym("nb") === col("nb2"))
         .select(sym("id"), col("comp"))
-      labels = labels.select(col("id"), col("comp"))
-        .unionAll(viaNeighbor)
+      val viaLabel = labels.select(col("id"), col("comp").as("__c"))
+        .join(labels.select(col("id").as("cid"), col("comp").as("__cc")),
+          col("__c") === col("cid"))
+        .select(col("id"), col("__cc").as("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .unionAll(viaNeighbor).unionAll(viaLabel)
         .groupBy("id").agg(min("comp").as("comp"))
+      // carry the old label through the checkpoint so convergence is a
+      // cheap filter over materialized rows, not a second aggregation
+      val step = next.as("n")
+        .join(labels.select(col("id").as("__pid"), col("comp").as("__pc")),
+          col("id") === col("__pid"))
+        .select(col("id"), col("comp"), (col("comp") =!= col("__pc")).as("__chg"))
         .localCheckpoint(true)
-      val cur = total(labels)
-      changed = cur != prev
-      prev = cur
+      changed = step.where(col("__chg")).head(1).nonEmpty
+      labels = step.select(col("id"), col("comp"))
       rounds += 1
     }
     labels
@@ -194,11 +208,13 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // persist the 1-long-per-doc sketch: bands + two verification
+    // joins read it; without it each branch re-runs the aggregation
     val sh = simhash(docs, idCol, textCol)
-    val bands = (0 until 4).map { i =>
-      sh.select(col("__id"), lit(i).as("band"),
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(0xffffL).as("piece"))
-    }.reduce(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sh.select(col("__id"), posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*)))
+      .toDF("__id", "band", "piece")
     val l = bands.select(col("band"), col("piece"), col("__id").as("da"))
     val r = bands.select(col("band"), col("piece"), col("__id").as("db"))
     val cand = l.join(r, Seq("band", "piece")).where(col("da") < col("db")).distinct()

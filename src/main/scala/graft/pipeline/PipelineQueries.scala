@@ -49,10 +49,11 @@ object PipelineQueries {
     },
 
     "p14_dedup_clusters" -> { (s, d) =>
-      // LSH pairs -> connected components -> keep min-id per cluster
+      // near-dup pairs -> connected components -> keep min-id per
+      // cluster; exact-Jaccard pairs make the whole chain (incl. the
+      // min-label-propagation components) oracle-checkable in SQL
       val docs = load(s, d, "documents").where(col("doc_id") < 200)
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
-        shingleK = 1, numPerm = 32, rowsPerBand = 4, threshold = 0.9)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
       Dedup.keepRepresentatives(docs, "doc_id", pairs)
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")
@@ -148,6 +149,27 @@ object PipelineQueries {
         |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
         |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
         |ORDER BY da, db""".stripMargin,
+    "p14_dedup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+        |sym AS (SELECT da AS id, db AS nb FROM e
+        |        UNION ALL SELECT db, da FROM e),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT id, id FROM sym
+        |  UNION
+        |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nb = reach.id),
+        |victims AS (
+        |  SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |  WHERE comp < id)
+        |SELECT source, count(*) AS n_kept FROM documents
+        |WHERE doc_id < 200 AND doc_id NOT IN (SELECT id FROM victims)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "p05_ann_bruteforce" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

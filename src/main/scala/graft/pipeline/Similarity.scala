@@ -82,22 +82,66 @@ object Similarity {
     * scanned fraction.
     */
   def ivfTopK(vectors: DataFrame, k: Int, nList: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MLVector, Vectors}
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val feat = vectors.withColumn("__f", toVec(col("embedding")))
-    val model = new KMeans().setK(nList).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("__f").setPredictionCol("__cell").fit(feat)
-    val assigned = model.transform(feat).drop("__f")
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    val probes = udf((a: Seq[Float]) => {
+    // Coarse quantizer: Lloyd's iterations on a deterministic driver
+    // sample (IVF quantizers are conventionally trained on a sample —
+    // at billion-vector scale the training set stays O(centers*1000)
+    // while assignment remains a single distributed pass).
+    val sample: Array[Array[Double]] = vectors
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(2048)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var centers: Array[Array[Double]] =
+      sample.take(nList).map(_.clone())
+    val dim0 = if (sample.isEmpty) 0 else sample(0).length
+    def sqdist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    def nearest(v: Array[Double]): Int = {
+      var bi = 0; var bd = Double.MaxValue; var i = 0
+      while (i < centers.length) {
+        val d = sqdist(v, centers(i)); if (d < bd) { bd = d; bi = i }; i += 1
+      }
+      bi
+    }
+    var iter = 0
+    while (iter < 10 && sample.nonEmpty) {
+      val sums = Array.fill(nList)(new Array[Double](dim0))
+      val counts = new Array[Long](nList)
+      sample.foreach { v =>
+        val c = nearest(v); counts(c) += 1
+        var j = 0; while (j < dim0) { sums(c)(j) += v(j); j += 1 }
+      }
+      centers = centers.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old
+        else { val m = sums(i); var j = 0
+          while (j < dim0) { m(j) /= counts(i); j += 1 }; m }
+      }
+      iter += 1
+    }
+    val bc = vectors.sparkSession.sparkContext.broadcast(centers)
+    val cellOf = udf((a: Seq[Float]) => {
+      val cs = bc.value
       val v = a.map(_.toDouble).toArray
-      centers.zipWithIndex.map { case (c, i) =>
+      var bi = 0; var bd = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - cs(i)(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; bi = i }; i += 1
+      }
+      bi
+    })
+    val probes = udf((a: Seq[Float]) => {
+      val cs = bc.value
+      val v = a.map(_.toDouble).toArray
+      cs.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
         (d, i)
       }.sortBy(_._1).take(nProbe).map(_._2)
     })
+    val assigned = vectors.withColumn("__cell", cellOf(col("embedding")))
     val q = assigned.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       explode(probes(col("embedding"))).as("__cell"))
     val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("cv"),
