@@ -14,23 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision via zip_with + aggregate. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) in double precision — codegen'd primitive loop
+    * ([[graft.expr.VectorExpressions]]); identical accumulation order
+    * to the HOF form, so oracle roundings are unchanged.
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for each query vector (brute force).
-    * queries/corpus: (id, embedding).
+    * queries/corpus: (id, embedding). Norms are computed once per
+    * side before the pair join — the join evaluates one dot per pair,
+    * not three.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      norm(col("embedding")).as("__qn"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      norm(col("embedding")).as("__cn"))
     val scored = q.join(c, col("qid") =!= col("cid"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")), 6))
     // rank on the ROUNDED score (+ cid tiebreak) so cross-engine
     // last-ulp noise cannot flip orders near ties
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
@@ -46,13 +52,26 @@ object Similarity {
     (pmod(xxhash64(lit(plane), dim), lit(1000003L)).cast("double") /
       lit(500001.5)) - lit(1.0)
 
-  /** numPlanes-bit signature: sign of the projection on each plane. */
+  /** numPlanes-bit signature: sign of the projection on each plane.
+    * The plane matrix is a pure function of (plane, dim index): it is
+    * evaluated ONCE on the driver (through the very same expressions,
+    * so signatures are bit-identical to the per-row HOF form) and
+    * embedded as array literals — each row then pays numPlanes
+    * codegen'd dot products instead of numPlanes*dim hash calls.
+    */
   def lshSignature(v: Column, dim: Int, numPlanes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val matrix: Array[Seq[Double]] = Array.tabulate(numPlanes) { p =>
+      (0 until dim).map { i =>
+        // = planeComponent(p, i) evaluated eagerly: xxhash64(p, i) is
+        // hashInt folded with the running hash (seed 42), then pmod
+        val h = ColumnBridge.xxh64Int(i, ColumnBridge.xxh64Int(p, 42L))
+        val pm = ((h % 1000003L) + 1000003L) % 1000003L
+        pm.toDouble / 500001.5 - 1.0
+      }
+    }
     val planes = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, typedlit(matrix(p)))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     planes.reduce((a, b) => a.bitwiseOR(b))
@@ -64,11 +83,14 @@ object Similarity {
     */
   def lshTopK(vectors: DataFrame, dim: Int, numPlanes: Int, k: Int): DataFrame = {
     val sig = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("__n"),
       lshSignature(col("embedding"), dim, numPlanes).as("sig"))
-    val l = sig.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig"))
-    val r = sig.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("sig"))
+    val l = sig.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("__n").as("__qn"), col("sig"))
+    val r = sig.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("__n").as("__cn"), col("sig"))
     val scored = l.join(r, Seq("sig")).where(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -143,11 +165,13 @@ object Similarity {
     })
     val assigned = vectors.withColumn("__cell", cellOf(col("embedding")))
     val q = assigned.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      norm(col("embedding")).as("__qn"),
       explode(probes(col("embedding"))).as("__cell"))
     val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      col("__cell"))
+      norm(col("embedding")).as("__cn"), col("__cell"))
     val scored = q.join(c, Seq("__cell")).where(col("qid") =!= col("cid"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")), 6))
       .select("qid", "cid", "cos").distinct()
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -157,10 +181,12 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a threshold. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("da"), col("embedding").as("va"))
-    val b = vectors.select(col("vec_id").as("db"), col("embedding").as("vb"))
+    val a = vectors.select(col("vec_id").as("da"), col("embedding").as("va"),
+      norm(col("embedding")).as("__na"))
+    val b = vectors.select(col("vec_id").as("db"), col("embedding").as("vb"),
+      norm(col("embedding")).as("__nb"))
     a.join(b, col("da") < col("db"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
       .where(col("cos") >= threshold)
       .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
   }
