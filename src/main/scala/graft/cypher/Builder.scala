@@ -47,7 +47,32 @@ final class Builder(
     }.toMap
 
   def compiler(st: State): Compiler =
-    new Compiler(st.kinds, params, labidToName, labidToLabelsJson)
+    new Compiler(st.kinds, params, labidToName, labidToLabelsJson,
+      frameCols = st.df.columns.toSet)
+
+  /** Drop shredded property columns from a frame. Required after a
+    * write that rewrites properties (SET/MERGE): the sidecars were read
+    * from the pre-write files and would serve stale values — downstream
+    * property access falls back to the refreshed element structs.
+    */
+  private[cypher] def dropShredCols(df: DataFrame): DataFrame = {
+    val cs = df.columns.filter(c => c.startsWith("__sh") && c.contains('\u0001'))
+    if (cs.isEmpty) df else df.drop(cs.toIndexedSeq: _*)
+  }
+
+  /** Shred sidecar columns of a label scan, renamed to frame columns
+    * scoped by the bound variable (Compiler.shCol) so property access
+    * and comparisons on that variable can use them.
+    */
+  private def shredFrameCols(scanDf: DataFrame, varName: String): Seq[Column] =
+    scanDf.columns.toSeq.collect {
+      case c if c.startsWith("__pj_") =>
+        col(Compiler.q(c)).as(Compiler.shCol("j", varName, c.stripPrefix("__pj_")))
+      case c if c.startsWith("__pn_") =>
+        col(Compiler.q(c)).as(Compiler.shCol("n", varName, c.stripPrefix("__pn_")))
+      case c if c.startsWith("__ps_") =>
+        col(Compiler.q(c)).as(Compiler.shCol("s", varName, c.stripPrefix("__ps_")))
+    }
 
   // ================================================================ run
 
@@ -217,8 +242,9 @@ final class Builder(
       }
       (State(df, st.vars), name)
     } else {
-      val scan = vertexScan(n.label, n.only)
-        .select(struct(col("id"), col("properties")).as(name))
+      val raw = vertexScan(n.label, n.only)
+      val scan = raw.select(struct(col("id"), col("properties")).as(name) +:
+        shredFrameCols(raw, name): _*)
       val joined =
         if (st.vars.isEmpty && st.df.columns.sameElements(Array("__dummy")))
           scan // first pattern: replace the dummy row frame
@@ -230,7 +256,10 @@ final class Builder(
   }
 
   /** Property-map constraint {k: v, ...} -> per-key equality quals
-    * (transformElemQuals parse_graph.c:3079-3131).
+    * (transformElemQuals parse_graph.c:3079-3131). Each key equality
+    * compiles through the shred-aware Cmp path, so `{k: lit}` reaches
+    * the parquet scan as a native pushable filter when the label is
+    * shredded.
     */
   private def propQual(st: State, varName: String, propExpr: Expr): Column = {
     val comp = compiler(st)
@@ -238,7 +267,7 @@ final class Builder(
     propExpr match {
       case MapExpr(fields) =>
         fields.map { case (k, v) =>
-          J.eq(J.getKey(propsCol, k), comp.toJ(comp.compile(v)))
+          comp.compile(Cmp("=", Prop(Vbl(varName), k), v)).col
         }.reduceOption(_ && _).getOrElse(lit(true))
       case other => // parameter object: containment semantics
         J.contains(propsCol, comp.toJ(comp.compile(other)))
@@ -254,12 +283,19 @@ final class Builder(
       case ts  => ts.map(t => catalog.scan(graph, t)).reduce(_ unionAll _)
     }
     val e = struct(col("id"), col("start"), col("end"), col("properties"))
+    // pass shred sidecars through (dropped by downstream selects unless
+    // bindRel claims them for the edge variable)
+    val extras = base.columns.toSeq.filter(_.startsWith("__p")).map(c => col(Compiler.q(c)))
     direction match {
-      case 1  => base.select(e.as("__edge"), col("start").as("__s"), col("end").as("__e"))
-      case -1 => base.select(e.as("__edge"), col("end").as("__s"), col("start").as("__e"))
+      case 1  => base.select(e.as("__edge") +: col("start").as("__s") +:
+        col("end").as("__e") +: extras: _*)
+      case -1 => base.select(e.as("__edge") +: col("end").as("__s") +:
+        col("start").as("__e") +: extras: _*)
       case 0  =>
-        base.select(e.as("__edge"), col("start").as("__s"), col("end").as("__e"))
-          .unionAll(base.select(e.as("__edge"), col("end").as("__s"), col("start").as("__e")))
+        base.select(e.as("__edge") +: col("start").as("__s") +:
+            col("end").as("__e") +: extras: _*)
+          .unionAll(base.select(e.as("__edge") +: col("end").as("__s") +:
+            col("start").as("__e") +: extras: _*))
     }
   }
 
@@ -279,9 +315,10 @@ final class Builder(
       case None => ()
     }
     val prevId = col(Compiler.q(prevName)).getField("id")
-    val edges = edgeScan(rel.types, rel.direction)
-      .select(col("__edge").as(relName), col("__s").as(s"__s_$relName"),
-        col("__e").as(s"__e_$relName"))
+    val edgesRaw = edgeScan(rel.types, rel.direction)
+    val edges = edgesRaw.select(col("__edge").as(relName) +:
+      col("__s").as(s"__s_$relName") +: col("__e").as(s"__e_$relName") +:
+      shredFrameCols(edgesRaw, relName): _*)
     var df = st.df.join(edges, prevId === col(s"__s_$relName"))
     st = State(df, st.vars :+ (relName -> KE))
     rel.props.foreach { pe => st = State(st.df.where(propQual(st, relName, pe)), st.vars) }
@@ -297,8 +334,9 @@ final class Builder(
           .cast("int").isin(labids: _*)), st.vars)
       }
     } else {
-      val scan = vertexScan(node.label, node.only)
-        .select(struct(col("id"), col("properties")).as(nodeName))
+      val raw = vertexScan(node.label, node.only)
+      val scan = raw.select(struct(col("id"), col("properties")).as(nodeName) +:
+        shredFrameCols(raw, nodeName): _*)
       df = st.df.join(scan, col(s"__e_$relName") === col(Compiler.q(nodeName)).getField("id"))
       st = State(df, st.vars :+ (nodeName -> KV))
       node.props.foreach { pe => st = State(st.df.where(propQual(st, nodeName, pe)), st.vars) }

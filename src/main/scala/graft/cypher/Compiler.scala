@@ -27,14 +27,87 @@ final class Compiler(
     params: Map[String, JValue],
     labidToName: Map[Int, String],
     labidToLabelsJson: Map[Int, String] = Map.empty,
-    lambdaVars: Map[String, Column] = Map.empty) {
+    lambdaVars: Map[String, Column] = Map.empty,
+    frameCols: Set[String] = Set.empty) {
 
   import Kind._
 
   /** Nested scope for list-comprehension lambda variables. */
   def withLambda(name: String, el: Column): Compiler =
     new Compiler(kinds, params, labidToName, labidToLabelsJson,
-      lambdaVars + (name -> el))
+      lambdaVars + (name -> el), frameCols)
+
+  // ------------------------------------------------- property shredding
+
+  /** Shredded sidecar column of `varName.key` riding in the frame
+    * ("j" = jsonb value text, "n" = exact decimal, "s" = raw string),
+    * if the label scan carried one (see GraphCatalog shredding).
+    */
+  private def shredded(typ: String, e: Expr, key: String): Option[Column] = e match {
+    case Vbl(n) if !lambdaVars.contains(n) &&
+        (kinds.get(n).contains(KV) || kinds.get(n).contains(KE)) =>
+      val c = Compiler.shCol(typ, n, key)
+      if (frameCols(c)) Some(col(Compiler.q(c))) else None
+    case _ => None
+  }
+
+  /** Literal numeric value exactly representable in decimal(38,18)
+    * (the shred column type) — safe for a native pushdown comparison.
+    */
+  private def decimalLit(e: Expr): Option[java.math.BigDecimal] = {
+    val v = e match {
+      case Lit(JNum(n)) => Some(n)
+      case Param(p) => params.get(p).collect { case JNum(n) => n }
+      case _ => None
+    }
+    v.filter(n => n.scale <= 18 && n.precision - n.scale <= 20)
+  }
+
+  private def stringLit(e: Expr): Option[String] = e match {
+    case Lit(JStr(s)) => Some(s)
+    case Param(p) => params.get(p).collect { case JStr(s) => s }
+    case _ => None
+  }
+
+  /** Native comparison against a typed shred column: jsonb number
+    * order IS BigDecimal order and jsonb string equality IS raw string
+    * equality, so these compile to plain Catalyst predicates that reach
+    * the parquet scan (row-group stats / bloom pruning at scale).
+    * String inequalities stay on the jsonb path (PG compares strings
+    * with collation rules; equality is collation-free).
+    */
+  private def shredCmp(op: String, l: Expr, r: Expr): Option[Column] = (l, r) match {
+    case (Prop(b, k), rhs) =>
+      shredded("n", b, k).flatMap { nc =>
+        decimalLit(rhs).map { num =>
+          val lv = lit(num)
+          op match {
+            case "=" => nc === lv
+            case "<>" => nc =!= lv
+            case "<" => nc < lv
+            case ">" => nc > lv
+            case "<=" => nc <= lv
+            case ">=" => nc >= lv
+          }
+        }
+      }.orElse {
+        shredded("s", b, k).flatMap { sc =>
+          stringLit(rhs).flatMap { s =>
+            op match {
+              case "=" => Some(sc === lit(s))
+              case "<>" => Some(sc =!= lit(s))
+              case _ => None
+            }
+          }
+        }
+      }
+    case _ => None
+  }
+
+  private def flipOp(op: String): String = op match {
+    case "<" => ">"; case ">" => "<"; case "<=" => ">="; case ">=" => "<="
+    case other => other
+  }
 
   final case class CE(col: Column, kind: Kind)
 
@@ -84,11 +157,15 @@ final class Compiler(
       }
 
     case Prop(base, key) =>
-      val b = compile(base)
-      b.kind match {
-        case KV | KE => CE(J.getKey(b.col.getField("properties"), key), KJ)
-        case KJ     => CE(J.getKey(b.col, key), KJ)
-        case _ => throw new IllegalArgumentException(s"cannot access property on $base")
+      shredded("j", base, key) match {
+        case Some(pj) => CE(pj, KJ) // materialized properties->key: no parse
+        case None =>
+          val b = compile(base)
+          b.kind match {
+            case KV | KE => CE(J.getKey(b.col.getField("properties"), key), KJ)
+            case KJ     => CE(J.getKey(b.col, key), KJ)
+            case _ => throw new IllegalArgumentException(s"cannot access property on $base")
+          }
       }
 
     case Index(base, idx) =>
@@ -149,6 +226,10 @@ final class Compiler(
       val c = toJ(compile(x))
       CE(if (op == "-") J.uminus(c) else J.uplus(c), KJ)
 
+    case Cmp(op, l, r) if shredCmp(op, l, r).isDefined =>
+      CE(shredCmp(op, l, r).get, KB)
+    case Cmp(op, l, r) if shredCmp(flipOp(op), r, l).isDefined =>
+      CE(shredCmp(flipOp(op), r, l).get, KB)
     case Cmp(op, l, r) =>
       val lc = compile(l); val rc = compile(r)
       // element comparisons go by id (graphid equality), jsonb by btree order
@@ -184,7 +265,12 @@ final class Compiler(
       CE(if (negated) c.col.isNotNull else c.col.isNull, KB)
 
     case StrPred(op, l, r) =>
-      val lt = J.asText(toJ(compile(l)))
+      // a raw-string shred column feeds StringStartsWith/EndsWith/
+      // Contains directly (all pushable parquet source filters)
+      val lt = (l match {
+        case Prop(b, k) => shredded("s", b, k)
+        case _ => None
+      }).getOrElse(J.asText(toJ(compile(l))))
       val rt = J.asText(toJ(compile(r)))
       val c = op match {
         case "startswith" => lt.startsWith(rt)
@@ -369,6 +455,13 @@ object Compiler {
   val boolFns: Set[String] = Set()
 
   def q(name: String): String = s"`$name`"
+
+  /** Frame column carrying a shredded property of a bound variable.
+    * \u0001 delimits so var names and keys containing underscores can
+    * never collide.
+    */
+  def shCol(typ: String, varName: String, key: String): String =
+    s"__sh$typ\u0001$varName\u0001$key"
 
   /** Output column name for an unaliased projection item. */
   def itemName(e: Expr): String = e match {

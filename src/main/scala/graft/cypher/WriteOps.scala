@@ -335,7 +335,7 @@ object WriteOps {
         }
       }
     }
-    State(newDf.drop("__setord"), st.vars)
+    State(b.dropShredCols(newDf.drop("__setord")), st.vars)
   }
 
   // ============================================================== MERGE
@@ -383,7 +383,11 @@ object WriteOps {
       var result: State = null
       (0L until n).foreach { i =>
         val rowState = State(tagged.where(col("__seq") === i).drop("__seq"), st0.vars)
-        val r = mergeBatch(b, rowState, m)
+        val r0 = mergeBatch(b, rowState, m)
+        // per-iteration re-scans can carry different shred sidecars
+        // (earlier rows' SETs may introduce keys): align on the stable
+        // column set
+        val r = State(b.dropShredCols(r0.df), r0.vars)
         result = if (result == null) r
           else State(result.df.unionByName(r.df), r.vars)
       }

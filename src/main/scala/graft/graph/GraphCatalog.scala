@@ -9,12 +9,20 @@ import org.apache.spark.sql.types._
   * DAG (multiple parents), mirroring ag_label + PG table inheritance
   * (reference: src/include/catalog/ag_label.h:29-47,
   * src/backend/commands/graphcmds.c:352-414).
+  *
+  * `shred` records property-shredding sidecar columns present in the
+  * label's parquet: key -> "n" (uniformly numeric: jsonb text + exact
+  * decimal columns), "s" (uniformly string: jsonb text + raw string
+  * columns), or "j" (jsonb text column only). `shredOff` disables the
+  * whole mechanism for labels with too many distinct keys.
   */
 final case class LabelMeta(
     name: String,
     labid: Int,
     kind: Char, // 'v' | 'e'
-    parents: Seq[String])
+    parents: Seq[String],
+    shred: Map[String, String] = Map.empty,
+    shredOff: Boolean = false)
 
 /** A graph = a namespace of label tables backed by Parquet under
   * `<root>/<graph>/<label>/`, with JSON metadata at
@@ -155,16 +163,164 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     cur
   }
 
+  // ------------------------------------------------- property shredding
+
+  /** Sidecar column names for a shredded top-level property key:
+    * `__pj_<key>` — the jsonb value text (materialized `properties->key`,
+    * saves the full-document parse on every access);
+    * `__pn_<key>` — exact decimal(38,18) (uniformly numeric keys; gives
+    * parquet min/max pushdown for property comparisons);
+    * `__ps_<key>` — raw string (uniformly string keys; pushdown for
+    * equality and string predicates).
+    * The same idea as Parquet/Spark variant shredding: pay an extra
+    * column at write, win columnar stats + no JSON parse at read.
+    */
+  def pjCol(key: String): String = s"__pj_$key"
+  def pnCol(key: String): String = s"__pn_$key"
+  def psCol(key: String): String = s"__ps_$key"
+
+  val shredDecimal: DecimalType = DecimalType(38, 18)
+  private val ShredMaxKeys = 32
+  private val ShredKeyRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  // exactly representable in decimal(38,18), no exponent notation
+  private val ShredNumRe = "^-?[0-9]{1,20}(\\.[0-9]{1,18})?$"
+
+  /** Classify each top-level key of a batch: "n" / "s" / "j".
+    * One aggregation pass over the batch.
+    */
+  private def classifyKeys(df: DataFrame, keys: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    if (keys.isEmpty) return Map.empty
+    val aggs = keys.flatMap { k =>
+      val v = graft.expr.J.getKey(col("properties"), k)
+      Seq(
+        count(when(v.isNotNull && !v.rlike(ShredNumRe), 1)).as(s"__nn_$k"),
+        count(when(v.isNotNull && !v.startsWith("\""), 1)).as(s"__ns_$k"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    keys.map { k =>
+      val t =
+        if (row.getAs[Long](s"__nn_$k") == 0L) "n"
+        else if (row.getAs[Long](s"__ns_$k") == 0L) "s"
+        else "j"
+      k -> t
+    }.toMap
+  }
+
+  /** Distinct sanitized top-level keys of a batch (driver-collected;
+    * property vocabularies are small by construction — ShredMaxKeys
+    * caps the pathological case).
+    */
+  private def batchKeys(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    df.select(explode(json_object_keys(col("properties"))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSeq
+      .filter(k => ShredKeyRe.findFirstIn(k).isDefined).sorted
+  }
+
+  /** Merge batch classifications into the label's shred meta. A key
+    * seen with different uniform types across batches degrades to "j"
+    * (the jsonb-text column stays valid in every file; typed columns
+    * are dropped from the read schema).
+    */
+  private def mergeShred(old: Map[String, String],
+      batch: Map[String, String]): Map[String, String] = {
+    val out = mutable.LinkedHashMap[String, String]()
+    out ++= old
+    batch.foreach { case (k, t) =>
+      out(k) = old.get(k) match {
+        case None => t
+        case Some(`t`) => t
+        case Some(_) => "j"
+      }
+    }
+    out.toMap
+  }
+
+  /** Extend a base-schema batch with shred sidecar columns. */
+  private def withShredCols(df: DataFrame, types: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    types.toSeq.sortBy(_._1).foldLeft(df) { case (d, (k, t)) =>
+      val v = graft.expr.J.getKey(col("properties"), k)
+      val d2 = d.withColumn(pjCol(k), v)
+      t match {
+        case "n" => d2.withColumn(pnCol(k), col(pjCol(k)).cast(shredDecimal))
+        case "s" => d2.withColumn(psCol(k), graft.expr.J.asText(col(pjCol(k))))
+        case _ => d2
+      }
+    }
+  }
+
+  /** Parquet read schema for a label: base + its shred sidecars. */
+  private def labelSchema(lm: LabelMeta): StructType = {
+    val base = if (lm.kind == 'v') vertexSchema else edgeSchema
+    if (lm.shredOff) return base
+    lm.shred.toSeq.sortBy(_._1).foldLeft(base) { case (s, (k, t)) =>
+      val s2 = s.add(StructField(pjCol(k), StringType, nullable = true))
+      t match {
+        case "n" => s2.add(StructField(pnCol(k), shredDecimal, nullable = true))
+        case "s" => s2.add(StructField(psCol(k), StringType, nullable = true))
+        case _ => s2
+      }
+    }
+  }
+
+  /** Shred columns valid across a set of labels scanned together:
+    * a key survives if no member poisons it; its typed column survives
+    * only when every member that has the key agrees on the type.
+    * Any shredOff member disables shredding for the whole union (its
+    * rows' sidecars are not trustworthy).
+    */
+  private def commonShred(ms: Seq[LabelMeta]): Map[String, String] = {
+    if (ms.exists(_.shredOff)) return Map.empty
+    val allKeys = ms.flatMap(_.shred.keys).distinct
+    allKeys.flatMap { k =>
+      val types = ms.flatMap(_.shred.get(k)).distinct
+      types match {
+        case Seq(single) => Some(k -> single)
+        case _ => Some(k -> "j") // disagree on typed col; pj still valid
+      }
+    }.toMap
+  }
+
   // ------------------------------------------------------------- scans
 
-  /** Scan one label table (no inheritance expansion). */
+  /** Scan one label table (no inheritance expansion); includes the
+    * label's shred sidecar columns (files written before a key first
+    * appeared simply read as null = key absent).
+    */
   def scanOnly(graph: String, name: String): DataFrame = {
     val lm = readMeta(graph).labels.getOrElse(name,
       throw new IllegalStateException(s"label \"$name\" does not exist"))
     val dir = labelDir(graph, name)
-    val schema = if (lm.kind == 'v') vertexSchema else edgeSchema
+    val schema = labelSchema(lm)
     if (hasParquet(dir)) spark.read.schema(schema).parquet(dir.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** Align a set of label scans to a common (base + shred) shape and
+    * union them (PG's Append over inheritance children). Members that
+    * never saw a key contribute typed nulls (= key absent).
+    */
+  private def alignedUnion(graph: String, ms: Seq[LabelMeta]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = if (ms.head.kind == 'v') vertexSchema else edgeSchema
+    val shred = commonShred(ms)
+    val shredFields = shred.toSeq.sortBy(_._1)
+    ms.map { lm =>
+      val df = scanOnly(graph, lm.name)
+      val cols = base.fields.map(f => col(f.name)) ++ shredFields.flatMap {
+        case (k, t) =>
+          def c(n: String, dt: DataType) =
+            if (df.columns.contains(n)) col(n) else lit(null).cast(dt)
+          Seq(c(pjCol(k), StringType)) ++ (t match {
+            case "n" => Seq(c(pnCol(k), shredDecimal))
+            case "s" => Seq(c(psCol(k), StringType))
+            case _ => Nil
+          })
+      }
+      df.select(cols: _*)
+    }.reduce(_ unionAll _)
   }
 
   /** Scan a label and its inheritance subtree (default MATCH scan);
@@ -172,15 +328,14 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * labels are pruned at plan time (metadata partition-pruning analog).
     */
   def scan(graph: String, name: String): DataFrame =
-    subtree(graph, name).map(l => scanOnly(graph, l.name))
-      .reduce(_ unionAll _)
+    alignedUnion(graph, subtree(graph, name))
 
   /** Scan every label of a kind ('v' for bare (n), 'e' for [r]). */
   def scanAll(graph: String, kind: Char): DataFrame = {
     val ls = readMeta(graph).labels.values.filter(_.kind == kind).toSeq
     val schema = if (kind == 'v') vertexSchema else edgeSchema
     if (ls.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else ls.map(l => scanOnly(graph, l.name)).reduce(_ unionAll _)
+    else alignedUnion(graph, ls)
   }
 
   private def hasParquet(dir: Path): Boolean =
@@ -189,24 +344,67 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------- writes
 
-  /** Append rows to a label table. */
-  def append(graph: String, label: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(labelDir(graph, label).toString)
+  /** Append rows to a label table, computing shred sidecar columns for
+    * the batch (two extra passes: key discovery + type classification —
+    * the write-side cost of read-side pushdown).
+    */
+  def append(graph: String, label: String, df: DataFrame): Unit = {
+    val m = readMeta(graph)
+    val lm = m.labels.getOrElse(label,
+      throw new IllegalStateException(s"label \"$label\" does not exist"))
+    val base = if (lm.kind == 'v') vertexSchema else edgeSchema
+    val clean = df.select(base.fields.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
+    val (out, lm2) =
+      if (lm.shredOff) (clean, lm)
+      else {
+        val keys = batchKeys(clean)
+        if ((lm.shred.keySet ++ keys).size > ShredMaxKeys)
+          (clean, lm.copy(shredOff = true))
+        else {
+          val batchTypes = classifyKeys(clean, keys)
+          val merged = mergeShred(lm.shred, batchTypes)
+          // write typed cols per the MERGED view so this file agrees
+          // with the read schema even when it degrades older types
+          val writeTypes = batchTypes.map { case (k, _) => k -> merged(k) }
+          (withShredCols(clean, writeTypes), lm.copy(shred = merged))
+        }
+      }
+    out.write.mode("append").parquet(labelDir(graph, label).toString)
+    if (lm2 != lm) { m.labels(label) = lm2; writeMeta(graph, m) }
+  }
 
   /** Replace a label table's contents (copy-on-write rewrite: write to
     * a staging dir, then swap — keeps the statement-level snapshot
-    * semantics of the reference's MVCC heap).
+    * semantics of the reference's MVCC heap). Shred meta is recomputed
+    * from scratch (the new contents are the whole table).
     */
   def overwrite(graph: String, label: String, df: DataFrame): Unit = {
+    val m = readMeta(graph)
+    val lm = m.labels.getOrElse(label,
+      throw new IllegalStateException(s"label \"$label\" does not exist"))
+    val base = if (lm.kind == 'v') vertexSchema else edgeSchema
+    val clean0 = df.select(base.fields.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
+    // the input plan typically reads the table being replaced: snapshot
+    // it before deleting the source files
+    val clean = clean0.localCheckpoint(true)
+    val keys = batchKeys(clean)
+    val (out, lm2) =
+      if (keys.size > ShredMaxKeys) (clean, lm.copy(shred = Map.empty, shredOff = true))
+      else {
+        val types = classifyKeys(clean, keys)
+        (withShredCols(clean, types), lm.copy(shred = types, shredOff = false))
+      }
     val dir = labelDir(graph, label)
     val staging = graphDir(graph).resolve(s"_staging_$label")
-    df.write.mode("overwrite").parquet(staging.toString)
+    out.write.mode("overwrite").parquet(staging.toString)
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
       Files.deleteIfExists(p)
     }
     rm(dir)
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    m.labels(label) = lm2
+    writeMeta(graph, m)
   }
 
   // --------------------------------------------------------- graphmeta
@@ -299,7 +497,10 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         "name" -> JStr(l.name),
         "labid" -> JNum(java.math.BigDecimal.valueOf(l.labid)),
         "kind" -> JStr(l.kind.toString),
-        "parents" -> JArr(l.parents.toVector.map(JStr))))
+        "parents" -> JArr(l.parents.toVector.map(JStr)),
+        "shred" -> Jsonb.mkObj(l.shred.toSeq.sortBy(_._1).map {
+          case (k, t) => k -> JStr(t) }),
+        "shredOff" -> JBool(l.shredOff)))
     })
     val seqJson = Jsonb.mkObj(m.sequences.toSeq.map { case (k, v) =>
       k -> JNum(java.math.BigDecimal.valueOf(v)) })
@@ -324,7 +525,10 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
           o.get("labid").collect { case JNum(n) => n.intValue }.get,
           o.get("kind").collect { case JStr(s) => s.head }.get,
           o.get("parents").collect { case JArr(ps) =>
-            ps.collect { case JStr(s) => s } }.getOrElse(Vector.empty))
+            ps.collect { case JStr(s) => s } }.getOrElse(Vector.empty),
+          o.get("shred").collect { case JObj(fs) =>
+            fs.collect { case (k, JStr(t)) => k -> t }.toMap }.getOrElse(Map.empty),
+          o.get("shredOff").collect { case JBool(b) => b }.getOrElse(false))
         case _ => ()
       }
       case _ => ()

@@ -34,9 +34,13 @@ class ExplainSpec extends AnyFunSuite {
     // pattern joins become hash equi-joins (no cartesian fallback)
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // jsonb predicate evaluates at the scan (DataFilters), and unused
-    // struct fields are pruned from the read schema
-    assert(p.contains("jsonb_gt"), p)
+    // the property predicate compiles against the shredded decimal
+    // sidecar and reaches the parquet source as a pushed filter — no
+    // jsonb evaluation in the scan at all
+    assert(p.contains("PushedFilters: [IsNotNull(__pn_totalprice), " +
+      "GreaterThan(__pn_totalprice"), p)
+    assert(!p.contains("jsonb_gt"), p)
+    // unused struct fields are pruned from the read schema
     assert(p.contains("ReadSchema: struct<id:bigint>"), p)
   }
 
