@@ -52,6 +52,63 @@ final class CypherSession(
 
   @volatile private var lastBuilder: Builder = null
 
+  /** Hybrid SQL with embedded Cypher subqueries (SURVEY §3.3):
+    * `SELECT ... FROM (MATCH ... RETURN ...) t ...` (cypher-in-FROM,
+    * reference gram.y:12369-12399) and
+    * `... WHERE EXISTS (MATCH ... RETURN ...)` (EXISTS sublink,
+    * gram.y:14110-14125). Each parenthesized `(MATCH ...)` block is
+    * compiled by the Cypher engine, registered as a temp view, and the
+    * SQL re-runs through Spark — one logical plan end to end, like the
+    * reference's single Query tree. Correlated sublinks are not
+    * supported (document: uncorrelated EXISTS only).
+    */
+  def sql(query: String): DataFrame = {
+    val s = query
+    val out = new StringBuilder
+    var i = 0
+    var n = 0
+    def skipString(from: Int): Int = { // past the closing quote ('' escapes)
+      var k = from + 1
+      while (k < s.length) {
+        if (s.charAt(k) == '\'') {
+          if (k + 1 < s.length && s.charAt(k + 1) == '\'') k += 2
+          else return k + 1
+        } else k += 1
+      }
+      k
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val e = skipString(i); out.append(s.substring(i, e)); i = e
+      } else if (c == '(') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (s.regionMatches(true, j, "MATCH", 0, 5)) {
+          var depth = 1
+          var k = i + 1
+          while (k < s.length && depth > 0) {
+            s.charAt(k) match {
+              case '(' => depth += 1; k += 1
+              case ')' => depth -= 1; k += 1
+              case '\'' => k = skipString(k)
+              case _ => k += 1
+            }
+          }
+          val inner = s.substring(i + 1, k - 1)
+          val view = s"__cypher_sub_$n"; n += 1
+          cypher(inner).createOrReplaceTempView(view)
+          val isExists = out.toString.replaceAll("\\s+$", "")
+            .toUpperCase.endsWith("EXISTS")
+          if (isExists) out.append(s"(SELECT * FROM $view)")
+          else out.append(view)
+          i = k
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    spark.sql(out.toString)
+  }
+
   /** get_last_graph_write_stats() (cypher_funcs.c:1185). */
   def lastWriteStats: Map[String, Long] = Option(lastBuilder).map { b =>
     Map(

@@ -179,6 +179,11 @@ object Algo {
 
     // bind endpoints first (label/prop constrained scans or bound vars)
     var (st, srcName) = b.bindNode(st0, sourceNode)
+    // snapshot source ids BEFORE the target binds (its scan cross-joins
+    // into the frame; the origin set must not pay that product)
+    val srcId0 = col(Compiler.q(srcName)).getField("id")
+    val origins = st.df.select(srcId0.as("__origin")).distinct()
+      .localCheckpoint(true)
     val (st2, tgtName) = b.bindNode(st, targetNode)
     st = st2
 
@@ -187,11 +192,15 @@ object Algo {
     val hiV = hi.getOrElse(MaxDepth.toLong).min(MaxDepth.toLong)
     val relName = rel.variable.getOrElse(s"__sp_e_${p.hashCode.abs % 1000}")
 
+    // Source-constrained search: expand only from the bound source
+    // vertices instead of every vertex (the set-based analog of the
+    // reference seeding its two-sided hash expansion from the outer
+    // tuple's endpoints, nodeShortestpath.c SP_GET_PARAMETER).
     val paths = finder match {
       case PathFinder.Dijkstra(weight, qual, limitK) =>
-        dijkstra(b, rel, relName, weight, qual, limitK.getOrElse(1L))
-      case PathFinder.AllShortest => bfs(b, rel, loV, hiV, keepAll = true)
-      case _ => bfs(b, rel, loV, hiV, keepAll = false)
+        dijkstra(b, rel, relName, weight, qual, limitK.getOrElse(1L), origins)
+      case PathFinder.AllShortest => bfs(b, rel, loV, hiV, keepAll = true, origins)
+      case _ => bfs(b, rel, loV, hiV, keepAll = false, origins)
     }
 
     // join on both endpoints
@@ -214,12 +223,14 @@ object Algo {
     * time); visited-set pruning keeps one/all minimal-depth paths.
     */
   private def bfs(b: Builder, rel: RelPattern, lo: Long, hi: Long,
-      keepAll: Boolean): DataFrame = {
-    val E = b.edgeScan(rel.types, rel.direction)
+      keepAll: Boolean, origins: DataFrame): DataFrame = {
+    val E0 = b.edgeScan(rel.types, rel.direction)
+    val E = E0.select(col("__edge"), col("__s"), col("__e"))
     val V = b.vertexScan(None, only = false)
       .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
 
-    var frontier = E.join(V, col("__e") === col("__vid"))
+    var frontier = E.join(origins, col("__s") === col("__origin"), "left_semi")
+      .join(V, col("__e") === col("__vid"))
       .select(col("__s").as("__start"), col("__e").as("__cur"),
         array(col("__edge")).as("__edges"),
         array(col("__edge").getField("id")).as("__ids"),
@@ -275,9 +286,10 @@ object Algo {
 
     var out = if (results == null) emptyPaths(b) else results
     if (lo == 0L) {
-      val zero = V.select(col("__vid").as("__start"), col("__vid").as("__cur"),
-        b.emptyEdgeArray.as("__edges"), b.emptyLongArray.as("__ids"),
-        b.emptyVertexArray.as("__verts"))
+      val zero = V.join(origins, col("__vid") === col("__origin"), "left_semi")
+        .select(col("__vid").as("__start"), col("__vid").as("__cur"),
+          b.emptyEdgeArray.as("__edges"), b.emptyLongArray.as("__ids"),
+          b.emptyVertexArray.as("__verts"))
       out = zero.unionAll(out)
     }
     // keep only minimal depth per pair (visited pruning already ensures
@@ -297,7 +309,8 @@ object Algo {
     * set-based: converges in <= V relaxation rounds).
     */
   private def dijkstra(b: Builder, rel: RelPattern, relName: String,
-      weight: Expr, qual: Option[Expr], limitK: Long): DataFrame = {
+      weight: Expr, qual: Option[Expr], limitK: Long,
+      origins: DataFrame): DataFrame = {
     val E0 = b.edgeScan(rel.types, rel.direction)
     // compile weight/qual with the edge struct bound under the rel name
     val kinds = Map(relName -> (KE: Kind))
@@ -318,7 +331,8 @@ object Algo {
         .where(col("__rn") <= limitK).drop("__rn")
     }
 
-    var best = topK(E.join(V, col("__e") === col("__vid"))
+    var best = topK(E.join(origins, col("__s") === col("__origin"), "left_semi")
+      .join(V, col("__e") === col("__vid"))
       .select(col("__s").as("__start"), col("__e").as("__cur"),
         array(col("__edge")).as("__edges"),
         array(col("__edge").getField("id")).as("__ids"),

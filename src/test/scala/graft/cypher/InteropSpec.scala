@@ -66,6 +66,33 @@ class InteropSpec extends AnyFunSuite {
       Seq("\"rail\"", "\"road\""))
   }
 
+  test("hybrid sql(): cypher subquery in FROM (gram.y:12369-12399)") {
+    val out = s.sql(
+      """SELECT name, pop FROM
+        |  (MATCH (c:city) RETURN c.name AS name, c.pop AS pop) t
+        |WHERE CAST(pop AS INT) > 15 ORDER BY name""".stripMargin)
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("\"b\"", "\"c\""))
+  }
+
+  test("hybrid sql(): EXISTS (MATCH ...) sublink (gram.y:14110-14125)") {
+    import spark.implicits._
+    Seq(1, 2).toDF("v").createOrReplaceTempView("two_rows")
+    val hit = s.sql(
+      """SELECT v FROM two_rows
+        |WHERE EXISTS (MATCH (c:city {name: 'a'}) RETURN c) ORDER BY v""".stripMargin)
+    assert(hit.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    val miss = s.sql(
+      """SELECT v FROM two_rows
+        |WHERE EXISTS (MATCH (c:city {name: 'zzz'}) RETURN c)""".stripMargin)
+    assert(miss.count() == 0)
+  }
+
+  test("hybrid sql(): string literals containing MATCH stay literal") {
+    val out = s.sql("SELECT '(MATCH literal)' AS x")
+    assert(out.collect().head.getString(0) == "(MATCH literal)")
+  }
+
   test("RETURN * projects all named variables") {
     val out = s.cypher("MATCH (c:city {name: 'a'})-[e:road]->(d) RETURN *")
     assert(out.columns.toSeq == Seq("c", "e", "d"))
