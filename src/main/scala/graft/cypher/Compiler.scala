@@ -345,6 +345,14 @@ final class Compiler(
         CE(element_at(m, labid), KJ)
       case "startid" => CE(J.fromLong(a0.col.getField("start")), KJ)
       case "endid" => CE(J.fromLong(a0.col.getField("end")), KJ)
+      case "idtext" =>
+        // graphid display form "labid.locid" (graphid_out graph.c:145-
+        // 186); id() keeps the packed long so ordering/joins stay
+        // numeric like the reference's graphid comparisons
+        val gid = a0.col.getField("id")
+        CE(J.fromText(concat_ws(".",
+          shiftrightunsigned(gid, 48).cast("string"),
+          gid.bitwiseAND(lit((1L << 48) - 1)).cast("string"))), KJ)
       case "length" =>
         a0.kind match {
           case Kind.KP  => CE(J.fromLong(size(a0.col.getField("edges")).cast("long")), KJ)

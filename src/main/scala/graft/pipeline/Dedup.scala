@@ -121,8 +121,12 @@ object Dedup {
     * Input cols (da, db); output (id, comp) with comp = min member id.
     */
   def clusters(pairs: DataFrame): DataFrame = {
-    val sym = pairs.select(col("da").as("id"), col("db").as("nb"))
-      .unionAll(pairs.select(col("db").as("id"), col("da").as("nb")))
+    // snapshot the pair relation FIRST: both orientation branches and
+    // every propagation round read it (without this the upstream pair
+    // generation would run once per reference)
+    val p = pairs.localCheckpoint(true)
+    val sym = p.select(col("da").as("id"), col("db").as("nb"))
+      .unionAll(p.select(col("db").as("id"), col("da").as("nb")))
       .localCheckpoint(true)
     var labels = sym.select(col("id")).distinct()
       .withColumn("comp", col("id"))

@@ -120,6 +120,39 @@ object PipelineQueries {
         .orderBy(col("n_docs").desc, col("fp"))
     },
 
+    "p15_stratified_sample" -> { (s, d) =>
+      // per-stratum deterministic sampling: different keep-rates per
+      // source (the training-data mixing-ratio primitive); key-modulo
+      // keeps it cross-engine reproducible (cf. q30)
+      val rate = map(lit("src0"), lit(7), lit("src1"), lit(3),
+        lit("src2"), lit(5), lit("src3"), lit(9), lit("src4"), lit(4))
+      load(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(10)) <
+          coalesce(element_at(rate, col("source")), lit(2)))
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("source")
+    },
+
+    "p16_ngram_topk" -> { (s, d) =>
+      // top-3 word bigrams per source by frequency (doc_id tiebreak on
+      // the bigram text) — n-gram counting at corpus scale is one
+      // shuffle (explode -> partial/final count) + a per-group top-k
+      val words = split(lower(col("text")), "\\s+")
+      val bigrams = transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+      val counts = load(s, d, "documents")
+        .where(size(words) >= 2)
+        .select(col("source"), explode(bigrams).as("bigram"))
+        .groupBy("source", "bigram").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n").desc, col("bigram"))
+      counts.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select("source", "rank", "bigram", "n")
+        .orderBy("source", "rank")
+    },
+
     // ---- multimodal plumbing ----------------------------------------
     "p12_multimodal_decode" -> { (s, d) =>
       val media = Multimodal.asMediaTable(load(s, d, "documents"), "doc_id", "text")
@@ -170,6 +203,30 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_kept FROM documents
         |WHERE doc_id < 200 AND doc_id NOT IN (SELECT id FROM victims)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "p15_stratified_sample" ->
+      """SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE doc_id % 10 < CASE source
+        |  WHEN 'src0' THEN 7 WHEN 'src1' THEN 3 WHEN 'src2' THEN 5
+        |  WHEN 'src3' THEN 9 WHEN 'src4' THEN 4 ELSE 2 END
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "p16_ngram_topk" ->
+      """WITH w AS (
+        |  SELECT source, regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, unnest(list_transform(
+        |    generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT source, bigram, count(*) AS n
+        |      FROM b GROUP BY source, bigram),
+        |r AS (SELECT source, bigram, n, row_number() OVER
+        |        (PARTITION BY source ORDER BY n DESC, bigram) AS rank
+        |      FROM c)
+        |SELECT source, rank, bigram, n
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "p05_ann_bruteforce" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -93,6 +93,17 @@ class InteropSpec extends AnyFunSuite {
     assert(out.collect().head.getString(0) == "(MATCH literal)")
   }
 
+  test("idtext() renders the graphid display form labid.locid") {
+    // graphid_out (graph.c:145-186) displays "labid.locid"; id() keeps
+    // the packed long so ordering matches graphid comparison order
+    val out = s.cypher(
+      "MATCH (c:city {name: 'a'}) RETURN idtext(c) AS t, id(c) AS i")
+    val r = out.collect().head
+    val packed = r.getString(1).toLong
+    val expect = "\"" + (packed >>> 48) + "." + (packed & ((1L << 48) - 1)) + "\""
+    assert(r.getString(0) == expect)
+  }
+
   test("RETURN * projects all named variables") {
     val out = s.cypher("MATCH (c:city {name: 'a'})-[e:road]->(d) RETURN *")
     assert(out.columns.toSeq == Seq("c", "e", "d"))
