@@ -138,11 +138,17 @@ object PipelineQueries {
       // top-3 word bigrams per source by frequency (doc_id tiebreak on
       // the bigram text) — n-gram counting at corpus scale is one
       // shuffle (explode -> partial/final count) + a per-group top-k
-      val words = split(lower(col("text")), "\\s+")
-      val bigrams = transform(sequence(lit(1), size(words) - 1),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
-      val counts = load(s, d, "documents")
-        .where(size(words) >= 2)
+      // materialize the token array once, then pair adjacent tokens by
+      // zipping two slices — linear per doc (an element_at(split(...))
+      // lambda would re-split the text per index: O(len^2))
+      val ws = col("__ws")
+      val withWords = load(s, d, "documents")
+        .select(col("source"), split(lower(col("text")), "\\s+").as("__ws"))
+        .where(size(ws) >= 2)
+      val bigrams = zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      val counts = withWords
         .select(col("source"), explode(bigrams).as("bigram"))
         .groupBy("source", "bigram").agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
