@@ -70,13 +70,17 @@ object TextOps {
   }
 
   def langId(text: Column): Column = {
+    // argmax via array_max over (score, -index) structs: each score
+    // expression appears exactly once (a when/greatest fold would
+    // replicate every earlier score per step — quadratic codegen);
+    // ties resolve to the smallest index (en first)
     val scores = langScores(text)
-    // argmax, ties resolved by list order (en first)
-    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lang).otherwise(bestLang),
-          greatest(score, bestScore))
-    }._1
+    val entries = array(scores.zipWithIndex.map { case ((_, score), i) =>
+      struct(score.as("s"), lit(-i).as("ni"))
+    }: _*)
+    val names = array(scores.map { case (lang, _) => lit(lang) }: _*)
+    val best = array_max(entries)
+    element_at(names, (-best.getField("ni") + 1).cast("int"))
   }
 
   /** Content-defined fingerprint: digest of the sorted distinct word
