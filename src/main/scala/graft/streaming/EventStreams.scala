@@ -46,6 +46,19 @@ object EventStreams {
         col("session_window.end").as("s_end"), col("user_id"),
         col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup on a content digest, bounded by the
+    * watermark (dropDuplicatesWithinWatermark: state for a digest is
+    * reclaimed once the watermark passes it — the streaming twin of
+    * `Dedup.exact`, with bounded state instead of an ever-growing set).
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("__digest", md5(lower(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   // ---- custom keyed state (mapGroupsWithState) ----------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -42,6 +42,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.size == 4) // 2 windows x 2 types
   }
 
+  test("streaming dedup drops repeated digests across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val out = EventStreams.dedupStream(docs, "ts", "text", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData((1L, ts(0), "hello world"), (2L, ts(1), "HELLO world"),
+      (3L, ts(2), "fresh text"))
+    q.processAllAvailable()
+    // second batch: one duplicate (within watermark), one new
+    input.addData((4L, ts(3), "hello WORLD"), (5L, ts(4), "brand new"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   test("session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
