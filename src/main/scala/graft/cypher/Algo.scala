@@ -63,9 +63,17 @@ object Algo {
     val V = b.vertexScan(None, only = false)
       .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
 
+    // seed the expansion from the frame's bound start vertices only
+    // (semi-join on the snapshotted origin set) — a selective outer
+    // pattern must not pay a whole-graph expansion
+    val origins = st0.df
+      .select(col(Compiler.q(prevName)).getField("id").as("__origin"))
+      .distinct().localCheckpoint(true)
+
     // depth-1 frontier
     def firstFrontier: DataFrame =
-      E.join(V, col("__e") === col("__vid"))
+      E.join(origins, col("__s") === col("__origin"), "left_semi")
+        .join(V, col("__e") === col("__vid"))
         .select(col("__s").as("__start"), col("__e").as("__cur"),
           array(col("__edge")).as("__edges"),
           array(col("__edge").getField("id")).as("__ids"),
@@ -112,11 +120,12 @@ object Algo {
       else results
 
     if (lo == 0L) {
-      // zero-length path: every vertex joins to itself with empty arrays
-      // (isZeroLengthVLE parse_graph.c:198,2388-2404)
-      val zero = V.select(col("__vid").as("__start"), col("__vid").as("__cur"),
-        b.emptyEdgeArray.as("__edges"), b.emptyLongArray.as("__ids"),
-        b.emptyVertexArray.as("__verts"))
+      // zero-length path: every origin vertex joins to itself with
+      // empty arrays (isZeroLengthVLE parse_graph.c:198,2388-2404)
+      val zero = V.join(origins, col("__vid") === col("__origin"), "left_semi")
+        .select(col("__vid").as("__start"), col("__vid").as("__cur"),
+          b.emptyEdgeArray.as("__edges"), b.emptyLongArray.as("__ids"),
+          b.emptyVertexArray.as("__verts"))
       vle = zero.unionAll(vle)
     }
 
