@@ -42,7 +42,12 @@ object GraftExtensions {
     "jsonb_gt" -> cmp("gt"),
     "jsonb_ge" -> cmp("ge"),
     "jsonb_contains" -> (args => JsonbPredicate("contains", args(0), args(1))),
+    // <@ is containment with the operands swapped
+    "jsonb_contained" -> (args => JsonbPredicate("contains", args(1), args(0))),
     "jsonb_exists" -> (args => JsonbPredicate("exists", args(0), args(1))),
+    "jsonb_exists_any" -> (args => JsonbPredicate("existsany", args(0), args(1))),
+    "jsonb_exists_all" -> (args => JsonbPredicate("existsall", args(0), args(1))),
+    "jsonb_delete_path" -> (args => JsonbBinary("delpath", args(0), args(1))),
     "jsonb_length" -> (args => JsonbLength(args(0))),
     "jsonb_typerank" -> (args => JsonbTypeRank(args(0))),
     "jsonb_astext" -> (args => JsonbUnary("astext", args(0))),

@@ -34,6 +34,7 @@ object ops {
         case "concat" => JsonbRT.concat
         case "get"    => JsonbRT.get
         case "delete" => JsonbRT.deleteKey
+        case "delpath" => JsonbRT.deletePath
       }
 
     override def nullSafeEval(l: Any, r: Any): Any =
@@ -41,8 +42,9 @@ object ops {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val m = op match {
-        case "delete" => "deleteKey"
-        case o        => o
+        case "delete"  => "deleteKey"
+        case "delpath" => "deletePath"
+        case o         => o
       }
       // result may be SQL NULL (e.g. `get` on a missing key) — a plain
       // defineCodeGen would write a null UTF8String marked non-null
@@ -96,17 +98,25 @@ object ops {
     override def nullable: Boolean = true
     override def prettyName: String = s"jsonb_$op"
 
-    override def nullSafeEval(l: Any, r: Any): Any = op match {
-      case "contains" =>
-        JsonbRT.contains(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
-      case "exists" =>
-        JsonbRT.existsKey(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    private def method: String = op match {
+      case "contains"  => "contains"
+      case "exists"    => "existsKey"
+      case "existsany" => "existsAny"
+      case "existsall" => "existsAll"
     }
 
-    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val m = if (op == "contains") "contains" else "existsKey"
-      defineCodeGen(ctx, ev, (l, r) => s"$RT.$m($l, $r)")
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val lu = l.asInstanceOf[UTF8String]; val ru = r.asInstanceOf[UTF8String]
+      op match {
+        case "contains"  => JsonbRT.contains(lu, ru)
+        case "exists"    => JsonbRT.existsKey(lu, ru)
+        case "existsany" => JsonbRT.existsAny(lu, ru)
+        case "existsall" => JsonbRT.existsAll(lu, ru)
+      }
     }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (l, r) => s"$RT.$method($l, $r)")
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =

@@ -114,6 +114,60 @@ object JsonbRT {
     case other => out(other)
   }
 
+  /** jsonb ?| — any of the keys (jsonb array of strings) present. */
+  def existsAny(l: UTF8String, keys: UTF8String): Boolean =
+    v(keys) match {
+      case JArr(ks) => ks.exists {
+        case JStr(k) => Jsonb.exists(v(l), k)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** jsonb ?& — all of the keys present. */
+  def existsAll(l: UTF8String, keys: UTF8String): Boolean =
+    v(keys) match {
+      case JArr(ks) => ks.nonEmpty && ks.forall {
+        case JStr(k) => Jsonb.exists(v(l), k)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** jsonb #- path (delete the key/element at a path; jsonb_delete_path).
+    * Scalar left errors like PG ("cannot delete path in scalar").
+    */
+  def deletePath(l: UTF8String, path: UTF8String): UTF8String = {
+    def del(x: JValue, p: List[JValue]): JValue = p match {
+      case Nil => x
+      case step :: rest => (x, step) match {
+        case (JObj(fields), JStr(k)) =>
+          if (rest.isEmpty) JObj(fields.filterNot(_._1 == k))
+          else JObj(fields.map { case (fk, fv) =>
+            if (fk == k) (fk, del(fv, rest)) else (fk, fv)
+          })
+        case (JArr(items), JNum(n)) =>
+          val i0 = n.intValue
+          val i = if (i0 < 0) items.length + i0 else i0
+          if (i < 0 || i >= items.length) JArr(items)
+          else if (rest.isEmpty) JArr(items.patch(i, Nil, 1))
+          else JArr(items.updated(i, del(items(i), rest)))
+        case (other, _) => other
+      }
+    }
+    val root = v(l)
+    root match {
+      case _: JObj | _: JArr => ()
+      case _ => throw new IllegalArgumentException(
+        "cannot delete path in scalar")
+    }
+    val p = v(path) match {
+      case JArr(items) => items.toList
+      case single => List(single)
+    }
+    out(del(root, p))
+  }
+
   /** Set/overwrite a top-level key (SET n.k = v); SQL-NULL value
     * deletes the key (Cypher REMOVE / SET n.k = NULL semantics).
     */

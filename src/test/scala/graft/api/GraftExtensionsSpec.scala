@@ -26,6 +26,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(one("SELECT jsonb_get('{\"k\": [1, 2]}', '\"k\"')") == "[1, 2]")
     assert(one("SELECT jsonb_eq('7', '7.0')") == true)
     assert(one("SELECT jsonb_contains('[1, 2, 3]', '2')") == true)
+    // <@ / ?| / ?& / #- (pg_proc jsonb op family; SURVEY §2.8)
+    assert(one("SELECT jsonb_contained('2', '[1, 2, 3]')") == true)
+    assert(one("SELECT jsonb_exists_any('{\"a\": 1}', '[\"z\", \"a\"]')") == true)
+    assert(one("SELECT jsonb_exists_any('{\"a\": 1}', '[\"z\"]')") == false)
+    assert(one("SELECT jsonb_exists_all('{\"a\": 1, \"b\": 2}', '[\"a\", \"b\"]')") == true)
+    assert(one("SELECT jsonb_exists_all('{\"a\": 1}', '[\"a\", \"b\"]')") == false)
+    assert(one("SELECT jsonb_delete_path('{\"a\": {\"b\": 1, \"c\": 2}}', '[\"a\", \"b\"]')")
+      == "{\"a\": {\"c\": 2}}")
+    assert(one("SELECT jsonb_delete_path('[1, 2, 3]', '[-1]')") == "[1, 2]")
     assert(one("SELECT jsonb_length('[1, 2, 3]')") == 3L)
     assert(one("SELECT jsonb_to_long('41.9')") == 41L)
     // usable inside real queries over tables
