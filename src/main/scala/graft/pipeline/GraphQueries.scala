@@ -142,6 +142,19 @@ object GraphQueries {
         .orderBy("region")
     },
 
+    // shortestpath inside MATCH (SURVEY §3.4): source-constrained BFS;
+    // the in-graph is a customer->nation->region chain so the minimal
+    // path per (customer, region) pair is the 2-hop — SQL-expressible
+    "g07_shortestpath" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH p = shortestpath((c:customer {mktsegment: 'BUILDING'})-[:in*1..4]->(r:region))
+          |RETURN r.name AS region, length(p) AS hops, count(*) AS n""".stripMargin)
+        .select(J.asText(col("region")).as("region"),
+          J.toLong(col("hops")).as("hops"), J.toLong(col("n")).as("n"))
+        .orderBy("region")
+    },
+
     // Cypher aggregates over jsonb numerics (exact decimal sum)
     "g05_jsonb_agg" -> { (sp, d) =>
       val s = session(sp, d)
@@ -189,6 +202,13 @@ object GraphQueries {
       """SELECT r_name AS region, count(*) AS customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY region""".stripMargin,
+    "g07_shortestpath" ->
+      """SELECT r_name AS region, CAST(2 AS BIGINT) AS hops, count(*) AS n
+        |FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY region""".stripMargin,
     "g05_jsonb_agg" ->
       """SELECT n_name AS nation, max(c_acctbal) AS max_bal,
