@@ -249,6 +249,10 @@ object Algo {
       frontier = frontier.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
     }
+    // every level is probed for emptiness AND consumed by the final
+    // plan: materialize each exactly once (the probe then reads the
+    // cached partitions and the result union re-reads them for free)
+    frontier = frontier.localCheckpoint(true)
     // note: the origin itself is NOT pre-marked visited — a cycle back
     // to the origin is a valid shortest path (shortestpath((a)-[*]->(a)))
     var visited = frontier
@@ -283,13 +287,13 @@ object Algo {
           .where(col("__rn") === 1).drop("__rn")
       }
       k += 1
-      frontier = if (k % CheckpointEvery == 0) next.localCheckpoint(true) else next
+      frontier = next.localCheckpoint(true)
       exhausted = frontier.isEmpty
       if (!exhausted) {
         accumulate(k, frontier)
         visited = visited.unionAll(
-          frontier.select(col("__start").as("__o"), col("__cur").as("__at"))).distinct()
-        if (k % CheckpointEvery == 0) visited = visited.localCheckpoint(true)
+          frontier.select(col("__start").as("__o"), col("__cur").as("__at")))
+          .distinct().localCheckpoint(true)
       }
     }
 
