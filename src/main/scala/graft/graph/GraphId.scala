@@ -25,4 +25,21 @@ object GraphId {
     * (graphid_out, src/backend/utils/adt/graph.c).
     */
   def show(id: Long): String = s"${labid(id)}.${locid(id)}"
+
+  /** Parse the "labid.locid" text form (graphid_in; rejects negatives
+    * and out-of-range parts like the reference — graphid.sql:7-21).
+    */
+  def parse(s: String): Long = {
+    val dot = s.indexOf('.')
+    require(dot > 0 && dot < s.length - 1, s"invalid graphid: $s")
+    val lab = try s.substring(0, dot).toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"invalid graphid: $s")
+    }
+    val loc = try s.substring(dot + 1).toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"invalid graphid: $s")
+    }
+    pack(lab, loc)
+  }
 }
