@@ -33,10 +33,16 @@ object Ast {
   final case class CaseExpr(operand: Option[Expr], whens: Seq[(Expr, Expr)],
       els: Option[Expr]) extends Expr
   /** [x IN xs WHERE p | f] */
+  // all/any/none/single(x IN list WHERE pred) — cypher_dml2.sql list
+  // predicates
+  final case class ListPred(op: String, variable: String, list: Expr,
+      where: Expr) extends Expr
   final case class ListComp(variable: String, list: Expr, where: Option[Expr],
       proj: Option[Expr]) extends Expr
   /** shortestpath((a)-[:t*..n]->(b)) / allshortestpaths used as expression */
   final case class ShortestPathExpr(all: Boolean, path: PathPattern) extends Expr
+  // exists((n)-[:t]->()) pattern predicate (cypher_dml2.sql exists(..))
+  final case class ExistsPattern(path: PathPattern) extends Expr
 
   // ---------------------------------------------------------- patterns
   /** direction: -1 = <-, 0 = undirected, 1 = -> */

@@ -140,11 +140,52 @@ final class Builder(
       val df2 = quals.foldLeft(cur.df)((d, q) => d.where(q))
       var res = State(df2, cur.vars)
       m.where.foreach { w =>
+        val (st2, w2) = rewriteExistsPatterns(res, w)
+        res = st2
         val comp = compiler(res)
-        res = State(res.df.where(comp.toBool(comp.compile(w))), res.vars)
+        res = State(res.df.where(comp.toBool(comp.compile(w2))), res.vars)
       }
       res
     }
+  }
+
+  /** Bind exists((a)-[:t]->(b)) pattern predicates as hidden boolean
+    * columns: tag rows, run the pattern as a correlated match (shared
+    * variables constrain it), left-join the matched row ids back. The
+    * predicate is false (not null) for non-matching rows, like the
+    * reference's EXISTS sublink.
+    */
+  private def rewriteExistsPatterns(st0: State, e: Expr): (State, Expr) = {
+    var st = st0
+    def bind(p: PathPattern): Expr = {
+      val hidden = fresh("exists")
+      val rid = s"${hidden}_rid"
+      val tagged = st.df.withColumn(rid, monotonically_increasing_id())
+      val inner = buildMatch(State(tagged, st.vars),
+        Match(Seq(p), optional = false, where = None))
+      val matched = inner.df.select(col(rid).as(s"${hidden}_m")).distinct()
+      val joined = tagged
+        .join(matched, col(rid) === col(s"${hidden}_m"), "left")
+        .withColumn(hidden, col(s"${hidden}_m").isNotNull)
+        .drop(rid, s"${hidden}_m")
+      st = State(joined, st.vars :+ (hidden -> Kind.KB))
+      Vbl(hidden)
+    }
+    def go(x: Expr): Expr = x match {
+      case ExistsPattern(p) => bind(p)
+      case And(l, r) => And(go(l), go(r))
+      case Or(l, r) => Or(go(l), go(r))
+      case Not(v) => Not(go(v))
+      case Cmp(op, l, r) => Cmp(op, go(l), go(r))
+      case IsNull(v, n) => IsNull(go(v), n)
+      case FnCall(n, args, d) => FnCall(n, args.map(go), d)
+      case BinOp(op, l, r) => BinOp(op, go(l), go(r))
+      case CaseExpr(o, w, el) =>
+        CaseExpr(o.map(go), w.map { case (a, b) => (go(a), go(b)) }, el.map(go))
+      case other => other
+    }
+    val e2 = go(e) // mutates st per bound pattern — evaluate first
+    (st, e2)
   }
 
   private def uniqueQual(a: (String, Kind), b: (String, Kind)): Column = {
@@ -381,12 +422,17 @@ final class Builder(
   private[cypher] def buildProjection(st0: State, p: Projection): State = {
     // startnode()/endnode() re-fetch vertices by the edge's endpoint id
     // (graph.c edge_start_vertex): rewrite to hidden joined vars first
-    val (st, p2) = rewriteEndpointFns(st0, p)
+    val (st1, p2) = rewriteEndpointFns(st0, p)
+    // exists(pattern) in RETURN/WITH items binds hidden bool columns
+    var st = st1
+    val items1 = p2.items.map { case (e, as) =>
+      val (st2, e2) = rewriteExistsPatterns(st, e); st = st2; (e2, as)
+    }
+    val p2b = p2.copy(items = items1)
     val items0: Seq[(Expr, String)] =
-      if (p2.star) st.vars.filterNot(_._1.startsWith("__")).map { case (n, _) => (Vbl(n), n) }
-      else p2.items.map { case (e, as) => (e, as.getOrElse(Compiler.itemName(e))) }
-    val p3 = p2
-    buildProjectionImpl(st, p3, items0)
+      if (p2b.star) st.vars.filterNot(_._1.startsWith("__")).map { case (n, _) => (Vbl(n), n) }
+      else p2b.items.map { case (e, as) => (e, as.getOrElse(Compiler.itemName(e))) }
+    buildProjectionImpl(st, p2b, items0)
   }
 
   /** Replace startnode(e)/endnode(e) with hidden vertex vars joined by

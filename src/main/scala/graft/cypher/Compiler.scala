@@ -27,15 +27,18 @@ final class Compiler(
     params: Map[String, JValue],
     labidToName: Map[Int, String],
     labidToLabelsJson: Map[Int, String] = Map.empty,
-    lambdaVars: Map[String, Column] = Map.empty,
+    lambdaVars: Map[String, (Column, Kind)] = Map.empty,
     frameCols: Set[String] = Set.empty) {
 
   import Kind._
 
-  /** Nested scope for list-comprehension lambda variables. */
-  def withLambda(name: String, el: Column): Compiler =
+  /** Nested scope for list-comprehension / list-predicate lambda
+    * variables (jsonb elements by default; edge/vertex structs when
+    * iterating a path's element arrays).
+    */
+  def withLambda(name: String, el: Column, kind: Kind = KJ): Compiler =
     new Compiler(kinds, params, labidToName, labidToLabelsJson,
-      lambdaVars + (name -> el), frameCols)
+      lambdaVars + (name -> (el, kind)), frameCols)
 
   // ------------------------------------------------- property shredding
 
@@ -133,7 +136,8 @@ final class Compiler(
 
   def kindOf(e: Expr): Kind = e match {
     case Vbl(n) => kinds.getOrElse(n, KJ)
-    case _: Cmp | _: And | _: Or | _: Not | _: IsNull | _: StrPred | _: InList => KB
+    case _: Cmp | _: And | _: Or | _: Not | _: IsNull | _: StrPred |
+         _: InList | _: ListPred => KB
     case CountStar => KJ
     case FnCall(n, _, _) if Compiler.boolFns(n) => KB
     case _ => KJ
@@ -149,7 +153,7 @@ final class Compiler(
       if (v == JNull) CE(lit(null).cast("string"), KJ) else CE(lit(v.render), KJ)
     case Vbl(n) =>
       lambdaVars.get(n) match {
-        case Some(c) => CE(c, KJ)
+        case Some((c, k)) => CE(c, k)
         case None => kinds.get(n) match {
           case Some(k) => CE(col(Compiler.q(n)), k)
           case None => throw new IllegalArgumentException(s"variable `$n` not defined")
@@ -300,9 +304,55 @@ final class Compiler(
 
     case ListComp(v, listE, whereE, projE) =>
       // compile over Spark arrays: split the jsonb array into elements
-      // with a higher-order function; inner expr compiled per-element
-      val arr = toJ(compile(listE))
-      CE(Compiler.listCompColumn(arr, v, whereE, projE, this), KJ)
+      // with a higher-order function; inner expr compiled per-element.
+      // Path element arrays (nodes(p)/relationships(p)) iterate as
+      // vertex/edge structs (cypher_dml2.sql [x in nodes(p) | x.age]).
+      val ce = compile(listE)
+      ce.kind match {
+        case KVL | KEL =>
+          val elKind = if (ce.kind == KVL) KV else KE
+          val filtered = whereE match {
+            case Some(w) => filter(ce.col, el => {
+              val c = withLambda(v, el, elKind); c.toBool(c.compile(w))
+            })
+            case None => ce.col
+          }
+          val projected = projE match {
+            case Some(p) => transform(filtered, el => {
+              val c = withLambda(v, el, elKind)
+              coalesce(c.toJ(c.compile(p)), lit("null"))
+            })
+            case None =>
+              transform(filtered, el =>
+                coalesce(el.getField("properties"), lit("null")))
+          }
+          CE(concat(lit("["), array_join(projected, ", "), lit("]")), KJ)
+        case _ =>
+          CE(Compiler.listCompColumn(toJ(ce), v, whereE, projE, this), KJ)
+      }
+
+    case ListPred(op, v, listE, w) =>
+      // all/any/none/single(x IN list WHERE pred): HOF quantifiers;
+      // path element arrays iterate as edge/vertex structs, anything
+      // else as jsonb elements. 3VL: a null list yields SQL NULL.
+      val ce = compile(listE)
+      val (arr, elKind) = ce.kind match {
+        case KEL => (ce.col, KE)
+        case KVL => (ce.col, KV)
+        case _ => (graft.expr.JsonbNormalize.splitArray(toJ(ce)), KJ)
+      }
+      def pred(el: Column): Column = {
+        val c = withLambda(v, el, elKind)
+        c.toBool(c.compile(w))
+      }
+      val out = op match {
+        case "all" => forall(arr, pred)
+        case "any" => exists(arr, pred)
+        case "none" => !exists(arr, pred)
+        case "single" =>
+          size(filter(arr, el => coalesce(pred(el), lit(false)))) === 1
+      }
+      CE(out, KB)
 
     case CountStar =>
       throw new IllegalArgumentException("count(*) outside aggregation context")
@@ -446,6 +496,9 @@ final class Compiler(
         val parts = split(s, sep, lit(-1)) // literal-ish; regex semantics accepted
         val quoted = transform(parts, p => concat(lit("\""), p, lit("\"")))
         CE(concat(lit("["), array_join(quoted, ", "), lit("]")), KJ)
+      case "isempty" =>
+        // isEmpty(list/map/string): size == 0; SQL NULL input -> NULL
+        CE(J.lengthOf(j0) === 0, KB)
       case "timestamp" =>
         CE(J.fromLong((unix_millis(current_timestamp()))), KJ)
       case "startnode" | "endnode" =>
@@ -508,6 +561,7 @@ object Compiler {
         case CaseExpr(o, w, el) =>
           CaseExpr(o.map(go), w.map { case (a, b) => (go(a), go(b)) }, el.map(go))
         case ListComp(v, l, w, p) => ListComp(v, go(l), w.map(go), p.map(go))
+        case ListPred(op, v, l, w) => ListPred(op, v, go(l), go(w))
         case other => other
       }
     go(e)
@@ -533,6 +587,7 @@ object Compiler {
     case CaseExpr(o, w, e2) =>
       o.exists(hasAgg) || w.exists(p => hasAgg(p._1) || hasAgg(p._2)) || e2.exists(hasAgg)
     case ListComp(_, l, w, p) => hasAgg(l) || w.exists(hasAgg) || p.exists(hasAgg)
+    case ListPred(_, _, l, w) => hasAgg(l) || hasAgg(w)
     case _ => false
   }
 

@@ -475,6 +475,81 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(out) == Seq(Seq("9", "\"x\"")))
   }
 
+  // persons graph of cypher_dml2.sql:43-70 (list predicates / isEmpty)
+  lazy val persons: CypherSession = {
+    val s = freshSession()
+    s.createGraph("dml2")
+    s.createVLabel("person")
+    s.createELabel("knows")
+    s.createELabel("married")
+    s.cypher(
+      """CREATE (a:person {name: 'Alice', age: 51, eyes: 'brown'}),
+        |(b:person {name: 'Frank', age: 61, eyes: '', liked_colors: ['blue','green']}),
+        |(c:person {name: 'Charlie', age: 53, eyes: 'green'}),
+        |(d:person {name: 'Bob', age: 25, eyes: 'blue'}),
+        |(e:person {name: 'Daniel', age: 54, eyes: 'brown', liked_colors: ''}),
+        |(f:person {name: 'Eskil', age: 41, eyes: 'blue', liked_colors: ['pink','yellow','black']}),
+        |(a)-[:knows]->(c), (a)-[:knows]->(d), (c)-[:knows]->(e),
+        |(d)-[:knows]->(e), (d)-[:married]->(f)""".stripMargin)
+    s
+  }
+
+  test("all(x IN nodes(p) WHERE ...) filters whole paths (cypher_dml2.out:108-118)") {
+    val df = persons.cypher(
+      """MATCH p = (a)-[*1..3]->(b)
+        |WHERE a.name = 'Alice' AND b.name = 'Daniel'
+        |  AND all(x IN nodes(p) WHERE x.age > 30)
+        |RETURN [x in nodes(p) | x.age] AS ages""".stripMargin)
+    assert(rows(df) == Seq(Seq("[51, 53, 54]")))
+  }
+
+  test("any(c IN list WHERE ...) over a jsonb list (cypher_dml2.out:120-127)") {
+    val df = persons.cypher(
+      """MATCH (n) WHERE any(color IN n.liked_colors WHERE color = 'yellow')
+        |RETURN n.name AS name""".stripMargin)
+    assert(rows(df) == Seq(Seq("\"Eskil\"")))
+  }
+
+  test("none/single list predicates") {
+    val none = persons.cypher(
+      """MATCH (n) WHERE n.liked_colors IS NOT NULL
+        |  AND none(c IN n.liked_colors WHERE c = 'yellow')
+        |  AND size(n.liked_colors) > 0
+        |RETURN n.name AS name""".stripMargin)
+    assert(rows(none) == Seq(Seq("\"Frank\"")))
+    val single = persons.cypher(
+      """MATCH (n) WHERE single(c IN n.liked_colors WHERE c = 'green')
+        |RETURN n.name AS name""".stripMargin)
+    assert(rows(single) == Seq(Seq("\"Frank\"")))
+  }
+
+  test("exists(pattern) predicate + identifier case folding (cypher_dml2.out:129-143)") {
+    // [:MARRIED] folds to :married (PG unquoted-identifier rule); the
+    // predicate is false, never null, for non-matching rows
+    val df = persons.cypher(
+      """MATCH (n) WHERE n.name IS NOT NULL
+        |RETURN n.name AS name, exists((n)-[:MARRIED]->()) AS is_married
+        |ORDER BY name""".stripMargin)
+    assert(rows(df) == Seq(
+      Seq("\"Alice\"", false), Seq("\"Bob\"", true), Seq("\"Charlie\"", false),
+      Seq("\"Daniel\"", false), Seq("\"Eskil\"", false), Seq("\"Frank\"", false)))
+  }
+
+  test("exists(pattern) in WHERE filters correlated rows") {
+    val df = persons.cypher(
+      """MATCH (n:person) WHERE exists((n)-[:knows]->())
+        |RETURN n.name AS name ORDER BY name""".stripMargin)
+    assert(rows(df) ==
+      Seq(Seq("\"Alice\""), Seq("\"Bob\""), Seq("\"Charlie\"")))
+  }
+
+  test("isEmpty over lists and strings (cypher_dml2.out:145-154)") {
+    val df = persons.cypher(
+      """MATCH (n) WHERE NOT isEmpty(n.liked_colors)
+        |RETURN n.name AS name ORDER BY name""".stripMargin)
+    assert(rows(df) == Seq(Seq("\"Eskil\""), Seq("\"Frank\"")))
+  }
+
   test("LOAD FROM joins a Spark table into the pipeline") {
     val s = agens
     import spark.implicits._
