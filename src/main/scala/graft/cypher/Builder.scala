@@ -576,6 +576,9 @@ final class Builder(
     * over each group's values, still shuffle-free beyond the groupBy.
     */
   private def aggColumn(comp: Compiler, f: FnCall): Column = {
+    if (f.args.exists(Compiler.hasAgg))
+      throw new IllegalArgumentException(
+        "aggregate function calls cannot be nested")
     val arg = comp.toJ(comp.compile(f.args.head))
     def distinctArr = J.arrDistinct(JsonbAggregates.collect(arg))
     f.name match {

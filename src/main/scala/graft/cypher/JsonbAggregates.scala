@@ -100,7 +100,10 @@ object JsonbAggregates {
       val JArr(yi) = Jsonb.parse(y): @unchecked
       JArr(xi ++ yi).render
     }
-    def finish(r: String): String = r
+    // zero input rows -> SQL NULL (jsonb_agg semantics: no initcond;
+    // groups always have >= 1 input row, and SQL-NULL inputs append as
+    // jsonb null, so "[]" at finish means no rows)
+    def finish(r: String): String = if (r == "[]") null else r
     def bufferEncoder: Encoder[String] = enc
     def outputEncoder: Encoder[String] = enc
   }

@@ -550,6 +550,20 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq("\"Eskil\""), Seq("\"Frank\"")))
   }
 
+  test("nested aggregates error; collect over zero rows is NULL (cypher_dml2.out:1-20)") {
+    val s = freshSession()
+    s.createGraph("dml2agg")
+    s.createVLabel("v1")
+    val err = intercept[IllegalArgumentException] {
+      s.cypher("MATCH (p:v1) RETURN max(collect(p.name)) AS col").collect()
+    }
+    assert(err.getMessage.contains("cannot be nested"))
+    // empty label: collect -> NULL (jsonb_agg), max(NULL) -> NULL
+    val df = s.cypher(
+      "MATCH (p:v1) WITH collect(p.name) AS col RETURN max(col) AS m")
+    assert(rows(df) == Seq(Seq(null)))
+  }
+
   test("LOAD FROM joins a Spark table into the pipeline") {
     val s = agens
     import spark.implicits._
