@@ -87,24 +87,24 @@ object JsonbAggregates {
   /** collect(x) -> jsonb array (reference maps collect to jsonb_agg,
     * which keeps SQL NULLs as jsonb nulls; parse_cypher_expr.c:887-888).
     */
-  private object CollectAgg extends Aggregator[String, String, String] {
-    def zero: String = "[]"
-    private def append(arr: String, item: JValue): String = {
-      val JArr(items) = Jsonb.parse(arr): @unchecked
-      JArr(items :+ item).render
+  private object CollectAgg
+      extends Aggregator[String, scala.collection.mutable.ArrayBuffer[String], String] {
+    // raw-string buffer: O(1) append / O(n) finish (re-rendering the
+    // accumulated array per input row would be quadratic per group)
+    def zero: scala.collection.mutable.ArrayBuffer[String] =
+      scala.collection.mutable.ArrayBuffer.empty
+    def reduce(b: scala.collection.mutable.ArrayBuffer[String], a: String) = {
+      b += a; b
     }
-    def reduce(b: String, a: String): String =
-      append(b, if (a == null) JNull else Jsonb.parse(a))
-    def merge(x: String, y: String): String = {
-      val JArr(xi) = Jsonb.parse(x): @unchecked
-      val JArr(yi) = Jsonb.parse(y): @unchecked
-      JArr(xi ++ yi).render
-    }
-    // zero input rows -> SQL NULL (jsonb_agg semantics: no initcond;
-    // groups always have >= 1 input row, and SQL-NULL inputs append as
-    // jsonb null, so "[]" at finish means no rows)
-    def finish(r: String): String = if (r == "[]") null else r
-    def bufferEncoder: Encoder[String] = enc
+    def merge(x: scala.collection.mutable.ArrayBuffer[String],
+        y: scala.collection.mutable.ArrayBuffer[String]) = { x ++= y; x }
+    // zero input rows -> SQL NULL (jsonb_agg semantics: no initcond);
+    // SQL-NULL inputs collect as jsonb nulls
+    def finish(r: scala.collection.mutable.ArrayBuffer[String]): String =
+      if (r.isEmpty) null
+      else JArr(r.iterator.map(s =>
+        if (s == null) JNull else Jsonb.parse(s)).toVector).render
+    def bufferEncoder = Encoders.kryo[scala.collection.mutable.ArrayBuffer[String]]
     def outputEncoder: Encoder[String] = enc
   }
 
