@@ -87,6 +87,21 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     },
 
+    "p17_quantize_int8" -> { (s, d) =>
+      // int8 scalar quantization: code sums are integer-exact, so the
+      // whole compression step is oracle-checkable
+      load(s, d, "embeddings")
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("q"),
+          round(array_min(col("embedding")).cast("double"), 6).as("qmin"),
+          round(array_max(col("embedding")).cast("double"), 6).as("qmax"))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("code_sum"),
+          col("qmin"), col("qmax"))
+        .where(col("vec_id") < 400)
+        .orderBy("vec_id")
+    },
+
     // ---- text analysis ----------------------------------------------
     "p08_token_stats" -> { (s, d) =>
       load(s, d, "documents")
@@ -255,6 +270,19 @@ object PipelineQueries {
         |  AND list_cosine_similarity(a.embedding::DOUBLE[],
         |    b.embedding::DOUBLE[]) >= 0.45
         |ORDER BY da, db""".stripMargin,
+    "p17_quantize_int8" ->
+      """WITH r AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_min(embedding::DOUBLE[]) AS mn,
+        |    list_max(embedding::DOUBLE[]) AS mx
+        |  FROM embeddings WHERE vec_id < 400)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(e, x ->
+        |    least(greatest(floor((x - mn) / (CASE WHEN mx - mn > 0
+        |      THEN mx - mn ELSE 1.0 END) * 255.0), 0.0), 255.0)))
+        |    AS BIGINT) AS code_sum,
+        |  round(mn, 6) AS qmin, round(mx, 6) AS qmax
+        |FROM r ORDER BY vec_id""".stripMargin,
     "p08_token_stats" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(text, '\s+')) AS n_tokens,

@@ -179,6 +179,21 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
 
+  /** Scalar int8 quantization of an embedding column: per-vector
+    * min/max range, codes = floor((x-min)/range*255) clamped to 0..255
+    * (the storage/ANN compression primitive — 4x smaller vectors, one
+    * narrow pass, no shuffle). floor keeps cross-engine determinism
+    * (round() disagrees between engines on .5 boundaries).
+    */
+  def quantizeInt8(v: Column): Column = {
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    val range = when(mx - mn > 0, mx - mn).otherwise(lit(1.0))
+    transform(v, x =>
+      least(greatest(floor((x.cast("double") - mn) / range * 255.0), lit(0.0)),
+        lit(255.0)).cast("int"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
     val a = vectors.select(col("vec_id").as("da"), col("embedding").as("va"),
