@@ -42,7 +42,9 @@ object Algo {
     val hi = hiOpt.getOrElse(MaxDepth.toLong).min(MaxDepth.toLong)
 
     val E = {
+      // keep the loop frames narrow: drop shred sidecar passthroughs
       val base = b.edgeScan(rel.types, rel.direction)
+        .select(col("__edge"), col("__s"), col("__e"))
       rel.props match {
         case Some(pe) =>
           // constant prop constraint on every traversed edge
