@@ -440,6 +440,36 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // FETCH FIRST n ROWS WITH TIES (§2.7 Limit WITH TIES): rank-based —
+    // every row tying with the n-th comes along.
+    "q40_with_ties" -> { (s, d) =>
+      val w = Window.orderBy(col("l_quantity").desc)
+      load(s, d, "lineitem")
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("__rk", rank().over(w))
+        .where(col("__rk") <= 5).drop("__rk")
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // GROUPS window frames (§2.6 gap): emulated exactly with
+    // dense_rank + a RANGE frame over the rank — peer groups step as
+    // units; DuckDB's native GROUPS mode is the oracle.
+    "q41_groups_frame" -> { (s, d) =>
+      val bucket = date_trunc("hour", col("ts")).as("bkt")
+      val ev = load(s, d, "events").where(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), bucket,
+          col("value").cast("decimal(28,6)").as("v"))
+      val byBkt = Window.partitionBy("user_id").orderBy("bkt")
+      val withDr = ev.withColumn("__dr", dense_rank().over(byBkt))
+      val frame = Window.partitionBy("user_id").orderBy("__dr")
+        .rangeBetween(-1, 0) // 1 peer-group preceding .. current group
+      withDr
+        .select(col("user_id"), col("event_id"),
+          sum("v").over(frame).cast("double").as("grp_sum"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- jsonb expression surface (graft.expr custom Expressions) ---
     // Property extraction via the custom JsonbBinary("get") expression
     // (the same operator Cypher property access compiles to).
@@ -725,6 +755,25 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q40_with_ties" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    rank() OVER (ORDER BY l_quantity DESC) AS rk
+        |  FROM lineitem WHERE l_orderkey < 100) t
+        |WHERE rk <= 5
+        |ORDER BY l_quantity DESC, l_orderkey, l_linenumber""".stripMargin,
+    "q41_groups_frame" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(28,6)) AS v,
+        |    date_trunc('hour', ts) AS bkt
+        |  FROM events WHERE user_id < 20),
+        |d AS (SELECT e.*, dense_rank() OVER
+        |        (PARTITION BY user_id ORDER BY bkt) AS dr FROM e)
+        |SELECT user_id, event_id,
+        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY dr
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS grp_sum
+        |FROM d ORDER BY user_id, event_id""".stripMargin,
     "q31_jsonb_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events
