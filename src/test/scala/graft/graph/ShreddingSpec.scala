@@ -98,6 +98,30 @@ class ShreddingSpec extends AnyFunSuite {
       Seq("\"alpha\""))
   }
 
+  test("labels exceeding the key cap disable shredding but stay correct") {
+    val s = freshSession()
+    s.createVLabel("big")
+    val props = (1 to 40).map(i => s"k$i: $i").mkString(", ")
+    s.cypher(s"CREATE (:big {$props})")
+    val lm = s.catalog.label("sg", "big").get
+    assert(lm.shredOff)
+    assert(!s.catalog.scanOnly("sg", "big").columns.exists(_.startsWith("__p")))
+    assert(s.cypher("MATCH (x:big) WHERE x.k7 = 7 RETURN x").count() == 1)
+  }
+
+  test("edge properties shred too: predicates use the typed sidecar") {
+    val s = freshSession()
+    s.createVLabel("v")
+    s.createELabel("e")
+    s.cypher("CREATE (:v {n: 1}), (:v {n: 2})")
+    s.cypher("MATCH (a:v {n: 1}), (b:v {n: 2}) CREATE (a)-[:e {w: 10}]->(b)")
+    s.cypher("MATCH (a:v {n: 2}), (b:v {n: 1}) CREATE (a)-[:e {w: 99}]->(b)")
+    assert(s.catalog.label("sg", "e").get.shred("w") == "n")
+    val out = s.cypher(
+      "MATCH (a)-[r:e]->(b) WHERE r.w > 50 RETURN r.w AS w")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("99"))
+  }
+
   test("SET invalidates sidecars: post-write reads see fresh values") {
     val s = freshSession()
     s.createVLabel("u")
