@@ -137,20 +137,20 @@ object Dedup {
       // of my current label) -> converges in O(log diameter) rounds
       val viaNeighbor = sym.join(labels.withColumnRenamed("id", "nb2"),
           sym("nb") === col("nb2"))
-        .select(sym("id"), col("comp"))
+        .select(sym("id"), col("comp"), lit(1).as("__t"))
       val viaLabel = labels.select(col("id"), col("comp").as("__c"))
         .join(labels.select(col("id").as("cid"), col("comp").as("__cc")),
           col("__c") === col("cid"))
-        .select(col("id"), col("__cc").as("comp"))
-      val next = labels.select(col("id"), col("comp"))
+        .select(col("id"), col("__cc").as("comp"), lit(1).as("__t"))
+      // the self branch is tagged so the SAME aggregation yields both
+      // the new label (min over all) and the old one (min over self) —
+      // convergence is a flag on the materialized rows, no extra join
+      val step = labels.select(col("id"), col("comp"), lit(0).as("__t"))
         .unionAll(viaNeighbor).unionAll(viaLabel)
-        .groupBy("id").agg(min("comp").as("comp"))
-      // carry the old label through the checkpoint so convergence is a
-      // cheap filter over materialized rows, not a second aggregation
-      val step = next.as("n")
-        .join(labels.select(col("id").as("__pid"), col("comp").as("__pc")),
-          col("id") === col("__pid"))
-        .select(col("id"), col("comp"), (col("comp") =!= col("__pc")).as("__chg"))
+        .groupBy("id")
+        .agg(min("comp").as("comp"),
+          min(when(col("__t") === 0, col("comp"))).as("__old"))
+        .withColumn("__chg", col("comp") =!= col("__old"))
         .localCheckpoint(true)
       changed = step.where(col("__chg")).head(1).nonEmpty
       labels = step.select(col("id"), col("comp"))
