@@ -368,12 +368,13 @@ object Algo {
         .where(col("__rn") <= limitK).drop("__rn")
     }
 
+    // ids-only relaxation (vertex structs re-attach once at the end,
+    // like bfs): every round shuffles 3 narrow arrays + the distance
     var best = topK(E.join(origins, col("__s") === col("__origin"), "left_semi")
-      .join(V, col("__e") === col("__vid"))
       .select(col("__s").as("__start"), col("__e").as("__cur"),
         array(col("__edge")).as("__edges"),
         array(col("__edge").getField("id")).as("__ids"),
-        array(col("__v")).as("__verts"),
+        array(col("__e")).as("__vids"),
         col("__w").as("__dist")))
 
     var changed = true
@@ -381,11 +382,10 @@ object Algo {
     while (changed && rounds < MaxDepth) {
       val expanded = best.join(E, col("__cur") === col("__s") &&
           !array_contains(col("__ids"), col("__edge").getField("id")))
-        .join(V, col("__e") === col("__vid"))
         .select(col("__start"), col("__e").as("__cur2"),
           concat(col("__edges"), array(col("__edge"))).as("__edges"),
           concat(col("__ids"), array(col("__edge").getField("id"))).as("__ids"),
-          concat(col("__verts"), array(col("__v"))).as("__verts"),
+          concat(col("__vids"), array(col("__e"))).as("__vids"),
           (col("__dist") + col("__w")).as("__dist"))
         .withColumnRenamed("__cur2", "__cur")
       val candidate = topK(best.unionAll(expanded)).localCheckpoint(true)
@@ -398,7 +398,7 @@ object Algo {
       best = candidate
       rounds += 1
     }
-    best.drop("__w", "__dist")
+    attachVerts(b, best.drop("__w", "__dist"), V)
   }
 
   private def emptyIdPaths(b: Builder): DataFrame =
