@@ -281,6 +281,13 @@ object WriteOps {
       case RemoveProp(Prop(Vbl(v), k)) =>
         byVar(v) = J.setKey(currentProps(v), lit(k), lit(null).cast("string"))
       case SetMap(v, value, add) =>
+        value match {
+          case graft.cypher.Ast.Lit(graft.jsonb.JNull) =>
+            // cypher_dml.out:2334-2338, 2381-2385
+            throw new IllegalArgumentException(
+              "cannot set property map to NULL (use {} instead of NULL to remove all properties)")
+          case _ => ()
+        }
         val m = JsonbNormalize.normalize(comp.toJ(comp.compile(value)))
         byVar(v) = if (add) J.concat(currentProps(v), m) else m
       case other => throw new IllegalArgumentException(s"unsupported SET item $other")

@@ -550,6 +550,28 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq("\"Eskil\""), Seq("\"Frank\"")))
   }
 
+  test("SET NULL-map and property-+= error like the reference (cypher_dml.out:2334-2346,2381)") {
+    val s = freshSession()
+    s.createGraph("setnull")
+    s.cypher("CREATE ({age: 10})")
+    val e1 = intercept[IllegalArgumentException] {
+      s.cypher("MATCH (a) SET a += NULL")
+    }
+    assert(e1.getMessage.contains("cannot set property map to NULL"))
+    val e2 = intercept[IllegalArgumentException] {
+      s.cypher("MATCH (a) SET a = NULL")
+    }
+    assert(e2.getMessage.contains("cannot set property map to NULL"))
+    val e3 = intercept[IllegalArgumentException] {
+      s.cypher("MATCH (a) SET a.name += 'someone'")
+    }
+    assert(e3.getMessage.contains("+= operator on a property is not allowed"))
+    // the merge form still works (cypher_dml.out:2320-2333)
+    val out = s.cypher(
+      "MATCH (a) SET a += {name: 'bitnine', age: 3} RETURN properties(a) AS p")
+    assert(rows(out) == Seq(Seq("{\"age\": 3, \"name\": \"bitnine\"}")))
+  }
+
   test("nested aggregates error; collect over zero rows is NULL (cypher_dml2.out:1-20)") {
     val s = freshSession()
     s.createGraph("dml2agg")
