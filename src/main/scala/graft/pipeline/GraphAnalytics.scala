@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX-backed whole-graph analytics (the "GraphX for analytics"
+  * leg of the north star): Pregel-scheduled algorithms over the same
+  * packed-long ids the Cypher engine uses, interoperating with the
+  * DataFrame operators through plain (id, ...) frames.
+  *
+  * `connectedComponents` is the scale path for dedup clustering —
+  * Pregel's delta iteration converges without re-shuffling the whole
+  * label set each round; `Dedup.clusters` (min-label DataFrame loop)
+  * remains the pure-SQL fallback and the two are cross-checked in
+  * PipelineSpec.
+  */
+object GraphAnalytics {
+
+  /** Connected components over an undirected pair relation (da, db):
+    * returns (id, comp) with comp = min member id — the same contract
+    * as Dedup.clusters.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("da").cast("long"), col("db").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph.fromEdges(edges, defaultValue = ())
+    // GraphX CC labels with the min vertex id per component
+    graph.connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }
+      .toDF("id", "comp")
+  }
+
+  /** Static PageRank over an edge list (start, end) with packed ids;
+    * returns (id, rank). resetProb/iterations follow GraphX defaults.
+    */
+  def pageRank(edgesDf: DataFrame, numIter: Int = 10,
+      resetProb: Double = 0.15): DataFrame = {
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    val edges = edgesDf.select(col("start").cast("long"), col("end").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph.fromEdges(edges, defaultValue = ())
+    graph.staticPageRank(numIter, resetProb).vertices
+      .map { case (id, rank) => (id, rank) }
+      .toDF("id", "rank")
+  }
+
+  /** Keep one representative (min id) per duplicate cluster — the
+    * GraphX twin of Dedup.keepRepresentatives.
+    */
+  def keepRepresentatives(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cl = connectedComponents(pairs)
+    val victims = cl.where(col("id") =!= col("comp")).select("id")
+    docs.join(victims, docs(idCol) === victims("id"), "left_anti")
+  }
+}

@@ -60,6 +60,37 @@ class PipelineSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("GraphX connected components agree with the DataFrame min-label loop") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L), (8L, 9L), (9L, 7L))
+      .toDF("da", "db")
+    val sqlCc = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gxCc = GraphAnalytics.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sqlCc == gxCc)
+    // and on real near-dup pairs from the documents table
+    val docs = graft.relational.Tables.load(spark, sf, "documents")
+      .where(col("doc_id") < 100)
+    val realPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+    val a = Dedup.clusters(realPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = GraphAnalytics.connectedComponents(realPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("GraphX PageRank over the order graph ranks hub customers") {
+    import spark.implicits._
+    // star: customer 1 receives from 4 orders; 2 from 1
+    val edges = Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L), (14L, 2L))
+      .toDF("start", "end")
+    val pr = GraphAnalytics.pageRank(edges, numIter = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(pr(1L) > pr(2L))
+    assert(pr(2L) > pr(10L))
+  }
+
   test("IVF ANN recalls most brute-force top-k neighbors") {
     val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
     val exact = Similarity.bruteForceTopK(vecs.where(col("vec_id") < 30), vecs, 3)
