@@ -197,6 +197,9 @@ object Algo {
       .localCheckpoint(true)
     val (st2, tgtName) = b.bindNode(st, targetNode)
     st = st2
+    val tgtId0 = col(Compiler.q(tgtName)).getField("id")
+    val targets = st.df.select(tgtId0.as("__target")).distinct()
+      .localCheckpoint(true)
 
     val (lo, hi) = rel.varLength.getOrElse((Some(1L), Some(1L)))
     val loV = lo.getOrElse(1L)
@@ -207,11 +210,25 @@ object Algo {
     // vertices instead of every vertex (the set-based analog of the
     // reference seeding its two-sided hash expansion from the outer
     // tuple's endpoints, nodeShortestpath.c SP_GET_PARAMETER).
+    // Search strategy (spark.graft.pathSearch): "onesided" (default) =
+    // forward frontier expansion with visited pruning — wins when
+    // forward exploration dead-ends early (typical for selective
+    // sources over DAG-ish topologies); "twosided" = meet-in-middle
+    // from both endpoint sets (the Hash2Side analog) — wins on deep
+    // paths between small endpoint sets over high-branching graphs.
+    // Both are cross-validated against the VLE path universe
+    // (PathFinderCrossCheckSpec).
+    val twoSided = b.spark.conf
+      .get("spark.graft.pathSearch", "onesided") == "twosided"
     val paths = finder match {
       case PathFinder.Dijkstra(weight, qual, limitK) =>
         dijkstra(b, rel, relName, weight, qual, limitK.getOrElse(1L), origins)
-      case PathFinder.AllShortest => bfs(b, rel, loV, hiV, keepAll = true, origins)
-      case _ => bfs(b, rel, loV, hiV, keepAll = false, origins)
+      case PathFinder.AllShortest =>
+        if (twoSided) bfs2(b, rel, loV, hiV, keepAll = true, origins, targets)
+        else bfs(b, rel, loV, hiV, keepAll = true, origins)
+      case _ =>
+        if (twoSided) bfs2(b, rel, loV, hiV, keepAll = false, origins, targets)
+        else bfs(b, rel, loV, hiV, keepAll = false, origins)
     }
 
     // join on both endpoints
@@ -311,6 +328,159 @@ object Algo {
     }
     // keep only minimal depth per pair (visited pruning already ensures
     // min-depth-only arrivals; zero-length needs the same guard)
+    val withMin = out.withColumn("__minlen",
+      min(size(col("__ids"))).over(Window.partitionBy("__start", "__cur")))
+      .where(size(col("__ids")) === col("__minlen")).drop("__minlen")
+    val kept =
+      if (keepAll) withMin
+      else withMin.withColumn("__rn",
+          row_number().over(Window.partitionBy("__start", "__cur").orderBy(col("__ids"))))
+        .where(col("__rn") === 1).drop("__rn")
+    attachVerts(b, kept, V)
+  }
+
+  /** Two-sided (meet-in-middle) BFS — the set-based analog of the
+    * reference's Hash2Side executor (nodeShortestpath.c /
+    * nodeHash2Side.c): frontiers expand alternately from the bound
+    * sources (forward) and targets (backward), so each side explores
+    * only half the path depth. Lengths are scanned in increasing order
+    * (a meet after expansions (f, b) has length exactly f+b), so the
+    * first meet per (source, target) pair is its shortest; met pairs
+    * are anti-joined out of later meets.
+    *
+    * Pruning invariant: every vertex on a shortest path sits at its
+    * minimal forward depth from the source AND minimal backward depth
+    * from the target (otherwise splicing a shorter prefix/suffix
+    * contradicts minimality), so the per-side visited sets preserve
+    * every shortest path. Searches carry vertex ids only; structs
+    * re-attach once at the end.
+    */
+  private def bfs2(b: Builder, rel: RelPattern, lo: Long, hi: Long,
+      keepAll: Boolean, origins: DataFrame, targets: DataFrame): DataFrame = {
+    val E0 = b.edgeScan(rel.types, rel.direction)
+    val E = E0.select(col("__edge"), col("__s"), col("__e"))
+    val V = b.vertexScan(None, only = false)
+      .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
+
+    // depth-0 states: the endpoints themselves, empty arrays (cheap
+    // projections of the already-snapshotted endpoint sets — no
+    // checkpoint needed)
+    var fwd = origins.select(col("__origin").as("__start"),
+      col("__origin").as("__cur"),
+      b.emptyEdgeArray.as("__edges"), b.emptyLongArray.as("__ids"),
+      b.emptyLongArray.as("__vids"))
+    var bwd = targets.select(col("__target").as("__tgt"),
+      col("__target").as("__bcur"),
+      b.emptyEdgeArray.as("__bedges"), b.emptyLongArray.as("__bids"),
+      b.emptyLongArray.as("__bvids"))
+
+    var visitedF = fwd.select(col("__start").as("__o"), col("__cur").as("__at"))
+    var visitedB = bwd.select(col("__tgt").as("__o"), col("__bcur").as("__at"))
+
+    // met (source, target) pairs: later meets for them are longer
+    // paths. When every pair has met, the search is done — the classic
+    // two-sided early exit (both endpoint sets are known up front).
+    val allPairs = origins.count() * targets.count()
+    var metCount = 0L
+    var met: DataFrame = null
+    var results: DataFrame = null
+
+    def meets(): DataFrame = {
+      var m = fwd.join(bwd, col("__cur") === col("__bcur") &&
+          !arrays_overlap(col("__ids"), col("__bids")))
+        .select(col("__start"),
+          col("__tgt").as("__cur"),
+          concat(col("__edges"), col("__bedges")).as("__edges"),
+          concat(col("__ids"), col("__bids")).as("__ids"),
+          concat(col("__vids"), col("__bvids")).as("__vids"))
+      if (met != null)
+        m = m.join(met, m("__start") === met("__ms") && m("__cur") === met("__mt"),
+          "left_anti")
+      m
+    }
+
+    def absorb(newMeets: DataFrame, len: Long): Unit = {
+      val materialized = newMeets.localCheckpoint(true)
+      if (!materialized.isEmpty) {
+        if (len >= lo && len <= hi) {
+          results = if (results == null) materialized
+            else results.unionAll(materialized)
+        }
+        val pairs = materialized
+          .select(col("__start").as("__ms"), col("__cur").as("__mt")).distinct()
+        met = (if (met == null) pairs else met.unionAll(pairs).distinct())
+          .localCheckpoint(true)
+        metCount = met.count()
+      }
+    }
+
+    // L = 0 would be the zero-length case — excluded here (the lo == 0
+    // branch below mirrors the one-sided zero-length semantics)
+    var fdepth = 0L
+    var bdepth = 0L
+    var exhausted = false
+    while (fdepth + bdepth < hi && !exhausted && metCount < allPairs) {
+      val expandForward = fdepth <= bdepth
+      if (expandForward) {
+        var next = fwd.join(E, col("__cur") === col("__s") &&
+            !array_contains(col("__ids"), col("__edge").getField("id")))
+          .select(col("__start"), col("__e").as("__newcur"),
+            concat(col("__edges"), array(col("__edge"))).as("__edges"),
+            concat(col("__ids"), array(col("__edge").getField("id"))).as("__ids"),
+            concat(col("__vids"), array(col("__e"))).as("__vids"))
+          .withColumnRenamed("__newcur", "__cur")
+        next = next.join(visitedF,
+          next("__start") === visitedF("__o") && next("__cur") === visitedF("__at"),
+          "left_anti")
+        // ALL minimal-depth arrivals stay (unlike the one-sided growing
+        // path, the two halves are combined later — pruning one side to
+        // a representative could leave only edge-overlapping pairs and
+        // lose a valid shortest path); the single-path pick happens at
+        // the final per-pair window
+        fwd = next.localCheckpoint(true)
+        fdepth += 1
+        exhausted = fwd.isEmpty
+        if (!exhausted) {
+          visitedF = visitedF.unionAll(
+            fwd.select(col("__start").as("__o"), col("__cur").as("__at")))
+            .distinct().localCheckpoint(true)
+          absorb(meets(), fdepth + bdepth)
+        }
+      } else {
+        var next = bwd.join(E, col("__bcur") === col("__e") &&
+            !array_contains(col("__bids"), col("__edge").getField("id")))
+          .select(col("__tgt"), col("__s").as("__newbcur"),
+            concat(array(col("__edge")), col("__bedges")).as("__bedges"),
+            concat(array(col("__edge").getField("id")), col("__bids")).as("__bids"),
+            concat(array(col("__bcur")), col("__bvids")).as("__bvids"))
+          .withColumnRenamed("__newbcur", "__bcur")
+        next = next.join(visitedB,
+          next("__tgt") === visitedB("__o") && next("__bcur") === visitedB("__at"),
+          "left_anti")
+        bwd = next.localCheckpoint(true)
+        bdepth += 1
+        exhausted = bwd.isEmpty
+        if (!exhausted) {
+          visitedB = visitedB.unionAll(
+            bwd.select(col("__tgt").as("__o"), col("__bcur").as("__at")))
+            .distinct().localCheckpoint(true)
+          absorb(meets(), fdepth + bdepth)
+        }
+      }
+    }
+
+    var out = if (results == null) emptyIdPaths(b) else results
+    if (lo == 0L) {
+      // zero-length: origin == target pairs (isZeroLengthVLE analog)
+      val zero = origins
+        .join(targets, col("__origin") === col("__target"), "left_semi")
+        .select(col("__origin").as("__start"), col("__origin").as("__cur"),
+          b.emptyEdgeArray.as("__edges"), b.emptyLongArray.as("__ids"),
+          b.emptyLongArray.as("__vids"))
+      out = zero.unionAll(out)
+    }
+    // minimal length per pair (first-meet scanning already guarantees
+    // it for the search; the zero-length branch needs the same guard)
     val withMin = out.withColumn("__minlen",
       min(size(col("__ids"))).over(Window.partitionBy("__start", "__cur")))
       .where(size(col("__ids")) === col("__minlen")).drop("__minlen")
