@@ -44,6 +44,14 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<id:bigint>"), p)
   }
 
+  test("p05: ANN pair join broadcasts the query side (no cartesian)") {
+    val p = planOf("p05_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the codegen'd dot kernel is in the plan (not HOF lambdas)
+    assert(p.contains("fvec_dot"), p)
+  }
+
   test("q02: aggregation is partial+final (map-side combine)") {
     val p = planOf("q02_agg_groupby")
     assert(p.contains("HashAggregate"), p)
