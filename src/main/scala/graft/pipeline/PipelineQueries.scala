@@ -174,6 +174,24 @@ object PipelineQueries {
         .orderBy("source", "rank")
     },
 
+    "p18_sequence_packing" -> { (s, d) =>
+      // pack documents into fixed token budgets (pretraining batch
+      // prep): deterministic greedy fill in doc_id order — bin =
+      // exclusive-prefix-sum / budget; one window pass, then per-bin
+      // stats. At corpus scale the same shape runs per shard
+      // (partitionBy on a shard key) instead of one global order.
+      val budget = 4096
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      load(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("toks"))
+        .withColumn("__prior", coalesce(sum("toks").over(w), lit(0L)))
+        .withColumn("bin", (col("__prior") / budget).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("n_toks"))
+        .orderBy("bin")
+    },
+
     // ---- multimodal plumbing ----------------------------------------
     "p12_multimodal_decode" -> { (s, d) =>
       val media = Multimodal.asMediaTable(load(s, d, "documents"), "doc_id", "text")
@@ -283,6 +301,19 @@ object PipelineQueries {
         |    AS BIGINT) AS code_sum,
         |  round(mn, 6) AS qmin, round(mx, 6) AS qmax
         |FROM r ORDER BY vec_id""".stripMargin,
+    "p18_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(text, '\s+')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks,
+        |    coalesce(sum(toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT CAST(floor(prior / 4096) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_toks
+        |FROM p GROUP BY 1 ORDER BY bin""".stripMargin,
     "p08_token_stats" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(text, '\s+')) AS n_tokens,
