@@ -572,6 +572,21 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(out) == Seq(Seq("{\"age\": 3, \"name\": \"bitnine\"}")))
   }
 
+  test("SET with undefined attributes: NULL results remove the key (cypher_dml.out undefined-attr block)") {
+    val s = freshSession()
+    s.createGraph("undefattr")
+    s.cypher("CREATE ({name: 'bitnine'})")
+    s.cypher("CREATE ({age: 10})")
+    val r1 = s.cypher(
+      "MATCH (a) SET a.age = a.age + 1 WITH a RETURN properties(a) AS p")
+    assert(rows(r1).map(_.head).toSet ==
+      Set("{\"age\": 11}", "{\"name\": \"bitnine\"}"))
+    s.cypher("MATCH (a) SET a.age = 2017 - a.undefined_attr")
+    val r2 = s.cypher("MATCH (a) RETURN properties(a) AS p")
+    assert(rows(r2).map(_.head).toSet ==
+      Set("{}", "{\"name\": \"bitnine\"}"))
+  }
+
   test("nested aggregates error; collect over zero rows is NULL (cypher_dml2.out:1-20)") {
     val s = freshSession()
     s.createGraph("dml2agg")
