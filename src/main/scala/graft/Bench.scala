@@ -48,13 +48,18 @@ object Bench {
       }
     val cold = runAll()
     val results = runAll()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the line compact (ms precision): the harness captures only a
+    // bounded tail of the output, and the full line must fit in it.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cold_total_sec":$coldTotal,""" +
-      s""""methodology":"steady-state 2nd run; 1st run (cold_total_sec) pays one-time codegen/planning","sf":"$sfDir"}""")
+    // value = steady-state (2nd run); cold_total_sec = 1st run, which
+    // pays one-time codegen/planning per plan shape.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+      s""""cold_total_sec":${f(coldTotal)},"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }
