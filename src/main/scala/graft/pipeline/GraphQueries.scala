@@ -155,6 +155,20 @@ object GraphQueries {
         .orderBy("region")
     },
 
+    // dijkstra inside MATCH (SURVEY §3.4, nodeDijkstra.c): cheapest
+    // weighted path per (source, target) pair; on the chain graph the
+    // unique path costs 2 with unit weights, so the relational oracle
+    // can verify the operator end-to-end
+    "g08_dijkstra" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH p = dijkstra((c:customer {mktsegment: 'BUILDING'})-[e:in]->(r:region), 1)
+          |RETURN r.name AS region, length(p) AS hops, count(*) AS n""".stripMargin)
+        .select(J.asText(col("region")).as("region"),
+          J.toLong(col("hops")).as("hops"), J.toLong(col("n")).as("n"))
+        .orderBy("region")
+    },
+
     // Cypher aggregates over jsonb numerics (exact decimal sum)
     "g05_jsonb_agg" -> { (sp, d) =>
       val s = session(sp, d)
@@ -204,6 +218,13 @@ object GraphQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY region""".stripMargin,
     "g07_shortestpath" ->
+      """SELECT r_name AS region, CAST(2 AS BIGINT) AS hops, count(*) AS n
+        |FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY region""".stripMargin,
+    "g08_dijkstra" ->
       """SELECT r_name AS region, CAST(2 AS BIGINT) AS hops, count(*) AS n
         |FROM customer
         |  JOIN nation ON c_nationkey = n_nationkey

@@ -192,6 +192,82 @@ object PipelineQueries {
         .orderBy("bin")
     },
 
+    "p19_tfidf" -> { (s, d) =>
+      // top-3 TF-IDF terms per document (corpus = the doc_id<50 slice):
+      // one explode -> two shuffled counts (term freq, doc freq) -> a
+      // broadcast-joined corpus size -> per-doc top-k. Ranking happens on
+      // the ROUNDED score so cross-engine ulp differences in ln() can't
+      // flip the order.
+      val toks = load(s, d, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n_t"))
+      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df_t"))
+      val nd = toks.select(countDistinct("doc_id").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(nd))
+        .withColumn("tfidf",
+          round(col("n_t") * log(col("n").cast("double") / col("df_t")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+        .orderBy("doc_id", "rank")
+    },
+
+    "p20_mixture_epochs" -> { (s, d) =>
+      // dataset mixture weighting by epoch replication (the pretraining
+      // "see source X twice per epoch" primitive): per-source repeat
+      // factors expand via explode(sequence) — a narrow map-side op, no
+      // shuffle until the final stats
+      val rep = map(lit("src0"), lit(2), lit("src2"), lit(3), lit("src4"), lit(2))
+      load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1),
+            coalesce(element_at(rep, col("source")), lit(1)))).as("epoch"))
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("source", "epoch")
+    },
+
+    "p21_redact" -> { (s, d) =>
+      // blocklist redaction (the PII-scrub shape: count pattern hits,
+      // measure post-redaction length) — pure map-side regex work; the
+      // pattern stays in the RE2/Java-regex common subset so the oracle
+      // agrees
+      val pat = "(customer|query|spark)"
+      load(s, d, "documents")
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("hits"),
+          length(regexp_replace(col("text"), pat, "<X>")).as("rlen"))
+        .groupBy("source")
+        .agg(sum("hits").cast("long").as("n_hits"),
+          sum(when(col("hits") > 0, 1).otherwise(0)).cast("long").as("n_docs_hit"),
+          sum("rlen").cast("long").as("redacted_len"))
+        .orderBy("source")
+    },
+
+    "p22_decontam" -> { (s, d) =>
+      // benchmark decontamination: flag training docs (doc_id<400)
+      // sharing any word 5-gram with the eval slice (doc_id>=400).
+      // The eval-gram set is small by construction -> broadcast semi-join;
+      // at corpus scale that is the standard "hash the benchmark, stream
+      // the corpus" shape.
+      val docs = load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          split(lower(col("text")), "\\s+").as("ws"))
+        .where(size(col("ws")) >= 5)
+      val grams = docs.select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 4),
+          i => array_join(slice(col("ws"), i, lit(5)), " "))).as("gram"))
+      val ev = grams.where(col("doc_id") >= 400).select("gram").distinct()
+      grams.where(col("doc_id") < 400)
+        .join(broadcast(ev), Seq("gram"), "left_semi")
+        .select("doc_id", "source").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+        .orderBy("source")
+    },
+
     // ---- multimodal plumbing ----------------------------------------
     "p12_multimodal_decode" -> { (s, d) =>
       val media = Multimodal.asMediaTable(load(s, d, "documents"), "doc_id", "text")
@@ -365,6 +441,55 @@ object PipelineQueries {
         |  FROM documents) t
         |GROUP BY fp HAVING count(*) > 1
         |ORDER BY n_docs DESC, fp""".stripMargin,
+    "p19_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents WHERE doc_id < 50),
+        |t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS n_t FROM t2 GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM t2 GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM t2),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.n_t * ln(CAST(nd.n AS DOUBLE) / dfreq.df_t), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "p20_mixture_epochs" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2 WHEN 'src2' THEN 3 WHEN 'src4' THEN 2
+        |    ELSE 1 END AS n_rep FROM documents),
+        |x AS (SELECT doc_id, source,
+        |  unnest(generate_series(1, n_rep)) AS epoch FROM r)
+        |SELECT source, epoch, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM x GROUP BY source, epoch ORDER BY source, epoch""".stripMargin,
+    "p21_redact" ->
+      """SELECT source,
+        |  CAST(sum(len(regexp_extract_all(text, '(customer|query|spark)')))
+        |    AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(text,
+        |    '(customer|query|spark)')) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_hit,
+        |  CAST(sum(length(regexp_replace(text, '(customer|query|spark)',
+        |    '<X>', 'g'))) AS BIGINT) AS redacted_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "p22_decontam" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, source, unnest(list_transform(
+        |    generate_series(1, len(ws) - 4),
+        |    i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS gram
+        |  FROM w WHERE len(ws) >= 5),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id >= 400),
+        |bad AS (SELECT DISTINCT g.doc_id, g.source FROM g JOIN ev USING (gram)
+        |        WHERE g.doc_id < 400)
+        |SELECT source, count(*) AS n_contaminated FROM bad
+        |GROUP BY source ORDER BY source""".stripMargin,
     "p12_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, length(text) AS n,
         |  greatest(length(text) % 256, 1) AS w0,

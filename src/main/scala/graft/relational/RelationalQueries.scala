@@ -521,6 +521,101 @@ object RelationalQueries {
         .where(pmod(col("o_orderkey"), lit(97)) === 0)
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // Window frame exclusion (§2.6 gap, nodeWindowAgg.c EXCLUDE CURRENT
+    // ROW): emulated exactly as frame-sum minus the current row's value,
+    // NULL when the excluded frame is empty. Decimal space end-to-end so
+    // partial-agg order can't wiggle the result; DuckDB's native EXCLUDE
+    // is the oracle.
+    "q42_frame_exclude" -> { (s, d) =>
+      val v = col("o_totalprice").cast("decimal(28,4)")
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+        .rowsBetween(-3, 3)
+      load(s, d, "orders").where(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(count(lit(1)).over(w) > 1,
+            round(sum(v).over(w) - v, 2)).cast("double").as("excl_sum"))
+        .orderBy("o_orderkey")
+    },
+
+    // Exact interpolated percentiles (percentile_cont; ordered-set agg in
+    // PG). Rounded in decimal space: double round() disagrees between
+    // engines on .xx5 boundaries, decimal HALF_UP doesn't.
+    "q43_percentile" -> { (s, d) =>
+      def pct(p: Double) =
+        round(expr(s"percentile(o_totalprice, $p)").cast("decimal(28,6)"), 2)
+          .cast("double")
+      load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(pct(0.25).as("p25"), pct(0.5).as("p50"), pct(0.75).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    // PIVOT: one output column per status value (the crosstab surface).
+    "q44_pivot" -> { (s, d) =>
+      load(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    },
+
+    // UNPIVOT / melt: wide columns to (metric, val) rows.
+    "q45_unpivot" -> { (s, d) =>
+      load(s, d, "supplier").where(col("s_suppkey") <= 100)
+        .select(col("s_suppkey"), col("s_acctbal").cast("double").as("acctbal"),
+          col("s_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("s_suppkey")),
+          Array(col("acctbal"), col("nationkey")), "metric", "val")
+        .orderBy("s_suppkey", "metric")
+    },
+
+    // Datetime function long tail (§2.8 `timestamp()` etc. reach the
+    // stock PG datetime library from Cypher via SQL).
+    "q46_date_fns" -> { (s, d) =>
+      val od = to_date(col("o_orderdate"))
+      load(s, d, "orders").where(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_add(od, 30).as("plus30"),
+          datediff(to_date(lit("1998-12-31")), od).as("days_to_end"),
+          last_day(od).as("eom"))
+        .orderBy("o_orderkey")
+    },
+
+    // Fixed-width histogram (width_bucket shape): identical floor
+    // formula on both sides so the bucketing is bit-reproducible.
+    "q47_histogram" -> { (s, d) =>
+      load(s, d, "customer")
+        .select(floor((col("c_acctbal") - lit(-1000.0)) / lit(1000.0))
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // LATERAL top-n-per-group (the reference reaches this via LATERAL
+    // subqueries; OPTIONAL MATCH compiles through the same machinery).
+    // Spark shape: aggregate once, rank inside the group — one shuffle,
+    // no per-outer-row re-execution.
+    "q48_lateral_topn" -> { (s, d) =>
+      val perNation = load(s, d, "supplier")
+        .groupBy("s_nationkey")
+        .agg(sum(col("s_acctbal").cast("decimal(28,4)")).as("total_d"))
+      val nat = broadcast(load(s, d, "nation"))
+      val w = Window.partitionBy("n_regionkey")
+        .orderBy(col("total_d").desc, col("n_name"))
+      nat.join(perNation, nat("n_nationkey") === perNation("s_nationkey"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("n_regionkey").as("r_regionkey"), col("n_name"),
+          round(col("total_d"), 2).cast("double").as("total"))
+        .orderBy(col("r_regionkey"), col("total").desc, col("n_name"))
     }
   )
 
@@ -786,6 +881,57 @@ object RelationalQueries {
         |    AS BIGINT) AS sum_k1
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q42_frame_exclude" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW), 2)
+        |    AS DOUBLE) AS excl_sum
+        |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin,
+    "q43_percentile" ->
+      """SELECT o_orderstatus,
+        |  CAST(round(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p25,
+        |  CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p50,
+        |  CAST(round(CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p75,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q44_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q45_unpivot" ->
+      """SELECT s_suppkey, 'acctbal' AS metric, CAST(s_acctbal AS DOUBLE) AS val
+        |FROM supplier WHERE s_suppkey <= 100
+        |UNION ALL
+        |SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE)
+        |FROM supplier WHERE s_suppkey <= 100
+        |ORDER BY s_suppkey, metric""".stripMargin,
+    "q46_date_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "q47_histogram" ->
+      """SELECT CAST(floor((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q48_lateral_topn" ->
+      """SELECT r.r_regionkey, l.n_name, l.total
+        |FROM region r, LATERAL (
+        |  SELECT n_name,
+        |    CAST(round(sum(CAST(s_acctbal AS DECIMAL(28,4))), 2) AS DOUBLE) AS total
+        |  FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = r.r_regionkey
+        |  GROUP BY n_name
+        |  ORDER BY sum(CAST(s_acctbal AS DECIMAL(28,4))) DESC, n_name LIMIT 2) l
+        |ORDER BY r_regionkey, total DESC, n_name""".stripMargin
   )
 }
