@@ -194,24 +194,10 @@ object PipelineQueries {
 
     "p19_tfidf" -> { (s, d) =>
       // top-3 TF-IDF terms per document (corpus = the doc_id<50 slice):
-      // one explode -> two shuffled counts (term freq, doc freq) -> a
-      // broadcast-joined corpus size -> per-doc top-k. Ranking happens on
-      // the ROUNDED score so cross-engine ulp differences in ln() can't
-      // flip the order.
-      val toks = load(s, d, "documents").where(col("doc_id") < 50)
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
-        .where(length(col("term")) > 0)
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n_t"))
-      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df_t"))
-      val nd = toks.select(countDistinct("doc_id").as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-      tf.join(dfreq, "term").crossJoin(broadcast(nd))
-        .withColumn("tfidf",
-          round(col("n_t") * log(col("n").cast("double") / col("df_t")), 6))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 3)
-        .select("doc_id", "rank", "term", "tfidf")
+      // ranking happens on the ROUNDED score so cross-engine ulp
+      // differences in ln() can't flip the order
+      TextOps.tfidfTopK(load(s, d, "documents").where(col("doc_id") < 50),
+        "doc_id", "text", 3)
         .orderBy("doc_id", "rank")
     },
 
@@ -250,20 +236,14 @@ object PipelineQueries {
     "p22_decontam" -> { (s, d) =>
       // benchmark decontamination: flag training docs (doc_id<400)
       // sharing any word 5-gram with the eval slice (doc_id>=400).
-      // The eval-gram set is small by construction -> broadcast semi-join;
-      // at corpus scale that is the standard "hash the benchmark, stream
+      // The eval-gram set is benchmark-sized -> broadcast semi-join; at
+      // corpus scale that is the standard "hash the benchmark, stream
       // the corpus" shape.
       val docs = load(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          split(lower(col("text")), "\\s+").as("ws"))
-        .where(size(col("ws")) >= 5)
-      val grams = docs.select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 4),
-          i => array_join(slice(col("ws"), i, lit(5)), " "))).as("gram"))
-      val ev = grams.where(col("doc_id") >= 400).select("gram").distinct()
-      grams.where(col("doc_id") < 400)
-        .join(broadcast(ev), Seq("gram"), "left_semi")
-        .select("doc_id", "source").distinct()
+      val train = docs.where(col("doc_id") < 400)
+      TextOps.contaminated(train, docs.where(col("doc_id") >= 400), 5,
+        "doc_id", "text")
+        .join(train.select("doc_id", "source"), "doc_id")
         .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
         .orderBy("source")
     },

@@ -89,4 +89,51 @@ object TextOps {
     */
   def vocabFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(lower(text), "\\s+")))))
+
+  /** Word n-grams of a document: (idCol..., gram) rows. Linear per doc
+    * (slices over one materialized token array; re-splitting per index
+    * would be quadratic).
+    */
+  def wordNgrams(df: DataFrame, n: Int, textCol: String, keep: String*): DataFrame = {
+    val ws = split(lower(col(textCol)), "\\s+")
+    df.select(keep.map(col) :+ ws.as("__ws"): _*)
+      .where(size(col("__ws")) >= n)
+      .select(keep.map(col) :+ explode(transform(
+        sequence(lit(1), size(col("__ws")) - (n - 1)),
+        i => array_join(slice(col("__ws"), i, lit(n)), " "))).as("gram"): _*)
+  }
+
+  /** Top-k TF-IDF terms per document: (id, rank, term, tfidf), ranked on
+    * the rounded score (deterministic across engines) with a term
+    * tiebreak. Two shuffles (term-freq, doc-freq) + a broadcast corpus
+    * size — no per-document state, so it scales with the corpus.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("n_t"))
+    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df_t"))
+    val nd = toks.select(countDistinct(idCol).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nd))
+      .withColumn("tfidf",
+        round(col("n_t") * log(col("n").cast("double") / col("df_t")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+
+  /** Benchmark decontamination: rows of `train` sharing any word
+    * n-gram with `eval` (both (id, text) shaped). The eval gram set is
+    * assumed benchmark-sized -> broadcast; the corpus side streams.
+    */
+  def contaminated(train: DataFrame, eval: DataFrame, n: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val tg = wordNgrams(train, n, textCol, idCol)
+    val eg = wordNgrams(eval, n, textCol, idCol).select("gram").distinct()
+    tg.join(broadcast(eg), Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+  }
 }

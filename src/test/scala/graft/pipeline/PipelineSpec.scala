@@ -102,6 +102,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("tfidf: a term unique to one doc outranks corpus-wide terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared words here plus zebra"),
+      (2L, "shared words here plus extra"),
+      (3L, "shared words here plus extra")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopK(docs, "doc_id", "text", 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // "zebra" appears only in doc 1 (df=1, idf=ln 3); every other term
+    // is shared by >=2 docs
+    assert(top(1L) == "zebra")
+    // "extra" (df=2) beats the df=3 terms for docs 2 and 3
+    assert(top(2L) == "extra" && top(3L) == "extra")
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with eval") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon tail words"),
+      (2L, "totally different content with no overlap at all"),
+      (3L, "prefix alpha beta gamma delta epsilon suffix")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val hit = TextOps.contaminated(train, eval_, 5, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L, 3L))
+    // 6-grams: only doc 3 keeps a full 6-token overlap? no — eval has
+    // exactly 5 tokens, so no 6-gram exists and nothing is flagged
+    val hit6 = TextOps.contaminated(train, eval_, 6, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(hit6 == Set.empty[Long])
+  }
+
+  test("word n-grams are linear slices over the token array") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val grams = TextOps.wordNgrams(docs, 2, "text", "doc_id")
+      .collect().map(_.getString(1)).toSeq
+    assert(grams == Seq("a b", "b c", "c d"))
+  }
+
   test("multimodal decode: partition batches produce typed features") {
     val docs = graft.relational.Tables.load(spark, sf, "documents").limit(20)
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
