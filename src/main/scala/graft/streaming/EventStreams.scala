@@ -59,6 +59,30 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Watermarked stream-stream interval join (click attribution shape):
+    * each right-side event matches left-side events of the same user
+    * within `within` after the left event. Both sides' state is
+    * watermark-bounded — the time bound in the join condition is what
+    * lets the engine evict old rows, so it scales to unbounded streams.
+    */
+  def intervalJoin(impressions: DataFrame, clicks: DataFrame,
+      watermark: String, within: String): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id"),
+        col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("__cu"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    imp.join(clk,
+      col("user_id") === col("__cu") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $within"))
+      .select(col("imp_id"), col("click_id"), col("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   // ---- custom keyed state (mapGroupsWithState) ----------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -142,6 +142,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(grams == Seq("a b", "b c", "c d"))
   }
 
+  test("HLL approx distinct stays within 5% of exact on real keys") {
+    val docs = graft.relational.Tables.load(spark, sf, "documents")
+    val exact = docs.select(countDistinct("text")).first().getLong(0)
+    val approx = docs.select(approx_count_distinct("text", 0.02))
+      .first().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"HLL estimate $approx vs exact $exact")
+  }
+
   test("multimodal decode: partition batches produce typed features") {
     val docs = graft.relational.Tables.load(spark, sf, "documents").limit(20)
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")

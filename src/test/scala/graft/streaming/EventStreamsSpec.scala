@@ -77,6 +77,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 1L, 1L))
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[EventStreams.Event]
+    val clks = MemoryStream[EventStreams.Event]
+    val out = EventStreams.intervalJoin(imps.toDF(), clks.toDF(),
+      watermark = "1 minute", within = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    imps.addData(
+      EventStreams.Event(1, ts(0), 100, "view", 0),
+      EventStreams.Event(2, ts(0), 200, "view", 0))
+    clks.addData(
+      EventStreams.Event(10, ts(2), 100, "click", 0), // within 10 min
+      EventStreams.Event(11, ts(40), 100, "click", 0), // too late
+      EventStreams.Event(12, ts(5), 300, "click", 0)) // no impression
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_out").select("imp_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
