@@ -58,4 +58,30 @@ class ExplainSpec extends AnyFunSuite {
     // partial + final pair
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("p22: decontamination is a broadcast semi-join (corpus never shuffles grams)") {
+    val p = planOf("p22_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("q48: lateral top-n is one aggregation + broadcast dim, no re-execution per row") {
+    val p = planOf("q48_lateral_topn")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // a single partial+final aggregate pair feeds the rank window
+    assert("HashAggregate".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q44: pivot aggregates map-side (partial+final), no per-value scans") {
+    val p = planOf("q44_pivot")
+    // one scan of orders only
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("p19: tfidf corpus size joins as broadcast (no shuffled cross join)") {
+    val p = planOf("p19_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
