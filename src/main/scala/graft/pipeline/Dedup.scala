@@ -115,16 +115,55 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
   }
 
-  /** Connected components over near-dup pairs (min-label propagation:
-    * one join per round, converges in graph-diameter rounds — the
-    * standard scale-out dedup-cluster step after LSH pair generation).
-    * Input cols (da, db); output (id, comp) with comp = min member id.
+  /** Connected components over near-dup pairs. Input cols (da, db);
+    * output (id, comp) with comp = min member id.
+    *
+    * Size-adaptive like broadcast-join selection: the pair set after
+    * LSH thresholding is usually minuscule relative to the corpus, so
+    * below `maxDriverPairs` a single-pass driver union-find replaces
+    * the multi-round distributed loop (each round = a shuffle + an
+    * action; at 100 TB the pairs may still be millions of rows — then
+    * the min-label-propagation loop, or GraphAnalytics' Pregel CC, is
+    * the path).
     */
-  def clusters(pairs: DataFrame): DataFrame = {
-    // snapshot the pair relation FIRST: both orientation branches and
-    // every propagation round read it (without this the upstream pair
-    // generation would run once per reference)
-    val p = pairs.localCheckpoint(true)
+  def clusters(pairs: DataFrame, maxDriverPairs: Long = 1000000L): DataFrame = {
+    // snapshot the pair relation FIRST: every consumer branch reads it
+    // (without this the upstream pair generation would run per reference)
+    val p0 = pairs.localCheckpoint(true)
+    if (p0.count() <= maxDriverPairs) driverClusters(p0)
+    else distributedClusters(p0)
+  }
+
+  /** Union-find with path compression on the driver; min member id
+    * becomes the component label (same contract as the distributed
+    * path).
+    */
+  private def driverClusters(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val edges = p.select(col("da").cast("long"), col("db").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = parent.keys.toSeq.map(id => (id, find(id)))
+    spark.createDataset(out).toDF("id", "comp")
+  }
+
+  /** Min-label propagation + pointer jumping: one join per round,
+    * converges in O(log diameter) rounds.
+    */
+  private def distributedClusters(p: DataFrame): DataFrame = {
     val sym = p.select(col("da").as("id"), col("db").as("nb"))
       .unionAll(p.select(col("db").as("id"), col("da").as("nb")))
       .localCheckpoint(true)

@@ -54,10 +54,16 @@ class PipelineSpec extends AnyFunSuite {
     // two triangles + an isolated pair: components {1,2,3},{4,5},{7,8,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L), (8L, 9L), (9L, 7L))
       .toDF("da", "db")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L)
+    // driver union-find path (small pairs)...
     val cl = Dedup.clusters(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
-      7L -> 7L, 8L -> 7L, 9L -> 7L))
+    assert(cl == want)
+    // ...and the distributed min-label loop must agree
+    val dist = Dedup.clusters(pairs, maxDriverPairs = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == want)
   }
 
   test("GraphX connected components agree with the DataFrame min-label loop") {
