@@ -538,19 +538,27 @@ object Algo {
         .where(col("__rn") <= limitK).drop("__rn")
     }
 
-    // ids-only relaxation (vertex structs re-attach once at the end,
-    // like bfs): every round shuffles 3 narrow arrays + the distance
+    // ids-only DELTA relaxation (vertex structs re-attach once at the
+    // end, like bfs): only paths that entered the top-k set last round
+    // expand again — settled paths never rejoin the edge table (the
+    // set-based form of Bellman-Ford's "only relax out of changed
+    // vertices"). A survivor tag doubles as the convergence test, so a
+    // round costs one join + one window — no aggregate-diff pass.
+    // An expanded path can never be row-identical to an existing one
+    // (it is strictly longer than its source path), so "__new survived
+    // the top-k window" exactly means "the best-set changed".
     var best = topK(E.join(origins, col("__s") === col("__origin"), "left_semi")
       .select(col("__s").as("__start"), col("__e").as("__cur"),
         array(col("__edge")).as("__edges"),
         array(col("__edge").getField("id")).as("__ids"),
         array(col("__e")).as("__vids"),
         col("__w").as("__dist")))
-
-    var changed = true
+      .withColumn("__new", lit(1))
+      .localCheckpoint(true)
+    var frontier = best
     var rounds = 0
-    while (changed && rounds < MaxDepth) {
-      val expanded = best.join(E, col("__cur") === col("__s") &&
+    while (rounds < MaxDepth && frontier.head(1).nonEmpty) {
+      val expanded = frontier.join(E, col("__cur") === col("__s") &&
           !array_contains(col("__ids"), col("__edge").getField("id")))
         .select(col("__start"), col("__e").as("__cur2"),
           concat(col("__edges"), array(col("__edge"))).as("__edges"),
@@ -558,17 +566,13 @@ object Algo {
           concat(col("__vids"), array(col("__e"))).as("__vids"),
           (col("__dist") + col("__w")).as("__dist"))
         .withColumnRenamed("__cur2", "__cur")
-      val candidate = topK(best.unionAll(expanded)).localCheckpoint(true)
-      // fixpoint: stop when the per-pair best set stops improving
-      val prevAgg = best.groupBy("__start", "__cur")
-        .agg(sum("__dist").as("__sd"), count(lit(1)).as("__n"))
-      val newAgg = candidate.groupBy("__start", "__cur")
-        .agg(sum("__dist").as("__sd"), count(lit(1)).as("__n"))
-      changed = !newAgg.exceptAll(prevAgg).isEmpty
-      best = candidate
+        .withColumn("__new", lit(1))
+      best = topK(best.withColumn("__new", lit(0)).unionAll(expanded))
+        .localCheckpoint(true)
+      frontier = best.where(col("__new") === 1)
       rounds += 1
     }
-    attachVerts(b, best.drop("__w", "__dist"), V)
+    attachVerts(b, best.drop("__w", "__dist", "__new"), V)
   }
 
   private def emptyIdPaths(b: Builder): DataFrame =
