@@ -351,6 +351,54 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(one.count() == 1)
   }
 
+  test("F2: zero-length shortestpath on orphan vertices (cypher_shortestpath2 'Orphan')") {
+    // cypher_shortestpath2.sql:298-305 — vertices with no edges:
+    // `*0..` with o1=o2 returns the single-vertex path, `*1..` nothing,
+    // distinct endpoints nothing
+    val s = freshSession()
+    s.createGraph("orphan")
+    s.createVLabel("o"); s.createELabel("e")
+    s.cypher("CREATE (:o {id: 1}), (:o {id: 2})")
+    def n(q: String): Long = s.cypher(q).count()
+    val zeroSame =
+      s.cypher("""MATCH p = shortestpath((o1:o)-[:e*0..]->(o2:o))
+        |WHERE o1.id = 1 AND o2.id = 1
+        |RETURN length(p) AS len""".stripMargin)
+    assert(rows(zeroSame) == Seq(Seq("0")))
+    assert(n("MATCH p = shortestpath((o1:o)-[:e*1..]->(o2:o)) WHERE o1.id = 1 AND o2.id = 1 RETURN p") == 0)
+    assert(n("MATCH p = shortestpath((o1:o)-[:e*0..]->(o2:o)) WHERE o1.id = 1 AND o2.id = 2 RETURN p") == 0)
+    assert(n("MATCH p = allshortestpaths((o1:o)-[:e*0..]->(o2:o)) WHERE o1.id = 1 AND o2.id = 1 RETURN p") == 1)
+    // a 2-cycle: zero-length still wins for o1=o2 under *0.., and the
+    // cycle is found under *1..
+    s.cypher("""MATCH (a:o {id: 1}), (b:o {id: 2})
+      |CREATE (a)-[:e]->(b), (b)-[:e]->(a)""".stripMargin)
+    val cyc0 = s.cypher("""MATCH p = shortestpath((o1:o)-[:e*0..]->(o2:o))
+      |WHERE o1.id = 1 AND o2.id = 1 RETURN length(p) AS len""".stripMargin)
+    assert(rows(cyc0) == Seq(Seq("0")))
+    val cyc1 = s.cypher("""MATCH p = shortestpath((o1:o)-[:e*1..]->(o2:o))
+      |WHERE o1.id = 1 AND o2.id = 1 RETURN length(p) AS len""".stripMargin)
+    assert(rows(cyc1) == Seq(Seq("2")))
+  }
+
+  test("F2: shortestpath reverse and undirected edge patterns (cypher_shortestpath2:307-323)") {
+    val s = freshSession()
+    s.createGraph("spdir")
+    s.createVLabel("o"); s.createELabel("e")
+    s.cypher("CREATE (:o {id: 1})-[:e]->(:o {id: 2})")
+    def lens(q: String): Seq[String] =
+      rows(s.cypher(q)).map(_.head.toString)
+    // reverse: (o1)<-[:e]-(o2) needs an edge o2->o1; only 1->2 exists
+    assert(lens("""MATCH p = shortestpath((o1:o)<-[:e*1..]-(o2:o))
+      |WHERE o1.id = 1 AND o2.id = 2 RETURN length(p) AS len""".stripMargin).isEmpty)
+    assert(lens("""MATCH p = shortestpath((o1:o)<-[:e*1..]-(o2:o))
+      |WHERE o1.id = 2 AND o2.id = 1 RETURN length(p) AS len""".stripMargin) == Seq("1"))
+    // undirected reaches both ways
+    assert(lens("""MATCH p = shortestpath((o1:o)-[:e*1..]-(o2:o))
+      |WHERE o1.id = 1 AND o2.id = 2 RETURN length(p) AS len""".stripMargin) == Seq("1"))
+    assert(lens("""MATCH p = shortestpath((o1:o)-[:e*1..]-(o2:o))
+      |WHERE o1.id = 2 AND o2.id = 1 RETURN length(p) AS len""".stripMargin) == Seq("1"))
+  }
+
   test("F2: dijkstra weighted path") {
     val s = freshSession()
     s.createGraph("dij")
