@@ -40,9 +40,12 @@ final class CypherSession(
     catalog.createLabel(currentGraph, name, 'e', parents, ifNotExists)
 
   /** Run a Cypher statement; returns the final clause's DataFrame. */
-  def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame = {
+  def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame =
+    runAst(Parser.parse(query), params)
+
+  private def runAst(ast: graft.cypher.Ast.Query,
+      params: Map[String, Any] = Map.empty): DataFrame = {
     require(currentGraph != null, "no graph selected (setGraphPath)")
-    val ast = Parser.parse(query)
     val b = new Builder(spark, catalog, currentGraph, params.map {
       case (k, v) => k -> toJValue(v)
     }, name => spark.table(name))
@@ -59,8 +62,15 @@ final class CypherSession(
     * gram.y:14110-14125). Each parenthesized `(MATCH ...)` block is
     * compiled by the Cypher engine, registered as a temp view, and the
     * SQL re-runs through Spark — one logical plan end to end, like the
-    * reference's single Query tree. Correlated sublinks are not
-    * supported (document: uncorrelated EXISTS only).
+    * reference's single Query tree.
+    *
+    * Correlated EXISTS sublinks (`WHERE EXISTS (MATCH (c:x) WHERE
+    * c.k = outer.col RETURN c)`) are supported for comparison-shaped
+    * correlation: WHERE conjuncts referencing SQL-side names lift out
+    * of the Cypher query, their graph operand becomes a hidden RETURN
+    * column, and the comparison re-renders over the view — Catalyst
+    * then decorrelates the EXISTS like any SQL subquery (the analog of
+    * the reference reusing PG's sublink machinery).
     */
   def sql(query: String): DataFrame = {
     val s = query
@@ -97,16 +107,144 @@ final class CypherSession(
           }
           val inner = s.substring(i + 1, k - 1)
           val view = s"__cypher_sub_$n"; n += 1
-          cypher(inner).createOrReplaceTempView(view)
           val isExists = out.toString.replaceAll("\\s+$", "")
             .toUpperCase.endsWith("EXISTS")
-          if (isExists) out.append(s"(SELECT * FROM $view)")
-          else out.append(view)
+          val fragment =
+            try {
+              cypher(inner).createOrReplaceTempView(view)
+              if (isExists) s"(SELECT * FROM $view)" else view
+            } catch {
+              case e: Exception if isExists =>
+                correlatedExists(inner, view).getOrElse(throw e)
+            }
+          out.append(fragment)
           i = k
         } else { out.append(c); i += 1 }
       } else { out.append(c); i += 1 }
     }
     spark.sql(out.toString)
+  }
+
+  /** Rewrite a correlated `EXISTS (MATCH ...)` block: split the MATCH
+    * WHERE into graph-only conjuncts (stay in Cypher) and correlated
+    * comparisons `<graph expr> <cmp> <outer ref>` (lift into SQL over
+    * the substituted view). Returns None when the block isn't of the
+    * supported shape — the caller rethrows the original compile error.
+    */
+  private def correlatedExists(inner: String, view: String): Option[String] = {
+    import graft.cypher.Ast._
+    val q =
+      try Parser.parse(inner)
+      catch { case _: Exception => return None }
+    if (q.setOps.nonEmpty) return None
+    val clauses = q.first.clauses
+    // only MATCH/UNWIND/LOAD + a final RETURN: intermediate WITHs could
+    // hide the pattern vars the correlated operands need
+    if (clauses.dropRight(1).exists(_.isInstanceOf[Projection])) return None
+    val ret = clauses.lastOption match {
+      case Some(p: Projection) if p.isReturn => p
+      case _ => return None
+    }
+
+    val bound = scala.collection.mutable.Set[String]()
+    def pathVars(p: PathPattern): Unit = {
+      p.variable.foreach(bound += _)
+      p.head.variable.foreach(bound += _)
+      p.tail.foreach { case (r, nd) =>
+        r.variable.foreach(bound += _); nd.variable.foreach(bound += _)
+      }
+    }
+    clauses.foreach {
+      case m: Match => m.paths.foreach(pathVars)
+      case mg: MergeClause => pathVars(mg.path)
+      case c: CreateClause => c.paths.foreach(pathVars)
+      case u: Unwind => bound += u.as
+      case l: LoadClause => bound += l.as
+      case _ => ()
+    }
+
+    def freeVars(e: Expr): Set[String] = e match {
+      case Vbl(n) => Set(n)
+      case Prop(b, _) => freeVars(b)
+      case Index(b, i) => freeVars(b) ++ freeVars(i)
+      case Slice(b, f, t) =>
+        freeVars(b) ++ f.toSeq.flatMap(freeVars) ++ t.toSeq.flatMap(freeVars)
+      case ListExpr(xs) => xs.flatMap(freeVars).toSet
+      case MapExpr(fs) => fs.flatMap(f => freeVars(f._2)).toSet
+      case BinOp(_, l, r) => freeVars(l) ++ freeVars(r)
+      case UnaryOp(_, x) => freeVars(x)
+      case Cmp(_, l, r) => freeVars(l) ++ freeVars(r)
+      case And(l, r) => freeVars(l) ++ freeVars(r)
+      case Or(l, r) => freeVars(l) ++ freeVars(r)
+      case Not(x) => freeVars(x)
+      case IsNull(x, _) => freeVars(x)
+      case StrPred(_, l, r) => freeVars(l) ++ freeVars(r)
+      case InList(x, l, _) => freeVars(x) ++ freeVars(l)
+      case FnCall(_, args, _) => args.flatMap(freeVars).toSet
+      case CaseExpr(op, ws, el) =>
+        op.toSeq.flatMap(freeVars).toSet ++
+          ws.flatMap(w => freeVars(w._1) ++ freeVars(w._2)) ++
+          el.toSeq.flatMap(freeVars)
+      case ListPred(_, v, l, w) => freeVars(l) ++ (freeVars(w) - v)
+      case ListComp(v, l, w, pj) =>
+        freeVars(l) ++ (w.toSeq.flatMap(freeVars).toSet ++
+          pj.toSeq.flatMap(freeVars).toSet - v)
+      case _ => Set.empty
+    }
+    // an outer (SQL-side) reference renderable as SQL text
+    def renderOuter(e: Expr): Option[String] = e match {
+      case Vbl(n) => Some(n)
+      case Prop(b, k) => renderOuter(b).map(s => s"$s.$k")
+      case _ => None
+    }
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case other => other
+    }
+
+    val lifted = scala.collection.mutable.Buffer[(String, Expr, String)]()
+    var unsupported = false
+    val newClauses = clauses.map {
+      case m: Match if m.where.isDefined =>
+        val kept = scala.collection.mutable.Buffer[Expr]()
+        conjuncts(m.where.get).foreach { c =>
+          if (freeVars(c).subsetOf(bound)) kept += c
+          else c match {
+            case Cmp(op, l, r) if freeVars(l).subsetOf(bound) &&
+                renderOuter(r).isDefined =>
+              lifted += ((op, l, renderOuter(r).get))
+            case Cmp(op, l, r) if freeVars(r).subsetOf(bound) &&
+                renderOuter(l).isDefined =>
+              lifted += ((flip(op), r, renderOuter(l).get))
+            case _ => unsupported = true
+          }
+        }
+        m.copy(where = kept.reduceOption(And))
+      case other => other
+    }
+    if (unsupported || lifted.isEmpty) return None
+
+    // hidden jsonb columns for the graph-side operands
+    val corrItems = lifted.zipWithIndex.map { case ((_, graphE, _), i) =>
+      (graphE, Some(s"__corr_$i")): (Expr, Option[String])
+    }
+    val newRet = ret.copy(items = ret.items ++ corrItems)
+    val ast = Query(SingleQuery(newClauses.dropRight(1) :+ newRet), Nil)
+    runAst(ast).createOrReplaceTempView(view)
+
+    GraftExtensions.register(spark) // jsonb_* comparisons for the SQL side
+    val fnOf = Map("=" -> "jsonb_eq", "<>" -> "jsonb_ne", "<" -> "jsonb_lt",
+      "<=" -> "jsonb_le", ">" -> "jsonb_gt", ">=" -> "jsonb_ge")
+    val preds = lifted.zipWithIndex.map { case ((op, _, outerSql), i) =>
+      // outer native value -> canonical jsonb text, then jsonb compare
+      s"${fnOf(op)}($view.__corr_$i, " +
+        s"jsonb_get(jsonb_norm(to_json(named_struct('v', $outerSql))), '\"v\"'))"
+    }
+    Some(s"(SELECT 1 FROM $view WHERE ${preds.mkString(" AND ")})")
   }
 
   /** get_last_graph_write_stats() (cypher_funcs.c:1185). */

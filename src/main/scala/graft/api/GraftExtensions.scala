@@ -56,7 +56,11 @@ object GraftExtensions {
     "jsonb_set_key" -> (args => JsonbSetKey(args(0), args(1), args(2))),
     "jsonb_to_bool" -> (args => JsonbCast("bool", args(0))),
     "jsonb_to_double" -> (args => JsonbCast("double", args(0))),
-    "jsonb_to_long" -> (args => JsonbCast("long", args(0))))
+    "jsonb_to_long" -> (args => JsonbCast("long", args(0))),
+    // re-canonicalize JSON text (key sort, numeric canonical form) —
+    // the SQL-side door into jsonb space for native values:
+    // jsonb_get(jsonb_norm(to_json(named_struct('v', x))), '"v"')
+    "jsonb_norm" -> (args => graft.expr.JsonbNormalize.Normalize(args(0))))
 
   /** Register into an already-built session (tests, REPLs): the
     * extensions path only applies at session construction.

@@ -88,6 +88,31 @@ class InteropSpec extends AnyFunSuite {
     assert(miss.count() == 0)
   }
 
+  test("hybrid sql(): correlated EXISTS sublink on property equality") {
+    import spark.implicits._
+    Seq(("a", 1), ("b", 2), ("zzz", 3)).toDF("cname", "v")
+      .createOrReplaceTempView("corr_names")
+    // cities a, b, c exist -> rows a and b survive, zzz doesn't
+    val out = s.sql(
+      """SELECT v FROM corr_names t
+        |WHERE EXISTS (MATCH (c:city) WHERE c.name = t.cname RETURN c)
+        |ORDER BY v""".stripMargin)
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
+  test("hybrid sql(): correlated EXISTS with inequality + graph-only conjunct") {
+    import spark.implicits._
+    Seq(5L, 15L, 25L).toDF("minpop").createOrReplaceTempView("corr_pops")
+    // cities with pop > minpop AND name <> 'c' -> pops 10, 20 qualify
+    // for minpop 5 and 15; for 25 only city c (pop 30) exceeds, but the
+    // graph-only conjunct excludes it
+    val out = s.sql(
+      """SELECT minpop FROM corr_pops t
+        |WHERE EXISTS (MATCH (c:city) WHERE c.pop > t.minpop AND NOT c.name = 'c' RETURN c)
+        |ORDER BY minpop""".stripMargin)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(5L, 15L))
+  }
+
   test("hybrid sql(): string literals containing MATCH stay literal") {
     val out = s.sql("SELECT '(MATCH literal)' AS x")
     assert(out.collect().head.getString(0) == "(MATCH literal)")
