@@ -84,4 +84,31 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bucketed tables join with no exchange and no sort (co-located layout)") {
+    import graft.relational.{Bucketing, Tables}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Bucketing.writeBucketed(Tables.load(spark, sf, "orders"),
+        "bkt_orders", "o_custkey", 4)
+      Bucketing.writeBucketed(Tables.load(spark, sf, "customer"),
+        "bkt_customer", "c_custkey", 4)
+      val j = Bucketing.colocatedJoin(spark, "bkt_orders", "bkt_customer",
+        "o_custkey", "c_custkey")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p)
+      // row-count sanity: same as the unbucketed join
+      val want = Tables.load(spark, sf, "orders").join(
+        Tables.load(spark, sf, "customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey")).count()
+      assert(j.count() == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    }
+  }
 }
