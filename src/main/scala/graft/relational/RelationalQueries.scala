@@ -599,6 +599,39 @@ object RelationalQueries {
         .orderBy("bucket")
     },
 
+    // Relational division ("for all": customers who ordered in EVERY
+    // status). Idiomatic Spark = distinct-count equality (one shuffle);
+    // the oracle runs the classic double-NOT-EXISTS form.
+    "q49_division" -> { (s, d) =>
+      val ord = load(s, d, "orders")
+      val nStatuses = ord.select(countDistinct("o_orderstatus").as("k"))
+      val perCust = ord.groupBy("o_custkey")
+        .agg(countDistinct("o_orderstatus").as("mine"))
+      val cust = load(s, d, "customer")
+      cust.join(perCust, cust("c_custkey") === perCust("o_custkey"))
+        .crossJoin(broadcast(nStatuses))
+        .where(col("mine") === col("k"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Time-series gap filling: dense (type, day) grid from
+    // sequence(min, max) zero-filled by left join — the standard
+    // feature-pipeline densify step (generate_series analog).
+    "q50_gapfill" -> { (s, d) =>
+      val ev = load(s, d, "events").where(col("user_id") < 5)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val byDay = ev.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val days = ev.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      ev.select("event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(byDay, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+        .orderBy("event_type", "day")
+    },
+
     // LATERAL top-n-per-group (the reference reaches this via LATERAL
     // subqueries; OPTIONAL MATCH compiles through the same machinery).
     // Spark shape: aggregate once, rank inside the group — one shuffle,
@@ -923,6 +956,27 @@ object RelationalQueries {
       """SELECT CAST(floor((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT) AS bucket,
         |  count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q49_division" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderstatus = s.o_orderstatus))
+        |ORDER BY c_custkey""".stripMargin,
+    "q50_gapfill" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type
+        |  FROM events WHERE user_id < 5),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |d AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |c AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT t.event_type, d.day, coalesce(c.n, 0) AS n
+        |FROM t CROSS JOIN d
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
+        |ORDER BY t.event_type, d.day""".stripMargin,
     "q48_lateral_topn" ->
       """SELECT r.r_regionkey, l.n_name, l.total
         |FROM region r, LATERAL (
