@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.jsonb.{Jsonb, JNum, JObj}
+
+/** ForeignScan analog (SURVEY §2.1): a Spark DataSource V2 connector
+  * for JSONL graph-element dumps — the interchange shape of the
+  * reference's COPY/dump tooling: one JSON object per line with an
+  * `id` and the remaining keys forming the jsonb `properties`
+  * document.
+  *
+  * Spark-native structure: one InputPartition per file (parallel scan),
+  * column pruning via SupportsPushDownRequiredColumns, and id-range
+  * predicate pushdown via SupportsPushDownFilters (the graphid filters
+  * MATCH compiles to), so `spark.read.format("graft-jsonl-graph")`
+  * composes with the rest of the engine like any built-in source.
+  *
+  * Usage:
+  *   spark.read.format("graft-jsonl-graph").load("/path/dir-or-file")
+  * Schema: (id BIGINT, properties STRING /* canonical jsonb */).
+  */
+class JsonlGraphSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jsonl-graph"
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JsonlGraphSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new JsonlGraphTable(properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("graft-jsonl-graph requires a path")))
+}
+
+object JsonlGraphSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("properties", StringType, nullable = false)))
+
+  private[sources] def listFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().toSeq.filter(_.isFile).map(_.getPath).sorted
+    else Seq(path)
+  }
+}
+
+final class JsonlGraphTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-jsonl-graph($path)"
+  override def schema(): StructType = JsonlGraphSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlScanBuilder(path)
+}
+
+final class JsonlScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = JsonlGraphSource.schema
+  private var idFilters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // accept id-range/equality filters (evaluated while parsing, before
+  // row materialization); everything else stays with Spark
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("id", _) | GreaterThan("id", _) | GreaterThanOrEqual("id", _)
+        | LessThan("id", _) | LessThanOrEqual("id", _) | IsNotNull("id") => true
+      case _ => false
+    }
+    idFilters = accepted
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = idFilters
+
+  override def build(): Scan = new JsonlScan(path, required, idFilters)
+}
+
+final class JsonlScan(path: String, required: StructType,
+    idFilters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"JsonlGraphScan PushedFilters: [${idFilters.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonlGraphSource.listFiles(path).map(JsonlFilePartition(_): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(required.fieldNames, idFilters)
+}
+
+final case class JsonlFilePartition(file: String) extends InputPartition
+
+final class JsonlReaderFactory(columns: Array[String],
+    idFilters: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JsonlPartitionReader(
+      partition.asInstanceOf[JsonlFilePartition].file, columns, idFilters)
+}
+
+/** Streams one file line by line; parses through the engine's jsonb
+  * model so `properties` comes out in canonical form (identical to the
+  * catalog's own label tables).
+  */
+final class JsonlPartitionReader(file: String, columns: Array[String],
+    idFilters: Array[Filter]) extends PartitionReader[InternalRow] {
+  private val lines = scala.io.Source.fromFile(file, "UTF-8")
+  private val it = lines.getLines()
+  private var current: InternalRow = _
+
+  private def idPasses(id: Long): Boolean = idFilters.forall {
+    case EqualTo("id", v: Long) => id == v
+    case GreaterThan("id", v: Long) => id > v
+    case GreaterThanOrEqual("id", v: Long) => id >= v
+    case LessThan("id", v: Long) => id < v
+    case LessThanOrEqual("id", v: Long) => id <= v
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && it.hasNext) {
+      val line = it.next().trim
+      if (line.nonEmpty) {
+        Jsonb.parse(line) match {
+          case JObj(fields) =>
+            val id = fields.collectFirst { case ("id", JNum(n)) => n } match {
+              case Some(n) => n.longValueExact()
+              case _ => throw new IllegalArgumentException(
+                s"graft-jsonl-graph: line without numeric id in $file")
+            }
+            if (idPasses(id)) {
+              val props = JObj(fields.filterNot(_._1 == "id")).render
+              val values = columns.map {
+                case "id" => id: Any
+                case "properties" => UTF8String.fromString(props): Any
+              }
+              current = InternalRow.fromSeq(values.toIndexedSeq)
+            }
+          case _ => throw new IllegalArgumentException(
+            s"graft-jsonl-graph: non-object line in $file")
+        }
+      }
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}
