@@ -248,6 +248,29 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    "p23_rolling_features" -> { (s, d) =>
+      // feature engineering: per-user daily value sums on a gap-filled
+      // day grid, then a trailing 3-day rolling sum — the dense grid
+      // makes the ROWS frame equal a true 3-calendar-day window.
+      // Decimal space end-to-end (order-independent partial sums).
+      val ev = load(s, d, "events").where(col("user_id") < 30)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(28,4)").as("v"))
+      val daily = ev.groupBy("user_id", "day").agg(sum("v").as("dv"))
+      val days = ev.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(days))
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("dv"), lit(0).cast("decimal(28,4)")).as("dv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day").rowsBetween(-2, 0)
+      grid.select(col("user_id"), col("day"),
+          round(sum("dv").over(w), 2).cast("double").as("roll3"))
+        .orderBy("user_id", "day")
+    },
+
     // ---- multimodal plumbing ----------------------------------------
     "p12_multimodal_decode" -> { (s, d) =>
       val media = Multimodal.asMediaTable(load(s, d, "documents"), "doc_id", "text")
@@ -470,6 +493,22 @@ object PipelineQueries {
         |        WHERE g.doc_id < 400)
         |SELECT source, count(*) AS n_contaminated FROM bad
         |GROUP BY source ORDER BY source""".stripMargin,
+    "p23_rolling_features" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(value AS DECIMAL(28,4)) AS v
+        |  FROM events WHERE user_id < 30),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |d AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |daily AS (SELECT user_id, day, sum(v) AS dv FROM e GROUP BY 1, 2),
+        |grid AS (SELECT u.user_id, d.day, coalesce(daily.dv, 0) AS dv
+        |  FROM u CROSS JOIN d
+        |  LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day)
+        |SELECT user_id, day,
+        |  CAST(round(sum(dv) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS roll3
+        |FROM grid ORDER BY user_id, day""".stripMargin,
     "p12_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, length(text) AS n,
         |  greatest(length(text) % 256, 1) AS w0,

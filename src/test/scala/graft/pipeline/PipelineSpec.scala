@@ -148,6 +148,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(grams == Seq("a b", "b c", "c d"))
   }
 
+  test("approximate percentile stays within 2% of exact") {
+    val ord = graft.relational.Tables.load(spark, sf, "orders")
+    val exact = ord.selectExpr("percentile(o_totalprice, 0.5)")
+      .first().getDouble(0)
+    val approx = ord.selectExpr("percentile_approx(o_totalprice, 0.5, 1000)")
+      .first().getDouble(0)
+    assert(math.abs(approx - exact) / exact <= 0.02,
+      s"approx median $approx vs exact $exact")
+  }
+
   test("HLL approx distinct stays within 5% of exact on real keys") {
     val docs = graft.relational.Tables.load(spark, sf, "documents")
     val exact = docs.select(countDistinct("text")).first().getLong(0)
