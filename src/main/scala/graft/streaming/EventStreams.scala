@@ -89,6 +89,39 @@ object EventStreams {
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total: Double)
 
+  final case class SessionAgg(n_events: Long, total: Double, last_ts: Long)
+  final case class SessionSummary(user_id: Long, n_events: Long, total: Double)
+
+  /** Session-close alerts via flatMapGroupsWithState + EVENT-TIME
+    * timeout: a user's summary is emitted only when the watermark
+    * passes their last event + gap (the state store expires the key —
+    * bounded state, emission driven by data time, not wall clock).
+    */
+  def sessionCloseSummaries(events: Dataset[Event], gapMs: Long,
+      watermark: String): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val agg = state.get
+            state.remove()
+            Iterator.single(SessionSummary(uid, agg.n_events, agg.total))
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionAgg(0L, 0.0, Long.MinValue))
+            val lastTs = math.max(prev.last_ts, batch.map(_.ts.getTime).max)
+            state.update(SessionAgg(prev.n_events + batch.size,
+              prev.total + batch.map(_.value).sum, lastTs))
+            state.setTimeoutTimestamp(lastTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Running per-user totals via explicit state — the
     * KeyValueGroupedDataset.mapGroupsWithState surface (SURVEY §2.10
     * North-star item); state lives in the engine's checkpointed store.

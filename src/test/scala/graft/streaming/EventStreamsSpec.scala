@@ -77,6 +77,31 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 1L, 1L))
   }
 
+  test("event-time timeout emits session summaries once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionCloseSummaries(input.toDS(),
+      gapMs = 5 * 60 * 1000, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("close_out")
+      .outputMode("append").start()
+    // user 100 active at minutes 0-2
+    input.addData(
+      EventStreams.Event(1, ts(0), 100, "click", 1.0),
+      EventStreams.Event(2, ts(2), 100, "click", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("close_out").count() == 0) // nothing closed yet
+    // a much later event advances the watermark past 100's gap
+    input.addData(EventStreams.Event(3, ts(30), 200, "view", 9.0))
+    q.processAllAvailable()
+    // one more batch so the timeout fires against the advanced watermark
+    input.addData(EventStreams.Event(4, ts(31), 200, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("close_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains((100L, 2L, 3.0)), rows)
+  }
+
   test("stream-stream interval join attributes clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[EventStreams.Event]
