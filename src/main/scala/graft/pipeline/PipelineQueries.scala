@@ -271,6 +271,21 @@ object PipelineQueries {
         .orderBy("user_id", "day")
     },
 
+    "p24_pagerank" -> { (s, d) =>
+      // GraphX static PageRank over the customer->nation membership
+      // edges (Pregel — the scale path for iterative graph analytics);
+      // float-iterative -> rows-only driver check, semantics
+      // cross-checked in PipelineSpec
+      val cust = load(s, d, "customer")
+        .select(col("c_custkey").as("start"),
+          (col("c_nationkey") + lit(1000000L)).as("end"))
+      GraphAnalytics.pageRank(cust, numIter = 10)
+        .where(col("id") >= 1000000L)
+        .select((col("id") - 1000000L).cast("long").as("nationkey"),
+          round(col("rank"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("nationkey"))
+    },
+
     // ---- multimodal plumbing ----------------------------------------
     "p12_multimodal_decode" -> { (s, d) =>
       val media = Multimodal.asMediaTable(load(s, d, "documents"), "doc_id", "text")
