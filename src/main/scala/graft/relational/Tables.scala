@@ -22,7 +22,17 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Register every table as a temp view so SQL-form queries work too. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+  /** Register every table as a temp view so SQL-form queries work too.
+    * Once per (session, dir): each registration re-reads parquet
+    * footers for schema, which would otherwise tax every SQL-form query.
+    */
+  private val lastDir = scala.collection.mutable.Map[SparkSession, String]()
+  def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
+    // keyed by the LAST registered dir (not a set): switching dirs
+    // re-registers, and switching back re-registers again
+    if (!lastDir.get(spark).contains(sfDir)) {
+      all.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+      lastDir(spark) = sfDir
+    }
+  }
 }
