@@ -239,6 +239,26 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df0) == Seq(Seq("1"), Seq("2")))
   }
 
+  test("F1: query parameters (prepared-statement analog, cypher_dml prepared section)") {
+    val s = freshSession()
+    s.createGraph("prm")
+    s.createVLabel("n")
+    s.cypher("CREATE (:n {id: 1, name: 'a'}), (:n {id: 2, name: 'b'})")
+    // scalar param in WHERE
+    val byId = s.cypher("MATCH (x:n) WHERE x.id = $want RETURN x.name AS name",
+      Map("want" -> 2))
+    assert(rows(byId) == Seq(Seq("\"b\"")))
+    // list param with IN
+    val byNames = s.cypher(
+      "MATCH (x:n) WHERE x.name IN $names RETURN x.id AS id ORDER BY id",
+      Map("names" -> Seq("a", "b")))
+    assert(rows(byNames) == Seq(Seq("1"), Seq("2")))
+    // param inside a CREATE property map
+    s.cypher("CREATE (:n {id: $i, name: $nm})", Map("i" -> 3, "nm" -> "c"))
+    val cnt = s.cypher("MATCH (x:n) RETURN count(*) AS c")
+    assert(rows(cnt) == Seq(Seq("3")))
+  }
+
   test("F2: graphpath accessors nodes()/relationships()/length()") {
     val df = trav.cypher(
       """MATCH p = (a:person {id: 1})-[r:knows*2..2]->(b)
