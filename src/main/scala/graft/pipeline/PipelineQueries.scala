@@ -235,14 +235,15 @@ object PipelineQueries {
 
     "p22_decontam" -> { (s, d) =>
       // benchmark decontamination: flag training docs (doc_id<400)
-      // sharing any word 5-gram with the eval slice (doc_id>=400).
-      // The eval-gram set is benchmark-sized -> broadcast semi-join; at
-      // corpus scale that is the standard "hash the benchmark, stream
-      // the corpus" shape.
+      // sharing any word 5-gram with the eval slice (a FIXED 100-doc
+      // benchmark, doc_id in [400, 500) — benchmark size must not grow
+      // with the corpus). The eval-gram set broadcasts; the corpus
+      // streams through the semi-join — the standard "hash the
+      // benchmark, stream the corpus" shape.
       val docs = load(s, d, "documents")
       val train = docs.where(col("doc_id") < 400)
-      TextOps.contaminated(train, docs.where(col("doc_id") >= 400), 5,
-        "doc_id", "text")
+      val eval_ = docs.where(col("doc_id") >= 400 && col("doc_id") < 500)
+      TextOps.contaminated(train, eval_, 5, "doc_id", "text")
         .join(train.select("doc_id", "source"), "doc_id")
         .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
         .orderBy("source")
@@ -503,7 +504,8 @@ object PipelineQueries {
         |    generate_series(1, len(ws) - 4),
         |    i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS gram
         |  FROM w WHERE len(ws) >= 5),
-        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id >= 400),
+        |ev AS (SELECT DISTINCT gram FROM g
+        |       WHERE doc_id >= 400 AND doc_id < 500),
         |bad AS (SELECT DISTINCT g.doc_id, g.source FROM g JOIN ev USING (gram)
         |        WHERE g.doc_id < 400)
         |SELECT source, count(*) AS n_contaminated FROM bad
