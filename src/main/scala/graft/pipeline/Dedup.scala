@@ -206,6 +206,24 @@ object Dedup {
     docs.join(victims, docs(idCol) === victims("id"), "left_anti")
   }
 
+  /** Quality-aware dedup: keep the BEST-scoring member of each
+    * duplicate cluster (id tiebreak) instead of the min id — the usual
+    * curation policy when near-dups differ in quality. Singleton docs
+    * (no pairs) keep themselves.
+    */
+  def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      score: org.apache.spark.sql.Column): DataFrame = {
+    val cl = clusters(pairs)
+    val withComp = docs.join(cl, docs(idCol) === cl("id"), "left")
+      .withColumn("__comp", coalesce(col("comp"), docs(idCol)))
+      .withColumn("__score", score)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__comp")
+      .orderBy(col("__score").desc, docs(idCol))
+    withComp.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("id", "comp", "__comp", "__score", "__rn")
+  }
+
   /** 64-bit SimHash per document: sign of per-bit weighted token-hash
     * sums. One typed Aggregator holds the 64 bit-counters (64 separate
     * agg columns would codegen a giant method; the aggregator is a

@@ -59,6 +59,17 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    "p25_dedup_keep_best" -> { (s, d) =>
+      // quality-aware dedup: within each near-dup cluster keep the
+      // longest document (id tiebreak) — keepRepresentatives' min-id
+      // policy swapped for an arbitrary score
+      val docs = load(s, d, "documents").where(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+      Dedup.keepBest(docs, "doc_id", pairs, length(col("text")))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // ---- similarity search ------------------------------------------
     "p05_ann_bruteforce" -> { (s, d) =>
       val vecs = load(s, d, "embeddings")
@@ -337,6 +348,32 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_kept FROM documents
         |WHERE doc_id < 200 AND doc_id NOT IN (SELECT id FROM victims)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "p25_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+        |sym AS (SELECT da AS id, db AS nb FROM e
+        |        UNION ALL SELECT db, da FROM e),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT id, id FROM sym
+        |  UNION
+        |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nb = reach.id),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |scored AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
+        |    length(d.text) AS score
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |  WHERE d.doc_id < 200),
+        |best AS (SELECT doc_id, row_number() OVER
+        |    (PARTITION BY comp ORDER BY score DESC, doc_id) AS rn FROM scored)
+        |SELECT d.source, count(*) AS n_kept
+        |FROM documents d JOIN best ON d.doc_id = best.doc_id
+        |WHERE best.rn = 1 AND d.doc_id < 200
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "p15_stratified_sample" ->
       """SELECT source, count(*) AS n_sampled,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
