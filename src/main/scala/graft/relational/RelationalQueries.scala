@@ -599,6 +599,21 @@ object RelationalQueries {
         .orderBy("bucket")
     },
 
+    // WITH RECURSIVE (nodeRecursiveunion.c — the literal SQL surface;
+    // Spark 4 executes it natively, same driver-loop shape as our
+    // VLE/BFS): ancestor closure customer -> nation -> region.
+    "q51_recursive_cte" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """WITH RECURSIVE up(key, anc) AS (
+          |  SELECT c_custkey, 1000000 + c_nationkey FROM customer
+          |  UNION ALL
+          |  SELECT up.key, 2000000 + n_regionkey FROM up
+          |    JOIN nation ON up.anc = 1000000 + n_nationkey)
+          |SELECT anc, count(*) AS n FROM up
+          |GROUP BY anc ORDER BY anc""".stripMargin)
+    },
+
     // Relational division ("for all": customers who ordered in EVERY
     // status). Idiomatic Spark = distinct-count equality (one shuffle);
     // the oracle runs the classic double-NOT-EXISTS form.
@@ -956,6 +971,14 @@ object RelationalQueries {
       """SELECT CAST(floor((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT) AS bucket,
         |  count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q51_recursive_cte" ->
+      """WITH RECURSIVE up(key, anc) AS (
+        |  SELECT c_custkey, 1000000 + c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT up.key, 2000000 + n_regionkey FROM up
+        |    JOIN nation ON up.anc = 1000000 + n_nationkey)
+        |SELECT anc, count(*) AS n FROM up
+        |GROUP BY anc ORDER BY anc""".stripMargin,
     "q49_division" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (
