@@ -68,6 +68,34 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class FrameRow(doc_id: Long, frame_idx: Int, checksum: Long)
+
+  /** STUB "frame-sample" (the video path): the binary content splits
+    * into fixed-size byte windows ("frames"); every `every`-th frame is
+    * kept and summarized (stub checksum stands in for a real frame
+    * decode). One row in -> many out: the generator/UDTF batch shape.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, every: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] = media
+      .select(col("doc_id"), col("content"), col("mime"), col("n_bytes"))
+      .as[MediaRow]
+    typed.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.content.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator.filter(_ % every == 0).map { i =>
+          var sum = 0L
+          var j = i * frameBytes
+          val end = math.min(j + frameBytes, n)
+          while (j < end) { sum += (r.content(j) & 0xff); j += 1 }
+          FrameRow(r.doc_id, i, sum)
+        }
+      }
+    }.toDF()
+  }
+
   /** STUB "resize": scales the fake feature vector — stands in for a
     * real thumbnail/resample pass; demonstrates chained media stages.
     */

@@ -299,6 +299,15 @@ object PipelineQueries {
     },
 
     // ---- multimodal plumbing ----------------------------------------
+    "p26_frame_sample" -> { (s, d) =>
+      // video-path plumbing: binary content -> fixed 64-byte "frames",
+      // every 3rd sampled (generator shape: one row in, many out)
+      val media = Multimodal.asMediaTable(
+        load(s, d, "documents").where(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.frameSample(media, frameBytes = 64, every = 3)
+        .orderBy("doc_id", "frame_idx")
+    },
+
     "p12_multimodal_decode" -> { (s, d) =>
       val media = Multimodal.asMediaTable(load(s, d, "documents"), "doc_id", "text")
       val decoded = Multimodal.decode(media)
@@ -563,6 +572,19 @@ object PipelineQueries {
         |  CAST(round(sum(dv) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS roll3
         |FROM grid ORDER BY user_id, day""".stripMargin,
+    "p26_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (SELECT doc_id, text, n, unnest(generate_series(0,
+        |    CAST(ceil(n::DOUBLE / 64) AS BIGINT) - 1)) AS frame_idx FROM d),
+        |s AS (SELECT doc_id, frame_idx,
+        |  list_sum(list_transform(
+        |    generate_series(frame_idx * 64 + 1, least(frame_idx * 64 + 64, n)),
+        |    i -> ord(substr(text, i, 1)))) AS checksum
+        |  FROM f WHERE frame_idx % 3 = 0)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(checksum AS BIGINT) AS checksum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     "p12_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, length(text) AS n,
         |  greatest(length(text) % 256, 1) AS w0,
