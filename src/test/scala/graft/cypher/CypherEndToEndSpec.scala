@@ -259,6 +259,24 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(cnt) == Seq(Seq("3")))
   }
 
+  test("F1: stdev/stdevp aggregates (parse_cypher_expr.c:889-892 rename)") {
+    import graft.expr.J
+    import org.apache.spark.sql.functions.col
+    val s = freshSession()
+    s.createGraph("sd")
+    s.createVLabel("n")
+    Seq(2, 4, 4, 4, 5, 5, 7, 9).foreach(v => s.cypher(s"CREATE (:n {v: $v})"))
+    val df = s.cypher("MATCH (x:n) RETURN stdevp(x.v) AS sp, stdev(x.v) AS sd")
+      .select(J.toDouble(col("sp")).as("sp"), J.toDouble(col("sd")).as("sd"))
+    val r = df.first()
+    assert(r.getDouble(0) == 2.0) // population stddev of the classic set
+    assert(math.abs(r.getDouble(1) - 2.13808993529939517) < 1e-12)
+    // timestamp() returns epoch millis as a jsonb number
+    val ts = s.cypher("RETURN timestamp() AS t")
+      .select(J.toLong(col("t"))).first().getLong(0)
+    assert(ts > 1700000000000L)
+  }
+
   test("F2: graphpath accessors nodes()/relationships()/length()") {
     val df = trav.cypher(
       """MATCH p = (a:person {id: 1})-[r:knows*2..2]->(b)
