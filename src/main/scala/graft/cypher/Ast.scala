@@ -43,6 +43,8 @@ object Ast {
   final case class ShortestPathExpr(all: Boolean, path: PathPattern) extends Expr
   // exists((n)-[:t]->()) pattern predicate (cypher_dml2.sql exists(..))
   final case class ExistsPattern(path: PathPattern) extends Expr
+  // size((n)-[:t]->()) pattern-match count (cypher_dml.sql SIZE section)
+  final case class SizePattern(path: PathPattern) extends Expr
 
   // ---------------------------------------------------------- patterns
   /** direction: -1 = <-, 0 = undirected, 1 = -> */

@@ -149,11 +149,12 @@ final class Builder(
     }
   }
 
-  /** Bind exists((a)-[:t]->(b)) pattern predicates as hidden boolean
-    * columns: tag rows, run the pattern as a correlated match (shared
-    * variables constrain it), left-join the matched row ids back. The
-    * predicate is false (not null) for non-matching rows, like the
-    * reference's EXISTS sublink.
+  /** Bind exists((a)-[:t]->(b)) / size((a)-[:t]->(b)) pattern
+    * expressions as hidden columns: tag rows, run the pattern as a
+    * correlated match (shared variables constrain it), join the match
+    * presence (exists -> boolean, false not null, like the reference's
+    * EXISTS sublink) or multiplicity (size -> jsonb count, 0 for no
+    * match) back per row.
     */
   private def rewriteExistsPatterns(st0: State, e: Expr): (State, Expr) = {
     var st = st0
@@ -171,8 +172,25 @@ final class Builder(
       st = State(joined, st.vars :+ (hidden -> Kind.KB))
       Vbl(hidden)
     }
+    def bindCount(p: PathPattern): Expr = {
+      val hidden = fresh("psize")
+      val rid = s"${hidden}_rid"
+      val tagged = st.df.withColumn(rid, monotonically_increasing_id())
+      val inner = buildMatch(State(tagged, st.vars),
+        Match(Seq(p), optional = false, where = None))
+      val counts = inner.df.groupBy(col(rid).as(s"${hidden}_m"))
+        .agg(count(lit(1)).as(s"${hidden}_n"))
+      val joined = tagged
+        .join(counts, col(rid) === col(s"${hidden}_m"), "left")
+        .withColumn(hidden,
+          graft.expr.J.fromLong(coalesce(col(s"${hidden}_n"), lit(0L))))
+        .drop(rid, s"${hidden}_m", s"${hidden}_n")
+      st = State(joined, st.vars :+ (hidden -> Kind.KJ))
+      Vbl(hidden)
+    }
     def go(x: Expr): Expr = x match {
       case ExistsPattern(p) => bind(p)
+      case SizePattern(p) => bindCount(p)
       case And(l, r) => And(go(l), go(r))
       case Or(l, r) => Or(go(l), go(r))
       case Not(v) => Not(go(v))

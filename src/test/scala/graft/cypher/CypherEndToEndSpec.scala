@@ -277,6 +277,24 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(ts > 1700000000000L)
   }
 
+  test("F1: size((a)-[]->()) pattern-count expression (cypher_dml SIZE)") {
+    val s = freshSession()
+    s.createGraph("ps")
+    s.createVLabel("repo"); s.createELabel("lib")
+    s.cypher("CREATE (:repo {name: 'a'}), (:repo {name: 'b'}), (:repo {name: 'c'})")
+    s.cypher("MATCH (x:repo {name: 'a'}), (y:repo {name: 'b'}) CREATE (x)-[:lib]->(y)")
+    s.cypher("MATCH (x:repo {name: 'a'}), (y:repo {name: 'c'}) CREATE (x)-[:lib]->(y)")
+    val sz = s.cypher(
+      "MATCH (a:repo) RETURN a.name AS a, size((a)-[]->()) AS s ORDER BY a")
+    assert(rows(sz) == Seq(Seq("\"a\"", "2"), Seq("\"b\"", "0"), Seq("\"c\"", "0")))
+    // plain size() still works on lists and strings
+    assert(rows(s.cypher("RETURN size([1, 2, 3]) AS n")) == Seq(Seq("3")))
+    // and exists() on the same pattern agrees with size() > 0
+    val ex = s.cypher(
+      "MATCH (a:repo) WHERE exists((a)-[]->()) RETURN a.name AS a")
+    assert(rows(ex) == Seq(Seq("\"a\"")))
+  }
+
   test("F2: graphpath accessors nodes()/relationships()/length()") {
     val df = trav.cypher(
       """MATCH p = (a:person {id: 1})-[r:knows*2..2]->(b)
