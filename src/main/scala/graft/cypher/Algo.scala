@@ -312,9 +312,12 @@ object Algo {
       exhausted = frontier.isEmpty
       if (!exhausted) {
         accumulate(k, frontier)
+        // no distinct/materialize: duplicates are harmless on the
+        // anti-join probe side, and each frontier is already
+        // checkpointed so the union stays shallow — one less job per
+        // level
         visited = visited.unionAll(
           frontier.select(col("__start").as("__o"), col("__cur").as("__at")))
-          .distinct().localCheckpoint(true)
       }
     }
 
