@@ -444,9 +444,10 @@ object Algo {
         fdepth += 1
         exhausted = fwd.isEmpty
         if (!exhausted) {
+          // duplicates are harmless on the anti-join probe side;
+          // frontiers are checkpointed so the union stays shallow
           visitedF = visitedF.unionAll(
             fwd.select(col("__start").as("__o"), col("__cur").as("__at")))
-            .distinct().localCheckpoint(true)
           absorb(meets(), fdepth + bdepth)
         }
       } else {
@@ -466,7 +467,6 @@ object Algo {
         if (!exhausted) {
           visitedB = visitedB.unionAll(
             bwd.select(col("__tgt").as("__o"), col("__bcur").as("__at")))
-            .distinct().localCheckpoint(true)
           absorb(meets(), fdepth + bdepth)
         }
       }
