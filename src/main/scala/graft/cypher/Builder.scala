@@ -618,9 +618,10 @@ final class Builder(
     }
   }
 
-  /** ORDER BY with jsonb sort semantics: decompose each key into
-    * (type-rank, numeric, text) sort columns so jsonb btree order holds
-    * without a custom physical operator.
+  /** ORDER BY with jsonb sort semantics: each jsonb key becomes one
+    * memcomparable binary column (JsonbSortKey) whose unsigned byte
+    * order equals jsonb btree order exactly — no custom physical
+    * operator, and range partitioning works for distributed sorts.
     */
   private def applyOrder(df: DataFrame, p: Projection, st: State,
       itemNames: Seq[String], itemExprs: Seq[(Expr, String)] = Nil): DataFrame = {
@@ -645,8 +646,11 @@ final class Builder(
         case other => comp.compile(other)
       }
       val cols: Seq[Column] = ce.kind match {
-        case KJ => Seq(graft.expr.J.typeRank(ce.col), graft.expr.J.toDouble(ce.col),
-          ce.col)
+        // one memcomparable binary key = exact jsonb btree order,
+        // including recursive count-first container comparison
+        // (JsonbSortKey) — range-partitionable, so distributed sorts
+        // need no custom comparator
+        case KJ => Seq(graft.expr.J.sortKey(ce.col))
         case _ => Seq(ce.col)
       }
       cols.map(c => if (asc) c.asc_nulls_last else c.desc_nulls_last)

@@ -398,6 +398,7 @@ object J {
   def setKey(o: Column, k: Column, v: Column): Column =
     col(JsonbSetKey(e(o), e(k), e(v)))
 
+  def sortKey(x: Column): Column = col(JsonbSortKey(e(x)))
   def asText(x: Column): Column = col(JsonbUnary("astext", e(x)))
   def fromText(x: Column): Column = col(JsonbUnary("fromtext", e(x)))
   def keysOf(x: Column): Column = col(JsonbUnary("keys", e(x)))

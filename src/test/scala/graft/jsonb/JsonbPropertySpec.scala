@@ -57,6 +57,41 @@ class JsonbPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("memcomparable sort key: unsigned byte order equals Jsonb.compare") {
+    def unsignedCmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return Integer.signum(d)
+        i += 1
+      }
+      Integer.signum(a.length - b.length)
+    }
+    def key(v: JValue): Array[Byte] =
+      graft.expr.JsonbSortKeyRT.sortKey(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.render))
+    val rnd = new java.util.Random(6)
+    val vals = (1 to 120).map(_ => gen(rnd, 3))
+    val keys = vals.map(key)
+    for (i <- vals.indices; j <- vals.indices) {
+      val want = Integer.signum(Jsonb.compare(vals(i), vals(j)))
+      val got = unsignedCmp(keys(i), keys(j))
+      assert(got == want,
+        s"${vals(i).render} vs ${vals(j).render}: key $got compare $want")
+    }
+    // the cases per-column keys could not express: count-first containers
+    val fewPairs = Jsonb.parse("""{"z": 1}""")
+    val morePairs = Jsonb.parse("""{"a": 1, "b": 2}""")
+    assert(unsignedCmp(key(fewPairs), key(morePairs)) < 0) // 1 pair < 2 pairs
+    val shortArr = Jsonb.parse("[9]")
+    val longArr = Jsonb.parse("[1, 2]")
+    assert(unsignedCmp(key(shortArr), key(longArr)) < 0)
+    // high-precision numerics beyond double resolution stay ordered
+    val n1 = Jsonb.parse("100000000000000000000.00000001")
+    val n2 = Jsonb.parse("100000000000000000000.00000002")
+    assert(unsignedCmp(key(n1), key(n2)) < 0)
+  }
+
   test("number arithmetic: (a+b)-b == a under jsonb equality") {
     val rnd = new java.util.Random(3)
     (1 to 2000).foreach { _ =>
