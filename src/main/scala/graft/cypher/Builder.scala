@@ -569,7 +569,22 @@ final class Builder(
     }
 
     var df = out.df
-    if (p.distinct) df = df.dropDuplicates()
+    if (p.distinct) {
+      // PG jsonb DISTINCT dedups by jsonb EQUALITY (7 and 7.0 are
+      // equal), not by rendered text: key jsonb columns on their
+      // memcomparable sort key, everything else on the value itself
+      val jsonbVars = out.vars.collect { case (n, KJ) => n }
+      if (jsonbVars.isEmpty) df = df.dropDuplicates()
+      else {
+        val hidden = jsonbVars.zipWithIndex.map { case (n, i) => (s"__dk_$i", n) }
+        hidden.foreach { case (h, n) =>
+          df = df.withColumn(h, J.sortKey(col(Compiler.q(n))))
+        }
+        val keys = out.vars.collect { case (n, k) if k != KJ => n } ++
+          hidden.map(_._1)
+        df = df.dropDuplicates(keys).drop(hidden.map(_._1): _*)
+      }
+    }
     p.skip.foreach { e => df = df.offset(constLong(e).toInt) }
     p.limit.foreach { e => df = df.limit(constLong(e).toInt) }
     var res = State(df, out.vars)

@@ -277,6 +277,14 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(ts > 1700000000000L)
   }
 
+  test("F1: DISTINCT dedups by jsonb equality (7 and 7.0 are one value)") {
+    val s = freshSession()
+    s.createGraph("dq")
+    val df = s.cypher("UNWIND [7, 7.0, 7, 8] AS x RETURN DISTINCT x ORDER BY x")
+    // PG jsonb equality: 7 = 7.0 -> two distinct values survive
+    assert(df.count() == 2)
+  }
+
   test("F1: size((a)-[]->()) pattern-count expression (cypher_dml SIZE)") {
     val s = freshSession()
     s.createGraph("ps")
