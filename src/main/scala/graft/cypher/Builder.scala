@@ -540,14 +540,21 @@ final class Builder(
         (Compiler.rewriteAggs(e, keyItems.map(ki => ki._1 -> Vbl(ki._2)).toMap,
           aggRef, cStarRef), nm)
       }
+      // PG groups jsonb keys by EQUALITY (7 and 7.0 are one group), not
+      // by rendered text: jsonb keys group on their memcomparable sort
+      // key, with first() carrying a representative rendering
+      val keyReprs = keyCols.collect { case (nm, c, KJ) => first(c).as(nm) }
+      val allAggs = keyReprs ++ aggCols.map { case (n2, c2) => c2.as(n2) }
       val grouped =
         if (keyCols.isEmpty)
-          st.df.agg(aggCols.head._2.as(aggCols.head._1),
-            aggCols.tail.map { case (n2, c2) => c2.as(n2) }: _*)
-        else
-          st.df.groupBy(keyCols.map(_._2): _*)
-            .agg(aggCols.head._2.as(aggCols.head._1),
-              aggCols.tail.map { case (n2, c2) => c2.as(n2) }: _*)
+          st.df.agg(allAggs.head, allAggs.tail: _*)
+        else {
+          val gb = keyCols.map {
+            case (nm, c, KJ) => J.sortKey(c).as(s"__gk_$nm")
+            case (_, c, _) => c
+          }
+          st.df.groupBy(gb: _*).agg(allAggs.head, allAggs.tail: _*)
+        }
       // post-agg frame: key cols keep their var kinds; agg refs are jsonb
       val postVars: Vector[(String, Kind)] =
         keyCols.map(k => (k._1, k._3)).toVector ++ aggCols.map(a => (a._1, KJ))

@@ -283,6 +283,10 @@ class CypherEndToEndSpec extends AnyFunSuite {
     val df = s.cypher("UNWIND [7, 7.0, 7, 8] AS x RETURN DISTINCT x ORDER BY x")
     // PG jsonb equality: 7 = 7.0 -> two distinct values survive
     assert(df.count() == 2)
+    // implicit grouping keys use the same equality
+    val g = s.cypher("UNWIND [7, 7.0, 7, 8] AS x RETURN x, count(*) AS n ORDER BY x")
+    assert(g.count() == 2)
+    assert(rows(g).map(_.last) == Seq("3", "1"))
   }
 
   test("F1: size((a)-[]->()) pattern-count expression (cypher_dml SIZE)") {
