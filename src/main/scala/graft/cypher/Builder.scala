@@ -517,7 +517,8 @@ final class Builder(
       out = State(selected, items0.zip(cols).map { case ((_, nm), (_, k)) => nm -> k }.toVector)
     } else {
       // implicit grouping: non-aggregate items are the keys
-      // (transformCypherProjection parse_graph.c:441-627)
+      // (transformCypherProjection parse_graph.c:441-627); jsonb keys
+      // group by jsonb equality via their sort key (below)
       val comp = compiler(st)
       val keyItems = items0.filter { case (e, _) => !Compiler.hasAgg(e) }
       val aggItems = items0.filter { case (e, _) => Compiler.hasAgg(e) }
