@@ -614,6 +614,23 @@ object RelationalQueries {
           |GROUP BY anc ORDER BY anc""".stripMargin)
     },
 
+    // Statistical aggregates (§2.5 long tail: corr / covar / linear
+    // regression — stock PG ordered-set statistics). Rounded in decimal
+    // space after the float agg so engine ulp differences vanish.
+    "q52_stat_aggs" -> { (s, d) =>
+      def r6(c: org.apache.spark.sql.Column) =
+        round(c.cast("decimal(28,8)"), 6).cast("double")
+      load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          r6(corr(col("l_quantity"), col("l_extendedprice"))).as("r"),
+          r6(covar_samp(col("l_quantity"), col("l_discount"))).as("cs"),
+          r6(covar_pop(col("l_quantity"), col("l_discount"))).as("cp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity"))
+            .cast("decimal(28,8)"), 4).cast("double").as("slope"))
+        .orderBy("l_returnflag")
+    },
+
     // Relational division ("for all": customers who ordered in EVERY
     // status). Idiomatic Spark = distinct-count equality (one shuffle);
     // the oracle runs the classic double-NOT-EXISTS form.
@@ -971,6 +988,13 @@ object RelationalQueries {
       """SELECT CAST(floor((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT) AS bucket,
         |  count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q52_stat_aggs" ->
+      """SELECT l_returnflag,
+        |  CAST(round(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(28,8)), 6) AS DOUBLE) AS r,
+        |  CAST(round(CAST(covar_samp(l_quantity, l_discount) AS DECIMAL(28,8)), 6) AS DOUBLE) AS cs,
+        |  CAST(round(CAST(covar_pop(l_quantity, l_discount) AS DECIMAL(28,8)), 6) AS DOUBLE) AS cp,
+        |  CAST(round(CAST(regr_slope(l_extendedprice, l_quantity) AS DECIMAL(28,8)), 4) AS DOUBLE) AS slope
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q51_recursive_cte" ->
       """WITH RECURSIVE up(key, anc) AS (
         |  SELECT c_custkey, 1000000 + c_nationkey FROM customer
