@@ -614,6 +614,18 @@ object RelationalQueries {
           |GROUP BY anc ORDER BY anc""".stripMargin)
     },
 
+    // Window navigation (§2.6: first/last/nth value over frames).
+    "q53_window_nav" -> { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(s, d, "orders").where(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          first("o_orderkey").over(w).as("first_key"),
+          last("o_orderkey").over(wFull).as("last_key"),
+          nth_value(col("o_orderkey"), 3).over(wFull).as("third_key"))
+        .orderBy("o_orderkey")
+    },
+
     // Statistical aggregates (§2.5 long tail: corr / covar / linear
     // regression — stock PG ordered-set statistics). Rounded in decimal
     // space after the float agg so engine ulp differences vanish.
@@ -988,6 +1000,18 @@ object RelationalQueries {
       """SELECT CAST(floor((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT) AS bucket,
         |  count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q53_window_nav" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS last_key,
+        |  nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS third_key
+        |FROM orders WHERE o_orderkey <= 1000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q52_stat_aggs" ->
       """SELECT l_returnflag,
         |  CAST(round(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(28,8)), 6) AS DOUBLE) AS r,
