@@ -298,6 +298,23 @@ object PipelineQueries {
         .orderBy(col("rank").desc, col("nationkey"))
     },
 
+    "p27_chunking" -> { (s, d) =>
+      // overlapping token windows (chunk 64, stride 48) — the
+      // RAG/pretraining chunking primitive; pure array slices over one
+      // materialized token array, map-side only
+      val ws = col("__ws")
+      load(s, d, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("__ws"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(ws) - 1) / 48.0).cast("long")),
+            i => slice(ws, (i * 48 + 1).cast("int"), lit(64)))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).as("n_toks"),
+          element_at(col("col"), 1).as("head_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ---- multimodal plumbing ----------------------------------------
     "p26_frame_sample" -> { (s, d) =>
       // video-path plumbing: binary content -> fixed 64-byte "frames",
@@ -572,6 +589,18 @@ object PipelineQueries {
         |  CAST(round(sum(dv) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS roll3
         |FROM grid ORDER BY user_id, day""".stripMargin,
+    "p27_chunking" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (SELECT doc_id, unnest(generate_series(0,
+        |    CAST(floor((len(ws) - 1) / 48.0) AS BIGINT))) AS chunk_idx, ws
+        |  FROM w),
+        |s AS (SELECT doc_id, chunk_idx,
+        |    list_slice(ws, chunk_idx * 48 + 1,
+        |      least(chunk_idx * 48 + 64, len(ws))) AS chunk FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(chunk) AS INT) AS n_toks, chunk[1] AS head_tok
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "p26_frame_sample" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n
         |  FROM documents WHERE doc_id < 100),
