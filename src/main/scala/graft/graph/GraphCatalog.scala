@@ -369,9 +369,16 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
           (withShredCols(clean, writeTypes), lm.copy(shred = merged))
         }
       }
-    out.write.mode("append").parquet(labelDir(graph, label).toString)
+    // cluster within files: vertices by id, edges by start — parquet
+    // row-group min/max stats then prune id lookups and VLE seed scans
+    // (the layout role the reference's btree/GIN indexes played)
+    clusterSorted(out, lm.kind)
+      .write.mode("append").parquet(labelDir(graph, label).toString)
     if (lm2 != lm) { m.labels(label) = lm2; writeMeta(graph, m) }
   }
+
+  private def clusterSorted(df: DataFrame, kind: Char): DataFrame =
+    df.sortWithinPartitions(if (kind == 'v') "id" else "start")
 
   /** Replace a label table's contents (copy-on-write rewrite: write to
     * a staging dir, then swap — keeps the statement-level snapshot
@@ -396,7 +403,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       }
     val dir = labelDir(graph, label)
     val staging = graphDir(graph).resolve(s"_staging_$label")
-    out.write.mode("overwrite").parquet(staging.toString)
+    clusterSorted(out, lm.kind)
+      .write.mode("overwrite").parquet(staging.toString)
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
       Files.deleteIfExists(p)
