@@ -77,23 +77,59 @@ final class Builder(
   // ================================================================ run
 
   def run(q: Query): DataFrame = {
-    val first = runSingle(q.first)
+    val first = runSingleState(q.first)
     q.setOps.foldLeft(first) { case (acc, (op, single)) =>
-      val rhs = runSingle(single)
-      op match {
-        case "union"     => acc.union(rhs).distinct()
-        case "union all" => acc.union(rhs)
-        case "intersect" => acc.intersect(rhs)
-        case "except"    => acc.except(rhs)
+      val rhs = runSingleState(single)
+      // set-op DISTINCT semantics compare jsonb columns by jsonb
+      // EQUALITY (7 = 7.0), like PG: rows key on memcomparable sort
+      // keys for jsonb columns, values themselves otherwise
+      val combined = op match {
+        case "union"     => setOpDistinct(State(acc.df.union(rhs.df), acc.vars))
+        case "union all" => State(acc.df.union(rhs.df), acc.vars)
+        case "intersect" => setOpJoin(acc, rhs, "left_semi")
+        case "except"    => setOpJoin(acc, rhs, "left_anti")
       }
-    }
+      combined
+    }.df
   }
 
-  def runSingle(sq: SingleQuery): DataFrame = {
+  def runSingle(sq: SingleQuery): DataFrame = runSingleState(sq).df
+
+  private def runSingleState(sq: SingleQuery): State = {
     val init = State(spark.range(1).select(lit(0L).as("__dummy")), Vector.empty)
-    val out = sq.clauses.foldLeft(init)(applyClause)
     // a bare write query returns its (possibly dummy) frame
-    out.df
+    sq.clauses.foldLeft(init)(applyClause)
+  }
+
+  /** (df + hidden sort-key cols, equality-key col names, hidden names). */
+  private def jsonbKeyed(st: State): (DataFrame, Seq[String], Seq[String]) = {
+    val hidden = st.vars.zipWithIndex.collect {
+      case ((n, KJ), i) => (s"__sk_$i", n)
+    }
+    var df = st.df
+    hidden.foreach { case (h, n) =>
+      df = df.withColumn(h, J.sortKey(col(Compiler.q(n))))
+    }
+    val keys = st.vars.collect { case (n, k) if k != KJ => n } ++ hidden.map(_._1)
+    (df, keys, hidden.map(_._1))
+  }
+
+  private def setOpDistinct(st: State): State = {
+    val (df, keys, hidden) = jsonbKeyed(st)
+    State(df.dropDuplicates(keys).drop(hidden: _*), st.vars)
+  }
+
+  /** INTERSECT / EXCEPT: distinct left rows (semi/anti-)joined against
+    * the right side on null-safe key equality.
+    */
+  private def setOpJoin(l: State, r: State, joinType: String): State = {
+    val (la, keys, hidL) = jsonbKeyed(l)
+    val (rb, _, _) = jsonbKeyed(r)
+    val rbR = rb.select(keys.map(k => col(Compiler.q(k)).as(s"${k}__r")): _*)
+    val cond = keys.map(k => col(Compiler.q(k)) <=> col(Compiler.q(s"${k}__r")))
+      .reduce(_ && _)
+    val joined = la.dropDuplicates(keys).join(rbR, cond, joinType)
+    State(joined.drop(hidL: _*), l.vars)
   }
 
   def applyClause(st: State, c: Clause): State = c match {

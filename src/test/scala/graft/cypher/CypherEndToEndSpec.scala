@@ -287,6 +287,13 @@ class CypherEndToEndSpec extends AnyFunSuite {
     val g = s.cypher("UNWIND [7, 7.0, 7, 8] AS x RETURN x, count(*) AS n ORDER BY x")
     assert(g.count() == 2)
     assert(rows(g).map(_.last) == Seq("3", "1"))
+    // statement-level set ops too
+    assert(s.cypher(
+      "UNWIND [7, 8] AS x RETURN x INTERSECT UNWIND [7.0] AS x RETURN x").count() == 1)
+    assert(s.cypher(
+      "UNWIND [7, 8] AS x RETURN x EXCEPT UNWIND [7.0] AS x RETURN x").count() == 1)
+    assert(s.cypher(
+      "UNWIND [7] AS x RETURN x UNION UNWIND [7.0] AS x RETURN x").count() == 1)
   }
 
   test("F1: size((a)-[]->()) pattern-count expression (cypher_dml SIZE)") {
