@@ -660,7 +660,10 @@ final class Builder(
     def distinctArr = J.arrDistinct(JsonbAggregates.collect(arg))
     f.name match {
       case "count" =>
-        if (f.distinct) J.fromLong(count_distinct(arg)) else J.fromLong(count(arg))
+        // DISTINCT counts jsonb values by jsonb EQUALITY (7 = 7.0):
+        // distinct over the memcomparable sort key, not the rendering
+        if (f.distinct) J.fromLong(count_distinct(J.sortKey(arg)))
+        else J.fromLong(count(arg))
       case "sum" =>
         if (f.distinct) J.arrSum(distinctArr) else JsonbAggregates.sum(arg)
       case "avg" =>

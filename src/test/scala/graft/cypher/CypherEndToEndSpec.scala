@@ -294,6 +294,10 @@ class CypherEndToEndSpec extends AnyFunSuite {
       "UNWIND [7, 8] AS x RETURN x EXCEPT UNWIND [7.0] AS x RETURN x").count() == 1)
     assert(s.cypher(
       "UNWIND [7] AS x RETURN x UNION UNWIND [7.0] AS x RETURN x").count() == 1)
+    // count(DISTINCT) and collect(DISTINCT) agree
+    val cd = s.cypher(
+      "UNWIND [7, 7.0, 8] AS x RETURN count(DISTINCT x) AS n")
+    assert(rows(cd) == Seq(Seq("2")))
   }
 
   test("F1: size((a)-[]->()) pattern-count expression (cypher_dml SIZE)") {
