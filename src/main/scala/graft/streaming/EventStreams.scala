@@ -59,6 +59,15 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Stream-static enrichment: join a stream against a (broadcastable)
+    * dimension table — the dimension re-resolves per micro-batch, so
+    * slowly-changing dims pick up updates without restarting the query.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey), "left")
+
   /** Watermarked stream-stream interval join (click attribution shape):
     * each right-side event matches left-side events of the same user
     * within `within` after the left event. Both sides' state is

@@ -77,6 +77,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 1L, 1L))
   }
 
+  test("stream-static enrichment joins dimension rows per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((100L, "gold"), (200L, "silver")).toDF("uid", "tier")
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.enrich(input.toDF(), dim, "user_id", "uid")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    input.addData(
+      EventStreams.Event(1, ts(0), 100, "click", 1.0),
+      EventStreams.Event(2, ts(1), 300, "click", 1.0)) // no dim row
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1L, Some("gold")), (2L, None)))
+  }
+
   test("event-time timeout emits session summaries once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
