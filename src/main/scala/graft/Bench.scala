@@ -48,9 +48,10 @@ object Bench {
       }
     val cold = runAll()
     val results = runAll()
-    // Keep the line compact (ms precision): the harness captures only a
-    // bounded tail of the output, and the full line must fit in it.
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Keep the line compact (10ms precision): the harness captures only
+    // a bounded tail (~2.4 KB) of the output, and the full line must
+    // fit in it even as the query inventory grows.
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
