@@ -38,6 +38,12 @@ final class CypherSession(
   def createELabel(name: String, parents: Seq[String] = Nil,
       ifNotExists: Boolean = false): Unit =
     catalog.createLabel(currentGraph, name, 'e', parents, ifNotExists)
+  def renameGraph(from: String, to: String): Unit = {
+    catalog.renameGraph(from, to)
+    if (currentGraph == from) currentGraph = to
+  }
+  def renameLabel(from: String, to: String): Unit =
+    catalog.renameLabel(currentGraph, from, to)
 
   /** Run a Cypher statement; returns the final clause's DataFrame. */
   def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame =

@@ -80,6 +80,39 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
 
   def graphExists(name: String): Boolean = Files.exists(metaPath(name))
 
+  /** ALTER GRAPH ... RENAME (graphcmds.c RenameGraph:146): a directory
+    * move — label data and ids are untouched.
+    */
+  def renameGraph(from: String, to: String): Unit = {
+    require(Files.exists(graphDir(from)), s"graph \"$from\" does not exist")
+    require(!Files.exists(graphDir(to)), s"graph \"$to\" already exists")
+    Files.move(graphDir(from), graphDir(to))
+  }
+
+  /** ALTER VLABEL/ELABEL ... RENAME (graphcmds.c RenameLabel:416):
+    * catalog rename; the labid — and therefore every stored graphid —
+    * is stable, so data and edges referencing the label never rewrite.
+    * Children's parent lists follow the rename.
+    */
+  def renameLabel(graph: String, from: String, to: String): Unit = {
+    val m = readMeta(graph)
+    if (!m.labels.contains(from))
+      throw new IllegalStateException(s"label \"$from\" does not exist")
+    require(!m.labels.contains(to), s"label \"$to\" already exists")
+    // rebuild preserving declaration order; rewrite parent references
+    val renamed = m.labels.map { case (n, meta) =>
+      val n2 = if (n == from) to else n
+      val meta2 = meta.copy(
+        name = if (meta.name == from) to else meta.name,
+        parents = meta.parents.map(p => if (p == from) to else p))
+      n2 -> meta2
+    }
+    m.labels.clear()
+    renamed.foreach { case (n, meta) => m.labels(n) = meta }
+    writeMeta(graph, m)
+    Files.move(labelDir(graph, from), labelDir(graph, to))
+  }
+
   // ------------------------------------------------------ label DDL
 
   /** CREATE VLABEL / ELABEL [INHERITS (...)] (graphcmds.c DefineLabel). */

@@ -29,6 +29,29 @@ class DdlSpec extends AnyFunSuite {
     assert(s.cypher("MATCH (n:u) RETURN n").count() == 2)
   }
 
+  test("label and graph RENAME keep data, ids and inheritance (graphcmds RenameLabel/RenameGraph)") {
+    val s = fresh()
+    s.createGraph("rn")
+    s.createVLabel("person")
+    s.createVLabel("vip", parents = Seq("person"))
+    s.cypher("CREATE (:person {name: 'p'}), (:vip {name: 'v'})")
+    val idsBefore = s.cypher("MATCH (n:person) RETURN id(n) AS i ORDER BY i")
+      .collect().map(_.getString(0)).toSeq
+    // rename the parent: children's parent lists follow; subtree scans
+    // and stored graphids are untouched
+    s.renameLabel("person", "human")
+    val after = s.cypher("MATCH (n:human) RETURN id(n) AS i ORDER BY i")
+      .collect().map(_.getString(0)).toSeq
+    assert(after == idsBefore) // same two vertices, same packed ids
+    assert(s.catalog.label("rn", "vip").get.parents == Seq("human"))
+    intercept[Exception] { s.cypher("MATCH (n:person) RETURN n").count() }
+    // graph rename: session path follows, data intact
+    s.renameGraph("rn", "rn2")
+    assert(s.graphPath == "rn2")
+    assert(s.cypher("MATCH (n:human) RETURN n").count() == 2)
+    assert(!s.catalog.graphExists("rn"))
+  }
+
   test("check constraint validates expressions over new rows") {
     val s = fresh()
     s.createGraph("cg2")
