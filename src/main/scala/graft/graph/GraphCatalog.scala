@@ -153,6 +153,27 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
 
   def labels(graph: String): Seq[LabelMeta] = readMeta(graph).labels.values.toSeq
 
+  /** Catalog as DataFrames (`\dG`-style views, SURVEY §2.12): one row
+    * per label with name/labid/kind/parents — queryable/joinable like
+    * any table (ag_label analog).
+    */
+  def labelsDf(graph: String): DataFrame = {
+    import spark.implicits._
+    labels(graph).map(l => (l.name, l.labid, l.kind.toString, l.parents))
+      .toDF("labname", "labid", "labkind", "parents")
+  }
+
+  def graphsDf(): DataFrame = {
+    import spark.implicits._
+    val gs = Files.list(Paths.get(root)).iterator()
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    while (gs.hasNext) {
+      val p = gs.next()
+      if (Files.exists(p.resolve("_graph.json"))) names += p.getFileName.toString
+    }
+    names.toSeq.sorted.toDF("graphname")
+  }
+
   /** labid -> label name map (for label()/type() functions). */
   def labidNames(graph: String): Map[Int, String] =
     readMeta(graph).labels.values.map(l => l.labid -> l.name).toMap

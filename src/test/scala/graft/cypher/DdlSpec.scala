@@ -52,6 +52,21 @@ class DdlSpec extends AnyFunSuite {
     assert(!s.catalog.graphExists("rn"))
   }
 
+  test("catalog views: labelsDf/graphsDf list the namespace (\\dG analog)") {
+    val s = fresh()
+    s.createGraph("cat")
+    s.createVLabel("a"); s.createVLabel("b", parents = Seq("a"))
+    s.createELabel("e")
+    val ls = s.catalog.labelsDf("cat")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(ls.contains(("a", "v")) && ls.contains(("b", "v")) &&
+      ls.contains(("e", "e")))
+    val parents = s.catalog.labelsDf("cat").where("labname = 'b'")
+      .select("parents").collect().head.getSeq[String](0)
+    assert(parents == Seq("a"))
+    assert(s.catalog.graphsDf().collect().map(_.getString(0)).contains("cat"))
+  }
+
   test("check constraint validates expressions over new rows") {
     val s = fresh()
     s.createGraph("cg2")
