@@ -614,6 +614,21 @@ object RelationalQueries {
           |GROUP BY anc ORDER BY anc""".stripMargin)
     },
 
+    // Explicit NULLS FIRST/LAST ordering (§2.7: Spark defaults nulls
+    // first on ASC, DuckDB defaults nulls last — the explicit forms are
+    // the portable surface).
+    "q54_nulls_order" -> { (s, d) =>
+      val cust = load(s, d, "customer").where(col("c_custkey") <= 300)
+      val big = load(s, d, "orders").where(col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(round(max(col("o_totalprice").cast("decimal(28,4)")), 2)
+          .cast("double").as("top_order"))
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left")
+        .select(col("c_custkey"), col("top_order"))
+        .orderBy(col("top_order").asc_nulls_first, col("c_custkey"))
+        .limit(100)
+    },
+
     // Window navigation (§2.6: first/last/nth value over frames).
     "q53_window_nav" -> { (s, d) =>
       val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
@@ -1000,6 +1015,16 @@ object RelationalQueries {
       """SELECT CAST(floor((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT) AS bucket,
         |  count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q54_nulls_order" ->
+      """WITH big AS (
+        |  SELECT o_custkey,
+        |    CAST(round(max(CAST(o_totalprice AS DECIMAL(28,4))), 2) AS DOUBLE)
+        |      AS top_order
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        |SELECT c_custkey, top_order
+        |FROM customer LEFT JOIN big ON c_custkey = o_custkey
+        |WHERE c_custkey <= 300
+        |ORDER BY top_order ASC NULLS FIRST, c_custkey LIMIT 100""".stripMargin,
     "q53_window_nav" ->
       """SELECT o_orderkey, o_orderstatus,
         |  first_value(o_orderkey) OVER w AS first_key,
