@@ -238,6 +238,23 @@ object RelationalQueries {
 
     // ---- subqueries --------------------------------------------------
     // IN-subquery (hashed semi-join after decorrelation).
+    // Multiset set ops (nodeSetOp.c INTERSECT/EXCEPT ALL: duplicates
+    // survive up to the matching multiplicity).
+    "q55_intersect_all" -> { (s, d) =>
+      val a = load(s, d, "orders").where(col("o_totalprice") > 50000)
+        .select(col("o_custkey").as("k"))
+      val b = load(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.intersectAll(b).orderBy("k")
+    },
+    "q56_except_all" -> { (s, d) =>
+      val a = load(s, d, "orders").where(col("o_totalprice") > 50000)
+        .select(col("o_custkey").as("k"))
+      val b = load(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.exceptAll(b).orderBy("k")
+    },
+
     "q20_in_subquery" -> { (s, d) =>
       val nat = load(s, d, "nation")
       val sup = load(s, d, "supplier")
@@ -816,6 +833,16 @@ object RelationalQueries {
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 8000
         |EXCEPT
         |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000
+        |ORDER BY k""".stripMargin,
+    "q55_intersect_all" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000
+        |INTERSECT ALL
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+    "q56_except_all" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000
+        |EXCEPT ALL
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY k""".stripMargin,
     "q20_in_subquery" ->
       """SELECT n_nationkey, n_name FROM nation
