@@ -198,7 +198,9 @@ object Algo {
     val (st2, tgtName) = b.bindNode(st, targetNode)
     st = st2
     val tgtId0 = col(Compiler.q(tgtName)).getField("id")
-    val targets = st.df.select(tgtId0.as("__target")).distinct()
+    // target snapshot is only consumed by the two-sided strategy — the
+    // (default) one-sided search must not pay the extra materialization
+    lazy val targets = st.df.select(tgtId0.as("__target")).distinct()
       .localCheckpoint(true)
 
     val (lo, hi) = rel.varLength.getOrElse((Some(1L), Some(1L)))
