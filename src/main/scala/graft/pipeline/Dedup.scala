@@ -86,6 +86,21 @@ object Dedup {
       .toDF("__id", "band", "bucket")
   }
 
+  /** Pick rows-per-band so the LSH S-curve's 50%-recall point
+    * (1/b)^(1/r) with b = numPerm/r sits closest to (slightly below)
+    * the target Jaccard threshold — the standard banding solver, so
+    * callers can state intent ("dedupe at 0.8") instead of tuning
+    * (numPerm, rowsPerBand) by hand.
+    */
+  def lshBandsFor(threshold: Double, numPerm: Int): Int = {
+    val candidates = (1 to numPerm).filter(numPerm % _ == 0)
+    def curveAt(r: Int): Double = math.pow(r.toDouble / numPerm, 1.0 / r)
+    // prefer recall: among divisors whose 50% point is <= threshold,
+    // take the largest r (fewest false candidates); if none, smallest r
+    val safe = candidates.filter(curveAt(_) <= threshold)
+    if (safe.nonEmpty) safe.max else candidates.min
+  }
+
   /** Full MinHash+LSH near-dup pipeline: signatures -> bucket join ->
     * candidate pairs -> exact-Jaccard verification (verification joins
     * word sets only for candidates).

@@ -27,6 +27,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH banding solver: 50%-recall point lands at or below the threshold") {
+    for (numPerm <- Seq(16, 32, 64, 128); t <- Seq(0.5, 0.7, 0.8, 0.9)) {
+      val r = Dedup.lshBandsFor(t, numPerm)
+      assert(numPerm % r == 0)
+      val at = math.pow(r.toDouble / numPerm, 1.0 / r)
+      assert(at <= t + 1e-9, s"numPerm=$numPerm t=$t r=$r curve=$at")
+      // and the next-larger divisor would overshoot (r is maximal)
+      val larger = (r + 1 to numPerm).filter(numPerm % _ == 0)
+      larger.headOption.foreach { r2 =>
+        assert(math.pow(r2.toDouble / numPerm, 1.0 / r2) > t, s"r2=$r2 not maximal")
+      }
+    }
+    // auto-banded LSH still recalls the exact pairs on real docs
+    val docs = graft.relational.Tables.load(spark, sf, "documents")
+      .where(col("doc_id") < 100)
+    val r = Dedup.lshBandsFor(0.9, 32)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("da", "db").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleK = 1, numPerm = 32, rowsPerBand = r, threshold = 0.9)
+      .select("da", "db").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8)
+  }
+
   test("simhash near-dup pairs have verified hamming distance") {
     val docs = graft.relational.Tables.load(spark, sf, "documents")
       .where(col("doc_id") < 100)
