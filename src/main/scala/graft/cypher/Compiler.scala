@@ -361,6 +361,13 @@ final class Compiler(
 
     case _: ShortestPathExpr =>
       throw new IllegalArgumentException("shortestpath as expression must be bound in MATCH")
+
+    case _: ExistsPattern | _: SizePattern =>
+      // these rewrite to hidden columns before compilation
+      // (Builder.rewriteExistsPatterns); reaching here means the
+      // expression sits in an unsupported position
+      throw new IllegalArgumentException(
+        "pattern predicates (exists/size over a pattern) are supported in MATCH WHERE and RETURN/WITH items only")
   }
 
   private implicit final class ColExt(private val c: Column) {
