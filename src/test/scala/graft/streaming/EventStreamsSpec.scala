@@ -143,6 +143,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L)))
   }
 
+  test("text curation expressions run unchanged under streaming (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextOps
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog of the north is here"),
+      (2L, "der hund und die katze das ist gut und schon"),
+      (3L, "x")).toDF("doc_id", "text")
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.langId(col("text")).as("lang"),
+        TextOps.tokenCount(col("text")).as("toks"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(1L -> docs.collect()(0).getString(1),
+      2L -> docs.collect()(1).getString(1), 3L -> "x")
+    val q = curate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curate_out").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = curate(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(batch.map(_(2)) == Seq("en", "de", "en")) // langid sanity
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
