@@ -315,6 +315,75 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    "p28_repetition" -> { (s, d) =>
+      // repetition quality signals (the Gopher-paper repetition
+      // filters, arXiv:2112.11446 §A1.1): fraction of tokens that are
+      // repeats of an earlier word, and the most-frequent-bigram share
+      // of all bigrams — high values flag degenerate repetitive docs.
+      // Map-side tokenization + one (doc, bigram) count aggregation.
+      val w = col("__w")
+      val base = load(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("__w"))
+        .where(size(w) >= 2)
+        .select(col("doc_id"), size(w).as("n_words"),
+          round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 6)
+            .as("dup_word_frac"),
+          explode(zip_with(slice(w, lit(1), size(w) - 1),
+            slice(w, lit(2), size(w) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("bg"))
+      base.groupBy("doc_id", "n_words", "dup_word_frac", "bg")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_words", "dup_word_frac")
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
+          .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    "p29_boilerplate" -> { (s, d) =>
+      // corpus-level boilerplate detection (the C4 "span occurring more
+      // than once in the corpus" pass, word-5-gram unit since this
+      // corpus has no newlines): grams present in >= 2 distinct docs
+      // are boilerplate; report how many docs/grams per source carry any.
+      // One explode + two hash aggregations — no pairwise scan, so the
+      // shape survives corpus-scale (the gram->count table is the only
+      // shuffle and it prunes to the >= threshold survivors).
+      val docs = load(s, d, "documents")
+      val grams = docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(Dedup.shingles(lower(col("text")), 5))).as("g"))
+      val bp = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 2).select("g")
+      grams.join(bp, "g")
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs_bp"),
+          countDistinct("g").as("n_grams_bp"))
+        .orderBy("source")
+    },
+
+    "p30_c4_filter" -> { (s, d) =>
+      // C4-style heuristic quality gate (arXiv:1910.10683 §2.2 rules
+      // adapted to this corpus): word count >= 50, mean word length in
+      // [3, 10], at least one common stopword — kept counts plus the
+      // per-rule failure breakdown per source. Pure map-side predicates
+      // into one aggregation.
+      val ws = split(col("text"), "\\s+")
+      val meanLen = length(regexp_replace(col("text"), "\\s+", ""))
+        .cast("double") / size(ws)
+      load(s, d, "documents")
+        .select(col("source"),
+          (size(ws) >= 50).as("len_ok"),
+          (meanLen >= 3.0 && meanLen <= 10.0).as("wlen_ok"),
+          arrays_overlap(ws, array(lit("the"), lit("a"), lit("of"),
+            lit("and"), lit("to"))).as("stop_ok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("len_ok") && col("wlen_ok") && col("stop_ok"), 1)
+            .otherwise(0)).cast("long").as("n_kept"),
+          sum(when(!col("len_ok"), 1).otherwise(0)).cast("long").as("n_short"),
+          sum(when(!col("wlen_ok"), 1).otherwise(0)).cast("long").as("n_wlen"),
+          sum(when(!col("stop_ok"), 1).otherwise(0)).cast("long").as("n_nostop"))
+        .orderBy("source")
+    },
+
     // ---- multimodal plumbing ----------------------------------------
     "p26_frame_sample" -> { (s, d) =>
       // video-path plumbing: binary content -> fixed 64-byte "frames",
@@ -601,6 +670,51 @@ object PipelineQueries {
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
         |  CAST(len(chunk) AS INT) AS n_toks, chunk[1] AS head_tok
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "p28_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |b AS (SELECT doc_id, len(ws) AS n_words,
+        |    round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6) AS dup_word_frac,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, n_words, dup_word_frac, bg, count(*) AS c
+        |      FROM b GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, n_words, dup_word_frac,
+        |  round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+        |FROM c GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    "p29_boilerplate" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+        |gr AS (SELECT doc_id, source, unnest(list_distinct(
+        |    CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ws) - 4),
+        |                i -> array_to_string(list_slice(ws, i, i + 4), ' ')) END)) AS g
+        |  FROM t),
+        |bp AS (SELECT g FROM (SELECT g, count(*) AS nd FROM gr GROUP BY g) x
+        |       WHERE nd >= 2)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs_bp,
+        |  count(DISTINCT gr.g) AS n_grams_bp
+        |FROM gr JOIN bp USING (g)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "p30_c4_filter" ->
+      """WITH t AS (SELECT source,
+        |    regexp_split_to_array(text, '\s+') AS ws,
+        |    length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |      / len(regexp_split_to_array(text, '\s+')) AS ml
+        |  FROM documents),
+        |f AS (SELECT source,
+        |    len(ws) >= 50 AS len_ok,
+        |    ml >= 3.0 AND ml <= 10.0 AS wlen_ok,
+        |    len(list_intersect(ws, ['the','a','of','and','to'])) > 0 AS stop_ok
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN len_ok AND wlen_ok AND stop_ok THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(CASE WHEN NOT wlen_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wlen,
+        |  CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_nostop
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "p26_frame_sample" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n
         |  FROM documents WHERE doc_id < 100),

@@ -725,6 +725,72 @@ object RelationalQueries {
         .select(col("n_regionkey").as("r_regionkey"), col("n_name"),
           round(col("total_d"), 2).cast("double").as("total"))
         .orderBy(col("r_regionkey"), col("total").desc, col("n_name"))
+    },
+
+    // Aggregate FILTER clause + boolean / bitwise aggregates (stock PG
+    // nodeAgg.c surface reachable from the reference's SQL side):
+    // count FILTER = count over when(); bool_and/bool_or and
+    // bit_and/bit_or/bit_xor all partial-aggregate map-side.
+    "q57_filtered_agg" -> { (s, d) =>
+      val k = pmod(col("o_orderkey"), lit(4096))
+      load(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          bool_or(col("o_orderstatus") === lit("F")).as("any_f"),
+          bool_and(col("o_totalprice") > 1000).as("all_gt_1k"),
+          bit_and(k).as("k_and"),
+          bit_or(k).as("k_or"),
+          bit_xor(k).as("k_xor"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Ordered-set aggregates (stock PG mode()/percentile_disc WITHIN
+    // GROUP): both emulated deterministically — mode = argmax by
+    // (count desc, value), percentile_disc(p) = min value whose
+    // cume_dist reaches p. The oracle runs the SAME formulation, so
+    // tie and boundary semantics are pinned engine-independently
+    // (built-in mode/quantile_disc differ across engines on ties).
+    "q58_mode_percentile" -> { (s, d) =>
+      val li = load(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("q"))
+      val counts = li.groupBy("flag", "q").agg(count(lit(1)).as("n"))
+      val wm = Window.partitionBy("flag").orderBy(col("n").desc, col("q"))
+      val mode = counts.withColumn("rn", row_number().over(wm))
+        .where(col("rn") === 1).select(col("flag"), col("q").as("mode_q"))
+      val wc = Window.partitionBy("flag").orderBy("q")
+      val pct = li.withColumn("cd", cume_dist().over(wc))
+        .groupBy("flag")
+        .agg(min(when(col("cd") >= 0.5, col("q"))).as("p50"),
+          min(when(col("cd") >= 0.9, col("q"))).as("p90"))
+      mode.join(pct, "flag").orderBy("flag")
+    },
+
+    // DISTINCT ON (PostgreSQL-specific projection the reference
+    // inherits): first row per key under an ORDER BY — the latest
+    // order per customer. Spark shape: row_number() = 1 (one shuffle);
+    // the oracle runs DuckDB's native DISTINCT ON.
+    "q59_distinct_on" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      load(s, d, "orders").where(col("o_custkey") < 300)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"))
+        .orderBy("o_custkey")
+    },
+
+    // Correlated NOT EXISTS with a non-equi predicate (stock PG
+    // sublink surface): Catalyst plans the decorrelated form — a
+    // left-anti join whose condition carries the correlation, so no
+    // per-row re-execution.
+    "q60_not_exists_correlated" -> { (s, d) =>
+      val cust = load(s, d, "customer")
+      val ord = load(s, d, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey") &&
+          ord("o_totalprice") > cust("c_acctbal") * 30, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
     }
   )
 
@@ -1109,6 +1175,42 @@ object RelationalQueries {
         |  WHERE n_regionkey = r.r_regionkey
         |  GROUP BY n_name
         |  ORDER BY sum(CAST(s_acctbal AS DECIMAL(28,4))) DESC, n_name LIMIT 2) l
-        |ORDER BY r_regionkey, total DESC, n_name""".stripMargin
+        |ORDER BY r_regionkey, total DESC, n_name""".stripMargin,
+    "q57_filtered_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  bool_or(o_orderstatus = 'F') AS any_f,
+        |  bool_and(o_totalprice > 1000) AS all_gt_1k,
+        |  bit_and(o_orderkey % 4096) AS k_and,
+        |  bit_or(o_orderkey % 4096) AS k_or,
+        |  bit_xor(o_orderkey % 4096) AS k_xor
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q58_mode_percentile" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |c AS (SELECT flag, q, count(*) AS n FROM li GROUP BY 1, 2),
+        |m AS (SELECT flag, q AS mode_q,
+        |    row_number() OVER (PARTITION BY flag ORDER BY n DESC, q) AS rn
+        |  FROM c),
+        |cd AS (SELECT flag, q,
+        |    cume_dist() OVER (PARTITION BY flag ORDER BY q) AS cd FROM li),
+        |p AS (SELECT flag,
+        |    min(CASE WHEN cd >= 0.5 THEN q END) AS p50,
+        |    min(CASE WHEN cd >= 0.9 THEN q END) AS p90
+        |  FROM cd GROUP BY flag)
+        |SELECT m.flag, m.mode_q, p.p50, p.p90
+        |FROM m JOIN p ON m.flag = p.flag WHERE m.rn = 1
+        |ORDER BY m.flag""".stripMargin,
+    "q59_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS od
+        |FROM orders WHERE o_custkey < 300
+        |ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin,
+    "q60_not_exists_correlated" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 30)
+        |ORDER BY c_custkey""".stripMargin
   )
 }
