@@ -579,8 +579,15 @@ final class Builder(
       }
       // PG groups jsonb keys by EQUALITY (7 and 7.0 are one group), not
       // by rendered text: jsonb keys group on their memcomparable sort
-      // key, with first() carrying a representative rendering
-      val keyReprs = keyCols.collect { case (nm, c, KJ) => first(c).as(nm) }
+      // key, with first() carrying a representative rendering. Vertex/
+      // edge keys group on their 8-byte id (the id determines the
+      // element) so the exchange never carries property strings; the
+      // struct rides along as first().
+      val keyReprs = keyCols.collect {
+        case (nm, c, KJ) => first(c).as(nm)
+        case (nm, c, KV) => first(c).as(nm)
+        case (nm, c, KE) => first(c).as(nm)
+      }
       val allAggs = keyReprs ++ aggCols.map { case (n2, c2) => c2.as(n2) }
       val grouped =
         if (keyCols.isEmpty)
@@ -588,6 +595,8 @@ final class Builder(
         else {
           val gb = keyCols.map {
             case (nm, c, KJ) => J.sortKey(c).as(s"__gk_$nm")
+            case (nm, c, KV) => c.getField("id").as(s"__gk_$nm")
+            case (nm, c, KE) => c.getField("id").as(s"__gk_$nm")
             case (_, c, _) => c
           }
           st.df.groupBy(gb: _*).agg(allAggs.head, allAggs.tail: _*)

@@ -266,7 +266,11 @@ object Dedup {
       while (b < 64) { if (buf(b) > 0) out |= (1L << b); b += 1 }
       out
     }
-    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Int]]
+    // unsafe primitive-array encoder: the buffer crosses the partial/
+    // final boundary on every map-side combine, and kryo there costs
+    // ~2x the whole aggregation
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
     def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
   }
 

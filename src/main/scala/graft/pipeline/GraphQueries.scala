@@ -182,6 +182,33 @@ object GraphQueries {
         .orderBy("nation")
     },
 
+    // Statement-level Cypher UNION (gram.y:17089-17095 makeCypherSetOp):
+    // set-op DISTINCT dedupes by jsonb equality across the two MATCH
+    // statements' results
+    "g09_cypher_union" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation {name: 'NATION_7'}) RETURN c.name AS name
+          |UNION
+          |MATCH (c:customer) WHERE c.acctbal > 9900 RETURN c.name AS name""".stripMargin)
+        .select(J.asText(col("name")).as("name"))
+        .orderBy("name")
+    },
+
+    // SQL <-> Cypher hybrid (SURVEY §3.3, gram.y:12369-12399): a MATCH
+    // block in FROM substitutes as a view and joins against ordinary
+    // relational tables in the same SQL statement
+    "g10_sql_interop" -> { (sp, d) =>
+      val s = session(sp, d)
+      Tables.registerAll(sp, d)
+      s.sql(
+        """SELECT trim(BOTH '"' FROM jt.gnation) AS nation, count(*) AS n_sup
+          |FROM (MATCH (x:nation) RETURN x.name AS gnation) jt
+          |JOIN nation ON concat('"', n_name, '"') = jt.gnation
+          |JOIN supplier ON s_nationkey = n_nationkey
+          |GROUP BY jt.gnation ORDER BY nation""".stripMargin)
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -239,6 +266,17 @@ object GraphQueries {
     "g06_with_topk" ->
       """SELECT c_name AS name, count(*) AS n_orders
         |FROM customer JOIN orders ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY n_orders DESC, name LIMIT 10""".stripMargin
+        |GROUP BY 1 ORDER BY n_orders DESC, name LIMIT 10""".stripMargin,
+    "g09_cypher_union" ->
+      """SELECT c_name AS name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |UNION
+        |SELECT c_name FROM customer WHERE c_acctbal > 9900
+        |ORDER BY name""".stripMargin,
+    "g10_sql_interop" ->
+      """SELECT n_name AS nation, count(*) AS n_sup
+        |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin
   )
 }

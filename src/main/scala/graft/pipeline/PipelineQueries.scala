@@ -343,19 +343,22 @@ object PipelineQueries {
       // corpus-level boilerplate detection (the C4 "span occurring more
       // than once in the corpus" pass, word-5-gram unit since this
       // corpus has no newlines): grams present in >= 2 distinct docs
-      // are boilerplate; report how many docs/grams per source carry any.
-      // One explode + two hash aggregations — no pairwise scan, so the
-      // shape survives corpus-scale (the gram->count table is the only
-      // shuffle and it prunes to the >= threshold survivors).
+      // are boilerplate; report how many docs/grams per source carry
+      // any. Scale shape: grams hash to 64 bits BEFORE the shuffle
+      // (longs through the exchange, never 40-byte strings), and the
+      // corpus-frequency count is a window over the same hash partition
+      // — one pass over the gram relation, no self-join, no branch
+      // recomputation. No pairwise scan anywhere.
       val docs = load(s, d, "documents")
       val grams = docs.select(col("doc_id"), col("source"),
-        explode(array_distinct(Dedup.shingles(lower(col("text")), 5))).as("g"))
-      val bp = grams.groupBy("g").agg(count(lit(1)).as("nd"))
-        .where(col("nd") >= 2).select("g")
-      grams.join(bp, "g")
+          explode(array_distinct(Dedup.shingles(lower(col("text")), 5))).as("g"))
+        .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+      grams.withColumn("nd", count(lit(1)).over(wg))
+        .where(col("nd") >= 2)
         .groupBy("source")
         .agg(countDistinct("doc_id").as("n_docs_bp"),
-          countDistinct("g").as("n_grams_bp"))
+          countDistinct("gh").as("n_grams_bp"))
         .orderBy("source")
     },
 
