@@ -387,6 +387,132 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // tokenizer-vocabulary construction: corpus word frequencies plus
+    // the cumulative coverage share ("how much of the corpus do the
+    // top-k words cover" — the vocab-size curve every BPE/WordPiece
+    // build starts from). One explode->count shuffle; the coverage
+    // window runs over the top-30 slice only, so the corpus itself
+    // never sorts globally.
+    "p31_vocab_coverage" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val counts = load(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).cast("double").as("tot"))
+      val byFreq = W.orderBy(col("n").desc, col("w"))
+      counts.orderBy(col("n").desc, col("w")).limit(30)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(byFreq))
+        .withColumn("cum_share",
+          round(sum(col("n")).over(byFreq.rowsBetween(
+            W.unboundedPreceding, W.currentRow)).cast("double") / col("tot"), 6))
+        .select(col("rank"), col("w"), col("n"), col("cum_share"))
+        .orderBy("rank")
+    },
+
+    // C4-style cross-corpus line dedup (arXiv:1910.10683 §2.2's
+    // "discard duplicate spans" pass at line granularity; 10-word
+    // pseudo-lines since this corpus has no newlines). Keep-first-
+    // occurrence: a line instance survives iff it is the globally
+    // first (doc_id, line_idx) occurrence of its content. One window
+    // over the line-hash partition decides — no self-join, and only
+    // 8-byte hashes go through the exchange, never line text.
+    "p32_line_dedup" -> { (s, d) =>
+      val ws = col("__ws")
+      val lines = load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          split(lower(col("text")), "\\s+").as("__ws"))
+        .select(col("doc_id"), col("source"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(ws) - 1) / 10.0).cast("long")),
+            i => concat_ws(" ", slice(ws, (i * 10 + 1).cast("int"), lit(10))))))
+        .select(col("doc_id"), col("source"), col("pos").as("line_idx"),
+          xxhash64(col("col")).as("lh"),
+          size(split(col("col"), " ")).as("n_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lh").orderBy("doc_id", "line_idx")
+      lines.withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("rn") > 1, 1).otherwise(0)).cast("long").as("n_removed"),
+          sum(when(col("rn") === 1, col("n_toks"))).cast("long").as("toks_kept"))
+        .orderBy("source")
+    },
+
+    // Benchmark decontamination in embedding space (semantic variant
+    // of p22's n-gram form): label 9 plays the held-out eval set; any
+    // other vector whose max cosine against it clears 0.4 is flagged.
+    // The eval side broadcasts (eval sets are small by construction);
+    // the corpus side streams through the broadcast loop with no
+    // shuffle, and norms are computed once per row before the pair
+    // loop, not once per pair.
+    "p33_embed_decontam" -> { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+      val evals = vecs.where(col("label") === 9)
+        .select(col("embedding").as("ve"),
+          Similarity.norm(col("embedding")).as("ne"))
+      val cands = vecs.where(col("label") =!= 9)
+        .select(col("vec_id"), col("label"), col("embedding").as("vc"),
+          Similarity.norm(col("embedding")).as("nc"))
+      cands.join(broadcast(evals))
+        .withColumn("cos",
+          Similarity.dot(col("vc"), col("ve")) / (col("nc") * col("ne")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(col("cos")).as("mc"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("mc") >= 0.4, 1).otherwise(0)).cast("long")
+            .as("n_contam"),
+          round(max(col("mc")).cast("decimal(28,8)"), 6).cast("double")
+            .as("max_cos"))
+        .orderBy("label")
+    },
+
+    // Multilingual temperature sampling (XLM-R, arXiv:1911.02116
+    // §3.1): resampling weights p_l ∝ share_l^(1/T) with T=3 upsample
+    // low-resource languages. Pure aggregate math over per-language
+    // counts (a 5-row relation) — the expensive part at 100 TB is the
+    // count, which is one map-side-combined aggregation.
+    "p34_temperature_mix" -> { (s, d) =>
+      val counts = load(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).cast("double").as("tot"))
+      val withQ = counts.crossJoin(broadcast(tot))
+        .withColumn("q", pow(col("n").cast("double") / col("tot"), 1.0 / 3))
+      val z = withQ.agg(sum(col("q")).as("z"))
+      withQ.crossJoin(broadcast(z))
+        .select(col("lang"), col("n"),
+          round((col("q") / col("z")).cast("decimal(28,8)"), 6).cast("double")
+            .as("weight"),
+          round(col("q") / col("z") * col("tot")).cast("long").as("exp_docs"))
+        .orderBy("lang")
+    },
+
+    // Length-percentile trimming: per source, drop docs outside the
+    // [p05, p95] token-count band. Exact ordered-set bounds use the
+    // same min-at-cume_dist formulation as q58, so the oracle pins the
+    // boundary semantics. Each source partition trims independently —
+    // no global sort at any width.
+    "p35_length_trim" -> { (s, d) =>
+      val toks = load(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), "\\s+")).as("nt"))
+      val wcd = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("nt")
+      val bounds = toks.withColumn("cd", cume_dist().over(wcd))
+        .groupBy("source")
+        .agg(min(when(col("cd") >= 0.05, col("nt"))).as("lo"),
+          min(when(col("cd") >= 0.95, col("nt"))).as("hi"))
+      toks.join(broadcast(bounds), "source")
+        .groupBy("source", "lo", "hi")
+        .agg(sum(when(col("nt").between(col("lo"), col("hi")), 1)
+            .otherwise(0)).cast("long").as("n_kept"),
+          sum(when(!col("nt").between(col("lo"), col("hi")), 1)
+            .otherwise(0)).cast("long").as("n_dropped"))
+        .select("source", "lo", "hi", "n_kept", "n_dropped")
+        .orderBy("source")
+    },
+
     // ---- multimodal plumbing ----------------------------------------
     "p26_frame_sample" -> { (s, d) =>
       // video-path plumbing: binary content -> fixed 64-byte "frames",
@@ -744,6 +870,68 @@ object PipelineQueries {
         |    generate_series(1, length(d2.text), 8),
         |    i -> ord(substr(d2.text, i, 1)))), 2) AS f0
         |FROM d JOIN documents d2 USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "p31_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+        |    AS w FROM documents),
+        |c AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+        |r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rank,
+        |  sum(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT rank, w, n, round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share
+        |FROM r, t WHERE rank <= 30 ORDER BY rank""".stripMargin,
+    "p32_line_dedup" ->
+      """WITH ws AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(text), '\s+') AS a FROM documents),
+        |l AS (SELECT doc_id, source, i AS line_idx,
+        |    array_to_string(list_slice(a, i * 10 + 1, i * 10 + 10), ' ') AS line
+        |  FROM ws, unnest(generate_series(0,
+        |    CAST(floor((len(a) - 1) / 10.0) AS BIGINT))) AS t(i)),
+        |k AS (SELECT source, len(string_split(line, ' ')) AS n_toks,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |  FROM l)
+        |SELECT source, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN rn = 1 THEN n_toks END) AS BIGINT) AS toks_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "p33_embed_decontam" ->
+      """WITH e AS (SELECT embedding FROM embeddings WHERE label = 9),
+        |c AS (SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE label <> 9),
+        |m AS (SELECT c.vec_id, c.label,
+        |    max(list_cosine_similarity(c.embedding::DOUBLE[],
+        |      e.embedding::DOUBLE[])) AS mc
+        |  FROM c CROSS JOIN e GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN mc >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contam,
+        |  round(CAST(max(mc) AS DECIMAL(28,8)), 6)::DOUBLE AS max_cos
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "p34_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+        |q AS (SELECT lang, n, pow(n / tot, 1.0 / 3) AS q FROM c, t),
+        |z AS (SELECT sum(q) AS z FROM q)
+        |SELECT lang, n,
+        |  round(CAST(q / z AS DECIMAL(28,8)), 6)::DOUBLE AS weight,
+        |  CAST(round(q / z * tot) AS BIGINT) AS exp_docs
+        |FROM q, z, t ORDER BY lang""".stripMargin,
+    "p35_length_trim" ->
+      """WITH toks AS (SELECT source, doc_id,
+        |    len(regexp_split_to_array(text, '\s+')) AS nt FROM documents),
+        |cd AS (SELECT source, nt, cume_dist() OVER
+        |    (PARTITION BY source ORDER BY nt) AS cd FROM toks),
+        |b AS (SELECT source,
+        |    min(CASE WHEN cd >= 0.05 THEN nt END) AS lo,
+        |    min(CASE WHEN cd >= 0.95 THEN nt END) AS hi
+        |  FROM cd GROUP BY source)
+        |SELECT source, lo, hi,
+        |  CAST(sum(CASE WHEN nt BETWEEN lo AND hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN nt NOT BETWEEN lo AND hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped
+        |FROM toks JOIN b USING (source)
+        |GROUP BY source, lo, hi ORDER BY source""".stripMargin
   )
 }

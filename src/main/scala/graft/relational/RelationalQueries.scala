@@ -791,6 +791,56 @@ object RelationalQueries {
           ord("o_totalprice") > cust("c_acctbal") * 30, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
+    },
+
+    // IGNORE-NULLS window navigation (PG last_value IGNORE NULLS):
+    // forward-fill the last purchase amount across each user's event
+    // stream. One running-frame window — no self-join, no gaps table.
+    "q61_ffill_ignore_nulls" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, d, "events").where(col("user_id") < 50)
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(last(col("pv"), ignoreNulls = true).over(w), 2)
+            .as("last_purchase"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Regexp capture-group extraction (PG substring(col FROM re) /
+    // regexp_match): split "color object" part names into attributes,
+    // then profile. Pure map-side expressions into one aggregation.
+    "q62_regexp_groups" -> { (s, d) =>
+      load(s, d, "part")
+        .where(col("p_name").rlike("^\\w+ \\w+$"))
+        .select(regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 1).as("color"),
+          regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 2).as("object"))
+        .groupBy("color")
+        .agg(count(lit(1)).as("n"), countDistinct("object").as("n_objects"))
+        .orderBy("color")
+    },
+
+    // Interval-containment join (PG range predicates over tsrange):
+    // tag events with the maintenance window containing them. The
+    // window table is tiny and broadcast, so the event side streams
+    // through a broadcast nested-loop with zero shuffle — the right
+    // shape until BOTH sides are large (then: bin-and-equi-join).
+    "q63_interval_join" -> { (s, d) =>
+      import s.implicits._
+      val wins = Seq(
+        ("w1", "2024-01-05 00:00:00", "2024-01-08 00:00:00"),
+        ("w2", "2024-01-15 12:00:00", "2024-01-17 00:00:00"),
+        ("w3", "2024-01-24 06:00:00", "2024-01-28 00:00:00"))
+        .toDF("win", "lo", "hi")
+        .select(col("win"), col("lo").cast("timestamp").as("lo"),
+          col("hi").cast("timestamp").as("hi"))
+      load(s, d, "events")
+        .join(broadcast(wins), col("ts") >= col("lo") && col("ts") < col("hi"))
+        .groupBy("win")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          round(dsum(col("value")), 2).as("total_value"))
+        .orderBy("win")
     }
   )
 
@@ -1211,6 +1261,32 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 30)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q61_ffill_ignore_nulls" ->
+      """SELECT user_id, event_id, event_type,
+        |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS last_purchase
+        |FROM events WHERE user_id < 50
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q62_regexp_groups" ->
+      """SELECT regexp_extract(p_name, '^(\w+) (\w+)$', 1) AS color,
+        |  count(*) AS n,
+        |  count(DISTINCT regexp_extract(p_name, '^(\w+) (\w+)$', 2))
+        |    AS n_objects
+        |FROM part WHERE regexp_matches(p_name, '^\w+ \w+$')
+        |GROUP BY color ORDER BY color""".stripMargin,
+    "q63_interval_join" ->
+      """WITH w(win, lo, hi) AS (VALUES
+        |  ('w1', TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+        |  ('w2', TIMESTAMP '2024-01-15 12:00:00', TIMESTAMP '2024-01-17 00:00:00'),
+        |  ('w3', TIMESTAMP '2024-01-24 06:00:00', TIMESTAMP '2024-01-28 00:00:00'))
+        |SELECT win, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM events JOIN w ON ts >= lo AND ts < hi
+        |GROUP BY win ORDER BY win""".stripMargin
   )
 }
