@@ -18,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.RelationalQueries.queries ++ pipeline.GraphQueries.queries ++
-      pipeline.PipelineQueries.queries
+      pipeline.PipelineQueries.queries ++ streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.RelationalQueries.oracleSql ++ pipeline.GraphQueries.oracleSql ++
-      pipeline.PipelineQueries.oracleSql
+      pipeline.PipelineQueries.oracleSql ++ streaming.StreamQueries.oracleSql
 }

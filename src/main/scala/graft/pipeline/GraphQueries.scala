@@ -209,6 +209,66 @@ object GraphQueries {
           |GROUP BY jt.gnation ORDER BY nation""".stripMargin)
     },
 
+    // Graph write surface through the oracle gate (SURVEY §2.9 MERGE,
+    // execCypherMerge.c): idempotent match-or-create of a derived vip
+    // label from a MATCH, then read it back. MERGE dedups within the
+    // batch and re-matches on re-run, so bench's cold+steady passes
+    // converge to the same graph; the oracle is the INSERT..SELECT
+    // count the write implies.
+    "g11_merge_write" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.createVLabel("vip", ifNotExists = true)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE c.acctbal > 9500
+          |MERGE (v:vip {name: c.name, nation: n.name})""".stripMargin)
+      s.cypher(
+        "MATCH (v:vip) RETURN v.nation AS nation, count(*) AS n_vip")
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n_vip")).as("n_vip"))
+        .orderBy("nation")
+    },
+
+    // Undirected edge traversal (genEdgeUnion parse_graph.c:178,
+    // 1970-2225): (n)-[:in]-(x) scans both orientations — the region
+    // side (outgoing) and the customer side (incoming) union into one
+    // edge relation before the pattern join.
+    "g12_undirected" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (n:nation)-[:in]-(x)
+          |RETURN n.name AS nation, count(*) AS degree""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("degree")).as("degree"))
+        .orderBy("nation")
+    },
+
+    // Pattern-predicate NOT EXISTS as a WHERE qual (cypher_dml2 SIZE/
+    // EXISTS section): compiles to an anti-join — customers with no
+    // placed order, the graph twin of relational q07.
+    "g13_exists_pattern" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE NOT exists((c)-[:placed]->(:order {status: 'P'}))
+          |RETURN n.name AS nation, count(*) AS n_no_pending""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n_no_pending")).as("n_no_pending"))
+        .orderBy("nation")
+    },
+
+    // VLE depth union *1..2 with heterogeneous endpoints classified by
+    // label() (graph.c:460 vertex_label): depth 1 lands on nation,
+    // depth 2 on region — the depth-union output carries both.
+    "g14_vle_label" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in*1..2]->(x)
+          |RETURN label(x) AS lab, count(*) AS n""".stripMargin)
+        .select(J.asText(col("lab")).as("lab"), J.toLong(col("n")).as("n"))
+        .orderBy("lab")
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -277,6 +337,28 @@ object GraphQueries {
     "g10_sql_interop" ->
       """SELECT n_name AS nation, count(*) AS n_sup
         |FROM nation JOIN supplier ON s_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY nation""".stripMargin
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g11_merge_write" ->
+      """SELECT n_name AS nation, count(*) AS n_vip
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9500
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g12_undirected" ->
+      """SELECT nation, count(*) AS degree FROM (
+        |  SELECT n_name AS nation FROM nation
+        |  UNION ALL
+        |  SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |) t GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g13_exists_pattern" ->
+      """SELECT n_name AS nation, count(*) AS n_no_pending
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g14_vle_label" ->
+      """SELECT lab, count(*) AS n FROM (
+        |  SELECT 'nation' AS lab FROM customer
+        |  UNION ALL SELECT 'region' FROM customer
+        |) t GROUP BY 1 ORDER BY lab""".stripMargin
   )
 }

@@ -14,11 +14,14 @@ object Tables {
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
       // reader rejects; read nanos as long and downcast to micros
-      // (integer div — no double rounding).
+      // (integer div — no double rounding). Schema-conditional so a
+      // re-laid-out copy (already micros) loads unchanged.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      else df
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

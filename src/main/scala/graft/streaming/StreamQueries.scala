@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.relational.Tables
+
+/** Structured Streaming surface pushed through the SAME DuckDB oracle
+  * gate as the batch operators: the events table replays as a
+  * file-source stream (Trigger.AvailableNow), results land in a memory
+  * sink, and the returned DataFrame hash-compares against plain batch
+  * SQL over the same rows. This is the strongest form of batch/stream
+  * parity — not "the spec asserts equality", but the external oracle
+  * checking the streaming output itself.
+  *
+  * Scale notes: the same plans run unchanged against an unbounded
+  * source — the watermark bounds window state, and the stream-static
+  * join resolves the broadcast dim per micro-batch.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** events as a file-source stream (schema from the batch loader,
+    * including the nanos->micros downcast).
+    */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob form: the file-stream source requires a directory or glob
+    val raw = s.readStream.schema(
+      s.read.parquet(s"$d/events.parquet").schema)
+      .parquet(s"$d/events.parque[t]")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a
+    * fresh memory sink and return its contents.
+    */
+  private def runToSink(s: SparkSession, streamed: DataFrame,
+      mode: String = "append"): DataFrame = {
+    val sink = s"graft_stream_sink_${runSeq.incrementAndGet()}"
+    val q = streamed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Watermarked tumbling-window aggregation (§2.10): append mode
+    // emits a window only once the watermark closes it, so the query
+    // restricts to windows the end-of-stream watermark passes (events
+    // after Jan 28 advance the watermark beyond every included
+    // window's end).
+    "s01_stream_tumbling" -> { (s, d) =>
+      val windows = EventStreams.tumblingCounts(
+        eventStream(s, d).where(col("user_id") < 100), "1 day", "1 hour")
+      runToSink(s, windows)
+        .select(col("w_start").cast("date").as("day"), col("event_type"),
+          col("n"), round(col("total").cast("double"), 2).as("total"))
+        .where(col("day") < lit("2024-01-28").cast("date"))
+        .orderBy("day", "event_type")
+    },
+
+    // Stream-static broadcast enrichment into a streaming global
+    // aggregate: the static weight dim joins each micro-batch
+    // (stateless, dim re-resolved per batch), decimal partial sums
+    // combine map-side within batches and across batches in the
+    // aggregation state; complete mode emits the final totals.
+    "s02_stream_enrich" -> { (s, d) =>
+      import s.implicits._
+      val dim = Seq(("click", 1), ("view", 2), ("purchase", 10),
+        ("signup", 5), ("error", 0)).toDF("etype", "weight")
+      val agg = eventStream(s, d)
+        .join(broadcast(dim), col("event_type") === col("etype"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,4)") * col("weight"))
+            .as("wsum"))
+      runToSink(s, agg, mode = "complete")
+        .select(col("event_type"), col("n"),
+          round(col("wsum").cast("double"), 2).as("weighted"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_stream_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 2) AS total
+        |FROM events
+        |WHERE user_id < 100 AND date_trunc('day', ts) < TIMESTAMP '2024-01-28'
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "s02_stream_enrich" ->
+      """WITH dim(etype, weight) AS (VALUES ('click', 1), ('view', 2),
+        |  ('purchase', 10), ('signup', 5), ('error', 0))
+        |SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,4)) * weight) AS DOUBLE), 2)
+        |    AS weighted
+        |FROM events JOIN dim ON event_type = etype
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
