@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // hundreds of whole-stage-codegen'd plans in one JVM (Bench runs
+  // every query twice) overflow the default 240m code cache — once
+  // full, the JIT stops compiling and late queries degrade several-fold
+  "-XX:ReservedCodeCacheSize=512m",
 )

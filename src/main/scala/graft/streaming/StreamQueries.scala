@@ -50,7 +50,13 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
+    // copy the (small, aggregated) sink contents out and drop the
+    // temp view — repeated runs in one JVM must not accumulate sinks
+    val out = s.table(sink)
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    val local = s.createDataFrame(rows, out.schema)
+    s.catalog.dropTempView(sink)
+    local
   }
 
   val queries: Map[String, Q] = Map(
