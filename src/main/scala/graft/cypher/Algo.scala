@@ -252,6 +252,19 @@ object Algo {
   /** Level-synchronous BFS from every vertex (origins resolve at join
     * time); visited-set pruning keeps one/all minimal-depth paths.
     */
+  /** One representative path per (origin, current) — deterministic min
+    * by the edge-id array. An aggregation (min_by) rather than a
+    * row_number window: partial aggregation combines map-side, so the
+    * exchange carries one row per pair instead of sorting the whole
+    * frontier through it.
+    */
+  private def firstArrival(frontier: DataFrame): DataFrame =
+    frontier.groupBy("__start", "__cur")
+      .agg(min_by(struct(col("__edges"), col("__ids"), col("__vids")),
+        col("__ids")).as("__p"))
+      .select(col("__start"), col("__cur"), col("__p.__edges").as("__edges"),
+        col("__p.__ids").as("__ids"), col("__p.__vids").as("__vids"))
+
   private def bfs(b: Builder, rel: RelPattern, lo: Long, hi: Long,
       keepAll: Boolean, origins: DataFrame): DataFrame = {
     val E0 = b.edgeScan(rel.types, rel.direction)
@@ -268,11 +281,7 @@ object Algo {
         array(col("__edge")).as("__edges"),
         array(col("__edge").getField("id")).as("__ids"),
         array(col("__e")).as("__vids"))
-    if (!keepAll) {
-      val w = Window.partitionBy("__start", "__cur").orderBy(col("__ids").getItem(0))
-      frontier = frontier.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__rn")
-    }
+    if (!keepAll) frontier = firstArrival(frontier)
     // every level is probed for emptiness AND consumed by the final
     // plan: materialize each exactly once (the probe then reads the
     // cached partitions and the result union re-reads them for free)
@@ -304,11 +313,7 @@ object Algo {
       next = next.join(visited,
         next("__start") === visited("__o") && next("__cur") === visited("__at"),
         "left_anti")
-      if (!keepAll) {
-        val w = Window.partitionBy("__start", "__cur").orderBy(col("__ids"))
-        next = next.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
-      }
+      if (!keepAll) next = firstArrival(next)
       k += 1
       frontier = next.localCheckpoint(true)
       exhausted = frontier.isEmpty
@@ -333,14 +338,20 @@ object Algo {
     }
     // keep only minimal depth per pair (visited pruning already ensures
     // min-depth-only arrivals; zero-length needs the same guard)
-    val withMin = out.withColumn("__minlen",
-      min(size(col("__ids"))).over(Window.partitionBy("__start", "__cur")))
-      .where(size(col("__ids")) === col("__minlen")).drop("__minlen")
     val kept =
-      if (keepAll) withMin
-      else withMin.withColumn("__rn",
-          row_number().over(Window.partitionBy("__start", "__cur").orderBy(col("__ids"))))
-        .where(col("__rn") === 1).drop("__rn")
+      if (keepAll)
+        out.withColumn("__minlen",
+          min(size(col("__ids"))).over(Window.partitionBy("__start", "__cur")))
+          .where(size(col("__ids")) === col("__minlen")).drop("__minlen")
+      else
+        // single-path case: min over (depth, ids) in ONE map-side-
+        // combinable aggregation instead of a min-window + rank-window
+        out.groupBy("__start", "__cur")
+          .agg(min_by(struct(col("__edges"), col("__ids"), col("__vids")),
+            struct(size(col("__ids")), col("__ids"))).as("__p"))
+          .select(col("__start"), col("__cur"),
+            col("__p.__edges").as("__edges"), col("__p.__ids").as("__ids"),
+            col("__p.__vids").as("__vids"))
     attachVerts(b, kept, V)
   }
 
@@ -486,14 +497,18 @@ object Algo {
     }
     // minimal length per pair (first-meet scanning already guarantees
     // it for the search; the zero-length branch needs the same guard)
-    val withMin = out.withColumn("__minlen",
-      min(size(col("__ids"))).over(Window.partitionBy("__start", "__cur")))
-      .where(size(col("__ids")) === col("__minlen")).drop("__minlen")
     val kept =
-      if (keepAll) withMin
-      else withMin.withColumn("__rn",
-          row_number().over(Window.partitionBy("__start", "__cur").orderBy(col("__ids"))))
-        .where(col("__rn") === 1).drop("__rn")
+      if (keepAll)
+        out.withColumn("__minlen",
+          min(size(col("__ids"))).over(Window.partitionBy("__start", "__cur")))
+          .where(size(col("__ids")) === col("__minlen")).drop("__minlen")
+      else
+        out.groupBy("__start", "__cur")
+          .agg(min_by(struct(col("__edges"), col("__ids"), col("__vids")),
+            struct(size(col("__ids")), col("__ids"))).as("__p"))
+          .select(col("__start"), col("__cur"),
+            col("__p.__edges").as("__edges"), col("__p.__ids").as("__ids"),
+            col("__p.__vids").as("__vids"))
     attachVerts(b, kept, V)
   }
 
