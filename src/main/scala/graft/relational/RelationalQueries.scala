@@ -841,6 +841,48 @@ object RelationalQueries {
           countDistinct("user_id").as("n_users"),
           round(dsum(col("value")), 2).as("total_value"))
         .orderBy("win")
+    },
+
+    // Ordered string aggregation (PG string_agg(x, ',' ORDER BY y) —
+    // the ordered-aggregate surface): collect, sort by the ORDER key
+    // inside the aggregate, then join. One shuffle; the per-group sort
+    // happens post-aggregation on grouped arrays, never globally.
+    "q64_listagg_ordered" -> { (s, d) =>
+      load(s, d, "customer").where(col("c_custkey") <= 60)
+        .groupBy("c_nationkey")
+        .agg(array_join(transform(array_sort(collect_list(struct(
+          col("c_acctbal").as("a"), col("c_name").as("n")))),
+          x => x.getField("n")), ",").as("names"))
+        .orderBy("c_nationkey")
+    },
+
+    // GROUPING()/GROUPING_ID() disambiguation of rollup output rows
+    // (stock PG grouping functions): tells "NULL because aggregated"
+    // from "NULL in the data".
+    "q65_grouping_fn" -> { (s, d) =>
+      load(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("gid"), col("n"))
+        .orderBy("st", "pri", "gid")
+    },
+
+    // Time-interval RANGE frames (PG RANGE BETWEEN INTERVAL ...
+    // PRECEDING): trailing 1-hour event count/sum per user. Spark's
+    // range frame is numeric, so the frame runs over epoch
+    // MICROseconds — exact, no second-truncation drift against the
+    // oracle's native interval frame.
+    "q66_time_range_frame" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000, 0)
+      load(s, d, "events").where(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value").cast("decimal(28,4)")).over(w)
+            .cast("double"), 2).as("v_1h"))
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -1287,6 +1329,27 @@ object RelationalQueries {
         |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 2)
         |    AS total_value
         |FROM events JOIN w ON ts >= lo AND ts < hi
-        |GROUP BY win ORDER BY win""".stripMargin
+        |GROUP BY win ORDER BY win""".stripMargin,
+    "q64_listagg_ordered" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_name, ',' ORDER BY c_acctbal, c_name) AS names
+        |FROM customer WHERE c_custkey <= 60
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q65_grouping_fn" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  grouping_id(o_orderstatus, o_orderpriority) AS gid,
+        |  count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri, gid""".stripMargin,
+    "q66_time_range_frame" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE), 2)
+        |    AS v_1h
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

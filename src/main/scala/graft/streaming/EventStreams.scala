@@ -42,7 +42,8 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,4)")).as("session_value"))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"),
         col("n_events"), col("session_value"))

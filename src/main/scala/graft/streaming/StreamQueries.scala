@@ -75,6 +75,25 @@ object StreamQueries {
         .orderBy("day", "event_type")
     },
 
+    // Streaming SESSION windows against a pure-SQL gap-islands oracle:
+    // session_window's merge rule (events closer than the gap coalesce;
+    // window end = last event + gap) must reproduce the batch
+    // lag-and-running-sum sessionization exactly — including the
+    // boundary (a gap of exactly 5 minutes starts a NEW session, since
+    // window ends are exclusive). Append mode emits a session once the
+    // watermark passes its end; the end-of-stream watermark closes
+    // everything before the Jan-29 cut.
+    "s03_stream_session" -> { (s, d) =>
+      val sess = EventStreams.sessionWindows(
+        eventStream(s, d).where(col("user_id") < 40), "5 minutes", "1 hour")
+      runToSink(s, sess)
+        .where(col("s_end") < lit("2024-01-29").cast("timestamp"))
+        .select(col("user_id"), unix_micros(col("s_start")).as("start_us"),
+          col("n_events"),
+          round(col("session_value").cast("double"), 2).as("sval"))
+        .orderBy("user_id", "start_us")
+    },
+
     // Stream-static broadcast enrichment into a streaming global
     // aggregate: the static weight dim joins each micro-batch
     // (stateless, dim re-resolved per batch), decimal partial sums
@@ -105,6 +124,22 @@ object StreamQueries {
         |FROM events
         |WHERE user_id < 100 AND date_trunc('day', ts) < TIMESTAMP '2024-01-28'
         |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "s03_stream_session" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 40),
+        |m AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END
+        |    AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value, sum(brk) OVER
+        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS sid FROM m),
+        |g AS (SELECT user_id, sid, min(ts) AS st,
+        |  max(ts) + INTERVAL 5 MINUTE AS en, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 2) AS sval
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, epoch_us(st) AS start_us, n_events, sval
+        |FROM g WHERE en < TIMESTAMP '2024-01-29'
+        |ORDER BY user_id, start_us""".stripMargin,
     "s02_stream_enrich" ->
       """WITH dim(etype, weight) AS (VALUES ('click', 1), ('view', 2),
         |  ('purchase', 10), ('signup', 5), ('error', 0))
