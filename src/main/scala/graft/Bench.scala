@@ -57,6 +57,13 @@ object Bench {
           case "embeddings" =>
             df.repartitionByRange(nSplit, col("vec_id"))
               .sortWithinPartitions("vec_id")
+          case "events" =>
+            // jsonb parsing of props is map-heavy too; range by user_id
+            // so the user-bounded queries prune whole files (streaming
+            // reads stay a single AvailableNow micro-batch: < 1000
+            // files, so no cross-batch watermark hazard)
+            df.repartitionByRange(nSplit, col("user_id"))
+              .sortWithinPartitions("user_id", "ts")
           case _ => df.coalesce(1)
         }
         out.write.mode("overwrite").parquet(s"$relaid/$t.parquet")

@@ -269,6 +269,23 @@ object GraphQueries {
         .orderBy("lab")
     },
 
+    // LOAD FROM (SURVEY §2.1, gram.y:19156-19170): a plain Spark/SQL
+    // table enters the Cypher pipeline as a whole-row jsonb var and
+    // joins against graph vertices via a computed property expression
+    // (string concat + toString over jsonb).
+    "g15_load_from" -> { (sp, d) =>
+      val s = session(sp, d)
+      Tables.registerAll(sp, d)
+      s.cypher(
+        """LOAD FROM supplier AS sr
+          |MATCH (n:nation)
+          |WHERE n.name = 'NATION_' + toString(sr.s_nationkey)
+          |RETURN n.name AS nation, count(*) AS n_sup""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n_sup")).as("n_sup"))
+        .orderBy("nation")
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -359,6 +376,10 @@ object GraphQueries {
       """SELECT lab, count(*) AS n FROM (
         |  SELECT 'nation' AS lab FROM customer
         |  UNION ALL SELECT 'region' FROM customer
-        |) t GROUP BY 1 ORDER BY lab""".stripMargin
+        |) t GROUP BY 1 ORDER BY lab""".stripMargin,
+    "g15_load_from" ->
+      """SELECT n_name AS nation, count(*) AS n_sup
+        |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin
   )
 }

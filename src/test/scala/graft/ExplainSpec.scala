@@ -85,6 +85,28 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q63: interval join broadcasts the window table (event side never shuffles)") {
+    val p = planOf("q63_interval_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // no exchange below the join: the only shuffle is the aggregation's
+    val joinPart = p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("p33: embedding decontam broadcasts the eval set, corpus side has no shuffle before the pair loop") {
+    val p = planOf("p33_embed_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("fvec_dot"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p32: line dedup shuffles 8-byte hashes, not line text") {
+    val p = planOf("p32_line_dedup")
+    // the window exchange partitions on the xxhash64 column
+    assert(p.contains("hashpartitioning(lh"), p)
+  }
+
   test("bucketed tables join with no exchange and no sort (co-located layout)") {
     import graft.relational.{Bucketing, Tables}
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
