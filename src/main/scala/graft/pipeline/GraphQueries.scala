@@ -89,6 +89,30 @@ object GraphQueries {
       (cId + col("o_custkey")).cast("long").as("start"),
       (oId + col("o_orderkey")).cast("long").as("end"),
       lit("{}").as("properties")))
+
+    // supplier -ships-> part from lineitem: a MULTIgraph (parallel
+    // edges per (supplier, part) pair — one per lineitem), which is
+    // what makes allshortestpaths return multiple paths per pair
+    s.createVLabel("supplier"); s.createVLabel("part")
+    s.createELabel("ships")
+    val supplier = Tables.load(spark, sfDir, "supplier")
+    val part = Tables.load(spark, sfDir, "part")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val sId = lit(GraphId.pack(labid(s, "supplier"), 0L))
+    val pId = lit(GraphId.pack(labid(s, "part"), 0L))
+    val shId = lit(GraphId.pack(labid(s, "ships"), 0L))
+    s.catalog.append(g, "supplier", supplier.select(
+      (sId + col("s_suppkey")).cast("long").as("id"),
+      props("name" -> col("s_name")).as("properties")))
+    s.catalog.append(g, "part", part.select(
+      (pId + col("p_partkey")).cast("long").as("id"),
+      props("name" -> col("p_name")).as("properties")))
+    // locid = orderkey*8 + linenumber (linenumber <= 7) — unique
+    s.catalog.append(g, "ships", lineitem.select(
+      (shId + col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("id"),
+      (sId + col("l_suppkey")).cast("long").as("start"),
+      (pId + col("l_partkey")).cast("long").as("end"),
+      props("qty" -> col("l_quantity")).as("properties")))
     s
   }
 
@@ -269,6 +293,23 @@ object GraphQueries {
         .orderBy("lab")
     },
 
+    // allshortestpaths (parse_shortestpath.c:84-100 SHORTESTPATH_ALL):
+    // on the supplier->part multigraph every parallel edge is its own
+    // length-1 shortest path, so the path count per pair equals the
+    // lineitem multiplicity — SQL-checkable, and it exercises the
+    // keepAll search path (no per-pair dedup) end to end.
+    "g16_allshortest" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH p = allshortestpaths((s:supplier {name: 'Supplier#000000001'})-[:ships*1..2]->(t:part))
+          |RETURN s.name AS sup, count(*) AS n_paths,
+          |       count(DISTINCT t.name) AS n_parts""".stripMargin)
+        .select(J.asText(col("sup")).as("sup"),
+          J.toLong(col("n_paths")).as("n_paths"),
+          J.toLong(col("n_parts")).as("n_parts"))
+        .orderBy("sup")
+    },
+
     // LOAD FROM (SURVEY §2.1, gram.y:19156-19170): a plain Spark/SQL
     // table enters the Cypher pipeline as a whole-row jsonb var and
     // joins against graph vertices via a computed property expression
@@ -380,6 +421,14 @@ object GraphQueries {
     "g15_load_from" ->
       """SELECT n_name AS nation, count(*) AS n_sup
         |FROM nation JOIN supplier ON s_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY nation""".stripMargin
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g16_allshortest" ->
+      """SELECT s_name AS sup, count(*) AS n_paths,
+        |  count(DISTINCT p_name) AS n_parts
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |WHERE s_name = 'Supplier#000000001'
+        |GROUP BY 1 ORDER BY sup""".stripMargin
   )
 }
