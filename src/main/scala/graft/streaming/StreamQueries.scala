@@ -44,11 +44,19 @@ object StreamQueries {
   private def runToSink(s: SparkSession, streamed: DataFrame,
       mode: String = "append"): DataFrame = {
     val sink = s"graft_stream_sink_${runSeq.incrementAndGet()}"
-    val q = streamed.writeStream
-      .format("memory").queryName(sink)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // a state store instance exists per shuffle partition: at this
+    // window/session cardinality 8 stores is plenty, and 32 mostly
+    // pays open/commit overhead (each run uses a fresh temp
+    // checkpoint, so the pinned partition count does not leak)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      streamed.writeStream
+        .format("memory").queryName(sink)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     // copy the (small, aggregated) sink contents out and drop the
     // temp view — repeated runs in one JVM must not accumulate sinks
