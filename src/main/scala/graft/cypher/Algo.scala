@@ -35,9 +35,15 @@ object Algo {
     * Mirrors execGraphVle.c DFS semantics: per-path edge uniqueness,
     * zero-length support, undirected via both-orientation scan.
     */
+  /** @param needVerts whether the expansion must carry intermediate
+    *   vertex STRUCTS (only a bound path variable consumes them —
+    *   nodes(p)/graphpath construction). Without one, the per-level
+    *   join against the all-labels vertex union — the widest scan in
+    *   the loop — is skipped entirely and the array stays empty.
+    */
   def vleJoin(b: Builder, st0: State, prevName: String, rel: RelPattern,
       node: NodePattern, relName: String, lo: Long,
-      hiOpt: Option[Long]): (State, String) = {
+      hiOpt: Option[Long], needVerts: Boolean = true): (State, String) = {
     val spark = b.spark
     val hi = hiOpt.getOrElse(MaxDepth.toLong).min(MaxDepth.toLong)
 
@@ -73,13 +79,17 @@ object Algo {
       .distinct().localCheckpoint(true)
 
     // depth-1 frontier
-    def firstFrontier: DataFrame =
-      E.join(origins, col("__s") === col("__origin"), "left_semi")
-        .join(V, col("__e") === col("__vid"))
-        .select(col("__s").as("__start"), col("__e").as("__cur"),
-          array(col("__edge")).as("__edges"),
-          array(col("__edge").getField("id")).as("__ids"),
-          array(col("__v")).as("__verts"))
+    def firstFrontier: DataFrame = {
+      val seeded = E.join(origins, col("__s") === col("__origin"), "left_semi")
+      val withV =
+        if (needVerts) seeded.join(V, col("__e") === col("__vid"))
+        else seeded
+      withV.select(col("__s").as("__start"), col("__e").as("__cur"),
+        array(col("__edge")).as("__edges"),
+        array(col("__edge").getField("id")).as("__ids"),
+        (if (needVerts) array(col("__v")) else b.emptyVertexArray)
+          .as("__verts"))
+    }
 
     var frontier = firstFrontier
     var results: DataFrame = null
@@ -99,13 +109,17 @@ object Algo {
     while (k < hi && !exhausted) {
       if (probeEmptiness) exhausted = frontier.isEmpty
       if (!exhausted) {
-        val next = frontier.join(E, col("__cur") === col("__s") &&
+        val step = frontier.join(E, col("__cur") === col("__s") &&
             !array_contains(col("__ids"), col("__edge").getField("id")))
-          .join(V, col("__e") === col("__vid"))
+        val withV =
+          if (needVerts) step.join(V, col("__e") === col("__vid"))
+          else step
+        val next = withV
           .select(col("__start"), col("__e").as("__cur"),
             concat(col("__edges"), array(col("__edge"))).as("__edges"),
             concat(col("__ids"), array(col("__edge").getField("id"))).as("__ids"),
-            concat(col("__verts"), array(col("__v"))).as("__verts"))
+            (if (needVerts) concat(col("__verts"), array(col("__v")))
+             else col("__verts")).as("__verts"))
         k += 1
         frontier = if (k % CheckpointEvery == 0) next.localCheckpoint(true) else next
         accumulate(k, frontier)
@@ -123,9 +137,10 @@ object Algo {
 
     if (lo == 0L) {
       // zero-length path: every origin vertex joins to itself with
-      // empty arrays (isZeroLengthVLE parse_graph.c:198,2388-2404)
-      val zero = V.join(origins, col("__vid") === col("__origin"), "left_semi")
-        .select(col("__vid").as("__start"), col("__vid").as("__cur"),
+      // empty arrays (isZeroLengthVLE parse_graph.c:198,2388-2404);
+      // origins come from bound vertex scans, so no existence re-check
+      val zero = origins
+        .select(col("__origin").as("__start"), col("__origin").as("__cur"),
           b.emptyEdgeArray.as("__edges"), b.emptyLongArray.as("__ids"),
           b.emptyVertexArray.as("__verts"))
       vle = zero.unionAll(vle)

@@ -272,7 +272,8 @@ final class Builder(
     val pathEdges = Vector.newBuilder[Column]
     pathVertices += array(col(Compiler.q(prevName)))
     p.tail.foreach { case (rel, node) =>
-      val (st2, relName, nodeName, relKind) = bindRel(st, prevName, rel, node)
+      val (st2, relName, nodeName, relKind) =
+        bindRel(st, prevName, rel, node, p.variable.isDefined)
       st = st2
       edgeVars += (relName -> relKind)
       if (relKind == KE) pathEdges += array(col(Compiler.q(relName)))
@@ -399,13 +400,13 @@ final class Builder(
     * parse_graph.c:1579-1784) — Catalyst picks broadcast/shuffle.
     */
   private def bindRel(st0: State, prevName: String, rel: RelPattern,
-      node: NodePattern): (State, String, String, Kind) = {
+      node: NodePattern, needVerts: Boolean = true): (State, String, String, Kind) = {
     var st = st0
     val relName = rel.variable.getOrElse(fresh("e"))
     rel.varLength match {
       case Some((lo, hi)) =>
         val (st2, nodeName) = Algo.vleJoin(this, st, prevName, rel, node, relName,
-          lo.getOrElse(1L), hi)
+          lo.getOrElse(1L), hi, needVerts)
         return (st2, relName, nodeName, KEL)
       case None => ()
     }
