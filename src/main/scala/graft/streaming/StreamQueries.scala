@@ -102,6 +102,22 @@ object StreamQueries {
         .orderBy("user_id", "start_us")
     },
 
+    // Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark
+    // — state for a key is reclaimed once the watermark passes it):
+    // first occurrence per (user, event_type) survives. AvailableNow
+    // ingests the replay as one micro-batch, so the dedup is total and
+    // the batch count(DISTINCT) oracle applies exactly.
+    "s04_stream_dedup" -> { (s, d) =>
+      val deduped = eventStream(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      runToSink(s, deduped)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
+
     // Stream-static broadcast enrichment into a streaming global
     // aggregate: the static weight dim joins each micro-batch
     // (stateless, dim re-resolved per batch), decimal partial sums
@@ -148,6 +164,9 @@ object StreamQueries {
         |SELECT user_id, epoch_us(st) AS start_us, n_events, sval
         |FROM g WHERE en < TIMESTAMP '2024-01-29'
         |ORDER BY user_id, start_us""".stripMargin,
+    "s04_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s02_stream_enrich" ->
       """WITH dim(etype, weight) AS (VALUES ('click', 1), ('view', 2),
         |  ('purchase', 10), ('signup', 5), ('error', 0))
