@@ -566,12 +566,23 @@ object Algo {
     val V = b.vertexScan(None, only = false)
       .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
 
-    def topK(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy("__start", "__cur")
-        .orderBy(col("__dist"), size(col("__ids")), col("__ids"))
-      df.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= limitK).drop("__rn")
-    }
+    def topK(df: DataFrame): DataFrame =
+      if (limitK == 1L) {
+        // cheapest-path-only (the default): min_by aggregation instead
+        // of a rank window — partial aggregation combines map-side
+        val payload = df.columns.filterNot(Set("__start", "__cur"))
+        df.groupBy("__start", "__cur")
+          .agg(min_by(struct(payload.map(col): _*),
+            struct(col("__dist"), size(col("__ids")), col("__ids")))
+            .as("__p"))
+          .select(col("__start") +: col("__cur") +:
+            payload.map(c => col(s"__p.$c").as(c)): _*)
+      } else {
+        val w = Window.partitionBy("__start", "__cur")
+          .orderBy(col("__dist"), size(col("__ids")), col("__ids"))
+        df.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= limitK).drop("__rn")
+      }
 
     // ids-only DELTA relaxation (vertex structs re-attach once at the
     // end, like bfs): only paths that entered the top-k set last round
