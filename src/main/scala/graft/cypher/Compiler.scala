@@ -416,7 +416,12 @@ final class Compiler(
           case Kind.KEL | Kind.KVL => CE(J.fromLong(size(a0.col).cast("long")), KJ)
           case _       => CE(J.fromLong(J.lengthOf(j0)), KJ)
         }
-      case "size" => CE(J.fromLong(J.lengthOf(j0)), KJ)
+      case "size" => a0.kind match {
+        // element arrays (nodes(p)/relationships(p)) count natively —
+        // same dispatch as length(); only jsonb values go through J
+        case Kind.KEL | Kind.KVL => CE(J.fromLong(size(a0.col).cast("long")), KJ)
+        case _ => CE(J.fromLong(J.lengthOf(j0)), KJ)
+      }
       case "nodes" | "vertices" =>
         CE(a0.col.getField("vertices"), Kind.KVL)
       case "relationships" | "edges" =>

@@ -28,9 +28,17 @@ object GraphAnalytics {
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph.fromEdges(edges, defaultValue = ())
     // GraphX CC labels with the min vertex id per component
-    graph.connectedComponents().vertices
+    val cc = graph.connectedComponents()
+    val out = cc.vertices
       .map { case (id, comp) => (id, comp) }
       .toDF("id", "comp")
+      .localCheckpoint(true)
+    // GraphX caches the input and result graphs and never unpersists
+    // them — after materializing the output, release both so repeated
+    // analytics in one long-lived session don't accumulate storage
+    cc.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    out
   }
 
   /** Static PageRank over an edge list (start, end) with packed ids;
@@ -43,9 +51,14 @@ object GraphAnalytics {
     val edges = edgesDf.select(col("start").cast("long"), col("end").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph.fromEdges(edges, defaultValue = ())
-    graph.staticPageRank(numIter, resetProb).vertices
+    val pr = graph.staticPageRank(numIter, resetProb)
+    val out = pr.vertices
       .map { case (id, rank) => (id, rank) }
       .toDF("id", "rank")
+      .localCheckpoint(true)
+    pr.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    out
   }
 
   /** Keep one representative (min id) per duplicate cluster — the

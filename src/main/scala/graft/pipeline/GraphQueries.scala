@@ -327,6 +327,79 @@ object GraphQueries {
         .orderBy("nation")
     },
 
+    // SET property write through the oracle gate (SURVEY §2.9 SET,
+    // execCypherSet.c): MERGE a derived label, then a jsonb-arithmetic
+    // SET (v.bal * 2 — jsonb_mul) over every matched vertex, then read
+    // back an exact-decimal sum of the written property. Re-runs MERGE
+    // to the same vertices and SET to the same values, so bench's
+    // cold+steady passes converge.
+    "g17_set_write" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.createVLabel("vipx", ifNotExists = true)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE c.acctbal > 9800
+          |MERGE (v:vipx {name: c.name, nation: n.name, bal: c.acctbal})""".stripMargin)
+      s.cypher("MATCH (v:vipx) SET v.dbal = v.bal * 2")
+      s.cypher(
+        """MATCH (v:vipx)
+          |RETURN v.nation AS nation, count(*) AS n, sum(v.dbal) AS tot""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n")).as("n"),
+          round(J.toDouble(col("tot")), 2).as("tot"))
+        .orderBy("nation")
+    },
+
+    // DELETE write through the oracle gate (SURVEY §2.9 DELETE,
+    // execCypherDelete.c): MERGE a scratch label, delete the matched
+    // subset (jsonb predicate victims -> anti-join rewrite), read back
+    // the survivors. Idempotent across runs: the MERGE re-creates what
+    // the previous run deleted, the DELETE removes it again.
+    "g18_delete_write" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.createVLabel("scr", ifNotExists = true)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE c.acctbal > 9000
+          |MERGE (v:scr {name: c.name, nation: n.name, bal: c.acctbal})""".stripMargin)
+      s.cypher("MATCH (v:scr) WHERE v.bal < 9500 DELETE v")
+      s.cypher(
+        "MATCH (v:scr) RETURN v.nation AS nation, count(*) AS n")
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n")).as("n"))
+        .orderBy("nation")
+    },
+
+    // dijkstra top-k (LIMIT 2, gram.y:18548-18623 / nodeDijkstra.c
+    // pairing-heap top-k): on the supplier->part MULTIgraph the 2
+    // cheapest of the parallel edges per pair survive — the per-pair
+    // count and weight sum are tie-insensitive (sum of the 2 smallest
+    // qty values), so SQL can check the weighted top-k search exactly.
+    "g19_dijkstra_topk" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH p = dijkstra((s:supplier {name: 'Supplier#000000001'})-[e:ships]->(t:part), e.qty LIMIT 2)
+          |RETURN t.name AS part, count(*) AS n_paths, sum(head(e).qty) AS qty2""".stripMargin)
+        .select(J.asText(col("part")).as("part"),
+          J.toLong(col("n_paths")).as("n_paths"),
+          round(J.toDouble(col("qty2")), 2).as("qty2"))
+        .orderBy("part")
+    },
+
+    // graphpath value surface (ag_graphpath.h, graphpath_vertices/
+    // length graph.c:909-933): a bound path variable over a VLE carries
+    // the vertex array; depth 1 lands on nation (2 vertices), depth 2
+    // on region (3 vertices).
+    "g20_path_funcs" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH p = (c:customer)-[:in*1..2]->(x)
+          |RETURN length(p) AS hops, size(nodes(p)) AS nv, count(*) AS n""".stripMargin)
+        .select(J.toLong(col("hops")).as("hops"),
+          J.toLong(col("nv")).as("nv"), J.toLong(col("n")).as("n"))
+        .orderBy("hops")
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -422,6 +495,34 @@ object GraphQueries {
       """SELECT n_name AS nation, count(*) AS n_sup
         |FROM nation JOIN supplier ON s_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g17_set_write" ->
+      """SELECT n_name AS nation, count(*) AS n,
+        |  round(CAST(sum(CAST(c_acctbal * 2 AS DECIMAL(28,2))) AS DOUBLE), 2) AS tot
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9800
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g18_delete_write" ->
+      """SELECT n_name AS nation, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal >= 9500
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g19_dijkstra_topk" ->
+      """WITH pool AS (
+        |  SELECT l_partkey, l_quantity,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY l_quantity) AS rn
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_name = 'Supplier#000000001')
+        |SELECT p_name AS part, count(*) AS n_paths,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 2) AS qty2
+        |FROM pool JOIN part ON p_partkey = l_partkey
+        |WHERE rn <= 2
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g20_path_funcs" ->
+      """SELECT CAST(1 AS BIGINT) AS hops, CAST(2 AS BIGINT) AS nv,
+        |  count(*) AS n FROM customer
+        |UNION ALL
+        |SELECT 2, 3, count(*) FROM customer
+        |ORDER BY hops""".stripMargin,
     "g16_allshortest" ->
       """SELECT s_name AS sup, count(*) AS n_paths,
         |  count(DISTINCT p_name) AS n_parts
