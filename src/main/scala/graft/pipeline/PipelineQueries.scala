@@ -530,6 +530,53 @@ object PipelineQueries {
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           round(element_at(col("features"), 1).cast("double"), 2).as("f0"))
         .orderBy("doc_id")
+    },
+
+    // ---- batch/corpus management ------------------------------------
+    "p36_length_buckets" -> { (s, d) =>
+      // token-length quartile bucketing per source (the batch-shape
+      // primitive for length-grouped training batches): ntile over a
+      // total order (tokens, doc_id) is engine-portable, and per-bucket
+      // stats show the spread each batch would see
+      val toks = load(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), "\\s+")).as("nt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("nt", "doc_id")
+      toks.withColumn("bucket", ntile(4).over(w))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n"), min("nt").as("min_t"), max("nt").as("max_t"))
+        .orderBy("source", "bucket")
+    },
+
+    "p37_incremental_dedup" -> { (s, d) =>
+      // cross-snapshot dedup (the corpus-refresh primitive): new docs
+      // anti-join the previous snapshot on a content digest — only
+      // 16-byte digests shuffle, never text; at 100 TB the old side is
+      // a digest-only table that bucket-joins against each new delta
+      val docs = load(s, d, "documents")
+      val oldH = docs.where(pmod(col("doc_id"), lit(5)) < 2)
+        .select(md5(col("text")).as("h")).distinct()
+      val nw = docs.where(pmod(col("doc_id"), lit(5)) >= 2)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+      nw.join(oldH, Seq("h"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("source")
+    },
+
+    "p38_weighted_sample" -> { (s, d) =>
+      // deterministic weighted sampling: acceptance probability
+      // proportional to doc length (LCG-style keyed threshold — exact
+      // integer arithmetic, so any engine reproduces the exact sample;
+      // map-side only, no shuffle before the final per-source rollup)
+      load(s, d, "documents")
+        .where(pmod(col("doc_id") * 48271L, lit(10000L)) <
+          least(col("n_chars"), lit(5000L)) * 2)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").cast("long").as("chars_kept"))
+        .orderBy("source")
     }
   )
 
@@ -932,6 +979,30 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN nt NOT BETWEEN lo AND hi THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_dropped
         |FROM toks JOIN b USING (source)
-        |GROUP BY source, lo, hi ORDER BY source""".stripMargin
+        |GROUP BY source, lo, hi ORDER BY source""".stripMargin,
+    "p36_length_buckets" ->
+      """WITH toks AS (SELECT source, doc_id,
+        |    len(regexp_split_to_array(text, '\s+')) AS nt FROM documents),
+        |b AS (SELECT source, nt,
+        |    ntile(4) OVER (PARTITION BY source ORDER BY nt, doc_id) AS bucket
+        |  FROM toks)
+        |SELECT source, bucket, count(*) AS n,
+        |  min(nt) AS min_t, max(nt) AS max_t
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "p37_incremental_dedup" ->
+      """WITH oldh AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 5 < 2),
+        |nw AS (SELECT source, doc_id, md5(text) AS h FROM documents
+        |  WHERE doc_id % 5 >= 2)
+        |SELECT source, count(*) AS n_new,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM nw WHERE h NOT IN (SELECT h FROM oldh)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "p38_weighted_sample" ->
+      """SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents
+        |WHERE (doc_id * 48271) % 10000 < least(n_chars, 5000) * 2
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

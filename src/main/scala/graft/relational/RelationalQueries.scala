@@ -883,6 +883,36 @@ object RelationalQueries {
           round(sum(col("value").cast("decimal(28,4)")).over(w)
             .cast("double"), 2).as("v_1h"))
         .orderBy("user_id", "event_id")
+    },
+
+    // NOT IN 3VL null semantics (§2.2 NullTest / §2.3 anti variants):
+    // a NULL in the subquery poisons NOT IN (never TRUE), while the
+    // null-free form is a plain null-aware anti join — both counted
+    // side by side. Spark plans the second as NullAwareAntiJoin.
+    "q67_not_in_nulls" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM customer
+          |   WHERE c_custkey NOT IN
+          |     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+          |    AS no_f_orders,
+          |  (SELECT count(*) FROM customer
+          |   WHERE c_custkey NOT IN
+          |     (SELECT CASE WHEN o_orderstatus = 'F' THEN o_custkey END
+          |      FROM orders))
+          |    AS with_nulls""".stripMargin)
+    },
+
+    // UNNEST WITH ORDINALITY / SRF position (§2.1 FunctionScan):
+    // posexplode carries the element position; per-position vocabulary
+    // stats over the part-name word lists.
+    "q68_unnest_ordinality" -> { (s, d) =>
+      load(s, d, "part")
+        .select(posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), countDistinct("word").as("nw"))
+        .orderBy("pos")
     }
   )
 
@@ -1350,6 +1380,22 @@ object RelationalQueries {
         |FROM events WHERE user_id < 30
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q67_not_in_nulls" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+        |    AS no_f_orders,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_orderstatus = 'F' THEN o_custkey END
+        |      FROM orders))
+        |    AS with_nulls""".stripMargin,
+    "q68_unnest_ordinality" ->
+      """SELECT i - 1 AS pos, count(*) AS n, count(DISTINCT l[i]) AS nw
+        |FROM (SELECT string_split(p_name, ' ') AS l FROM part) t
+        |JOIN (SELECT unnest(generate_series(1, 32)) AS i) s ON i <= len(l)
+        |GROUP BY 1 ORDER BY pos""".stripMargin
   )
 }

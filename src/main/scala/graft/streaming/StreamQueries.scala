@@ -118,6 +118,45 @@ object StreamQueries {
         .orderBy("event_type")
     },
 
+    // Watermark-bounded stream-stream interval join (§2.10, the click-
+    // attribution shape): clicks match views of the same user within
+    // 10 minutes after the view — the time bound in the join condition
+    // is what lets the engine evict both sides' state. AvailableNow
+    // ingests the replay as one micro-batch, so the inner join is
+    // total and the batch self-join oracle applies exactly.
+    "s05_stream_interval_join" -> { (s, d) =>
+      val views = eventStream(s, d)
+        .where(col("user_id") < 50 && col("event_type") === "view")
+      val clicks = eventStream(s, d)
+        .where(col("user_id") < 50 && col("event_type") === "click")
+      val joined = EventStreams.intervalJoin(views, clicks,
+        watermark = "1 hour", within = "10 minutes")
+      runToSink(s, joined)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("imp_id").as("n_views"),
+          countDistinct("click_id").as("n_clicks"))
+        .orderBy("user_id")
+    },
+
+    // Custom keyed state (mapGroupsWithState, §2.10 North-star): the
+    // explicit-state running per-user totals. Update mode emits the
+    // state once per key per batch; the AvailableNow single batch makes
+    // that the final total, so the batch GROUP BY oracle applies.
+    "s06_stream_stateful_totals" -> { (s, d) =>
+      val sp = s
+      import sp.implicits._
+      val ev = eventStream(s, d)
+        .where(col("user_id") < 100)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val totals = EventStreams.runningUserTotals(ev)
+      runToSink(s, totals.toDF(), mode = "update")
+        .select(col("user_id"), col("n_events"))
+        .orderBy("user_id")
+    },
+
     // Stream-static broadcast enrichment into a streaming global
     // aggregate: the static weight dim joins each micro-batch
     // (stateless, dim re-resolved per batch), decimal partial sums
@@ -167,6 +206,22 @@ object StreamQueries {
     "s04_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s05_stream_interval_join" ->
+      """WITH v AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts
+        |  FROM events WHERE user_id < 50 AND event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE user_id < 50 AND event_type = 'click')
+        |SELECT v.user_id AS user_id, count(*) AS n_pairs,
+        |  count(DISTINCT imp_id) AS n_views,
+        |  count(DISTINCT click_id) AS n_clicks
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND click_ts >= imp_ts
+        |  AND click_ts <= imp_ts + INTERVAL 10 MINUTE
+        |GROUP BY v.user_id ORDER BY 1""".stripMargin,
+    "s06_stream_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events WHERE user_id < 100
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s02_stream_enrich" ->
       """WITH dim(etype, weight) AS (VALUES ('click', 1), ('view', 2),
         |  ('purchase', 10), ('signup', 5), ('error', 0))
