@@ -400,6 +400,46 @@ object GraphQueries {
         .orderBy("hops")
     },
 
+    // collect() -> UNWIND round-trip (jsonb_agg + explode, SURVEY §2.5
+    // collect / §2.9 UNWIND): the list aggregate and its inverse
+    // compose in one pipeline; exact-decimal sum of the re-exploded
+    // elements equals the direct aggregate.
+    "g21_unwind_collect" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WITH n, collect(c.acctbal) AS bals
+          |UNWIND bals AS b
+          |RETURN n.name AS nation, count(*) AS n_vals, sum(b) AS tot""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n_vals")).as("n_vals"),
+          round(J.toDouble(col("tot")), 2).as("tot"))
+        .orderBy("nation")
+    },
+
+    // REMOVE property write (SURVEY §2.9 SET/REMOVE, gram.y:19034-19107
+    // / execCypherSet.c): SET a key on every vertex, REMOVE it from a
+    // matched subset, read back the split via IS NULL (jsonb key absent
+    // -> SQL NULL). Idempotent: re-runs SET then REMOVE the same keys.
+    "g22_remove_write" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.createVLabel("rmx", ifNotExists = true)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE c.acctbal > 9700
+          |MERGE (v:rmx {name: c.name, nation: n.name, bal: c.acctbal})""".stripMargin)
+      s.cypher("MATCH (v:rmx) SET v.flag = 1")
+      s.cypher("MATCH (v:rmx) WHERE v.bal < 9850 REMOVE v.flag")
+      s.cypher(
+        """MATCH (v:rmx)
+          |RETURN v.nation AS nation, count(v.flag) AS n_flagged,
+          |       count(*) AS n_total""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n_flagged")).as("n_flagged"),
+          J.toLong(col("n_total")).as("n_total"))
+        .orderBy("nation")
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -517,6 +557,19 @@ object GraphQueries {
         |FROM pool JOIN part ON p_partkey = l_partkey
         |WHERE rn <= 2
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g21_unwind_collect" ->
+      """SELECT n_name AS nation, count(*) AS n_vals,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE), 2) AS tot
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g22_remove_write" ->
+      """SELECT n_name AS nation,
+        |  CAST(sum(CASE WHEN c_acctbal >= 9850 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  count(*) AS n_total
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9700
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
     "g20_path_funcs" ->
       """SELECT CAST(1 AS BIGINT) AS hops, CAST(2 AS BIGINT) AS nv,
         |  count(*) AS n FROM customer
