@@ -14,6 +14,25 @@ object Dev {
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
     val name = args(0)
+    if (name == "g18parts") {
+      val s = pipeline.GraphQueries.session(spark, d)
+      s.createVLabel("scr", ifNotExists = true)
+      def t[A](lbl: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $lbl: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      for (round <- 1 to 2) {
+        println(s"round $round")
+        t("merge")(s.cypher(
+          """MATCH (c:customer)-[:in]->(n:nation)
+            |WHERE c.acctbal > 9000
+            |MERGE (v:scr {name: c.name, nation: n.name, bal: c.acctbal})""".stripMargin))
+        t("delete")(s.cypher("MATCH (v:scr) WHERE v.bal < 9500 DELETE v"))
+        t("read")(s.cypher(
+          "MATCH (v:scr) RETURN v.nation AS nation, count(*) AS n").count())
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     // warm
     fn(spark, d).count()

@@ -149,8 +149,13 @@ final class Builder(
     if (m.optional) {
       // LATERAL left join against the bound row (transformMatchOptional
       // parse_graph.c:1184-1260): tag rows, run the inner match, then
-      // left-join new vars back by row id.
+      // left-join new vars back by row id. The tag MUST be materialized
+      // before the plan forks: monotonically_increasing_id downstream
+      // of an exchange is not stable across re-evaluation (shuffle-read
+      // row order races between mappers), so the two branches would
+      // otherwise see different ids.
       val tagged = st.df.withColumn("__rowid", monotonically_increasing_id())
+        .localCheckpoint(true)
       val base = State(tagged, st.vars)
       val inner = buildMatch(base, m.copy(optional = false))
       val newVars = inner.vars.drop(st.vars.length)
@@ -197,7 +202,9 @@ final class Builder(
     def bind(p: PathPattern): Expr = {
       val hidden = fresh("exists")
       val rid = s"${hidden}_rid"
+      // materialized before the plan forks — see buildMatch(optional)
       val tagged = st.df.withColumn(rid, monotonically_increasing_id())
+        .localCheckpoint(true)
       val inner = buildMatch(State(tagged, st.vars),
         Match(Seq(p), optional = false, where = None))
       val matched = inner.df.select(col(rid).as(s"${hidden}_m")).distinct()
@@ -211,7 +218,9 @@ final class Builder(
     def bindCount(p: PathPattern): Expr = {
       val hidden = fresh("psize")
       val rid = s"${hidden}_rid"
+      // materialized before the plan forks — see buildMatch(optional)
       val tagged = st.df.withColumn(rid, monotonically_increasing_id())
+        .localCheckpoint(true)
       val inner = buildMatch(State(tagged, st.vars),
         Match(Seq(p), optional = false, where = None))
       val counts = inner.df.groupBy(col(rid).as(s"${hidden}_m"))

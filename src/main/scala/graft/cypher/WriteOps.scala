@@ -210,10 +210,15 @@ object WriteOps {
     if (vIds != null) {
       // incident edges: DETACH deletes them; plain DELETE errors if any
       // remain (execCypherDelete.c vertex-has-edges check)
+      // two equi semi-joins (hash, broadcastable), NOT one OR-condition
+      // join — an OR disjunction can't hash-join and would nested-loop
+      // the whole edge set against the victim list
       val allEdges = b.catalog.scanAll(b.graph, 'e')
-      val incident = allEdges.join(vIds,
-          allEdges("start") === vIds("id") || allEdges("end") === vIds("id"), "left_semi")
+      val incident = allEdges.join(vIds, allEdges("start") === vIds("id"), "left_semi")
         .select(col("id"))
+        .unionAll(
+          allEdges.join(vIds, allEdges("end") === vIds("id"), "left_semi")
+            .select(col("id")))
       if (d.detach) {
         eIds = if (eIds == null) incident else eIds.unionAll(incident)
       } else {
@@ -419,7 +424,8 @@ object WriteOps {
     // 2. create the full pattern for DISTINCT missing bindings
     //    (MERGE uniqueness: identical bindings create one instance)
     val createdIdsHolder = new scala.collection.mutable.ArrayBuffer[DataFrame]()
-    if (!missing.isEmpty) {
+    val anyMissing = !missing.isEmpty
+    if (anyMissing) {
       // distinct by the pattern's evaluated identity: rendered prop maps
       // + ids of any pre-bound endpoint vars
       val comp = b.compiler(State(missing, st0.vars))
@@ -455,8 +461,11 @@ object WriteOps {
               org.apache.spark.sql.types.LongType, false))))
       else createdIdsHolder.reduce(_ unionAll _).distinct().localCheckpoint(true)
 
-    // 3. re-match: now every row binds (created elements included)
-    val finalMatch = matchOnce(base)
+    // 3. re-match: now every row binds (created elements included).
+    //    When nothing was missing the label tables are unchanged and
+    //    the first match already bound every row — reuse it (the
+    //    idempotent re-MERGE steady state skips a whole pattern match).
+    val finalMatch = if (anyMissing) matchOnce(base) else firstTry
     var out = State(finalMatch.df.drop("__mrow"), finalMatch.vars)
 
     // 4. ON CREATE / ON MATCH SET branches routed by created-ness of the

@@ -45,6 +45,16 @@ object GraphQueries {
     def props(cols: (String, org.apache.spark.sql.Column)*) =
       JsonbNormalize.normalize(to_json(struct(cols.map { case (n, c) => c.as(n) }: _*)))
 
+    // Spread the big labels across files, range-partitioned on the
+    // scan/seed key (vertices: id, edges: start) — label scans
+    // parallelize while row-group min/max still prunes seed-bounded
+    // reads. Small labels stay single-file (extra splits only add task
+    // overhead). This is the bulk-load layout step any 100 TB ingest
+    // would do; one-time cost at graph build.
+    val nSplit = math.min(spark.sparkContext.defaultParallelism, 8)
+    def spread(df: DataFrame, key: String): DataFrame =
+      df.repartitionByRange(nSplit, col(key))
+
     val region = Tables.load(spark, sfDir, "region")
     val nation = Tables.load(spark, sfDir, "nation")
     val customer = Tables.load(spark, sfDir, "customer")
@@ -63,14 +73,14 @@ object GraphQueries {
     s.catalog.append(g, "nation", nation.select(
       (nId + col("n_nationkey")).cast("long").as("id"),
       props("name" -> col("n_name")).as("properties")))
-    s.catalog.append(g, "customer", customer.select(
+    s.catalog.append(g, "customer", spread(customer.select(
       (cId + col("c_custkey")).cast("long").as("id"),
       props("name" -> col("c_name"), "acctbal" -> col("c_acctbal"),
-        "mktsegment" -> col("c_mktsegment")).as("properties")))
-    s.catalog.append(g, "order", orders.select(
+        "mktsegment" -> col("c_mktsegment")).as("properties")), "id"))
+    s.catalog.append(g, "order", spread(orders.select(
       (oId + col("o_orderkey")).cast("long").as("id"),
       props("totalprice" -> col("o_totalprice"),
-        "status" -> col("o_orderstatus")).as("properties")))
+        "status" -> col("o_orderstatus")).as("properties")), "id"))
 
     // edges: nation -in-> region; customer -in-> nation (locids are
     // disjoint ranges: nationkey, then customerkey offset by 100)
@@ -79,16 +89,16 @@ object GraphQueries {
       (nId + col("n_nationkey")).cast("long").as("start"),
       (rId + col("n_regionkey")).cast("long").as("end"),
       lit("{}").as("properties")))
-    s.catalog.append(g, "in", customer.select(
+    s.catalog.append(g, "in", spread(customer.select(
       (inId + lit(100L) + col("c_custkey")).cast("long").as("id"),
       (cId + col("c_custkey")).cast("long").as("start"),
       (nId + col("c_nationkey")).cast("long").as("end"),
-      lit("{}").as("properties")))
-    s.catalog.append(g, "placed", orders.select(
+      lit("{}").as("properties")), "start"))
+    s.catalog.append(g, "placed", spread(orders.select(
       (plId + col("o_orderkey")).cast("long").as("id"),
       (cId + col("o_custkey")).cast("long").as("start"),
       (oId + col("o_orderkey")).cast("long").as("end"),
-      lit("{}").as("properties")))
+      lit("{}").as("properties")), "start"))
 
     // supplier -ships-> part from lineitem: a MULTIgraph (parallel
     // edges per (supplier, part) pair — one per lineitem), which is
@@ -104,15 +114,15 @@ object GraphQueries {
     s.catalog.append(g, "supplier", supplier.select(
       (sId + col("s_suppkey")).cast("long").as("id"),
       props("name" -> col("s_name")).as("properties")))
-    s.catalog.append(g, "part", part.select(
+    s.catalog.append(g, "part", spread(part.select(
       (pId + col("p_partkey")).cast("long").as("id"),
-      props("name" -> col("p_name")).as("properties")))
+      props("name" -> col("p_name")).as("properties")), "id"))
     // locid = orderkey*8 + linenumber (linenumber <= 7) — unique
-    s.catalog.append(g, "ships", lineitem.select(
+    s.catalog.append(g, "ships", spread(lineitem.select(
       (shId + col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("id"),
       (sId + col("l_suppkey")).cast("long").as("start"),
       (pId + col("l_partkey")).cast("long").as("end"),
-      props("qty" -> col("l_quantity")).as("properties")))
+      props("qty" -> col("l_quantity")).as("properties")), "start"))
     s
   }
 

@@ -42,15 +42,17 @@ object StreamQueries {
     * fresh memory sink and return its contents.
     */
   private def runToSink(s: SparkSession, streamed: DataFrame,
-      mode: String = "append"): DataFrame = {
+      mode: String = "append", partitions: Int = 8): DataFrame = {
     val sink = s"graft_stream_sink_${runSeq.incrementAndGet()}"
     // a state store instance exists per shuffle partition: at this
     // window/session cardinality 8 stores is plenty, and 32 mostly
     // pays open/commit overhead (each run uses a fresh temp
-    // checkpoint, so the pinned partition count does not leak)
+    // checkpoint, so the pinned partition count does not leak).
+    // Stream-stream joins keep FOUR stores per partition — callers
+    // pass a lower count there.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
       streamed.writeStream
         .format("memory").queryName(sink)
         .outputMode(mode)
@@ -131,7 +133,7 @@ object StreamQueries {
         .where(col("user_id") < 50 && col("event_type") === "click")
       val joined = EventStreams.intervalJoin(views, clicks,
         watermark = "1 hour", within = "10 minutes")
-      runToSink(s, joined)
+      runToSink(s, joined, partitions = 4)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct("imp_id").as("n_views"),
