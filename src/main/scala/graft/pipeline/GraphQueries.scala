@@ -450,6 +450,38 @@ object GraphQueries {
         .orderBy("nation")
     },
 
+    // List comprehension over a collected list ([x IN xs WHERE p | f]
+    // — CypherListComp parsenodes.h:3819-3827): filter + transform in
+    // jsonb space, then re-aggregate the element count and sum.
+    "g23_list_comprehension" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WITH n, collect(c.acctbal) AS bals
+          |WITH n, [b IN bals WHERE b > 5000 | b * 2] AS big2
+          |UNWIND big2 AS b2
+          |RETURN n.name AS nation, count(*) AS n_big, sum(b2) AS tot2""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n_big")).as("n_big"),
+          round(J.toDouble(col("tot2")), 2).as("tot2"))
+        .orderBy("nation")
+    },
+
+    // Parameterized query ($param — the prepared-statement surface,
+    // cypher_dml.sql prepared section): the parameter enters jsonb
+    // space and compares against properties like any literal.
+    "g24_parameters" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE c.acctbal > $minbal AND n.name = $nat
+          |RETURN n.name AS nation, count(*) AS n""".stripMargin,
+        Map("minbal" -> 8000, "nat" -> "NATION_3"))
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n")).as("n"))
+        .orderBy("nation")
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -567,6 +599,18 @@ object GraphQueries {
         |FROM pool JOIN part ON p_partkey = l_partkey
         |WHERE rn <= 2
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g23_list_comprehension" ->
+      """SELECT n_name AS nation, count(*) AS n_big,
+        |  round(CAST(sum(CAST(c_acctbal * 2 AS DECIMAL(28,2))) AS DOUBLE), 2)
+        |    AS tot2
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 5000
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g24_parameters" ->
+      """SELECT n_name AS nation, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 8000 AND n_name = 'NATION_3'
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
     "g21_unwind_collect" ->
       """SELECT n_name AS nation, count(*) AS n_vals,
         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE), 2) AS tot
