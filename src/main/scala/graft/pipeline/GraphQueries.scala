@@ -45,15 +45,19 @@ object GraphQueries {
     def props(cols: (String, org.apache.spark.sql.Column)*) =
       JsonbNormalize.normalize(to_json(struct(cols.map { case (n, c) => c.as(n) }: _*)))
 
-    // Spread the big labels across files, range-partitioned on the
-    // scan/seed key (vertices: id, edges: start) — label scans
-    // parallelize while row-group min/max still prunes seed-bounded
-    // reads. Small labels stay single-file (extra splits only add task
-    // overhead). This is the bulk-load layout step any 100 TB ingest
-    // would do; one-time cost at graph build.
-    val nSplit = math.min(spark.sparkContext.defaultParallelism, 8)
-    def spread(df: DataFrame, key: String): DataFrame =
-      df.repartitionByRange(nSplit, col(key))
+    // Bulk-load layout: target ~row-bounded files range-partitioned on
+    // the scan/seed key (vertices: id, edges: start) so huge labels
+    // scan in parallel with row-group min/max pruning intact. The
+    // split count follows DATA SIZE, not core count — at bench scale
+    // every label fits one file (extra splits only tax the iterative
+    // loops with per-round task overhead), at 100 TB the same rule
+    // yields thousands of parallel splits. One-time cost at graph
+    // build, like any ingest.
+    val rowsPerFile = 5000000L
+    def spread(df: DataFrame, key: String): DataFrame = {
+      val n = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
+      if (n == 1) df else df.repartitionByRange(n, col(key))
+    }
 
     val region = Tables.load(spark, sfDir, "region")
     val nation = Tables.load(spark, sfDir, "nation")
