@@ -107,6 +107,42 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(lh"), p)
   }
 
+  test("q04: eager aggregation sits below the join chain (order-grain partials shuffle, not lineitems)") {
+    val p = planOf("q04_join_multiway")
+    // the lineitem pre-aggregation appears before (deeper than) the
+    // first fact join: its partial HashAggregate must be on the scan
+    // side of the orders join
+    val firstJoin = Seq(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"),
+      p.indexOf("BroadcastHashJoin")).filter(_ >= 0).min
+    val aggs = "HashAggregate".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(aggs.count(_ > firstJoin) >= 2, p) // partial+final below a join
+  }
+
+  test("p37: incremental dedup anti-join carries digests only (text pruned from both shuffles)") {
+    val p = planOf("p37_incremental_dedup")
+    assert(p.contains("LeftAnti"), p)
+    // no exchange partitions on or carries the text column — text is
+    // consumed map-side into the 16-byte digest before any shuffle
+    val excLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(excLines.nonEmpty, p)
+    assert(excLines.forall(!_.contains("text#")), excLines.mkString("\n"))
+  }
+
+  test("s06 shape: mapGroupsWithState plans FlatMapGroupsWithState over keyed state") {
+    import org.apache.spark.sql.functions._
+    // batch twin of the streaming query — same operator, no stream
+    val sp = spark
+    import sp.implicits._
+    val ev = graft.relational.Tables.load(spark, sf, "events")
+      .where(col("user_id") < 10)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[graft.streaming.EventStreams.Event]
+    val out = graft.streaming.EventStreams.runningUserTotals(ev)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"), p)
+  }
+
   test("bucketed tables join with no exchange and no sort (co-located layout)") {
     import graft.relational.{Bucketing, Tables}
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
