@@ -486,6 +486,23 @@ object GraphQueries {
         .orderBy("nation")
     },
 
+    // Label inheritance through the oracle gate (ag_label DAG,
+    // graphcmds.c GetSuperOids; subtree scan = PG inheritance Append):
+    // a child label's members surface in the parent's subtree scan,
+    // classified by their concrete label(). The child vertices carry
+    // no acctbal/edges, so every other query's quals exclude them.
+    "g25_inheritance" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.createVLabel("bigcust", parents = Seq("customer"), ifNotExists = true)
+      s.cypher(
+        """MATCH (c:customer) WHERE c.acctbal > 9900
+          |MERGE (b:bigcust {name: 'BIG_' + c.name})""".stripMargin)
+      s.cypher(
+        "MATCH (x:customer) RETURN label(x) AS lab, count(*) AS n")
+        .select(J.asText(col("lab")).as("lab"), J.toLong(col("n")).as("n"))
+        .orderBy("lab")
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -603,6 +620,12 @@ object GraphQueries {
         |FROM pool JOIN part ON p_partkey = l_partkey
         |WHERE rn <= 2
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g25_inheritance" ->
+      """SELECT 'bigcust' AS lab, count(*) AS n FROM customer
+        |WHERE c_acctbal > 9900
+        |UNION ALL
+        |SELECT 'customer', count(*) FROM customer
+        |ORDER BY lab""".stripMargin,
     "g23_list_comprehension" ->
       """SELECT n_name AS nation, count(*) AS n_big,
         |  round(CAST(sum(CAST(c_acctbal * 2 AS DECIMAL(28,2))) AS DOUBLE), 2)

@@ -565,6 +565,15 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    "p39_hard_negatives" -> { (s, d) =>
+      // contrastive-training hard negatives: top-2 most-similar
+      // different-label vectors per query (broadcastable query side ×
+      // corpus stream, like p05/p33)
+      val vecs = load(s, d, "embeddings")
+      Similarity.hardNegatives(vecs.where(col("vec_id") < 20), vecs, 2)
+        .orderBy("qid", "rank")
+    },
+
     "p38_weighted_sample" -> { (s, d) =>
       // deterministic weighted sampling: acceptance probability
       // proportional to doc length (LCG-style keyed threshold — exact
@@ -998,6 +1007,21 @@ object PipelineQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM nw WHERE h NOT IN (SELECT h FROM oldh)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "p39_hard_negatives" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlab,
+        |    c.vec_id AS cid, c.label AS clab,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id AND q.label <> c.label
+        |  WHERE q.vec_id < 20),
+        |ranked AS (
+        |  SELECT qid, qlab, cid, clab, cos, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        |  FROM scored)
+        |SELECT qid, qlab, cid, clab, rank, cos
+        |FROM ranked WHERE rank <= 2 ORDER BY qid, rank""".stripMargin,
     "p38_weighted_sample" ->
       """SELECT source, count(*) AS n_kept,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept

@@ -45,6 +45,29 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
 
+  /** Hard-negative mining (contrastive-training primitive): per query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label. Same kernel discipline as bruteForceTopK: norms precompute
+    * per side, the codegen'd dot runs inside the pair join, and the
+    * rank uses the ROUNDED score so cross-engine ulps can't flip ties.
+    * Scale path: swap the corpus side for the IVF/LSH-bucketed probe
+    * set — the label-mismatch qual composes with any candidate source.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlab"),
+      col("embedding").as("qv"), norm(col("embedding")).as("__qn"))
+    val c = corpus.select(col("vec_id").as("cid"), col("label").as("clab"),
+      col("embedding").as("cv"), norm(col("embedding")).as("__cn"))
+    val scored = q.join(c, col("qid") =!= col("cid") && col("qlab") =!= col("clab"))
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("qlab"), col("cid"), col("clab"),
+        col("rank"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * hash -> uniform in [-1, 1). No RNG state, so executors agree.
     */
