@@ -503,6 +503,37 @@ object GraphQueries {
         .orderBy("lab")
     },
 
+    // get_last_graph_write_stats() (cypher_funcs.c:1185) through the
+    // oracle gate: a fresh label is dropped+recreated per run so the
+    // CREATE's counters are deterministic, then the stats row itself
+    // is the query result.
+    "g26_write_stats" -> { (sp, d) =>
+      val s = session(sp, d)
+      try s.catalog.dropLabel("tpch", "wst") catch { case _: Exception => () }
+      s.createVLabel("wst")
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE c.acctbal > 9900
+          |CREATE (:wst {name: c.name})""".stripMargin)
+      val st = s.lastWriteStats
+      val sp2 = sp
+      import sp2.implicits._
+      Seq((st("insertedvertices"), st("insertededges"),
+        st("deletedvertices")))
+        .toDF("ins_v", "ins_e", "del_v")
+    },
+
+    // ag_graphmeta edge-statistics matrix (ag_graphmeta.h:30-37)
+    // through the oracle gate: per (start label, edge label, end label)
+    // edge counts over the whole graph, pinned to the stable bulk-load
+    // labels so write demos can't disturb it.
+    "g27_graphmeta" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.catalog.graphmeta("tpch")
+        .where(col("edge").isin("in", "placed", "ships"))
+        .orderBy("start", "edge", "end")
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -620,6 +651,22 @@ object GraphQueries {
         |FROM pool JOIN part ON p_partkey = l_partkey
         |WHERE rn <= 2
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g26_write_stats" ->
+      """SELECT count(*) AS ins_v, CAST(0 AS BIGINT) AS ins_e,
+        |  CAST(0 AS BIGINT) AS del_v
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9900""".stripMargin,
+    "g27_graphmeta" ->
+      """SELECT * FROM (
+        |  SELECT 'nation' AS start, 'in' AS edge, 'region' AS "end",
+        |    count(*) AS edgecount FROM nation
+        |  UNION ALL
+        |  SELECT 'customer', 'in', 'nation', count(*) FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'placed', 'order', count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'supplier', 'ships', 'part', count(*) FROM lineitem
+        |) t ORDER BY start, edge, "end"""".stripMargin,
     "g25_inheritance" ->
       """SELECT 'bigcust' AS lab, count(*) AS n FROM customer
         |WHERE c_acctbal > 9900
