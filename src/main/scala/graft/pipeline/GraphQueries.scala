@@ -534,6 +534,20 @@ object GraphQueries {
         .orderBy("start", "edge", "end")
     },
 
+    // endnode() on an edge with UNBOUND target (edge_end_vertex
+    // graph.c:1002): the projection rewrite adds a hidden vertex
+    // re-fetch join keyed on e.end — the reference re-fetches the
+    // vertex by graphid the same way.
+    "g28_endpoints" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[e:in]->(:nation)
+          |RETURN endnode(e).name AS nation, count(*) AS n""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n")).as("n"))
+        .orderBy("nation")
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -651,6 +665,10 @@ object GraphQueries {
         |FROM pool JOIN part ON p_partkey = l_partkey
         |WHERE rn <= 2
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g28_endpoints" ->
+      """SELECT n_name AS nation, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
     "g26_write_stats" ->
       """SELECT count(*) AS ins_v, CAST(0 AS BIGINT) AS ins_e,
         |  CAST(0 AS BIGINT) AS del_v
