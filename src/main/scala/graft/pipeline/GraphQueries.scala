@@ -548,6 +548,22 @@ object GraphQueries {
         .orderBy("nation")
     },
 
+    // Correlated EXISTS (MATCH ...) sublink in SQL (SURVEY §3.3,
+    // gram.y:14110-14125): the correlated conjunct (c.acctbal > t.thr)
+    // lifts out of the Cypher WHERE, the graph operand becomes a hidden
+    // view column, and Catalyst decorrelates the rewritten EXISTS. The
+    // outer threshold uses floor() (not a bigint CAST — Spark truncates
+    // where DuckDB rounds) so both engines derive identical integers.
+    "g29_sql_exists_correlated" -> { (sp, d) =>
+      val s = session(sp, d)
+      Tables.registerAll(sp, d)
+      s.sql(
+        """SELECT count(*) AS n_orders FROM
+          |  (SELECT CAST(floor(o_totalprice / 50) AS BIGINT) AS thr FROM orders) t
+          |WHERE EXISTS (MATCH (c:customer)
+          |  WHERE c.acctbal > t.thr AND c.mktsegment = 'BUILDING' RETURN c)""".stripMargin)
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -665,6 +681,11 @@ object GraphQueries {
         |FROM pool JOIN part ON p_partkey = l_partkey
         |WHERE rn <= 2
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g29_sql_exists_correlated" ->
+      """SELECT count(*) AS n_orders FROM
+        |  (SELECT CAST(floor(o_totalprice / 50) AS BIGINT) AS thr FROM orders) t
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_acctbal > thr AND c_mktsegment = 'BUILDING')""".stripMargin,
     "g28_endpoints" ->
       """SELECT n_name AS nation, count(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
