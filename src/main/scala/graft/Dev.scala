@@ -36,10 +36,13 @@ object Dev {
     val fn = SparkEntry.queries(name)
     // warm
     fn(spark, d).count()
-    val t0 = System.nanoTime()
-    fn(spark, d).count()
-    println(f"STEADY ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    fn(spark, d).explain("formatted")
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"STEADY min ${ts.min}%.2f s  runs ${ts.map(t => f"$t%.2f").mkString(" ")}")
+    if (args.length > 1 && args(1) == "explain") fn(spark, d).explain("formatted")
     spark.stop()
   }
 }

@@ -558,10 +558,17 @@ object Algo {
     val kinds = Map(relName -> (KE: Kind))
     val comp = new Compiler(kinds, Map.empty, Map.empty, Map.empty)
     val E1 = E0.withColumn(relName, col("__edge"))
+    // the qual prunes which edges are traversable — evaluate on the
+    // scan; the WEIGHT is deferred to traversed edges only (the seed
+    // semi-join and each expansion join shrink the edge set first, so
+    // the jsonb weight expression never runs over the whole label)
     val E2 = qual.map(q => E1.where(comp.toBool(comp.compile(q)))).getOrElse(E1)
-    val E = E2.withColumn("__w",
-      coalesce(J.toDouble(comp.toJ(comp.compile(weight))), lit(1.0)))
-      .select(col("__edge"), col("__s"), col("__e"), col("__w"))
+    val E = E2.select(col("__edge"), col("__s"), col("__e"))
+    def withWeight(df: DataFrame): DataFrame =
+      df.withColumn(relName, col("__edge"))
+        .withColumn("__w",
+          coalesce(J.toDouble(comp.toJ(comp.compile(weight))), lit(1.0)))
+        .drop(relName)
 
     val V = b.vertexScan(None, only = false)
       .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
@@ -593,7 +600,8 @@ object Algo {
     // An expanded path can never be row-identical to an existing one
     // (it is strictly longer than its source path), so "__new survived
     // the top-k window" exactly means "the best-set changed".
-    var best = topK(E.join(origins, col("__s") === col("__origin"), "left_semi")
+    var best = topK(withWeight(
+      E.join(origins, col("__s") === col("__origin"), "left_semi"))
       .select(col("__s").as("__start"), col("__e").as("__cur"),
         array(col("__edge")).as("__edges"),
         array(col("__edge").getField("id")).as("__ids"),
@@ -604,8 +612,9 @@ object Algo {
     var frontier = best
     var rounds = 0
     while (rounds < MaxDepth && frontier.head(1).nonEmpty) {
-      val expanded = frontier.join(E, col("__cur") === col("__s") &&
-          !array_contains(col("__ids"), col("__edge").getField("id")))
+      val expanded = withWeight(
+        frontier.join(E, col("__cur") === col("__s") &&
+          !array_contains(col("__ids"), col("__edge").getField("id"))))
         .select(col("__start"), col("__e").as("__cur2"),
           concat(col("__edges"), array(col("__edge"))).as("__edges"),
           concat(col("__ids"), array(col("__edge").getField("id"))).as("__ids"),

@@ -239,37 +239,31 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
   // exactly representable in decimal(38,18), no exponent notation
   private val ShredNumRe = "^-?[0-9]{1,20}(\\.[0-9]{1,18})?$"
 
-  /** Classify each top-level key of a batch: "n" / "s" / "j".
-    * One aggregation pass over the batch.
+  /** One-pass batch shred discovery: the distinct sanitized keys AND
+    * their uniform-type classification from a single aggregation
+    * (replaces the separate key-collect + classify scans on the write
+    * path — every write statement pays this, so one parse pass
+    * matters). Returns a sorted map, matching batchKeys order.
     */
-  private def classifyKeys(df: DataFrame, keys: Seq[String]): Map[String, String] = {
+  private def batchKeyTypes(df: DataFrame): scala.collection.immutable.TreeMap[String, String] = {
     import org.apache.spark.sql.functions._
-    if (keys.isEmpty) return Map.empty
-    val aggs = keys.flatMap { k =>
-      val v = graft.expr.J.getKey(col("properties"), k)
-      Seq(
-        count(when(v.isNotNull && !v.rlike(ShredNumRe), 1)).as(s"__nn_$k"),
-        count(when(v.isNotNull && !v.startsWith("\""), 1)).as(s"__ns_$k"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    keys.map { k =>
-      val t =
-        if (row.getAs[Long](s"__nn_$k") == 0L) "n"
-        else if (row.getAs[Long](s"__ns_$k") == 0L) "s"
+    val exploded = df.select(col("properties"),
+      explode(json_object_keys(col("properties"))).as("k"))
+    // dynamic key lookup: the exploded raw key re-enters jsonb space as
+    // a quoted string (sanitized keys contain no escapes by definition;
+    // unsanitized ones are filtered from the result either way)
+    val v = graft.expr.J.getDyn(col("properties"),
+      concat(lit("\""), col("k"), lit("\"")))
+    val rows = exploded.groupBy("k").agg(
+      count(when(v.isNotNull && !v.rlike(ShredNumRe), 1)).as("nn"),
+      count(when(v.isNotNull && !v.startsWith("\""), 1)).as("ns")).collect()
+    val pairs = rows.iterator.map { r =>
+      val t = if (r.getAs[Long]("nn") == 0L) "n"
+        else if (r.getAs[Long]("ns") == 0L) "s"
         else "j"
-      k -> t
-    }.toMap
-  }
-
-  /** Distinct sanitized top-level keys of a batch (driver-collected;
-    * property vocabularies are small by construction — ShredMaxKeys
-    * caps the pathological case).
-    */
-  private def batchKeys(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.functions._
-    df.select(explode(json_object_keys(col("properties"))).as("k"))
-      .distinct().collect().map(_.getString(0)).toSeq
-      .filter(k => ShredKeyRe.findFirstIn(k).isDefined).sorted
+      r.getString(0) -> t
+    }.filter { case (k, _) => ShredKeyRe.findFirstIn(k).isDefined }
+    scala.collection.immutable.TreeMap[String, String]() ++ pairs
   }
 
   /** Merge batch classifications into the label's shred meta. A key
@@ -411,11 +405,10 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val (out, lm2) =
       if (lm.shredOff) (clean, lm)
       else {
-        val keys = batchKeys(clean)
-        if ((lm.shred.keySet ++ keys).size > ShredMaxKeys)
+        val batchTypes = batchKeyTypes(clean)
+        if ((lm.shred.keySet ++ batchTypes.keySet).size > ShredMaxKeys)
           (clean, lm.copy(shredOff = true))
         else {
-          val batchTypes = classifyKeys(clean, keys)
           val merged = mergeShred(lm.shred, batchTypes)
           // write typed cols per the MERGED view so this file agrees
           // with the read schema even when it degrades older types
@@ -448,13 +441,10 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // the input plan typically reads the table being replaced: snapshot
     // it before deleting the source files
     val clean = clean0.localCheckpoint(true)
-    val keys = batchKeys(clean)
+    val types = batchKeyTypes(clean)
     val (out, lm2) =
-      if (keys.size > ShredMaxKeys) (clean, lm.copy(shred = Map.empty, shredOff = true))
-      else {
-        val types = classifyKeys(clean, keys)
-        (withShredCols(clean, types), lm.copy(shred = types, shredOff = false))
-      }
+      if (types.size > ShredMaxKeys) (clean, lm.copy(shred = Map.empty, shredOff = true))
+      else (withShredCols(clean, types), lm.copy(shred = types, shredOff = false))
     val dir = labelDir(graph, label)
     val staging = graphDir(graph).resolve(s"_staging_$label")
     clusterSorted(out, lm.kind)

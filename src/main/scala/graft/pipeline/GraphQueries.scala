@@ -559,7 +559,8 @@ object GraphQueries {
       Tables.registerAll(sp, d)
       s.sql(
         """SELECT count(*) AS n_orders FROM
-          |  (SELECT CAST(floor(o_totalprice / 50) AS BIGINT) AS thr FROM orders) t
+          |  (SELECT CAST(floor(o_totalprice / 50) AS BIGINT) AS thr
+          |   FROM orders WHERE o_totalprice > 400000) t
           |WHERE EXISTS (MATCH (c:customer)
           |  WHERE c.acctbal > t.thr AND c.mktsegment = 'BUILDING' RETURN c)""".stripMargin)
     },
@@ -683,7 +684,8 @@ object GraphQueries {
         |GROUP BY 1 ORDER BY part""".stripMargin,
     "g29_sql_exists_correlated" ->
       """SELECT count(*) AS n_orders FROM
-        |  (SELECT CAST(floor(o_totalprice / 50) AS BIGINT) AS thr FROM orders) t
+        |  (SELECT CAST(floor(o_totalprice / 50) AS BIGINT) AS thr
+        |   FROM orders WHERE o_totalprice > 400000) t
         |WHERE EXISTS (SELECT 1 FROM customer
         |  WHERE c_acctbal > thr AND c_mktsegment = 'BUILDING')""".stripMargin,
     "g28_endpoints" ->
