@@ -61,6 +61,37 @@ object GraphAnalytics {
     out
   }
 
+  /** Weighted single-source shortest distances via Pregel — the GraphX
+    * twin of Algo.dijkstra's set-based relaxation (SURVEY §2.3
+    * Dijkstra; nodeDijkstra.c). The DataFrame loop wins for selective
+    * source/target pairs (it prunes by the bound endpoint sets); the
+    * Pregel form wins for whole-graph distance fields where every
+    * vertex is a target. Input: (start, end, weight); returns
+    * (id, dist) for vertices reachable from `sourceId`.
+    */
+  def sssp(edgesDf: DataFrame, sourceId: Long): DataFrame = {
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    val edges = edgesDf.select(col("start").cast("long"), col("end").cast("long"),
+      col("weight").cast("double"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val graph = Graph.fromEdges(edges, Double.PositiveInfinity)
+      .mapVertices((id, _) => if (id == sourceId) 0.0 else Double.PositiveInfinity)
+    val result = graph.pregel(Double.PositiveInfinity)(
+      (_, dist, msg) => math.min(dist, msg),
+      t => if (t.srcAttr + t.attr < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    val out = result.vertices
+      .filter(_._2 < Double.PositiveInfinity)
+      .map { case (id, dist) => (id, dist) }
+      .toDF("id", "dist")
+      .localCheckpoint(true)
+    result.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    out
+  }
+
   /** Keep one representative (min id) per duplicate cluster — the
     * GraphX twin of Dedup.keepRepresentatives.
     */

@@ -892,6 +892,17 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // DISTINCT aggregate over a window (§2.6; Spark has no native
+    // count(DISTINCT) OVER — size(collect_set() OVER) is the exact
+    // equivalent and stays map-side within the window partition).
+    "q69_window_count_distinct" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      load(s, d, "events").where(col("user_id") < 200)
+        .select(col("event_id"), col("user_id"),
+          size(collect_set(col("event_type")).over(w)).as("nd"))
+        .orderBy("event_id")
+    },
+
     // NOT IN 3VL null semantics (§2.2 NullTest / §2.3 anti variants):
     // a NULL in the subquery poisons NOT IN (never TRUE), while the
     // null-free form is a plain null-aware anti join — both counted
@@ -1388,6 +1399,11 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q69_window_count_distinct" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id) AS INT)
+        |    AS nd
+        |FROM events WHERE user_id < 200 ORDER BY event_id""".stripMargin,
     "q67_not_in_nulls" ->
       """SELECT
         |  (SELECT count(*) FROM customer

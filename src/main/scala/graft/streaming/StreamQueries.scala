@@ -120,6 +120,22 @@ object StreamQueries {
         .orderBy("event_type")
     },
 
+    // Sliding windows (§2.10): each event lands in windowLen/slide
+    // overlapping windows (4 here) — the oracle replicates the
+    // assignment rule exactly (epoch-aligned 6h grid, 4 offsets).
+    // Append mode emits a window once the watermark passes its end;
+    // the Jan-27 start cut keeps only closed windows.
+    "s07_stream_sliding" -> { (s, d) =>
+      val act = EventStreams.slidingUserActivity(
+        eventStream(s, d).where(col("user_id") < 60),
+        "1 day", "6 hours", "1 hour")
+      runToSink(s, act)
+        .where(col("w_start") < lit("2024-01-27").cast("timestamp"))
+        .select(unix_micros(col("w_start")).as("start_us"),
+          col("user_id"), col("n_events"))
+        .orderBy("start_us", "user_id")
+    },
+
     // Watermark-bounded stream-stream interval join (§2.10, the click-
     // attribution shape): clicks match views of the same user within
     // 10 minutes after the view — the time bound in the join condition
@@ -208,6 +224,16 @@ object StreamQueries {
     "s04_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s07_stream_sliding" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events
+        |  WHERE user_id < 60),
+        |k AS (SELECT unnest(generate_series(0, 3)) AS k),
+        |w AS (SELECT user_id,
+        |    (tus // 21600000000) * 21600000000 - k * 21600000000 AS start_us
+        |  FROM e, k)
+        |SELECT start_us, user_id, count(*) AS n_events
+        |FROM w WHERE start_us < epoch_us(TIMESTAMP '2024-01-27')
+        |GROUP BY 1, 2 ORDER BY start_us, user_id""".stripMargin,
     "s05_stream_interval_join" ->
       """WITH v AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts
         |  FROM events WHERE user_id < 50 AND event_type = 'view'),

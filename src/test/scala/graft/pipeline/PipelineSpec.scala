@@ -123,6 +123,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(pr(2L) > pr(10L))
   }
 
+  test("GraphX Pregel SSSP matches a reference Dijkstra on a random weighted digraph") {
+    import spark.implicits._
+    // deterministic pseudo-random digraph: 40 vertices, ~160 edges
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 160).map { _ =>
+      val s = rnd.nextInt(40).toLong; var e = rnd.nextInt(40).toLong
+      if (e == s) e = (e + 1) % 40
+      (s, e, 1.0 + rnd.nextInt(9))
+    }.distinct
+    val got = GraphAnalytics.sssp(edges.toDF("start", "end", "weight"), 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // reference: driver-side Dijkstra
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => (e._2, e._3))
+    }
+    val dist = scala.collection.mutable.Map(0L -> 0.0)
+    val pq = scala.collection.mutable.PriorityQueue((0.0, 0L))(
+      Ordering.by[(Double, Long), Double](-_._1))
+    while (pq.nonEmpty) {
+      val (d, v) = pq.dequeue()
+      if (d <= dist.getOrElse(v, Double.PositiveInfinity)) {
+        adj.getOrElse(v, Nil).foreach { case (to, w) =>
+          if (d + w < dist.getOrElse(to, Double.PositiveInfinity)) {
+            dist(to) = d + w; pq.enqueue((d + w, to))
+          }
+        }
+      }
+    }
+    assert(got == dist.toMap)
+  }
+
   test("IVF ANN recalls most brute-force top-k neighbors") {
     val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
     val exact = Similarity.bruteForceTopK(vecs.where(col("vec_id") < 30), vecs, 3)
