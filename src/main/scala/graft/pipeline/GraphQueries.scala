@@ -565,6 +565,38 @@ object GraphQueries {
           |  WHERE c.acctbal > t.thr AND c.mktsegment = 'BUILDING' RETURN c)""".stripMargin)
     },
 
+    // EDGE MERGE between bound endpoints (execCypherMerge.c over a
+    // relationship pattern): match-or-create a derived edge label,
+    // keyed on the pre-bound endpoint ids; idempotent on re-run (all
+    // edges match). Read-back traverses the merged edges.
+    "g30_merge_edge" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.createELabel("bigbuyer", ifNotExists = true)
+      s.cypher(
+        """MATCH (c:customer)-[:placed]->(o:order)
+          |WHERE o.totalprice > 450000
+          |MERGE (c)-[:bigbuyer]->(o)""".stripMargin)
+      s.cypher(
+        """MATCH (c:customer)-[:bigbuyer]->(o:order)
+          |RETURN count(*) AS n_edges,
+          |       count(DISTINCT c.name) AS n_buyers""".stripMargin)
+        .select(J.toLong(col("n_edges")).as("n_edges"),
+          J.toLong(col("n_buyers")).as("n_buyers"))
+    },
+
+    // Multi-type edge pattern [:in|placed] + type() classification
+    // (getEdgeColname/edge union parse_graph.c; edge_label graph.c:628):
+    // one scan per listed label unions before the pattern join, type()
+    // recovers the concrete label from the packed id.
+    "g31_edge_types" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[e:in|placed]->(x)
+          |RETURN type(e) AS et, count(*) AS n""".stripMargin)
+        .select(J.asText(col("et")).as("et"), J.toLong(col("n")).as("n"))
+        .orderBy("et")
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -682,6 +714,16 @@ object GraphQueries {
         |FROM pool JOIN part ON p_partkey = l_partkey
         |WHERE rn <= 2
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g30_merge_edge" ->
+      """SELECT count(*) AS n_edges, count(DISTINCT c_name) AS n_buyers
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE o_totalprice > 450000""".stripMargin,
+    "g31_edge_types" ->
+      """SELECT et, n FROM (
+        |  SELECT 'in' AS et, count(*) AS n FROM customer
+        |  UNION ALL
+        |  SELECT 'placed', count(*) FROM orders
+        |) t ORDER BY et""".stripMargin,
     "g29_sql_exists_correlated" ->
       """SELECT count(*) AS n_orders FROM
         |  (SELECT CAST(floor(o_totalprice / 50) AS BIGINT) AS thr
