@@ -597,6 +597,31 @@ object GraphQueries {
         .orderBy("et")
     },
 
+    // DETACH DELETE cascade through the oracle gate (execCypherDelete.c
+    // ExecDeleteGraphElement — incident edges die with the vertex):
+    // scratch vertices + same-nation ordered edges, detach-delete the
+    // low-balance subset, count surviving edges (= pairs whose BOTH
+    // endpoints survive). The MERGEs recreate the deleted subgraph on
+    // re-run, so the read-back is stable.
+    "g32_detach_delete" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.createVLabel("scrv", ifNotExists = true)
+      s.createELabel("scre", ifNotExists = true)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE c.acctbal > 9800
+          |MERGE (v:scrv {name: c.name, nation: n.name, bal: c.acctbal})""".stripMargin)
+      s.cypher(
+        """MATCH (x:scrv), (y:scrv)
+          |WHERE x.nation = y.nation AND x.bal > y.bal
+          |MERGE (x)-[:scre]->(y)""".stripMargin)
+      s.cypher("MATCH (v:scrv) WHERE v.bal < 9900 DETACH DELETE v")
+      s.cypher(
+        """MATCH (:scrv)-[e:scre]->(:scrv)
+          |RETURN count(*) AS n_edges""".stripMargin)
+        .select(J.toLong(col("n_edges")).as("n_edges"))
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -714,6 +739,11 @@ object GraphQueries {
         |FROM pool JOIN part ON p_partkey = l_partkey
         |WHERE rn <= 2
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g32_detach_delete" ->
+      """SELECT count(*) AS n_edges
+        |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |WHERE a.c_acctbal >= 9900 AND b.c_acctbal >= 9900
+        |  AND a.c_acctbal > b.c_acctbal""".stripMargin,
     "g30_merge_edge" ->
       """SELECT count(*) AS n_edges, count(DISTINCT c_name) AS n_buyers
         |FROM customer JOIN orders ON o_custkey = c_custkey
