@@ -565,6 +565,24 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    "p40_data_quality" -> { (s, d) =>
+      // ingestion-gate validation (the expectations pass a corpus runs
+      // before training): per-source row counts with per-rule violation
+      // counts — everything map-side into one partial-aggregated rollup
+      val docs = load(s, d, "documents")
+      docs.groupBy("source").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1)
+          .otherwise(0)).cast("long").as("n_empty"),
+        sum(when(col("n_chars") =!= length(col("text")), 1)
+          .otherwise(0)).cast("long").as("n_len_mismatch"),
+        sum(when(!col("lang").isin("en", "de", "fr", "es", "zh"), 1)
+          .otherwise(0)).cast("long").as("n_bad_lang"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).cast("long")
+          .as("n_dup_ids"))
+        .orderBy("source")
+    },
+
     "p39_hard_negatives" -> { (s, d) =>
       // contrastive-training hard negatives: top-2 most-similar
       // different-label vectors per query (broadcastable query side ×
@@ -1007,6 +1025,16 @@ object PipelineQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM nw WHERE h NOT IN (SELECT h FROM oldh)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "p40_data_quality" ->
+      """SELECT source, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  CAST(sum(CASE WHEN n_chars <> length(text)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+        |  CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_dup_ids
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "p39_hard_negatives" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, q.label AS qlab,
