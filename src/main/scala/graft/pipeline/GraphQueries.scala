@@ -622,6 +622,31 @@ object GraphQueries {
         .select(J.toLong(col("n_edges")).as("n_edges"))
     },
 
+    // Fetch-by-graphid (TidScan analog, SURVEY §2.1; graphid packing
+    // utils/graph.h:28-39): the packed id enters as a parameter and
+    // resolves one vertex — id() equality in jsonb space.
+    "g33_id_lookup" -> { (sp, d) =>
+      val s = session(sp, d)
+      val lid = labid(s, "customer")
+      s.cypher(
+        "MATCH (c:customer) WHERE id(c) = $cid RETURN c.name AS name, c.acctbal AS bal",
+        Map("cid" -> GraphId.pack(lid, 42L)))
+        .select(J.asText(col("name")).as("name"),
+          J.toDouble(col("bal")).as("bal"))
+    },
+
+    // Zero-length VLE (*0..1 — isZeroLengthVLE parse_graph.c:198,
+    // 2388-2404): depth 0 binds the origin itself with empty arrays,
+    // depth 1 traverses — label() classifies the depth union.
+    "g34_vle_zero" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (n:nation)-[:in*0..1]->(x)
+          |RETURN label(x) AS lab, count(*) AS n""".stripMargin)
+        .select(J.asText(col("lab")).as("lab"), J.toLong(col("n")).as("n"))
+        .orderBy("lab")
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -739,6 +764,15 @@ object GraphQueries {
         |FROM pool JOIN part ON p_partkey = l_partkey
         |WHERE rn <= 2
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g33_id_lookup" ->
+      """SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
+    "g34_vle_zero" ->
+      """SELECT lab, n FROM (
+        |  SELECT 'nation' AS lab, count(*) AS n FROM nation
+        |  UNION ALL
+        |  SELECT 'region', count(*) FROM nation
+        |) t ORDER BY lab""".stripMargin,
     "g32_detach_delete" ->
       """SELECT count(*) AS n_edges
         |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
