@@ -647,6 +647,20 @@ object GraphQueries {
         .orderBy("lab")
     },
 
+    // WITH ... WHERE over an aggregate (the HAVING shape of
+    // transformCypherProjection, parse_graph.c:441-627) + SKIP/LIMIT
+    // pagination on the final ordered RETURN.
+    "g35_with_having" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:placed]->(o:order)
+          |WITH c, count(*) AS n_ord WHERE n_ord >= 15
+          |RETURN c.name AS name, n_ord
+          |ORDER BY n_ord DESC, name SKIP 5 LIMIT 10""".stripMargin)
+        .select(J.asText(col("name")).as("name"),
+          J.toLong(col("n_ord")).as("n_ord"))
+    },
+
     // UNWIND + WITH + ORDER/LIMIT pipeline over graph data
     "g06_with_topk" -> { (sp, d) =>
       val s = session(sp, d)
@@ -764,6 +778,11 @@ object GraphQueries {
         |FROM pool JOIN part ON p_partkey = l_partkey
         |WHERE rn <= 2
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    "g35_with_having" ->
+      """SELECT c_name AS name, count(*) AS n_ord
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_name HAVING count(*) >= 15
+        |ORDER BY n_ord DESC, name OFFSET 5 LIMIT 10""".stripMargin,
     "g33_id_lookup" ->
       """SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
         |FROM customer WHERE c_custkey = 42""".stripMargin,
