@@ -145,6 +145,26 @@ final class Builder(
 
   // ============================================================== MATCH
 
+  /** Tag rows with a per-row id that both forks of a plan split agree
+    * on. monotonically_increasing_id is only unstable across
+    * re-evaluation when the input re-reads a shuffle or evaluates a
+    * non-deterministic expression (mapper block fetch order races);
+    * scan-only narrow plans re-evaluate deterministically (file→split
+    * assignment comes from the sorted listing), so the eager
+    * localCheckpoint — whose blocks pin storage until GC — is skipped
+    * for them.
+    */
+  private[cypher] def stableRowTag(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Filter => LFilter, SubqueryAlias, Generate}
+    val plan = df.queryExecution.optimizedPlan
+    val wide = plan.exists {
+      case _: Project | _: LFilter | _: SubqueryAlias | _: Generate => false
+      case p => p.children.nonEmpty // any join/agg/window/sort/limit…
+    } || plan.exists(p => p.expressions.exists(!_.deterministic))
+    val tagged = df.withColumn(name, monotonically_increasing_id())
+    if (wide) tagged.localCheckpoint(true) else tagged
+  }
+
   private[cypher] def buildMatch(st: State, m: Match): State = {
     if (m.optional) {
       // LATERAL left join against the bound row (transformMatchOptional
@@ -154,8 +174,7 @@ final class Builder(
       // of an exchange is not stable across re-evaluation (shuffle-read
       // row order races between mappers), so the two branches would
       // otherwise see different ids.
-      val tagged = st.df.withColumn("__rowid", monotonically_increasing_id())
-        .localCheckpoint(true)
+      val tagged = stableRowTag(st.df, "__rowid")
       val base = State(tagged, st.vars)
       val inner = buildMatch(base, m.copy(optional = false))
       val newVars = inner.vars.drop(st.vars.length)
@@ -202,9 +221,8 @@ final class Builder(
     def bind(p: PathPattern): Expr = {
       val hidden = fresh("exists")
       val rid = s"${hidden}_rid"
-      // materialized before the plan forks — see buildMatch(optional)
-      val tagged = st.df.withColumn(rid, monotonically_increasing_id())
-        .localCheckpoint(true)
+      // materialized before the plan forks — see stableRowTag
+      val tagged = stableRowTag(st.df, rid)
       val inner = buildMatch(State(tagged, st.vars),
         Match(Seq(p), optional = false, where = None))
       val matched = inner.df.select(col(rid).as(s"${hidden}_m")).distinct()
@@ -218,9 +236,8 @@ final class Builder(
     def bindCount(p: PathPattern): Expr = {
       val hidden = fresh("psize")
       val rid = s"${hidden}_rid"
-      // materialized before the plan forks — see buildMatch(optional)
-      val tagged = st.df.withColumn(rid, monotonically_increasing_id())
-        .localCheckpoint(true)
+      // materialized before the plan forks — see stableRowTag
+      val tagged = stableRowTag(st.df, rid)
       val inner = buildMatch(State(tagged, st.vars),
         Match(Seq(p), optional = false, where = None))
       val counts = inner.df.groupBy(col(rid).as(s"${hidden}_m"))

@@ -469,14 +469,28 @@ object WriteOps {
     var out = State(finalMatch.df.drop("__mrow"), finalMatch.vars)
 
     // 4. ON CREATE / ON MATCH SET branches routed by created-ness of the
-    //    pattern's first element
+    //    pattern's first element. The created-id set stays DISTRIBUTED:
+    //    a bulk MERGE can create millions of elements, so collecting
+    //    ids to the driver (and building a giant isin literal) would
+    //    OOM — instead a __created tag is joined on (broadcast when the
+    //    created set is small, shuffle join otherwise) and the SET
+    //    branches route on the tag.
     val firstVar = finalMatch.vars.drop(base.vars.length).headOption
     if ((m.onCreate.nonEmpty || m.onMatch.nonEmpty) && firstVar.isDefined) {
       val (fv, _) = firstVar.get
-      val idsList = createdIds.collect().map(_.getLong(0)).toSeq
-      val isCreated = col(Compiler.q(fv)).getField("id").isin(idsList: _*)
-      if (m.onCreate.nonEmpty) out = set(b, out, m.onCreate, isCreated)
-      if (m.onMatch.nonEmpty) out = set(b, out, m.onMatch, !isCreated)
+      // createdIds is already materialized (localCheckpoint) — count is cheap
+      val small = createdIdsHolder.isEmpty || createdIds.count() < 1000000L
+      val tagSrc0 = createdIds.select(col("id").as("__cre_id"),
+        lit(true).as("__cre_tag"))
+      val tagSrc = if (small) broadcast(tagSrc0) else tagSrc0
+      val taggedOut = out.df
+        .join(tagSrc, col(Compiler.q(fv)).getField("id") === col("__cre_id"), "left")
+        .withColumn("__created", coalesce(col("__cre_tag"), lit(false)))
+        .drop("__cre_id", "__cre_tag")
+      out = State(taggedOut, out.vars)
+      if (m.onCreate.nonEmpty) out = set(b, out, m.onCreate, col("__created"))
+      if (m.onMatch.nonEmpty) out = set(b, out, m.onMatch, !col("__created"))
+      out = State(out.df.drop("__created"), out.vars)
     }
     out
   }

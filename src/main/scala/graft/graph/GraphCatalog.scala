@@ -247,11 +247,16 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     */
   private def batchKeyTypes(df: DataFrame): scala.collection.immutable.TreeMap[String, String] = {
     import org.apache.spark.sql.functions._
+    // keys that can't be shredded (anything beyond [A-Za-z0-9_]) are
+    // dropped BEFORE the dynamic lookup: quoting such a key with plain
+    // concat would produce invalid jsonb (quotes/backslashes/control
+    // chars are legal in backtick-quoted Cypher keys) and fail the
+    // whole write inside Jsonb.parse
     val exploded = df.select(col("properties"),
       explode(json_object_keys(col("properties"))).as("k"))
-    // dynamic key lookup: the exploded raw key re-enters jsonb space as
-    // a quoted string (sanitized keys contain no escapes by definition;
-    // unsanitized ones are filtered from the result either way)
+      .where(col("k").rlike(ShredKeyRe.regex))
+    // dynamic key lookup: the surviving keys contain no escapes by
+    // construction, so plain quoting re-enters jsonb space safely
     val v = graft.expr.J.getDyn(col("properties"),
       concat(lit("\""), col("k"), lit("\"")))
     val rows = exploded.groupBy("k").agg(
@@ -262,7 +267,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         else if (r.getAs[Long]("ns") == 0L) "s"
         else "j"
       r.getString(0) -> t
-    }.filter { case (k, _) => ShredKeyRe.findFirstIn(k).isDefined }
+    }
     scala.collection.immutable.TreeMap[String, String]() ++ pairs
   }
 

@@ -1023,7 +1023,7 @@ object PipelineQueries {
         |  WHERE doc_id % 5 >= 2)
         |SELECT source, count(*) AS n_new,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM nw WHERE h NOT IN (SELECT h FROM oldh)
+        |FROM nw WHERE NOT EXISTS (SELECT 1 FROM oldh WHERE oldh.h = nw.h)
         |GROUP BY source ORDER BY source""".stripMargin,
     "p40_data_quality" ->
       """SELECT source, count(*) AS n_rows,

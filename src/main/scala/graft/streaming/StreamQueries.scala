@@ -159,8 +159,11 @@ object StreamQueries {
 
     // Custom keyed state (mapGroupsWithState, §2.10 North-star): the
     // explicit-state running per-user totals. Update mode emits the
-    // state once per key per batch; the AvailableNow single batch makes
-    // that the final total, so the batch GROUP BY oracle applies.
+    // state once per key per BATCH, so the sink holds one row per
+    // (key, batch it appeared in); the final total per key is the max
+    // (running counts are monotone). Aggregating the read-back keeps
+    // the oracle valid even if the replay splits into multiple
+    // micro-batches (e.g. a multi-file events layout).
     "s06_stream_stateful_totals" -> { (s, d) =>
       val sp = s
       import sp.implicits._
@@ -171,7 +174,8 @@ object StreamQueries {
         .as[EventStreams.Event]
       val totals = EventStreams.runningUserTotals(ev)
       runToSink(s, totals.toDF(), mode = "update")
-        .select(col("user_id"), col("n_events"))
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"))
         .orderBy("user_id")
     },
 
