@@ -274,10 +274,22 @@ object Dedup {
     def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
   }
 
+  /** 64-bit token hash = first 16 hex digits of md5, assembled from
+    * two 32-bit halves (conv() parses each half without signed-long
+    * overflow). md5 instead of xxhash64 so EXTERNAL engines can
+    * recompute the identical simhash — that is what makes the whole
+    * sketch DuckDB-oracle-checkable (p04), not just rows-counted.
+    */
+  def tokenHash64(t: Column): Column = {
+    val m = md5(t)
+    shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("__id"),
       explode(split(col(textCol), "\\s+")).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      .withColumn("__h", tokenHash64(col("__t")))
     val aggFn = org.apache.spark.sql.functions.udaf(SimhashAgg,
       org.apache.spark.sql.Encoders.scalaLong)
     tokens.groupBy("__id").agg(aggFn(col("__h")).as("simhash"))

@@ -34,8 +34,12 @@ object PipelineQueries {
     },
 
     "p03_dedup_minhash_lsh" -> { (s, d) =>
-      // deterministic but hash-specific -> rows-only driver check;
-      // recall vs p02's exact baseline asserted in PipelineSpec
+      // ORACLE-GATED against the exact-Jaccard pair set (p02's oracle):
+      // LSH candidates are verified with exact Jaccard, so output ⊆
+      // exact pairs, and at 8 bands × 4 rows the miss probability at
+      // J >= 0.9 is <= (1-0.9^4)^8 ≈ 2e-4 per pair — on this corpus
+      // recall is exactly 1 (planted near-dups sit on the S-curve's
+      // high plateau), which the gate now asserts every round.
       Dedup.minhashLsh(load(s, d, "documents").where(col("doc_id") < 200),
         "doc_id", "text", shingleK = 1, numPerm = 32, rowsPerBand = 4,
         threshold = 0.9)
@@ -43,8 +47,14 @@ object PipelineQueries {
     },
 
     "p04_dedup_simhash" -> { (s, d) =>
+      // ORACLE-GATED end to end: the md5-derived token hash is
+      // recomputable in SQL, so DuckDB rebuilds the exact 64-bit
+      // simhash per doc and brute-forces all pairs at hamming <= 3 —
+      // the distance bound where 16-bit × 4 banding is COMPLETE by
+      // pigeonhole (≤3 differing bits can't touch all 4 pieces), so
+      // the banded Spark plan must produce exactly that set.
       Dedup.simhashPairs(load(s, d, "documents").where(col("doc_id") < 200),
-        "doc_id", "text", maxDist = 8)
+        "doc_id", "text", maxDist = 3)
         .orderBy("da", "db")
     },
 
@@ -84,16 +94,24 @@ object PipelineQueries {
     },
 
     "p07_ann_lsh" -> { (s, d) =>
-      // hash-specific signature -> rows-only; recall asserted in tests
+      // ORACLE-GATED: the hyperplane matrix is a driver-side constant,
+      // so the oracle SQL embeds the SAME matrix as literals and
+      // recomputes every signature bit-identically (left-to-right
+      // double accumulation on both engines) — buckets, candidates and
+      // ranks are then fully checked, not just counted.
       Similarity.lshTopK(load(s, d, "embeddings"), dim = 64, numPlanes = 8, k = 3)
         .where(col("qid") < 50)
         .orderBy("qid", "rank")
     },
 
     "p13_ann_ivf" -> { (s, d) =>
-      // k-means cell assignment is seed-deterministic but engine-
-      // specific -> rows-only; recall vs brute force asserted in tests
-      Similarity.ivfTopK(load(s, d, "embeddings"), k = 3, nList = 16, nProbe = 4)
+      // ORACLE-GATED at nProbe = nList: probing every cell makes IVF
+      // exhaustive by construction, so the output must equal the
+      // brute-force top-k — a DuckDB-expressible oracle that exercises
+      // the full quantize/assign/probe/rank machinery. The
+      // sub-exhaustive recall/cost dial (nProbe < nList) is asserted
+      // separately in PipelineSpec.
+      Similarity.ivfTopK(load(s, d, "embeddings"), k = 3, nList = 16, nProbe = 16)
         .where(col("qid") < 50)
         .orderBy("qid", "rank")
     },
@@ -284,18 +302,28 @@ object PipelineQueries {
     },
 
     "p24_pagerank" -> { (s, d) =>
-      // GraphX static PageRank over the customer->nation membership
-      // edges (Pregel — the scale path for iterative graph analytics);
-      // float-iterative -> rows-only driver check, semantics
-      // cross-checked in PipelineSpec
+      // GraphX static PageRank (Pregel — the scale path for iterative
+      // graph analytics) over the customer->nation->region DAG.
+      // ORACLE-GATED: on a depth-2 DAG with unit out-degrees the fixed
+      // point is reached by iteration 3, so the converged ranks have a
+      // closed form (0.15 damped propagation up the two levels), and
+      // GraphX's final rank-sum normalization (ranks scaled to sum to
+      // |V|) is one uniform factor — both exactly expressible in SQL.
       val cust = load(s, d, "customer")
         .select(col("c_custkey").as("start"),
           (col("c_nationkey") + lit(1000000L)).as("end"))
-      GraphAnalytics.pageRank(cust, numIter = 10)
+      val nat = load(s, d, "nation")
+        .select((col("n_nationkey") + lit(1000000L)).as("start"),
+          (col("n_regionkey") + lit(2000000L)).as("end"))
+      GraphAnalytics.pageRank(cust.unionAll(nat), numIter = 10)
         .where(col("id") >= 1000000L)
-        .select((col("id") - 1000000L).cast("long").as("nationkey"),
-          round(col("rank"), 4).as("rank"))
-        .orderBy(col("rank").desc, col("nationkey"))
+        .select(
+          when(col("id") >= 2000000L, lit("region")).otherwise(lit("nation"))
+            .as("kind"),
+          when(col("id") >= 2000000L, col("id") - 2000000L)
+            .otherwise(col("id") - 1000000L).cast("long").as("key"),
+          round(col("rank"), 6).as("rank"))
+        .orderBy("kind", "key")
     },
 
     "p27_chunking" -> { (s, d) =>
@@ -607,6 +635,46 @@ object PipelineQueries {
     }
   )
 
+  /** p02's exact-Jaccard pair SQL — shared verbatim by p03: the LSH
+    * pipeline post-verifies candidates with exact Jaccard, and on this
+    * corpus (planted near-dups on the banding S-curve's high-recall
+    * plateau) its output must EQUAL the exact pair set.
+    */
+  private val jaccardPairsSql =
+    """WITH w AS (SELECT doc_id,
+      |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |  round(len(list_intersect(a.ws, b.ws))::DOUBLE
+      |    / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jac
+      |FROM w a JOIN w b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+      |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+      |ORDER BY da, db""".stripMargin
+
+  /** The p07 oracle recomputes the random-hyperplane signatures from
+    * the SAME driver-side plane matrix the Spark query embeds: each
+    * projection is an unrolled left-to-right double sum, so signs (and
+    * therefore buckets) are bit-identical across engines.
+    */
+  private def lshOracleSql: String = {
+    val m = Similarity.lshPlaneMatrix(64, 8)
+    val sigTerms = (0 until 8).map { p =>
+      val proj = (0 until 64).map(i => s"v[${i + 1}]*(${m(p)(i)})").mkString(" + ")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |  $sigTerms AS sig FROM e),
+       |sc AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT qid, cid, cos, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM sc)
+       |SELECT qid, cid, rank, cos FROM rk
+       |WHERE rank <= 3 AND qid < 50 ORDER BY qid, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" ->
       """SELECT source, count(*) AS n_kept FROM (
@@ -614,17 +682,66 @@ object PipelineQueries {
         |    (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
-    "p02_dedup_jaccard" ->
-      """WITH w AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
-        |  FROM documents WHERE doc_id < 200)
+    "p02_dedup_jaccard" -> jaccardPairsSql,
+    "p03_dedup_minhash_lsh" -> jaccardPairsSql,
+    "p04_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN c > 0 THEN (1::UBIGINT << b)
+        |           ELSE 0::UBIGINT END) AS sh
+        |  FROM bits GROUP BY doc_id)
         |SELECT a.doc_id AS da, b.doc_id AS db,
-        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE
-        |    / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jac
-        |FROM w a JOIN w b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
-        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY da, db""".stripMargin,
+    "p07_ann_lsh" -> lshOracleSql,
+    "p13_ann_ivf" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50),
+        |ranked AS (
+        |  SELECT qid, cid, cos, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, rank, cos
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "p24_pagerank" ->
+      """WITH nc AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |    0.15 + 0.85 * (0.15 * count(c_custkey)) AS raw
+        |  FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |  GROUP BY n_nationkey, n_regionkey),
+        |rg AS (
+        |  SELECT r_regionkey, 0.15 + 0.85 * sum(raw) AS raw
+        |  FROM region JOIN nc ON n_regionkey = r_regionkey
+        |  GROUP BY r_regionkey),
+        |tot AS (
+        |  SELECT ((SELECT count(*) FROM customer)
+        |      + (SELECT count(*) FROM nation)
+        |      + (SELECT count(*) FROM region))::DOUBLE AS n,
+        |    (SELECT count(*) FROM customer) * 0.15
+        |      + (SELECT sum(raw) FROM nc)
+        |      + (SELECT sum(raw) FROM rg) AS s)
+        |SELECT kind, key, round(raw * n / s, 6) AS rank FROM (
+        |  SELECT 'nation' AS kind, n_nationkey::BIGINT AS key, raw FROM nc
+        |  UNION ALL
+        |  SELECT 'region', r_regionkey::BIGINT, raw FROM rg) u, tot
+        |ORDER BY kind, key""".stripMargin,
     "p14_dedup_clusters" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id,

@@ -75,16 +75,15 @@ object Similarity {
     (pmod(xxhash64(lit(plane), dim), lit(1000003L)).cast("double") /
       lit(500001.5)) - lit(1.0)
 
-  /** numPlanes-bit signature: sign of the projection on each plane.
-    * The plane matrix is a pure function of (plane, dim index): it is
-    * evaluated ONCE on the driver (through the very same expressions,
-    * so signatures are bit-identical to the per-row HOF form) and
-    * embedded as array literals — each row then pays numPlanes
-    * codegen'd dot products instead of numPlanes*dim hash calls.
+  /** The deterministic random-hyperplane matrix for (dim, numPlanes):
+    * a pure function of the (plane, dim) index pair, evaluated on the
+    * driver. Public so the DuckDB oracle can embed the SAME matrix as
+    * SQL literals and recompute signatures bit-identically (the
+    * projection sum is left-to-right in double on both engines).
     */
-  def lshSignature(v: Column, dim: Int, numPlanes: Int): Column = {
+  def lshPlaneMatrix(dim: Int, numPlanes: Int): Array[Seq[Double]] = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val matrix: Array[Seq[Double]] = Array.tabulate(numPlanes) { p =>
+    Array.tabulate(numPlanes) { p =>
       (0 until dim).map { i =>
         // = planeComponent(p, i) evaluated eagerly: xxhash64(p, i) is
         // hashInt folded with the running hash (seed 42), then pmod
@@ -93,6 +92,17 @@ object Similarity {
         pm.toDouble / 500001.5 - 1.0
       }
     }
+  }
+
+  /** numPlanes-bit signature: sign of the projection on each plane.
+    * The plane matrix is evaluated ONCE on the driver (through the
+    * very same expressions, so signatures are bit-identical to the
+    * per-row HOF form) and embedded as array literals — each row then
+    * pays numPlanes codegen'd dot products instead of numPlanes*dim
+    * hash calls.
+    */
+  def lshSignature(v: Column, dim: Int, numPlanes: Int): Column = {
+    val matrix = lshPlaneMatrix(dim, numPlanes)
     val planes = (0 until numPlanes).map { p =>
       val proj = dot(v, typedlit(matrix(p)))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
@@ -103,6 +113,8 @@ object Similarity {
   /** ANN via LSH buckets: same-signature vectors are candidates;
     * exact cosine ranks within the bucket. Recall grows with fewer
     * planes / multiple tables; one table here (documented trade-off).
+    * Ranks on the ROUNDED score + cid tiebreak (same discipline as
+    * bruteForceTopK) so cross-engine last-ulp noise can't flip orders.
     */
   def lshTopK(vectors: DataFrame, dim: Int, numPlanes: Int, k: Int): DataFrame = {
     val sig = vectors.select(col("vec_id"), col("embedding"),
@@ -113,11 +125,12 @@ object Similarity {
     val r = sig.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       col("__n").as("__cn"), col("sig"))
     val scored = l.join(r, Seq("sig")).where(col("qid") =!= col("cid"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank"), round(col("cos"), 6).as("cos"))
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer (MLlib, fixed
@@ -165,31 +178,28 @@ object Similarity {
       }
       iter += 1
     }
-    val bc = vectors.sparkSession.sparkContext.broadcast(centers)
-    val cellOf = udf((a: Seq[Float]) => {
-      val cs = bc.value
-      val v = a.map(_.toDouble).toArray
-      var bi = 0; var bd = Double.MaxValue; var i = 0
-      while (i < cs.length) {
-        var d = 0.0; var j = 0
-        while (j < v.length) { val t = v(j) - cs(i)(j); d += t * t; j += 1 }
-        if (d < bd) { bd = d; bi = i }; i += 1
-      }
-      bi
-    })
-    val probes = udf((a: Seq[Float]) => {
-      val cs = bc.value
-      val v = a.map(_.toDouble).toArray
-      cs.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
-    })
-    val assigned = vectors.withColumn("__cell", cellOf(col("embedding")))
+    // Cell assignment / probe ordering as a codegen'd EXPRESSION tree
+    // (no UDF in the pass that touches every corpus vector):
+    // |v - c|^2 orders cells identically to |c|^2 - 2*v.c (the |v|^2
+    // term is constant per row), so each cell costs ONE codegen'd dot
+    // against a literal centroid; array_sort on (score, idx) structs
+    // gives the probe order with the same (distance, index) tiebreak
+    // the sequential argmin used.
+    val cc: Array[Double] = centers.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      s
+    }
+    def cellOrder(v: Column): Column = array_sort(array(centers.indices.map { i =>
+      struct((lit(cc(i)) - lit(2.0) * dot(v, typedlit(centers(i).toSeq))).as("d"),
+        lit(i).as("idx"))
+    }: _*))
+    val assigned = vectors.withColumn("__cell",
+      element_at(cellOrder(col("embedding")), 1).getField("idx"))
     val q = assigned.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       norm(col("embedding")).as("__qn"),
-      explode(probes(col("embedding"))).as("__cell"))
+      explode(transform(slice(cellOrder(col("embedding")), 1, nProbe),
+        s => s.getField("idx"))).as("__cell"))
     val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       norm(col("embedding")).as("__cn"), col("__cell"))
     val scored = q.join(c, Seq("__cell")).where(col("qid") =!= col("cid"))
