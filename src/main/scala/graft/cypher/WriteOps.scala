@@ -238,11 +238,12 @@ object WriteOps {
       val byLabid = b.catalog.labels(b.graph).map(l => l.labid -> l.name).toMap
       labids.foreach { lid =>
         byLabid.get(lid).foreach { lname =>
-          val cur = b.catalog.scanOnly(b.graph, lname)
-          val before = cur.count()
-          val remaining = cur.join(ids, Seq("id"), "left_anti").localCheckpoint(true)
-          removed += before - remaining.count()
-          b.catalog.overwrite(b.graph, lname, remaining)
+          // file-pruned anti-join rewrite: untouched files keep their
+          // bytes; removal count comes from the touched subset alone
+          val (before, after) = b.catalog.patchFiles(b.graph, lname, ids) {
+            cur => cur.join(ids, Seq("id"), "left_anti")
+          }
+          removed += before - after
         }
       }
       removed
@@ -313,17 +314,20 @@ object WriteOps {
         .localCheckpoint(true)
       val nUpd = updates.count()
       b.updatedProperties += nUpd
-      // rewrite affected label tables
+      // rewrite affected label tables — file-pruned: only the files
+      // whose id range holds a victim are rewritten, the rest of the
+      // label is kept by reference (point SET against a huge label
+      // must not rewrite the label)
       val labids = updates.select(shiftrightunsigned(col("id"), 48).cast("int").as("labid"))
         .distinct().collect().map(_.getInt(0))
       val byLabid = b.catalog.labels(b.graph).map(l => l.labid -> l).toMap
       labids.foreach { lid =>
         byLabid.get(lid).foreach { lm =>
-          val cur = b.catalog.scanOnly(b.graph, lm.name)
-          val joined = cur.join(updates, Seq("id"), "left")
-            .withColumn("properties", coalesce(col("__np"), col("properties")))
-            .drop("__np").localCheckpoint(true)
-          b.catalog.overwrite(b.graph, lm.name, joined)
+          b.catalog.patchFiles(b.graph, lm.name, updates.select("id")) { cur =>
+            cur.join(updates.select(col("id"), col("__np")), Seq("id"), "left")
+              .withColumn("properties", coalesce(col("__np"), col("properties")))
+              .drop("__np")
+          }
         }
       }
       // refresh EVERY in-flight element var by id (heap semantics:

@@ -2,6 +2,7 @@ package graft.graph
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -462,6 +463,95 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
     m.labels(label) = lm2
     writeMeta(graph, m)
+  }
+
+  /** File-pruned copy-on-write patch for point writes: rewrite ONLY
+    * the parquet files of `label` whose id range intersects
+    * `victimIds` (an "id"-column frame); every other file is kept BY
+    * REFERENCE (an O(1) rename into the staging dir — no data copy,
+    * bytes untouched). `patch` maps the touched files' base-schema
+    * rows to their replacement rows.
+    *
+    * This is what makes SET/DELETE of k rows against a 100-TB label
+    * cost O(touched files), not O(label): bulk load range-partitions
+    * big labels and `append` sorts within files, so victim ids land in
+    * few files and the id-range check prunes the rest. The per-file
+    * min/max pass reads one narrow column (at cluster scale the same
+    * ranges come from parquet footer stats); edge labels cluster by
+    * `start`, so their id ranges may overlap more — pruning degrades
+    * gracefully to the full rewrite, never below it.
+    *
+    * Returns (touchedRowsBefore, touchedRowsAfter) so DELETE can count
+    * removals without scanning untouched files.
+    */
+  def patchFiles(graph: String, label: String, victimIds: DataFrame)
+      (patch: DataFrame => DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val m = readMeta(graph)
+    val lm = m.labels.getOrElse(label,
+      throw new IllegalStateException(s"label \"$label\" does not exist"))
+    val dir = labelDir(graph, label)
+    if (!hasParquet(dir)) return (0L, 0L)
+    val schema = labelSchema(lm)
+    val full = spark.read.schema(schema).parquet(dir.toString)
+    // per-file id ranges (one narrow-column pass), then touched files =
+    // files whose [lo, hi] contains at least one victim id
+    val stats = full.groupBy(input_file_name().as("__f"))
+      .agg(min("id").as("__lo"), max("id").as("__hi"))
+    val touched = victimIds.select(col("id").as("__vid")).distinct()
+      .join(broadcast(stats), col("__vid").between(col("__lo"), col("__hi")))
+      .select("__f").distinct().collect().map(_.getString(0)).sorted
+    if (touched.isEmpty) return (0L, 0L)
+    val touchedSet = touched.toSet
+    val allFiles = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toVector.filter(
+        _.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val untouched = allFiles.filterNot(p => touchedSet.contains(p.toUri.toString))
+    val base = if (lm.kind == 'v') vertexSchema else edgeSchema
+    val touchedDf = spark.read.schema(schema).parquet(touched: _*)
+    val rowsBefore = touchedDf.count()
+    // snapshot BEFORE deleting the source files (the patch plan reads
+    // the files being replaced)
+    val patched = patch(touchedDf.select(base.fields.map(f => col(f.name)): _*))
+      .select(base.fields.map(f => col(f.name)): _*)
+      .localCheckpoint(true)
+    val rowsAfter = patched.count()
+    // shred sidecars for the rewritten batch follow append's merge
+    // rule (untouched files keep their layout; readers treat absent
+    // columns as absent keys)
+    val (out, lm2) =
+      if (lm.shredOff) (patched, lm)
+      else {
+        val batchTypes = batchKeyTypes(patched)
+        if ((lm.shred.keySet ++ batchTypes.keySet).size > ShredMaxKeys)
+          (patched, lm.copy(shredOff = true))
+        else {
+          val merged = mergeShred(lm.shred, batchTypes)
+          val writeTypes = batchTypes.map { case (k, _) => k -> merged(k) }
+          (withShredCols(patched, writeTypes), lm.copy(shred = merged))
+        }
+      }
+    val staging = graphDir(graph).resolve(s"_staging_$label")
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) { val s = Files.list(p)
+        try s.iterator().asScala.foreach(rm) finally s.close() }
+      Files.deleteIfExists(p)
+    }
+    rm(staging)
+    clusterSorted(out, lm.kind)
+      .write.mode("overwrite").parquet(staging.toString)
+    untouched.foreach { p =>
+      var target = staging.resolve(p.getFileName)
+      if (Files.exists(target)) target = staging.resolve(s"k-${p.getFileName}")
+      Files.move(p, target)
+    }
+    rm(dir)
+    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    if (lm2 != lm) { m.labels(label) = lm2; writeMeta(graph, m) }
+    (rowsBefore, rowsAfter)
   }
 
   // --------------------------------------------------------- graphmeta
