@@ -45,6 +45,13 @@ object Ast {
   final case class ExistsPattern(path: PathPattern) extends Expr
   // size((n)-[:t]->()) pattern-match count (cypher_dml.sql SIZE section)
   final case class SizePattern(path: PathPattern) extends Expr
+  /** Scalar SQL subquery as a Cypher primary expression —
+    * `{year: (SELECT year FROM history WHERE event = 'Graph')}`
+    * (reference parse_cypher_expr.c; cypher_dml.sql:50-52). Carries
+    * the re-rendered SQL text; evaluated once per statement (PG
+    * evaluates the uncorrelated sublink once per execution too).
+    */
+  final case class SqlSubquery(sql: String) extends Expr
 
   // ---------------------------------------------------------- patterns
   /** direction: -1 = <-, 0 = undirected, 1 = -> */

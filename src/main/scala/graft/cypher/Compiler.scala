@@ -151,6 +151,9 @@ final class Compiler(
       val v = params.getOrElse(n,
         throw new IllegalArgumentException(s"missing parameter $$$n"))
       if (v == JNull) CE(lit(null).cast("string"), KJ) else CE(lit(v.render), KJ)
+    case SqlSubquery(sql) =>
+      val v = Compiler.evalSqlSubquery(sql)
+      if (v == JNull) CE(lit(null).cast("string"), KJ) else CE(lit(v.render), KJ)
     case Vbl(n) =>
       lambdaVars.get(n) match {
         case Some((c, k)) => CE(c, k)
@@ -522,6 +525,38 @@ final class Compiler(
 }
 
 object Compiler {
+  /** Evaluate an uncorrelated scalar SQL subquery ONCE on the driver
+    * and fold its value into the plan as a jsonb literal — the plan a
+    * broadcast of the 1-row sublink result would give, right at any
+    * scale (the subquery itself still runs distributed; only its
+    * scalar result lands on the driver). PG sublink semantics
+    * (cypher_dml.out:89-117): exactly one column; 0 rows -> NULL;
+    * more than one row -> error.
+    */
+  def evalSqlSubquery(sql: String): JValue = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.sql(sql)
+    if (df.columns.length != 1)
+      throw new IllegalArgumentException("subquery must return only one column")
+    val rows = df.limit(2).collect()
+    if (rows.length > 1)
+      throw new IllegalStateException("more than one row returned by a subquery used as an expression")
+    if (rows.isEmpty || rows(0).isNullAt(0)) JNull
+    else rows(0).get(0) match {
+      case b: java.lang.Boolean => JBool(b)
+      case n: java.lang.Integer => JNum(new java.math.BigDecimal(n.intValue))
+      case n: java.lang.Long => JNum(new java.math.BigDecimal(n.longValue))
+      case n: java.lang.Short => JNum(new java.math.BigDecimal(n.intValue))
+      case n: java.lang.Byte => JNum(new java.math.BigDecimal(n.intValue))
+      case n: java.math.BigDecimal => JNum(n)
+      case n: scala.math.BigDecimal => JNum(n.bigDecimal)
+      case n: java.lang.Double => JNum(new java.math.BigDecimal(n.toString))
+      case n: java.lang.Float => JNum(new java.math.BigDecimal(n.toString))
+      case s: String => JStr(s)
+      case other => JStr(String.valueOf(other))
+    }
+  }
+
   /** Aggregate function names of the Cypher surface. */
   val aggFns: Set[String] = Set("count", "sum", "avg", "min", "max",
     "collect", "stdev", "stdevp")

@@ -702,6 +702,31 @@ object GraphQueries {
           J.toLong(col("hits")).as("hits"),
           J.asText(col("flag")).as("flag"))
         .orderBy("name")
+    },
+
+    // Scalar SQL subquery as a Cypher primary expression — inside a
+    // MERGE property map AND an ON SET value (parse_cypher_expr.c
+    // sublink; cypher_dml.sql:50-52 `{year: (SELECT year FROM
+    // history ...)}`): the relational world parameterizes graph
+    // writes. Uncorrelated sublinks fold to literals (driver gets one
+    // scalar; the subquery itself runs distributed). Idempotent: the
+    // subquery values are stable, so re-MERGE matches.
+    "g37_sql_subquery_prop" -> { (sp, d) =>
+      val s = session(sp, d)
+      Tables.registerAll(sp, d)
+      s.createVLabel("meta", ifNotExists = true)
+      s.cypher(
+        """MERGE (m:meta {name: 'corpus', n_parts: (SELECT count(*) FROM part)})
+          |ON CREATE SET m.top_nation = (SELECT max(n_name) FROM nation)
+          |ON MATCH SET m.top_nation = (SELECT max(n_name) FROM nation)""".stripMargin)
+      s.cypher(
+        """MATCH (m:meta {name: 'corpus'})
+          |RETURN m.name AS name, m.n_parts AS n_parts,
+          |       m.top_nation AS top_nation""".stripMargin)
+        .select(J.asText(col("name")).as("name"),
+          J.toLong(col("n_parts")).as("n_parts"),
+          J.asText(col("top_nation")).as("top_nation"))
+        .orderBy("name")
     }
   )
 
@@ -771,6 +796,10 @@ object GraphQueries {
       """SELECT n_name AS name, CAST(1 AS BIGINT) AS created,
         |  CAST(1 AS BIGINT) AS hits, 'm' AS flag
         |FROM nation ORDER BY name""".stripMargin,
+    "g37_sql_subquery_prop" ->
+      """SELECT 'corpus' AS name,
+        |  (SELECT count(*) FROM part) AS n_parts,
+        |  (SELECT max(n_name) FROM nation) AS top_nation""".stripMargin,
     "g12_undirected" ->
       """SELECT nation, count(*) AS degree FROM (
         |  SELECT n_name AS nation FROM nation

@@ -739,4 +739,40 @@ class CypherEndToEndSpec extends AnyFunSuite {
         |RETURN h.event AS event""".stripMargin)
     assert(rows(df) == Seq(Seq("\"first release\"")))
   }
+
+  // scalar SQL subquery as a Cypher expression (parse_cypher_expr.c
+  // sublink; cypher_dml.sql:50-52 and cypher_dml.out:28,89-117)
+  test("(SELECT ...) scalar subquery in property maps, RETURN and WHERE") {
+    val s = agens
+    import spark.implicits._
+    Seq((2014, "Graph"), (2016, "Release")).toDF("year", "event")
+      .createOrReplaceTempView("history")
+    // RETURN position (cypher_dml.out:28)
+    assert(rows(s.cypher(
+      "RETURN (SELECT event FROM history WHERE year = 2016) AS e"))
+      == Seq(Seq("\"Release\"")))
+    // property-map position, like {year: (SELECT year FROM history ...)}
+    val s2 = freshSession()
+    s2.createGraph("subq"); s2.createVLabel("repo2")
+    s2.cypher(
+      """CREATE (g:repo2 {name: 'agens-graph',
+        |                 year: (SELECT year FROM history WHERE event = 'Graph')})""".stripMargin)
+    assert(rows(s2.cypher("MATCH (g:repo2) RETURN g.year AS y"))
+      == Seq(Seq("2014")))
+    // WHERE position
+    assert(s2.cypher(
+      """MATCH (g:repo2)
+        |WHERE g.year < (SELECT max(year) FROM history) RETURN g""".stripMargin)
+      .count() == 1)
+    // 0 rows -> NULL (null property values are dropped from the map)
+    s2.cypher(
+      "CREATE (:repo2 {name: 'x', year: (SELECT year FROM history WHERE event = 'nope')})")
+    assert(rows(s2.cypher(
+      "MATCH (g:repo2 {name: 'x'}) RETURN g.year AS y")) == Seq(Seq(null)))
+    // >1 rows -> error (cypher_dml.out more-than-one-row sublink error)
+    val err = intercept[Exception] {
+      s2.cypher("RETURN (SELECT year FROM history) AS y").collect()
+    }
+    assert(err.getMessage.contains("more than one row"))
+  }
 }
