@@ -45,9 +45,69 @@ final class CypherSession(
   def renameLabel(from: String, to: String): Unit =
     catalog.renameLabel(currentGraph, from, to)
 
-  /** Run a Cypher statement; returns the final clause's DataFrame. */
+  /** Run a Cypher statement; returns the final clause's DataFrame.
+    * DDL utility statements (CREATE/DROP CONSTRAINT, ALTER LABEL
+    * INHERIT) are accepted at the same entry point, like the
+    * reference's single SQL front door.
+    */
   def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame =
-    runAst(Parser.parse(query), params)
+    ddlStatement(query).getOrElse(runAst(Parser.parse(query), params))
+
+  private val CreateConRe =
+    """(?is)CREATE\s+CONSTRAINT(?:\s+([A-Za-z_][A-Za-z0-9_]*))?\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)\s+ASSERT\s+(.+)""".r
+  private val DropConRe =
+    """(?is)DROP\s+CONSTRAINT(?:\s+([A-Za-z_][A-Za-z0-9_]*))?\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+  private val AlterInhRe =
+    """(?is)ALTER\s+([VE])LABEL\s+([A-Za-z_][A-Za-z0-9_]*)\s+(NO\s+)?INHERIT\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+
+  /** `CREATE CONSTRAINT [name] ON label ASSERT expr [IS UNIQUE]`,
+    * `DROP CONSTRAINT [name] ON label` (gram.y:16917-16960,
+    * CreateConstraintCommand graphcmds.c:550) and `ALTER V/ELABEL x
+    * [NO] INHERIT y` (cypher_ddl.sql:163-168). Utility statements
+    * return an empty frame.
+    */
+  private def ddlStatement(query: String): Option[DataFrame] = {
+    val q = query.trim.stripSuffix(";").trim
+    q match {
+      case CreateConRe(name, label, body0) =>
+        val uniqueRe = "(?is)\\s*IS\\s+UNIQUE\\s*$".r
+        val isUnique = uniqueRe.findFirstIn(body0).isDefined
+        val body =
+          (if (isUnique) uniqueRe.replaceAllIn(body0, "") else body0).trim
+        Parser.parseExpression(body) // reject malformed bodies now
+        val cname = Option(name).getOrElse {
+          val taken = catalog.constraints(graphPath).map(_.name).toSet
+          Iterator.from(1).map(i => s"${label}_constraint_$i")
+            .find(!taken(_)).get
+        }
+        catalog.addConstraint(graphPath, label, cname,
+          if (isUnique) "unique" else "check", body)
+        Some(spark.emptyDataFrame)
+      case DropConRe(name, label) =>
+        val cs = catalog.constraints(graphPath).filter(_.label == label)
+        val victim = Option(name) match {
+          case Some(n) => cs.find(_.name == n).getOrElse(
+            throw new IllegalStateException(
+              s"""constraint "$n" for label "$label" does not exist"""))
+          case None =>
+            if (cs.isEmpty) throw new IllegalStateException(
+              s"""label "$label" has no constraint""")
+            if (cs.size > 1) throw new IllegalStateException(
+              s"""label "$label" has multiple constraints — name one""")
+            cs.head
+        }
+        catalog.dropConstraint(graphPath, victim.name)
+        Some(spark.emptyDataFrame)
+      case AlterInhRe(kindS, name, no, parent) =>
+        val lm = catalog.label(graphPath, name).getOrElse(
+          throw new IllegalStateException(s"label \"$name\" does not exist"))
+        val expect = if (kindS.equalsIgnoreCase("v")) 'v' else 'e'
+        require(lm.kind == expect, s"label \"$name\" is not a ${kindS.toUpperCase}LABEL")
+        catalog.alterInherit(graphPath, name, parent, add = no == null)
+        Some(spark.emptyDataFrame)
+      case _ => None
+    }
+  }
 
   private def runAst(ast: graft.cypher.Ast.Query,
       params: Map[String, Any] = Map.empty): DataFrame = {

@@ -88,6 +88,8 @@ object WriteOps {
             struct(idCol.as("id"), startId.as("start"), endId.as("end"),
               propsCol.as("properties")))
           vars = vars :+ (relName -> KE)
+          checkConstraints(b, tpe,
+            df.select(col(Compiler.q(relName)).getField("properties").as("properties")))
           b.catalog.append(b.graph, tpe,
             df.select(col(Compiler.q(relName)).getField("id").as("id"),
               col(Compiler.q(relName)).getField("start").as("start"),
@@ -149,8 +151,11 @@ object WriteOps {
       val body = Parser.parseExpression(c.expr)
       c.kind match {
         case "check" =>
+          // PG CHECK 3VL: only FALSE violates — a NULL check result
+          // passes (cypher_ddl.out:729 {a:'agens', d:'graph'} passes
+          // `a != b` with b absent)
           val cond = comp.toBool(comp.compile(mapChildren(body)))
-          if (!frame.where(!coalesce(cond, lit(false))).isEmpty)
+          if (!frame.where(!coalesce(cond, lit(true))).isEmpty)
             throw new IllegalStateException(
               s"""new row for label "$label" violates check constraint "${c.name}"""")
         case "unique" =>

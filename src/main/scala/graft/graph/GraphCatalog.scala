@@ -149,6 +149,39 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     rm(labelDir(graph, name))
   }
 
+  /** ALTER VLABEL/ELABEL ... [NO] INHERIT parent (gram.y ALTER TABLE
+    * INHERIT route; inheritance maintenance graphcmds.c:416; tests
+    * cypher_ddl.sql:163-168). Post-hoc reparenting: stored graphids
+    * and data files are untouched — only the subtree/ancestor closure
+    * changes, since scans expand inheritance at plan time.
+    */
+  def alterInherit(graph: String, name: String, parent: String,
+      add: Boolean): Unit = {
+    if (parent == "ag_vertex" || parent == "ag_edge")
+      throw new IllegalStateException("cannot ALTER inheritance with base label")
+    val m = readMeta(graph)
+    val lm = m.labels.getOrElse(name,
+      throw new IllegalStateException(s"label \"$name\" does not exist"))
+    if (add) {
+      val pm = m.labels.getOrElse(parent,
+        throw new IllegalStateException(s"parent label \"$parent\" does not exist"))
+      require(pm.kind == lm.kind, s"parent label \"$parent\" has different kind")
+      if (lm.parents.contains(parent))
+        throw new IllegalStateException(
+          s"""label "$parent" would be inherited from more than once""")
+      if (subtree(graph, name).exists(_.name == parent))
+        throw new IllegalStateException(
+          s"""inheriting "$parent" would create an inheritance cycle""")
+      m.labels(name) = lm.copy(parents = lm.parents :+ parent)
+    } else {
+      if (!lm.parents.contains(parent))
+        throw new IllegalStateException(
+          s"""label "$parent" is not a parent of "$name"""")
+      m.labels(name) = lm.copy(parents = lm.parents.filterNot(_ == parent))
+    }
+    writeMeta(graph, m)
+  }
+
   def label(graph: String, name: String): Option[LabelMeta] =
     readMeta(graph).labels.get(name)
 

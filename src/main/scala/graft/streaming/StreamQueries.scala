@@ -44,6 +44,14 @@ object StreamQueries {
   private def runToSink(s: SparkSession, streamed: DataFrame,
       mode: String = "append", partitions: Int = 8): DataFrame = {
     val sink = s"graft_stream_sink_${runSeq.incrementAndGet()}"
+    // RocksDB state store: the default in-memory/HDFS-backed provider
+    // holds every key in executor heap — the limiter for unbounded
+    // streams at scale. RocksDB spills state to local disk with
+    // changelog checkpointing, the standard production choice; at
+    // bench cardinality the overhead is negligible, and the oracle
+    // gate re-proves every stateful query's output on this provider.
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // a state store instance exists per shuffle partition: at this
     // window/session cardinality 8 stores is plenty, and 32 mostly
     // pays open/commit overhead (each run uses a fresh temp

@@ -88,6 +88,114 @@ class DdlSpec extends AnyFunSuite {
     intercept[Exception] { s.cypher("CREATE (:child {k: 1})") }
   }
 
+  // ---- CREATE CONSTRAINT ... ASSERT statement syntax (gram.y:16917-
+  // 16960; semantics from cypher_ddl.out:620-850) ---------------------
+
+  test("CONSTRAINT statement: nested-path unique (cypher_ddl regv1)") {
+    val s = fresh()
+    s.createGraph("c1"); s.createVLabel("regv1")
+    s.cypher("CREATE CONSTRAINT ON regv1 ASSERT a.b IS UNIQUE")
+    s.cypher("CREATE (:regv1 {a: {b: 'agens', c: 'graph'}})")
+    intercept[Exception] { s.cypher("CREATE (:regv1 {a: {b: 'agens', c: 'graph'}})") }
+    intercept[Exception] { s.cypher("CREATE (:regv1 {a: {b: 'agens'}})") }
+    s.cypher("CREATE (:regv1 {a: {b: 'c'}})")
+    assert(s.cypher("MATCH (n:regv1) RETURN n").count() == 2)
+  }
+
+  test("CONSTRAINT statement: expression unique on an edge label (rege1)") {
+    val s = fresh()
+    s.createGraph("c2"); s.createELabel("rege1")
+    s.cypher("CREATE CONSTRAINT ON rege1 ASSERT c + d IS UNIQUE")
+    s.cypher("CREATE ()-[:rege1 {c: 'agens', d: 'graph'}]->()")
+    intercept[Exception] { s.cypher("CREATE ()-[:rege1 {c: 'agens', d: 'graph'}]->()") }
+    s.cypher("CREATE ()-[:rege1 {c: 'agens', d: 'rdb'}]->()")
+    // 'agen' + 'sgraph' collides with 'agens' + 'graph' (cypher_ddl.out:661)
+    intercept[Exception] { s.cypher("CREATE ()-[:rege1 {c: 'agen', d: 'sgraph'}]->()") }
+  }
+
+  test("CONSTRAINT statement: NOT NULL shapes incl. multi-key and nested path (regv2/regv3/regv7)") {
+    val s = fresh()
+    s.createGraph("c3"); s.createVLabel("regv2")
+    s.cypher("CREATE CONSTRAINT ON regv2 ASSERT name IS NOT NULL")
+    s.cypher("CREATE (:regv2 {name: 'agens'})")
+    intercept[Exception] { s.cypher("CREATE (:regv2 {age: 0})") }
+    s.cypher("CREATE (:regv2 {age: 0, name: 'graph'})")
+
+    s.createVLabel("regv3")
+    s.cypher("CREATE CONSTRAINT ON regv3 ASSERT name.first IS NOT NULL AND name.last IS NOT NULL")
+    s.cypher("CREATE (:regv3 {name: {first: 'agens', last: 'graph'}})")
+    intercept[Exception] { s.cypher("CREATE (:regv3 {name: {first: 'agens'}})") }
+    intercept[Exception] { s.cypher("CREATE (:regv3 {name: {last: 'graph'}})") }
+    intercept[Exception] { s.cypher("CREATE (:regv3 {name: {first: NULL, last: NULL}})") }
+
+    s.createVLabel("regv7")
+    s.cypher("CREATE CONSTRAINT ON regv7 ASSERT a.b[0].c IS NOT NULL")
+    s.cypher("CREATE (:regv7 {a: {b: [{c: 'd'}, {c: 'e'}]}})")
+    s.cypher("CREATE (:regv7 {a: {b: [{c: 'd'}, {e: 'e'}]}})")
+    intercept[Exception] { s.cypher("CREATE (:regv7 {a: {b: [{d: 'd'}, {e: 'e'}]}})") }
+  }
+
+  test("CONSTRAINT statement: IN-list and != checks; NULL check passes (rege2/rege3)") {
+    val s = fresh()
+    s.createGraph("c4"); s.createELabel("rege3")
+    s.cypher("CREATE CONSTRAINT ON rege3 ASSERT type IN ['friend', 'lover', 'parent']")
+    s.cypher("CREATE ()-[:rege3 {type: 'friend', name: 'agens'}]->()")
+    intercept[Exception] { s.cypher("CREATE ()-[:rege3 {type: 'love', name: 'graph'}]->()") }
+    intercept[Exception] { s.cypher("CREATE ()-[:rege3 {type: 'parents', name: 'AGENS'}]->()") }
+    s.cypher("CREATE ()-[:rege3 {type: 'lover', name: 'GRAPH'}]->()")
+
+    s.createELabel("rege2")
+    s.cypher("CREATE CONSTRAINT ON rege2 ASSERT a != b")
+    s.cypher("CREATE ()-[:rege2 {a: 'agens', b: 'graph'}]->()")
+    intercept[Exception] { s.cypher("CREATE ()-[:rege2 {a: 'agens', b: 'agens'}]->()") }
+    s.cypher("CREATE ()-[:rege2 {a: 'agens', b: 'AGENS'}]->()")
+    // b absent -> a != b is NULL -> PG CHECK passes (cypher_ddl.out:729)
+    s.cypher("CREATE ()-[:rege2 {a: 'agens', d: 'graph'}]->()")
+  }
+
+  test("CONSTRAINT statement: function-wrapped unique + named + DROP (regv5/rege4)") {
+    val s = fresh()
+    s.createGraph("c5"); s.createVLabel("regv5")
+    s.cypher("CREATE CONSTRAINT ON regv5 ASSERT toLower(trim(id)) IS UNIQUE")
+    s.cypher("CREATE (:regv5 {id: 'agens'})")
+    intercept[Exception] { s.cypher("CREATE (:regv5 {id: ' agens'})") }
+    intercept[Exception] { s.cypher("CREATE (:regv5 {id: 'AGENS'})") }
+    s.cypher("CREATE (:regv5 {id: 'GRAPH'})")
+    intercept[Exception] { s.cypher("CREATE (:regv5 {id: ' graph '})") }
+
+    s.createELabel("rege4")
+    s.cypher("CREATE CONSTRAINT rege4_name_isnull_constraint ON rege4 ASSERT id IS NULL")
+    s.cypher("CREATE ()-[:rege4 {id: NULL, name: 'agens'}]->()")
+    intercept[Exception] { s.cypher("CREATE ()-[:rege4 {id: 10, name: 'agens'}]->()") }
+    s.cypher("CREATE ()-[:rege4 {name: 'graph'}]->()")
+    // DROP by bare label (single constraint), then the named drop fails
+    s.cypher("DROP CONSTRAINT ON rege4")
+    intercept[Exception] { s.cypher("DROP CONSTRAINT rege4_name_isnull_constraint ON rege4") }
+    s.cypher("CREATE ()-[:rege4 {id: 10, name: 'agens'}]->()") // no longer constrained
+  }
+
+  test("ALTER VLABEL [NO] INHERIT reparents post hoc (cypher_ddl.sql:163-168)") {
+    val s = fresh()
+    s.createGraph("ai")
+    s.createVLabel("v0")
+    s.createVLabel("v00", parents = Seq("v0"))
+    s.createVLabel("v1", parents = Seq("v00"))
+    s.cypher("CREATE (:v1 {k: 1})")
+    assert(s.cypher("MATCH (n:v0) RETURN n").count() == 1)
+    s.cypher("ALTER VLABEL v1 NO INHERIT v00")
+    assert(s.cypher("MATCH (n:v0) RETURN n").count() == 0)
+    assert(s.cypher("MATCH (n:v1) RETURN n").count() == 1) // data untouched
+    s.cypher("ALTER VLABEL v1 INHERIT v00")
+    assert(s.cypher("MATCH (n:v0) RETURN n").count() == 1)
+    // duplicate INHERIT / NO INHERIT of a non-parent / base label
+    intercept[Exception] { s.cypher("ALTER VLABEL v1 INHERIT v00") }
+    intercept[Exception] { s.cypher("ALTER VLABEL v0 NO INHERIT v00") }
+    intercept[Exception] { s.cypher("ALTER VLABEL v1 INHERIT ag_vertex") }
+    intercept[Exception] { s.cypher("ALTER VLABEL v1 NO INHERIT ag_vertex") }
+    // cycle: v0 INHERIT v1 while v1 is (transitively) under v0
+    intercept[Exception] { s.cypher("ALTER VLABEL v0 INHERIT v1") }
+  }
+
   test("graphmeta edge-count matrix tracks writes") {
     val s = fresh()
     s.createGraph("gm")
