@@ -27,6 +27,60 @@ object Algo {
     */
   private val MaxDepth = 64
 
+  /** Skew-safe frontier→adjacency join for the iterative loops.
+    *
+    * A supernode (hub vertex) concentrates a level's frontier⋈edges
+    * shuffle on one task: every frontier row arriving at the hub AND
+    * the hub's whole adjacency hash to the same partition, and AQE's
+    * skew split cannot amortize it because each BFS/VLE level is a
+    * fresh shuffle. With `spark.graft.skew.salt = S > 1`, adjacency
+    * rows of hubs (traversal degree >= `spark.graft.skew.hubDegree`)
+    * are split into S sub-keys by a deterministic edge-id hash, and
+    * each frontier row bound for a hub is replicated S ways — the
+    * hub's expansion product becomes S parallel tasks. Non-hub rows
+    * pay one broadcast-hash probe and keep salt 0, so results are
+    * row-identical to the unsalted join (SkewSaltSpec asserts this).
+    * Off by default (salt = 1): the plans are byte-identical to the
+    * pre-salt ones and the degree aggregation never runs.
+    */
+  private[cypher] final class Expander(spark: org.apache.spark.sql.SparkSession,
+      E: DataFrame, edgeKey: String) {
+    private val salt = spark.conf.get("spark.graft.skew.salt", "1").toInt
+    private val hubDegree =
+      spark.conf.get("spark.graft.skew.hubDegree", "100000").toLong
+    private val hubs: Option[DataFrame] =
+      if (salt <= 1) None
+      else {
+        val h = E.groupBy(col(edgeKey).as("__hub")).count()
+          .where(col("count") >= hubDegree).select("__hub")
+          .localCheckpoint(true)
+        if (h.isEmpty) None else Some(h)
+      }
+    /** Adjacency with hub rows fanned across `salt` sub-keys. */
+    private[cypher] val salted: DataFrame = hubs match {
+      case None => E
+      case Some(h) =>
+        E.join(broadcast(h), col(edgeKey) === col("__hub"), "left")
+          .withColumn("__esalt", when(col("__hub").isNotNull,
+            pmod(hash(col("__edge").getField("id")), lit(salt)))
+            .otherwise(lit(0)))
+          .drop("__hub")
+    }
+    /** frontier ⋈ E on `fKey === edgeKey && extra`, skew-safe. */
+    def join(frontier: DataFrame, fKey: Column, extra: Column): DataFrame =
+      hubs match {
+        case None => frontier.join(E, fKey === col(edgeKey) && extra)
+        case Some(h) =>
+          val f = frontier.join(broadcast(h), fKey === col("__hub"), "left")
+            .withColumn("__fsalt", explode(when(col("__hub").isNotNull,
+              sequence(lit(0), lit(salt - 1))).otherwise(array(lit(0)))))
+            .drop("__hub")
+          f.join(salted,
+            fKey === col(edgeKey) && col("__fsalt") === col("__esalt") && extra)
+            .drop("__fsalt", "__esalt")
+      }
+  }
+
   // ================================================================ VLE
 
   /** Variable-length expansion -[e:t*lo..hi]-> joined onto the frame.
@@ -67,6 +121,8 @@ object Algo {
         case None => base
       }
     }
+
+    val ex = new Expander(spark, E, "__s")
 
     val V = b.vertexScan(None, only = false)
       .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
@@ -109,8 +165,8 @@ object Algo {
     while (k < hi && !exhausted) {
       if (probeEmptiness) exhausted = frontier.isEmpty
       if (!exhausted) {
-        val step = frontier.join(E, col("__cur") === col("__s") &&
-            !array_contains(col("__ids"), col("__edge").getField("id")))
+        val step = ex.join(frontier, col("__cur"),
+          !array_contains(col("__ids"), col("__edge").getField("id")))
         val withV =
           if (needVerts) step.join(V, col("__e") === col("__vid"))
           else step
@@ -284,6 +340,7 @@ object Algo {
       keepAll: Boolean, origins: DataFrame): DataFrame = {
     val E0 = b.edgeScan(rel.types, rel.direction)
     val E = E0.select(col("__edge"), col("__s"), col("__e"))
+    val ex = new Expander(b.spark, E, "__s")
     val V = b.vertexScan(None, only = false)
       .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
 
@@ -317,7 +374,7 @@ object Algo {
     var k = 1L
     var exhausted = frontier.isEmpty
     while (k < hi && !exhausted) {
-      var next = frontier.join(E, col("__cur") === col("__s") &&
+      var next = ex.join(frontier, col("__cur"),
           !array_contains(col("__ids"), col("__edge").getField("id")))
         .select(col("__start"), col("__e").as("__newcur"),
           concat(col("__edges"), array(col("__edge"))).as("__edges"),
@@ -390,6 +447,10 @@ object Algo {
       keepAll: Boolean, origins: DataFrame, targets: DataFrame): DataFrame = {
     val E0 = b.edgeScan(rel.types, rel.direction)
     val E = E0.select(col("__edge"), col("__s"), col("__e"))
+    // forward expands out of __s (out-adjacency), backward into __e
+    // (in-adjacency) — hub degrees differ per direction
+    val exF = new Expander(b.spark, E, "__s")
+    val exB = new Expander(b.spark, E, "__e")
     val V = b.vertexScan(None, only = false)
       .select(struct(col("id"), col("properties")).as("__v"), col("id").as("__vid"))
 
@@ -453,7 +514,7 @@ object Algo {
     while (fdepth + bdepth < hi && !exhausted && metCount < allPairs) {
       val expandForward = fdepth <= bdepth
       if (expandForward) {
-        var next = fwd.join(E, col("__cur") === col("__s") &&
+        var next = exF.join(fwd, col("__cur"),
             !array_contains(col("__ids"), col("__edge").getField("id")))
           .select(col("__start"), col("__e").as("__newcur"),
             concat(col("__edges"), array(col("__edge"))).as("__edges"),
@@ -479,7 +540,7 @@ object Algo {
           absorb(meets(), fdepth + bdepth)
         }
       } else {
-        var next = bwd.join(E, col("__bcur") === col("__e") &&
+        var next = exB.join(bwd, col("__bcur"),
             !array_contains(col("__bids"), col("__edge").getField("id")))
           .select(col("__tgt"), col("__s").as("__newbcur"),
             concat(array(col("__edge")), col("__bedges")).as("__bedges"),
@@ -564,6 +625,7 @@ object Algo {
     // the jsonb weight expression never runs over the whole label)
     val E2 = qual.map(q => E1.where(comp.toBool(comp.compile(q)))).getOrElse(E1)
     val E = E2.select(col("__edge"), col("__s"), col("__e"))
+    val ex = new Expander(b.spark, E, "__s")
     def withWeight(df: DataFrame): DataFrame =
       df.withColumn(relName, col("__edge"))
         .withColumn("__w",
@@ -613,7 +675,7 @@ object Algo {
     var rounds = 0
     while (rounds < MaxDepth && frontier.head(1).nonEmpty) {
       val expanded = withWeight(
-        frontier.join(E, col("__cur") === col("__s") &&
+        ex.join(frontier, col("__cur"),
           !array_contains(col("__ids"), col("__edge").getField("id"))))
         .select(col("__start"), col("__e").as("__cur2"),
           concat(col("__edges"), array(col("__edge"))).as("__edges"),
