@@ -220,6 +220,20 @@ object GraphQueries {
         .orderBy("nation")
     },
 
+    // stdev/stdevp Cypher aggregates (cypher_expr.c stdev transfer fns)
+    // — sample/population stddev over a jsonb numeric property; 9-sig-
+    // digit float compare against DuckDB stddev_samp/stddev_pop
+    "g38_stdev" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |RETURN n.name AS nation, stdev(c.acctbal) AS sd,
+          |       stdevp(c.acctbal) AS sdp""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toDouble(col("sd")).as("sd"), J.toDouble(col("sdp")).as("sdp"))
+        .orderBy("nation")
+    },
+
     // Statement-level Cypher UNION (gram.y:17089-17095 makeCypherSetOp):
     // set-op DISTINCT dedupes by jsonb equality across the two MATCH
     // statements' results
@@ -770,6 +784,11 @@ object GraphQueries {
     "g05_jsonb_agg" ->
       """SELECT n_name AS nation, max(c_acctbal) AS max_bal,
         |  count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g38_stdev" ->
+      """SELECT n_name AS nation, stddev_samp(c_acctbal) AS sd,
+        |  stddev_pop(c_acctbal) AS sdp
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY nation""".stripMargin,
     "g06_with_topk" ->
