@@ -52,6 +52,18 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("fvec_dot"), p)
   }
 
+  test("p13: IVF assignment is pure expressions — no Scala UDF in the plan") {
+    // the cell-assignment pass touches every corpus vector; it must
+    // stay inside codegen (FloatVecDot over the broadcast centroid
+    // literals), never fall back to boxed per-row UDF evaluation
+    val df = SparkEntry.queries("p13_ann_ivf")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("UDF"), analyzed.take(2000))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+    assert(p.contains("fvec_dot"), p.take(2000))
+  }
+
   test("q02: aggregation is partial+final (map-side combine)") {
     val p = planOf("q02_agg_groupby")
     assert(p.contains("HashAggregate"), p)
