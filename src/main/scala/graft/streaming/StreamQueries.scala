@@ -1,9 +1,12 @@
 package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.api.CypherSession
+import graft.expr.{J, JsonbNormalize}
+import graft.graph.{GraphCatalog, GraphId}
 import graft.relational.Tables
 
 /** Structured Streaming surface pushed through the SAME DuckDB oracle
@@ -206,6 +209,65 @@ object StreamQueries {
         .select(col("event_type"), col("n"),
           round(col("wsum").cast("double"), 2).as("weighted"))
         .orderBy("event_type")
+    },
+
+    // Streaming GRAPH ingestion (§2.10 × §2.9 — the COPY-analog bulk
+    // sink fed by a stream): dimension vertices (users, event types)
+    // load once from the static side; the event stream then appends
+    // one :did edge per event through foreachBatch into the graph
+    // catalog — the lakehouse shape for continuous graph building
+    // (stream facts, static dims). Edge ids derive from event_id, so
+    // every micro-batch split produces the same edge set; the
+    // read-back is a full Cypher pattern aggregate over the ingested
+    // graph, hash-checked against plain SQL over the same rows.
+    "s08_stream_graph_ingest" -> { (s, d) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_graph").toString
+      val cy = new CypherSession(s, new GraphCatalog(s, root))
+      cy.createGraph("sg")
+      cy.createVLabel("suser"); cy.createVLabel("etype")
+      cy.createELabel("did")
+      def base(l: String): Column =
+        lit(GraphId.pack(cy.catalog.label(cy.graphPath, l).get.labid, 0L))
+      def props(cols: (String, Column)*): Column =
+        JsonbNormalize.normalize(to_json(struct(
+          cols.map { case (n, c) => c.as(n) }: _*)))
+      val uBase = base("suser"); val tBase = base("etype")
+      val eBase = base("did")
+      val events = Tables.load(s, d, "events").where(col("user_id") < 50)
+      val typesDf = events.select("event_type").distinct()
+        .withColumn("tix",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("event_type")).cast("long"))
+        .localCheckpoint(true)
+      cy.catalog.append("sg", "suser", events.select("user_id").distinct()
+        .select((uBase + col("user_id")).cast("long").as("id"),
+          props("uid" -> col("user_id")).as("properties")))
+      cy.catalog.append("sg", "etype", typesDf
+        .select((tBase + col("tix")).cast("long").as("id"),
+          props("name" -> col("event_type")).as("properties")))
+      val q = eventStream(s, d).where(col("user_id") < 50)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          cy.catalog.append("sg", "did", batch
+            .join(broadcast(typesDf), "event_type")
+            .select((eBase + col("event_id")).cast("long").as("id"),
+              (uBase + col("user_id")).cast("long").as("start"),
+              (tBase + col("tix")).cast("long").as("end"),
+              props("v" -> col("value")).as("properties")))
+        }
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      cy.cypher(
+        """MATCH (u:suser)-[:did]->(t:etype)
+          |RETURN u.uid AS user_id, t.name AS event_type,
+          |       count(*) AS n""".stripMargin)
+        .select(J.toLong(col("user_id")).as("user_id"),
+          J.asText(col("event_type")).as("event_type"),
+          J.toLong(col("n")).as("n"))
+        .orderBy("user_id", "event_type")
     }
   )
 
@@ -269,6 +331,10 @@ object StreamQueries {
         |  round(CAST(sum(CAST(value AS DECIMAL(28,4)) * weight) AS DOUBLE), 2)
         |    AS weighted
         |FROM events JOIN dim ON event_type = etype
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s08_stream_graph_ingest" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events WHERE user_id < 50
+        |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
   )
 }
