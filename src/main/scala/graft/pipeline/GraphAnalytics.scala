@@ -92,6 +92,46 @@ object GraphAnalytics {
     out
   }
 
+  /** Per-vertex triangle counts over an undirected pair relation
+    * (u, v) — a pure DataFrame plan, no Pregel. Edges dedup to
+    * canonical (min, max) form, then orient low→high by (degree, id)
+    * rank: every wedge is enumerated at its lowest-degree apex, which
+    * bounds per-vertex wedge fan-out by oriented out-degree — O(m^1.5)
+    * total work, the standard distributed triangle algorithm (a naive
+    * id-ordered orientation lets one hub vertex generate O(deg²)
+    * wedges; degree ordering is the skew fix). One equi-join builds
+    * wedges, one equi-join against the oriented edge set closes them;
+    * each triangle surfaces exactly once (unique min-rank apex, the
+    * closure edge's orientation fixes the leg order). Returns
+    * (id, n_tri); vertices in no triangle are absent.
+    */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val canon = pairs
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").count().withColumnRenamed("count", "deg")
+    val oriented = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("degb")), "b")
+      .select(when(
+          struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+        .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val o2 = oriented.select(col("s").as("s2"), col("t").as("t2"))
+    val wedges = oriented.withColumnRenamed("t", "t1")
+      .join(o2, col("s") === col("s2") && col("t1") =!= col("t2"))
+      .drop("s2")
+    val closing = oriented.select(col("s").as("c1"), col("t").as("c2"))
+    val tris = wedges
+      .join(closing, col("t1") === col("c1") && col("t2") === col("c2"))
+      .select(col("s"), col("t1"), col("t2"))
+    tris.select(explode(array(col("s"), col("t1"), col("t2"))).as("id"))
+      .groupBy("id").count().withColumnRenamed("count", "n_tri")
+  }
+
   /** Keep one representative (min id) per duplicate cluster — the
     * GraphX twin of Dedup.keepRepresentatives.
     */

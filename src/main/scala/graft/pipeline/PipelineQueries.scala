@@ -326,6 +326,22 @@ object PipelineQueries {
         .orderBy("kind", "key")
     },
 
+    "p41_triangle_count" -> { (s, d) =>
+      // distributed triangle counting (degree-ordered wedge join,
+      // GraphAnalytics.triangleCount) on the same-region nation clique
+      // graph — deterministic triangles; the oracle recomputes the
+      // identical id-ordered triple join in SQL
+      val n = load(s, d, "nation")
+        .select(col("n_nationkey").as("k"), col("n_regionkey").as("rk"))
+      val pairs = n.as("x").join(n.as("y"), col("x.rk") === col("y.rk") &&
+          col("x.k") < col("y.k"))
+        .select(col("x.k").as("u"), col("y.k").as("v"))
+      GraphAnalytics.triangleCount(pairs)
+        .select(col("id").cast("long").as("id"),
+          col("n_tri").cast("long").as("n_tri"))
+        .orderBy("id")
+    },
+
     "p27_chunking" -> { (s, d) =>
       // overlapping token windows (chunk 64, stride 48) — the
       // RAG/pretraining chunking primitive; pure array slices over one
@@ -742,6 +758,21 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT 'region', r_regionkey::BIGINT, raw FROM rg) u, tot
         |ORDER BY kind, key""".stripMargin,
+    "p41_triangle_count" ->
+      """WITH canon AS (
+        |  SELECT n1.n_nationkey AS a, n2.n_nationkey AS b
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey
+        |    AND n1.n_nationkey < n2.n_nationkey),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM canon e1
+        |  JOIN canon e2 ON e1.b = e2.a
+        |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |x AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT CAST(id AS BIGINT) AS id, count(*) AS n_tri
+        |FROM x GROUP BY id ORDER BY id""".stripMargin,
     "p14_dedup_clusters" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id,

@@ -27,6 +27,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCount matches brute-force triple enumeration on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(7, 19, 31)) {
+      val rnd = new java.util.Random(seed)
+      val n = 24
+      val edges = (0 until 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // brute force: canonical edge set, then all C(n,3) triples
+      val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val expect = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (a <- 0L until n; b <- a + 1 until n; c <- b + 1 until n)
+        if (es((a, b)) && es((a, c)) && es((b, c))) {
+          expect(a) += 1; expect(b) += 1; expect(c) += 1
+        }
+      val got = GraphAnalytics.triangleCount(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect.toMap, s"seed=$seed: got $got want $expect")
+    }
+  }
+
   test("LSH banding solver: 50%-recall point lands at or below the threshold") {
     for (numPerm <- Seq(16, 32, 64, 128); t <- Seq(0.5, 0.7, 0.8, 0.9)) {
       val r = Dedup.lshBandsFor(t, numPerm)
