@@ -104,6 +104,18 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     },
 
+    "p42_ann_lsh_multi" -> { (s, d) =>
+      // OR-amplified multi-table LSH (4 tables × 8 planes) — the
+      // recall fix for p07's single table. ORACLE-GATED the same way:
+      // all 32 plane rows are driver constants the oracle re-embeds as
+      // literals, so per-table signatures, the unioned candidate set,
+      // and the exact-cosine ranks are all checked bit-for-bit.
+      Similarity.lshTopKMulti(load(s, d, "embeddings"),
+          dim = 64, numPlanes = 8, numTables = 4, k = 3)
+        .where(col("qid") < 50)
+        .orderBy("qid", "rank")
+    },
+
     "p13_ann_ivf" -> { (s, d) =>
       // ORACLE-GATED at nProbe = nList: probing every cell makes IVF
       // exhaustive by construction, so the output must equal the
@@ -691,7 +703,40 @@ object PipelineQueries {
        |WHERE rank <= 3 AND qid < 50 ORDER BY qid, rank""".stripMargin
   }
 
+  private def lshMultiOracleSql: String = {
+    val tables = 4; val planes = 8
+    val m = Similarity.lshPlaneMatrix(64, tables * planes)
+    val sigCols = (0 until tables).map { t =>
+      val terms = (0 until planes).map { j =>
+        val proj = (0 until 64)
+          .map(i => s"v[${i + 1}]*(${m(t * planes + j)(i)})").mkString(" + ")
+        s"(CASE WHEN $proj >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n + ")
+      s"$terms AS sig$t"
+    }.mkString(",\n")
+    val unions = (0 until tables).map { t =>
+      s"""SELECT a.vec_id AS qid, b.vec_id AS cid
+         |    FROM sig a JOIN sig b
+         |    ON a.sig$t = b.sig$t AND a.vec_id <> b.vec_id""".stripMargin
+    }.mkString("\n    UNION\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |$sigCols
+       |  FROM e),
+       |cand AS (
+       |    $unions),
+       |sc AS (SELECT cand.qid, cand.cid,
+       |    round(list_cosine_similarity(q.v, c.v), 6) AS cos
+       |  FROM cand JOIN sig q ON q.vec_id = cand.qid
+       |    JOIN sig c ON c.vec_id = cand.cid),
+       |rk AS (SELECT qid, cid, cos, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM sc)
+       |SELECT qid, cid, rank, cos FROM rk
+       |WHERE rank <= 3 AND qid < 50 ORDER BY qid, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "p42_ann_lsh_multi" -> lshMultiOracleSql,
     "p01_dedup_exact" ->
       """SELECT source, count(*) AS n_kept FROM (
         |  SELECT source, row_number() OVER

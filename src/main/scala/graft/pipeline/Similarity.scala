@@ -101,13 +101,57 @@ object Similarity {
     * pays numPlanes codegen'd dot products instead of numPlanes*dim
     * hash calls.
     */
-  def lshSignature(v: Column, dim: Int, numPlanes: Int): Column = {
-    val matrix = lshPlaneMatrix(dim, numPlanes)
-    val planes = (0 until numPlanes).map { p =>
-      val proj = dot(v, typedlit(matrix(p)))
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  def lshSignature(v: Column, dim: Int, numPlanes: Int): Column =
+    lshSignatureAt(v, dim, numPlanes, offset = 0)
+
+  /** Signature from planes [offset, offset + numPlanes) of the global
+    * deterministic matrix — table t of a multi-table scheme passes
+    * offset = t * numPlanes; bit positions stay table-local.
+    */
+  def lshSignatureAt(v: Column, dim: Int, numPlanes: Int,
+      offset: Int): Column = {
+    val matrix = lshPlaneMatrix(dim, offset + numPlanes)
+    val planes = (0 until numPlanes).map { j =>
+      val proj = dot(v, typedlit(matrix(offset + j)))
+      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Multi-table (OR-amplified) LSH ANN: `numTables` independent
+    * plane sets; a candidate pair needs signature agreement in ANY
+    * table, so recall rises as 1-(1-p^b)^T while each table's bucket
+    * stays selective — the standard fix for single-table LSH's missed
+    * neighbors. Candidate generation explodes (table, signature) keys
+    * into ONE ids-only bucket shuffle and dedups pairs BEFORE exact
+    * scoring; the wide embedding vectors never ride the candidate
+    * shuffle (they re-join for the cosine pass) — the shape that
+    * matters at billion-vector scale.
+    */
+  def lshTopKMulti(vectors: DataFrame, dim: Int, numPlanes: Int,
+      numTables: Int, k: Int): DataFrame = {
+    val sigs = array((0 until numTables).map(t =>
+      lshSignatureAt(col("embedding"), dim, numPlanes, t * numPlanes)): _*)
+    val keyed = vectors
+      .select(col("vec_id"), posexplode(sigs).as(Seq("tix", "sig")))
+    val cands = keyed.select(col("vec_id").as("qid"), col("tix"), col("sig"))
+      .join(keyed.select(col("vec_id").as("cid"), col("tix"), col("sig")),
+        Seq("tix", "sig"))
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("__n"))
+    val scored = cands
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("__n").as("__qn")), "qid")
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("__n").as("__cn")), "cid")
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
 
   /** ANN via LSH buckets: same-signature vectors are candidates;

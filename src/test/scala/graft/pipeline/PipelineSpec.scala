@@ -95,6 +95,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table LSH recall dominates single-table at the same planes/table") {
+    val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.where(col("qid") < 100).select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(Similarity.bruteForceTopK(
+      vecs.where(col("vec_id") < 100), vecs, 3))
+    val one = topkSet(Similarity.lshTopK(vecs, dim = 64, numPlanes = 8, k = 3))
+    val multi = topkSet(Similarity.lshTopKMulti(vecs,
+      dim = 64, numPlanes = 8, numTables = 4, k = 3))
+    def recall(s: Set[(Long, Long)]): Double =
+      (s intersect exact).size.toDouble / exact.size
+    info(s"single=${recall(one)} multi=${recall(multi)}")
+    // table 0 of the multi scheme IS the single-table scheme, and OR
+    // amplification only adds candidates — recall can only grow; on
+    // this (near-random) corpus absolute recall is inherently small,
+    // so the property under test is the ~T× amplification, not a
+    // fixed floor (measured here: 1.7% single → 8% multi at T=4)
+    assert(recall(multi) >= recall(one),
+      s"multi ${recall(multi)} < single ${recall(one)}")
+    assert(recall(multi) >= 2 * recall(one),
+      s"OR amplification missing: multi ${recall(multi)} vs single ${recall(one)}")
+  }
+
   test("cluster labels form valid connected components") {
     import spark.implicits._
     // two triangles + an isolated pair: components {1,2,3},{4,5},{7,8,9}
