@@ -104,6 +104,18 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     },
 
+    "p43_neardup_lsh" -> { (s, d) =>
+      // LSH-bucketed near-dup — the scale twin of p06's all-pairs
+      // baseline: same threshold + id window, candidates from
+      // multi-table signature agreement instead of the O(n²) product.
+      // ORACLE-GATED with the literal plane matrix (candidates AND the
+      // threshold filter fully recomputed in SQL).
+      Similarity.cosineNearDupPairsLsh(
+          load(s, d, "embeddings").where(col("vec_id") < 300),
+          threshold = 0.45, dim = 64, numPlanes = 3, numTables = 4)
+        .orderBy("da", "db")
+    },
+
     "p42_ann_lsh_multi" -> { (s, d) =>
       // OR-amplified multi-table LSH (4 tables × 8 planes) — the
       // recall fix for p07's single table. ORACLE-GATED the same way:
@@ -703,8 +715,12 @@ object PipelineQueries {
        |WHERE rank <= 3 AND qid < 50 ORDER BY qid, rank""".stripMargin
   }
 
-  private def lshMultiOracleSql: String = {
-    val tables = 4; val planes = 8
+  /** WITH-prelude shared by the multi-table LSH oracles: embeddings as
+    * double arrays plus 4 per-table signatures of `planes` bits each,
+    * every plane row a literal (bit-identical to lshSignatureAt).
+    */
+  private def lshMultiSigSql(planes: Int): String = {
+    val tables = 4
     val m = Similarity.lshPlaneMatrix(64, tables * planes)
     val sigCols = (0 until tables).map { t =>
       val terms = (0 until planes).map { j =>
@@ -714,15 +730,19 @@ object PipelineQueries {
       }.mkString("\n + ")
       s"$terms AS sig$t"
     }.mkString(",\n")
-    val unions = (0 until tables).map { t =>
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |$sigCols
+       |  FROM e)""".stripMargin
+  }
+
+  private def lshMultiOracleSql: String = {
+    val unions = (0 until 4).map { t =>
       s"""SELECT a.vec_id AS qid, b.vec_id AS cid
          |    FROM sig a JOIN sig b
          |    ON a.sig$t = b.sig$t AND a.vec_id <> b.vec_id""".stripMargin
     }.mkString("\n    UNION\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |sig AS (SELECT vec_id, v,
-       |$sigCols
-       |  FROM e),
+    s"""${lshMultiSigSql(8)},
        |cand AS (
        |    $unions),
        |sc AS (SELECT cand.qid, cand.cid,
@@ -735,8 +755,27 @@ object PipelineQueries {
        |WHERE rank <= 3 AND qid < 50 ORDER BY qid, rank""".stripMargin
   }
 
+  private def lshNearDupOracleSql: String = {
+    val unions = (0 until 4).map { t =>
+      s"""SELECT a.vec_id AS da, b.vec_id AS db
+         |    FROM sig a JOIN sig b
+         |    ON a.sig$t = b.sig$t AND a.vec_id < b.vec_id""".stripMargin
+    }.mkString("\n    UNION\n")
+    s"""${lshMultiSigSql(3)},
+       |cand AS (
+       |    $unions)
+       |SELECT cand.da, cand.db,
+       |  round(list_cosine_similarity(x.v, y.v), 6) AS cos
+       |FROM cand JOIN sig x ON x.vec_id = cand.da
+       |  JOIN sig y ON y.vec_id = cand.db
+       |WHERE cand.da < 300 AND cand.db < 300
+       |  AND list_cosine_similarity(x.v, y.v) >= 0.45
+       |ORDER BY da, db""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p42_ann_lsh_multi" -> lshMultiOracleSql,
+    "p43_neardup_lsh" -> lshNearDupOracleSql,
     "p01_dedup_exact" ->
       """SELECT source, count(*) AS n_kept FROM (
         |  SELECT source, row_number() OVER

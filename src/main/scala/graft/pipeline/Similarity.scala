@@ -282,4 +282,34 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
   }
+
+  /** LSH-bucketed embedding near-dup — the scale twin of the all-pairs
+    * `cosineNearDupPairs` (p06's documented baseline): candidate pairs
+    * come from multi-table signature agreement (ids-only shuffle, pair
+    * dedup), then the exact cosine threshold filters within candidates
+    * only. Same output schema (da < db, cos); recall bounded by the
+    * tables' collision probability at the threshold, precision exact.
+    */
+  def cosineNearDupPairsLsh(vectors: DataFrame, threshold: Double,
+      dim: Int, numPlanes: Int, numTables: Int): DataFrame = {
+    val sigs = array((0 until numTables).map(t =>
+      lshSignatureAt(col("embedding"), dim, numPlanes, t * numPlanes)): _*)
+    val keyed = vectors
+      .select(col("vec_id"), posexplode(sigs).as(Seq("tix", "sig")))
+    val cands = keyed.select(col("vec_id").as("da"), col("tix"), col("sig"))
+      .join(keyed.select(col("vec_id").as("db"), col("tix"), col("sig")),
+        Seq("tix", "sig"))
+      .where(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("__n"))
+    cands
+      .join(emb.select(col("vec_id").as("da"), col("embedding").as("va"),
+        col("__n").as("__na")), "da")
+      .join(emb.select(col("vec_id").as("db"), col("embedding").as("vb"),
+        col("__n").as("__nb")), "db")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
+      .where(col("cos") >= threshold)
+      .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
+  }
 }
