@@ -132,6 +132,43 @@ object GraphAnalytics {
       .groupBy("id").count().withColumnRenamed("count", "n_tri")
   }
 
+  /** k-core: the maximal subgraph in which every vertex keeps degree
+    * >= k, found by iterative peeling — each round drops all vertices
+    * whose CURRENT degree is below k and re-derives degrees from the
+    * surviving edge set (removals cascade). A DataFrame loop like
+    * Algo's BFS: one distinct + aggregation + two semi-joins per
+    * round, lineage bounded by localCheckpoint; rounds are bounded by
+    * the peeling depth (worst case O(V) on a path, typically a handful
+    * on real topologies). Input (u, v) undirected; returns surviving
+    * (id, deg) with deg = degree inside the core.
+    */
+  def kCore(pairs: DataFrame, k: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    var edges = pairs
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var done = false
+    var rounds = 0
+    var deg: DataFrame = null
+    while (!done && rounds < 256) {
+      deg = edges.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").count().withColumnRenamed("count", "deg")
+        .localCheckpoint(true)
+      val victims = deg.where(col("deg") < k).select("id")
+      if (victims.isEmpty) done = true
+      else {
+        edges = edges
+          .join(victims, edges("a") === victims("id"), "left_anti")
+          .join(victims, edges("b") === victims("id"), "left_anti")
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    deg
+  }
+
   /** Keep one representative (min id) per duplicate cluster — the
     * GraphX twin of Dedup.keepRepresentatives.
     */

@@ -104,6 +104,31 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     },
 
+    "p44_kcore" -> { (s, d) =>
+      // k-core peeling with a visible cascade: orders hang off their
+      // customer (degree 1 — peel at k=2), customers then drop to
+      // degree 1 (their nation edge) and peel next round, the
+      // same-region nation cliques (degree 4) survive. The oracle
+      // states the fixpoint: exactly the nations, each keeping its
+      // in-core clique degree.
+      val n = load(s, d, "nation")
+        .select(col("n_nationkey").as("k"), col("n_regionkey").as("rk"))
+      val cliq = n.as("x").join(n.as("y"), col("x.rk") === col("y.rk") &&
+          col("x.k") < col("y.k"))
+        .select((col("x.k") + lit(1000000L)).as("u"),
+          (col("y.k") + lit(1000000L)).as("v"))
+      val custNat = load(s, d, "customer")
+        .select(col("c_custkey").as("u"),
+          (col("c_nationkey") + lit(1000000L)).as("v"))
+      val ordCust = load(s, d, "orders")
+        .select((col("o_orderkey") + lit(2000000L)).as("u"),
+          col("o_custkey").as("v"))
+      GraphAnalytics.kCore(cliq.unionAll(custNat).unionAll(ordCust), k = 2)
+        .select((col("id") - lit(1000000L)).cast("long").as("nationkey"),
+          col("deg").cast("long").as("deg"))
+        .orderBy("nationkey")
+    },
+
     "p43_neardup_lsh" -> { (s, d) =>
       // LSH-bucketed near-dup — the scale twin of p06's all-pairs
       // baseline: same threshold + id window, candidates from
@@ -776,6 +801,13 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "p42_ann_lsh_multi" -> lshMultiOracleSql,
     "p43_neardup_lsh" -> lshNearDupOracleSql,
+    "p44_kcore" ->
+      """SELECT CAST(n1.n_nationkey AS BIGINT) AS nationkey,
+        |  CAST(count(*) AS BIGINT) AS deg
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey
+        |  AND n1.n_nationkey <> n2.n_nationkey
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin,
     "p01_dedup_exact" ->
       """SELECT source, count(*) AS n_kept FROM (
         |  SELECT source, row_number() OVER

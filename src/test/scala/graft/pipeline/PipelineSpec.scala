@@ -47,6 +47,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore matches brute-force peeling on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(5, 13); k <- Seq(2, 3)) {
+      val rnd = new java.util.Random(seed)
+      val n = 30
+      val edges = (0 until 70).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // brute-force peeling
+      var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val victims = deg.filter(_._2 < k).keySet
+        changed = victims.nonEmpty
+        es = es.filter { case (a, b) => !victims(a) && !victims(b) }
+      }
+      val expect = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = GraphAnalytics.kCore(edges.toDF("u", "v"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"seed=$seed k=$k: got $got want $expect")
+    }
+  }
+
   test("LSH banding solver: 50%-recall point lands at or below the threshold") {
     for (numPerm <- Seq(16, 32, 64, 128); t <- Seq(0.5, 0.7, 0.8, 0.9)) {
       val r = Dedup.lshBandsFor(t, numPerm)
