@@ -48,7 +48,10 @@ object Algo {
     private val salt = spark.conf.get("spark.graft.skew.salt", "1").toInt
     private val hubDegree =
       spark.conf.get("spark.graft.skew.hubDegree", "100000").toLong
-    private val hubs: Option[DataFrame] =
+    // lazy: the degree aggregation only runs when a join actually
+    // happens with salting on (bfs2 builds one Expander per direction
+    // but a run may never expand one of them)
+    private lazy val hubs: Option[DataFrame] =
       if (salt <= 1) None
       else {
         val h = E.groupBy(col(edgeKey).as("__hub")).count()
@@ -57,7 +60,7 @@ object Algo {
         if (h.isEmpty) None else Some(h)
       }
     /** Adjacency with hub rows fanned across `salt` sub-keys. */
-    private[cypher] val salted: DataFrame = hubs match {
+    private[cypher] lazy val salted: DataFrame = hubs match {
       case None => E
       case Some(h) =>
         E.join(broadcast(h), col(edgeKey) === col("__hub"), "left")

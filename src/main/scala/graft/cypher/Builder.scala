@@ -77,6 +77,9 @@ final class Builder(
   // ================================================================ run
 
   def run(q: Query): DataFrame = {
+    // sublinks evaluate once per STATEMENT (PG semantics) — clear the
+    // per-statement memo so a new statement re-evaluates
+    Compiler.resetSublinkMemo()
     val first = runSingleState(q.first)
     q.setOps.foldLeft(first) { case (acc, (op, single)) =>
       val rhs = runSingleState(single)

@@ -533,7 +533,24 @@ object Compiler {
     * (cypher_dml.out:89-117): exactly one column; 0 rows -> NULL;
     * more than one row -> error.
     */
-  def evalSqlSubquery(sql: String): JValue = {
+  /** Per-statement sublink memo: a statement may compile the same
+    * expression tree several times (MERGE compiles its pattern for
+    * match, dedup, create and re-match), but PG sublink semantics
+    * evaluate the subquery once per statement — without the memo a
+    * volatile subquery would yield different values per compile site
+    * (breaking MERGE's re-match) and a deterministic one would re-run
+    * its full Spark job each time. ThreadLocal so concurrent sessions
+    * don't cross-pollinate; Builder.run clears it at statement start.
+    */
+  private val sublinkMemo =
+    ThreadLocal.withInitial[scala.collection.mutable.Map[String, JValue]](
+      () => scala.collection.mutable.Map.empty)
+  private[cypher] def resetSublinkMemo(): Unit = sublinkMemo.get().clear()
+
+  def evalSqlSubquery(sql: String): JValue =
+    sublinkMemo.get().getOrElseUpdate(sql, evalSqlSubqueryOnce(sql))
+
+  private def evalSqlSubqueryOnce(sql: String): JValue = {
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.sql(sql)
     if (df.columns.length != 1)
@@ -550,8 +567,14 @@ object Compiler {
       case n: java.lang.Byte => JNum(new java.math.BigDecimal(n.intValue))
       case n: java.math.BigDecimal => JNum(n)
       case n: scala.math.BigDecimal => JNum(n.bigDecimal)
-      case n: java.lang.Double => JNum(new java.math.BigDecimal(n.toString))
-      case n: java.lang.Float => JNum(new java.math.BigDecimal(n.toString))
+      case n: java.lang.Double =>
+        if (n.isNaN || n.isInfinite) throw new IllegalArgumentException(
+          s"subquery result $n cannot be represented in jsonb")
+        JNum(new java.math.BigDecimal(n.toString))
+      case n: java.lang.Float =>
+        if (n.isNaN || n.isInfinite) throw new IllegalArgumentException(
+          s"subquery result $n cannot be represented in jsonb")
+        JNum(new java.math.BigDecimal(n.toString))
       case s: String => JStr(s)
       case other => JStr(String.valueOf(other))
     }

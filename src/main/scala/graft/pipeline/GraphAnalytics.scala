@@ -152,7 +152,9 @@ object GraphAnalytics {
     var done = false
     var rounds = 0
     var deg: DataFrame = null
-    while (!done && rounds < 256) {
+    val maxRounds = 4096 // pathological chains peel O(V) rounds; fail
+    // loudly rather than return a stale (non-core) degree set
+    while (!done && rounds < maxRounds) {
       deg = edges.select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy("id").count().withColumnRenamed("count", "deg")
         .localCheckpoint(true)
@@ -166,6 +168,8 @@ object GraphAnalytics {
         rounds += 1
       }
     }
+    if (!done) throw new IllegalStateException(
+      s"kCore(k=$k) did not converge within $maxRounds peeling rounds")
     deg
   }
 

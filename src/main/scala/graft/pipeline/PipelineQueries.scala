@@ -794,7 +794,7 @@ object PipelineQueries {
        |FROM cand JOIN sig x ON x.vec_id = cand.da
        |  JOIN sig y ON y.vec_id = cand.db
        |WHERE cand.da < 300 AND cand.db < 300
-       |  AND list_cosine_similarity(x.v, y.v) >= 0.45
+       |  AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.45
        |ORDER BY da, db""".stripMargin
   }
 

@@ -130,24 +130,9 @@ object Similarity {
     */
   def lshTopKMulti(vectors: DataFrame, dim: Int, numPlanes: Int,
       numTables: Int, k: Int): DataFrame = {
-    val sigs = array((0 until numTables).map(t =>
-      lshSignatureAt(col("embedding"), dim, numPlanes, t * numPlanes)): _*)
-    val keyed = vectors
-      .select(col("vec_id"), posexplode(sigs).as(Seq("tix", "sig")))
-    val cands = keyed.select(col("vec_id").as("qid"), col("tix"), col("sig"))
-      .join(keyed.select(col("vec_id").as("cid"), col("tix"), col("sig")),
-        Seq("tix", "sig"))
-      .where(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
-    val emb = vectors.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("__n"))
-    val scored = cands
-      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("__n").as("__qn")), "qid")
-      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("__n").as("__cn")), "cid")
-      .withColumn("cos", round(
-        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")), 6))
+    val scored = scoreCandidates(
+      lshCandidatePairs(vectors, dim, numPlanes, numTables, ordered = false),
+      vectors)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -160,21 +145,44 @@ object Similarity {
     * Ranks on the ROUNDED score + cid tiebreak (same discipline as
     * bruteForceTopK) so cross-engine last-ulp noise can't flip orders.
     */
-  def lshTopK(vectors: DataFrame, dim: Int, numPlanes: Int, k: Int): DataFrame = {
-    val sig = vectors.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("__n"),
-      lshSignature(col("embedding"), dim, numPlanes).as("sig"))
-    val l = sig.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      col("__n").as("__qn"), col("sig"))
-    val r = sig.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      col("__n").as("__cn"), col("sig"))
-    val scored = l.join(r, Seq("sig")).where(col("qid") =!= col("cid"))
+  def lshTopK(vectors: DataFrame, dim: Int, numPlanes: Int, k: Int): DataFrame =
+    lshTopKMulti(vectors, dim, numPlanes, numTables = 1, k)
+
+  /** Bucket-collision candidate pairs of a multi-table LSH scheme:
+    * (table, signature) keys explode into ONE ids-only shuffle, pairs
+    * dedup before any scoring. `ordered` picks da<db pair form vs
+    * directed qid!=cid neighbor form.
+    */
+  private def lshCandidatePairs(vectors: DataFrame, dim: Int,
+      numPlanes: Int, numTables: Int, ordered: Boolean): DataFrame = {
+    val sigs = array((0 until numTables).map(t =>
+      lshSignatureAt(col("embedding"), dim, numPlanes, t * numPlanes)): _*)
+    val keyed = vectors
+      .select(col("vec_id"), posexplode(sigs).as(Seq("tix", "sig")))
+    val l = keyed.select(col("vec_id").as("qid"), col("tix"), col("sig"))
+    val r = keyed.select(col("vec_id").as("cid"), col("tix"), col("sig"))
+    val pred = if (ordered) col("qid") < col("cid")
+      else col("qid") =!= col("cid")
+    l.join(r, Seq("tix", "sig")).where(pred).select("qid", "cid").distinct()
+  }
+
+  /** Exact-cosine scoring of candidate (qid, cid) pairs: the wide
+    * embedding vectors never ride the candidate shuffle — they re-join
+    * by id here. Cosine is rounded to 6 BEFORE any downstream compare
+    * (rank or threshold), the cross-engine ulp discipline every LSH
+    * oracle depends on.
+    */
+  private def scoreCandidates(cands: DataFrame, vectors: DataFrame): DataFrame = {
+    val emb = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("__n"))
+    cands
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("__n").as("__qn")), "qid")
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("__n").as("__cn")), "cid")
       .withColumn("cos", round(
         dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+      .select(col("qid"), col("cid"), col("cos"))
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer (MLlib, fixed
@@ -291,25 +299,10 @@ object Similarity {
     * tables' collision probability at the threshold, precision exact.
     */
   def cosineNearDupPairsLsh(vectors: DataFrame, threshold: Double,
-      dim: Int, numPlanes: Int, numTables: Int): DataFrame = {
-    val sigs = array((0 until numTables).map(t =>
-      lshSignatureAt(col("embedding"), dim, numPlanes, t * numPlanes)): _*)
-    val keyed = vectors
-      .select(col("vec_id"), posexplode(sigs).as(Seq("tix", "sig")))
-    val cands = keyed.select(col("vec_id").as("da"), col("tix"), col("sig"))
-      .join(keyed.select(col("vec_id").as("db"), col("tix"), col("sig")),
-        Seq("tix", "sig"))
-      .where(col("da") < col("db"))
-      .select("da", "db").distinct()
-    val emb = vectors.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("__n"))
-    cands
-      .join(emb.select(col("vec_id").as("da"), col("embedding").as("va"),
-        col("__n").as("__na")), "da")
-      .join(emb.select(col("vec_id").as("db"), col("embedding").as("vb"),
-        col("__n").as("__nb")), "db")
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
+      dim: Int, numPlanes: Int, numTables: Int): DataFrame =
+    scoreCandidates(
+      lshCandidatePairs(vectors, dim, numPlanes, numTables, ordered = true),
+      vectors)
       .where(col("cos") >= threshold)
-      .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
-  }
+      .select(col("qid").as("da"), col("cid").as("db"), col("cos"))
 }

@@ -775,4 +775,19 @@ class CypherEndToEndSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("more than one row"))
   }
+
+  // regression: the sublink body is lifted VERBATIM from the source —
+  // SQL-only lexemes the Cypher lexer would otherwise mangle (|| is
+  // two '|' tokens to the Cypher lexer; re-rendering with spaces
+  // breaks the SQL concat operator) must reach the SQL engine intact
+  test("(SELECT ...) sublink body reaches SQL verbatim") {
+    val s = agens
+    assert(rows(s.cypher("RETURN (SELECT 'ag' || 'ens') AS c"))
+      == Seq(Seq("\"agens\"")))
+    // nested parens and a subquery-in-FROM survive the balanced scan
+    assert(rows(s.cypher(
+      """RETURN (SELECT max(x)
+        |        FROM (SELECT 1 AS x UNION ALL SELECT 2 AS x)) AS m""".stripMargin))
+      == Seq(Seq("2")))
+  }
 }
