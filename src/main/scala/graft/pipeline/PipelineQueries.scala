@@ -165,6 +165,20 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     },
 
+    "p45_ann_pq" -> { (s, d) =>
+      // Product-quantization ADC scan (8 subspaces × 16 centroids over
+      // dim 64). ORACLE-GATED with the deterministic codebook
+      // (pqCodebook is a driver-side constant like the LSH planes, so
+      // the oracle re-embeds it as literals and recomputes codes,
+      // lookup tables and ranks bit-for-bit); the TRAINED-codebook
+      // path shares this exact encode/ADC machinery and is
+      // cross-checked in PipelineSpec.
+      val vecs = load(s, d, "embeddings")
+      Similarity.pqTopK(vecs.where(col("vec_id") < 50), vecs,
+          Similarity.pqCodebook(dim = 64, numSub = 8, k = 16), k = 3)
+        .orderBy("qid", "rank")
+    },
+
     "p17_quantize_int8" -> { (s, d) =>
       // int8 scalar quantization: code sums are integer-exact, so the
       // whole compression step is oracle-checkable
@@ -798,7 +812,45 @@ object PipelineQueries {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** The p45 oracle recomputes the whole PQ pipeline from the SAME
+    * deterministic codebook the Spark query embeds: per-subspace
+    * distance lists (unrolled left-to-right double sums — bit-identical
+    * to the codegen'd dots), codes via first-position list_min (the
+    * lowest-index tiebreak of the argmin sort), then the ADC scan as
+    * q-side list lookups by c-side code.
+    */
+  private def pqOracleSql: String = {
+    val cb = Similarity.pqCodebook(dim = 64, numSub = 8, k = 16)
+    val sub = 64 / 8
+    def distList(m: Int): String = (0 until 16).map { j =>
+      val c = cb(m)(j)
+      var cc = 0.0; var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      val proj = (0 until sub)
+        .map(i => s"v[${m * sub + i + 1}]*(${c(i)})").mkString(" + ")
+      s"($cc - 2.0*($proj))"
+    }.mkString("[", ",\n    ", "]")
+    val lists = (0 until 8).map(m => s"  ${distList(m)} AS l$m").mkString(",\n")
+    val codes = (0 until 8)
+      .map(m => s"list_position(l$m, list_min(l$m)) AS c$m").mkString(", ")
+    val score = (0 until 8).map(m => s"q.l$m[c.c$m]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id,
+       |$lists
+       |  FROM e),
+       |enc AS (SELECT vec_id, $codes FROM d),
+       |sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    round($score, 6) AS adist
+       |  FROM (SELECT * FROM d WHERE vec_id < 50) q
+       |  JOIN enc c ON q.vec_id <> c.vec_id),
+       |rk AS (SELECT qid, cid, adist, row_number() OVER
+       |    (PARTITION BY qid ORDER BY adist ASC, cid) AS rank FROM sc)
+       |SELECT qid, cid, rank, adist FROM rk
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "p45_ann_pq" -> pqOracleSql,
     "p42_ann_lsh_multi" -> lshMultiOracleSql,
     "p43_neardup_lsh" -> lshNearDupOracleSql,
     "p44_kcore" ->

@@ -305,4 +305,144 @@ object Similarity {
       vectors)
       .where(col("cos") >= threshold)
       .select(col("qid").as("da"), col("cid").as("db"), col("cos"))
+
+  // ------------------------------------------------ product quantization
+
+  /** Deterministic product-quantization codebook for (dim, numSub, k):
+    * every centroid component is a pure function of its (subspace,
+    * centroid, component) index triple — the same hash→uniform scheme
+    * as [[lshPlaneMatrix]], scaled to the embedding column's typical
+    * range. Public so the DuckDB oracle can embed the SAME codebook as
+    * SQL literals. Real deployments train per-subspace codebooks
+    * instead ([[trainPqCodebook]]); a trained codebook depends on the
+    * corpus, which an engine-independent oracle can't reproduce — the
+    * encode/ADC machinery under test is identical either way.
+    */
+  def pqCodebook(dim: Int, numSub: Int, k: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    val sub = dim / numSub
+    Array.tabulate(numSub) { m =>
+      Array.tabulate(k) { j =>
+        Array.tabulate(sub) { i =>
+          val h = ColumnBridge.xxh64Int(i,
+            ColumnBridge.xxh64Int(j, ColumnBridge.xxh64Int(m, 4242L)))
+          val pm = ((h % 1000003L) + 1000003L) % 1000003L
+          pm.toDouble / 2000006.0 - 0.25 // uniform [-0.25, 0.25)
+        }
+      }
+    }
+  }
+
+  /** Trained PQ codebook: per-subspace Lloyd's k-means over a
+    * deterministic driver sample — the conventional PQ training shape
+    * (training stays O(k·1000) rows on the driver while encoding
+    * remains one distributed pass; same rationale as [[ivfTopK]]'s
+    * quantizer).
+    */
+  def trainPqCodebook(vectors: DataFrame, dim: Int, numSub: Int,
+      k: Int): Array[Array[Array[Double]]] = {
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    val sub = dim / numSub
+    val sample: Array[Array[Double]] = vectors
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(2048)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    Array.tabulate(numSub) { m =>
+      lloyd(sample.map(_.slice(m * sub, (m + 1) * sub)), k, iters = 10)
+    }
+  }
+
+  /** Lloyd's iterations with first-k init (deterministic; empty cells
+    * keep their previous center).
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(points.length >= k, s"${points.length} sample rows < k=$k")
+    val d = points(0).length
+    var centers = points.take(k).map(_.clone())
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var bi = 0; var bd = Double.MaxValue; var i = 0
+        while (i < k) { val dd = sq(p, centers(i)); if (dd < bd) { bd = dd; bi = i }; i += 1 }
+        counts(bi) += 1
+        var j = 0; while (j < d) { sums(bi)(j) += p(j); j += 1 }
+      }
+      centers = centers.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old
+        else { val m = sums(i); var j = 0
+          while (j < d) { m(j) /= counts(i); j += 1 }; m }
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Sub-distances of subspace m against all k centroids:
+    * d_mj = |c_mj|² − 2·v_subₘ·c_mj — the |v_subₘ|² term is constant
+    * per (row, subspace), shifting encode-argmin and ADC ranking
+    * equally, so it's dropped. One codegen'd dot per (row, centroid)
+    * against a literal centroid; |c|² is a driver-computed literal
+    * (the oracle embeds the same printed double).
+    */
+  private def pqSubDists(v: Column, cb: Array[Array[Array[Double]]],
+      m: Int): Seq[Column] = {
+    val sub = cb(m)(0).length
+    val vs = slice(v, m * sub + 1, sub)
+    cb(m).toSeq.map { c =>
+      var cc = 0.0; var j = 0
+      while (j < c.length) { cc += c(j) * c(j); j += 1 }
+      lit(cc) - lit(2.0) * dot(vs, typedlit(c.toSeq))
+    }
+  }
+
+  /** PQ code for subspace m: argmin sub-distance, lowest index on ties
+    * (array_sort over (d, idx) structs — the same tiebreak as
+    * [[ivfTopK]]'s cellOrder and the oracle's first-position list_min).
+    */
+  private def pqCode(v: Column, cb: Array[Array[Array[Double]]],
+      m: Int): Column =
+    element_at(array_sort(array(pqSubDists(v, cb, m).zipWithIndex.map {
+      case (dst, j) => struct(dst.as("d"), lit(j).as("idx"))
+    }: _*)), 1).getField("idx")
+
+  /** Product-quantization ANN (asymmetric distance computation):
+    * corpus vectors compress to numSub byte-sized codes (argmin
+    * centroid per subspace); each query builds a k×numSub lookup table
+    * of exact sub-distances once, then scans CODES — the candidate
+    * side of the join carries numSub ints instead of the full vector,
+    * the memory-residency primitive for billion-vector ANN. At scale
+    * this composes with IVF: cells bound the scanned corpus fraction,
+    * ADC scores within a cell. Scores are rounded before ranking
+    * (cid tiebreak) — the cross-engine ulp discipline of the other
+    * ANN kernels.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      cb: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val numSub = cb.length
+    val codes = corpus.select(col("vec_id").as("cid"),
+      array((0 until numSub).map(m =>
+        pqCode(col("embedding"), cb, m)): _*).as("__codes"))
+    val dtabs = queries.select(col("vec_id").as("qid") +:
+      (0 until numSub).map(m =>
+        array(pqSubDists(col("embedding"), cb, m): _*).as(s"__dt$m")): _*)
+    // ADC scan: left-to-right sum over subspaces (the oracle adds in
+    // the same order), rounded before the rank compare
+    val scored = dtabs.join(codes, col("qid") =!= col("cid"))
+      .withColumn("adist", round((0 until numSub).map(m =>
+        element_at(col(s"__dt$m"), element_at(col("__codes"), m + 1) + 1))
+        .reduce(_ + _), 6))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("adist"))
+  }
 }

@@ -64,6 +64,18 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("fvec_dot"), p.take(2000))
   }
 
+  test("p45: PQ encode + ADC scan are pure expressions — no Scala UDF in the plan") {
+    // encoding touches every corpus vector and the ADC join touches
+    // every (query, code) pair; both must stay inside codegen
+    // (FloatVecDot sub-distances, element_at table lookups)
+    val df = SparkEntry.queries("p45_ann_pq")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("UDF"), analyzed.take(2000))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+    assert(p.contains("fvec_dot"), p.take(2000))
+  }
+
   test("q02: aggregation is partial+final (map-side combine)") {
     val p = planOf("q02_agg_groupby")
     assert(p.contains("HashAggregate"), p)

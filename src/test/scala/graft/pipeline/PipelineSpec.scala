@@ -234,6 +234,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("PQ ADC matches a driver-side recomputation with the TRAINED codebook") {
+    val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
+    val cb = Similarity.trainPqCodebook(vecs, dim = 64, numSub = 8, k = 16)
+    val got = Similarity.pqTopK(vecs.where(col("vec_id") < 20), vecs, cb, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    // driver reference: encode every vector, ADC-score every pair —
+    // same accumulation orders as the expression tree
+    val all = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dists(v: Array[Double], m: Int): Array[Double] = cb(m).map { c =>
+      var cc = 0.0; var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      var p = 0.0; var j = 0
+      while (j < c.length) { p += v(m * 8 + j) * c(j); j += 1 }
+      cc - 2.0 * p
+    }
+    val codes = all.map { case (id, v) =>
+      id -> Array.tabulate(8) { m =>
+        val d = dists(v, m); d.indices.minBy(j => (d(j), j))
+      }
+    }.toMap
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val want = all.filter(_._1 < 20).flatMap { case (qid, qv) =>
+      val dt = Array.tabulate(8)(m => dists(qv, m))
+      all.filter(_._1 != qid).map { case (cid, _) =>
+        var s = 0.0; var m = 0
+        while (m < 8) { s += dt(m)(codes(cid)(m)); m += 1 }
+        (qid, cid, round6(s))
+      }.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((q, c, s), i) => (q, i + 1) -> (c, s) }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("trained PQ codebook quantizes with lower distortion than the hash codebook") {
+    val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
+    val trained = Similarity.trainPqCodebook(vecs, dim = 64, numSub = 8, k = 16)
+    val random = Similarity.pqCodebook(dim = 64, numSub = 8, k = 16)
+    val all = vecs.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // total encode distortion Σ_rows Σ_m min_j |v_sub − c_mj|²; the
+    // |v_sub|² term is codebook-independent, so comparing the shifted
+    // d_mj sums compares true distortion
+    def distortion(cb: Array[Array[Array[Double]]]): Double =
+      all.map { v =>
+        (0 until 8).map { m =>
+          cb(m).map { c =>
+            var cc = 0.0; var i = 0
+            while (i < c.length) { cc += c(i) * c(i); i += 1 }
+            var p = 0.0; var j = 0
+            while (j < c.length) { p += v(m * 8 + j) * c(j); j += 1 }
+            cc - 2.0 * p
+          }.min
+        }.sum
+      }.sum
+    val (dt, dr) = (distortion(trained), distortion(random))
+    info(s"trained=$dt random=$dr")
+    assert(dt < dr, s"trained codebook distortion $dt not below random $dr")
+  }
+
   test("tfidf: a term unique to one doc outranks corpus-wide terms") {
     import spark.implicits._
     val docs = Seq(
