@@ -173,6 +173,42 @@ object GraphAnalytics {
     deg
   }
 
+  /** Synchronous label propagation (community detection): labels start
+    * as vertex ids; each round every vertex simultaneously adopts the
+    * most frequent label among its neighbors' PREVIOUS-round labels,
+    * ties broken by smallest label — the deterministic sync variant
+    * (async LPA is order-dependent; sync with a fixed iteration count
+    * is exactly recomputable by an oracle, at the cost of possible
+    * 2-cycles on bipartite structures, which the fixed count also
+    * bounds). Per round: one hash join carries neighbor labels, one
+    * aggregation takes mode-with-tiebreak via min_by over
+    * (-count, label) — partial aggregation combines map-side, no
+    * window sort, labels-only shuffles. Input (u, v) undirected;
+    * returns (id, label).
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val dir = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = dir.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val nbr = dir.join(labels, dir("b") === labels("id"))
+        .groupBy(dir("a"), labels("label")).count()
+      labels = nbr.groupBy(col("a").as("id"))
+        .agg(min_by(col("label"), struct((-col("count")).as("nc"),
+          col("label").as("lb"))).as("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels
+  }
+
   /** Keep one representative (min id) per duplicate cluster — the
     * GraphX twin of Dedup.keepRepresentatives.
     */

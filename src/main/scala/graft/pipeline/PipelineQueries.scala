@@ -129,6 +129,29 @@ object PipelineQueries {
         .orderBy("nationkey")
     },
 
+    "p46_label_prop" -> { (s, d) =>
+      // Sync label propagation over same-region nation cliques with
+      // customers hanging off their nation: round 1 every neighbor
+      // label is distinct (the all-tie case -> min label wins: nations
+      // adopt the region's min nationkey), later rounds have real
+      // majorities (attached customers mass-vote their nation's
+      // label). 4 rounds reaches the region-community fixpoint; the
+      // oracle recomputes every round exactly (unrolled CTEs).
+      val n = load(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_regionkey").as("rk"))
+      val cliq = n.as("x").join(n.as("y"), col("x.rk") === col("y.rk") &&
+          col("x.k") < col("y.k"))
+        .select(col("x.k").as("u"), col("y.k").as("v"))
+      val custNat = load(s, d, "customer")
+        .select((col("c_custkey") + lit(1000000L)).as("u"),
+          col("c_nationkey").cast("long").as("v"))
+      GraphAnalytics.labelPropagation(cliq.unionAll(custNat), iters = 4)
+        .select(col("id").cast("long").as("id"),
+          col("label").cast("long").as("label"))
+        .orderBy("id")
+    },
+
     "p43_neardup_lsh" -> { (s, d) =>
       // LSH-bucketed near-dup — the scale twin of p06's all-pairs
       // baseline: same threshold + id window, candidates from
@@ -849,8 +872,40 @@ object PipelineQueries {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** The p46 oracle unrolls the 4 synchronous LPA rounds as CTEs: each
+    * round re-derives every vertex's label as the most frequent
+    * neighbor label of the PREVIOUS round (row_number over
+    * (count DESC, label) = the min_by(-count, label) tiebreak).
+    */
+  private def lpaOracleSql: String = {
+    val round = (n: Int, prev: String) =>
+      s"""r$n AS (SELECT id, label FROM (
+         |  SELECT e.a AS id, l.label,
+         |    row_number() OVER (PARTITION BY e.a
+         |      ORDER BY count(*) DESC, l.label) AS rn
+         |  FROM e JOIN $prev l ON l.id = e.b
+         |  GROUP BY e.a, l.label) WHERE rn = 1)""".stripMargin
+    s"""WITH eu AS (
+       |  SELECT CAST(n1.n_nationkey AS BIGINT) AS a,
+       |    CAST(n2.n_nationkey AS BIGINT) AS b
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |    AND n1.n_nationkey < n2.n_nationkey
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000, CAST(c_nationkey AS BIGINT)
+       |  FROM customer),
+       |e AS (SELECT a, b FROM eu UNION ALL SELECT b, a FROM eu),
+       |l0 AS (SELECT DISTINCT a AS id, a AS label FROM e),
+       |${round(1, "l0")},
+       |${round(2, "r1")},
+       |${round(3, "r2")},
+       |${round(4, "r3")}
+       |SELECT id, label FROM r4 ORDER BY id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p45_ann_pq" -> pqOracleSql,
+    "p46_label_prop" -> lpaOracleSql,
     "p42_ann_lsh_multi" -> lshMultiOracleSql,
     "p43_neardup_lsh" -> lshNearDupOracleSql,
     "p44_kcore" ->

@@ -72,6 +72,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation matches brute-force sync LPA on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11); iters <- Seq(2, 4)) {
+      val rnd = new java.util.Random(seed)
+      val n = 26
+      val edges = (0 until 60).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // brute force: adjacency over the canonical edge set, all
+      // vertices update simultaneously from the previous labels
+      val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var labels = adj.keys.map(v => v -> v).toMap
+      for (_ <- 0 until iters) {
+        labels = adj.map { case (v, nbrs) =>
+          val counts = nbrs.map(labels).groupBy(identity).view.mapValues(_.size)
+          v -> counts.toSeq.minBy { case (lb, c) => (-c, lb) }._1
+        }
+      }
+      val got = GraphAnalytics.labelPropagation(edges.toDF("u", "v"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == labels, s"seed=$seed iters=$iters: got $got want $labels")
+    }
+    // semantics: two 4-cliques joined by one bridge edge resolve to
+    // two communities labeled by each clique's min id
+    val cliques = (for (s <- Seq(0L, 10L); a <- 0 to 3; b <- a + 1 to 3)
+      yield (s + a, s + b)) :+ ((3L, 10L))
+    val comm = GraphAnalytics.labelPropagation(cliques.toDF("u", "v"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(comm(_) == 0L), comm.toString)
+    assert(Seq(10L, 11L, 12L, 13L).forall(comm(_) == 10L), comm.toString)
+  }
+
   test("LSH banding solver: 50%-recall point lands at or below the threshold") {
     for (numPerm <- Seq(16, 32, 64, 128); t <- Seq(0.5, 0.7, 0.8, 0.9)) {
       val r = Dedup.lshBandsFor(t, numPerm)
