@@ -316,6 +316,15 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     },
 
+    "p47_zipf_rarity" -> { (s, d) =>
+      // Zipf-rank rarity scoring — the float-free unigram-LM
+      // perplexity proxy: vocabulary ranks by frequency (the only
+      // global sort touches vocab, not corpus), per-doc mean/max rank
+      // + hapax count in exact integer arithmetic
+      TextOps.zipfRarity(load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "p20_mixture_epochs" -> { (s, d) =>
       // dataset mixture weighting by epoch replication (the pretraining
       // "see source X twice per epoch" primitive): per-source repeat
@@ -906,6 +915,21 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "p45_ann_pq" -> pqOracleSql,
     "p46_label_prop" -> lpaOracleSql,
+    "p47_zipf_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+        |lm AS (SELECT w, count(*) AS wc FROM w2 GROUP BY w),
+        |rk AS (SELECT w, wc,
+        |  CAST(row_number() OVER (ORDER BY wc DESC, w) AS BIGINT) AS r
+        |  FROM lm)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(CAST(sum(r) AS DOUBLE) / count(*), 6) AS mean_rank,
+        |  CAST(sum(CASE WHEN wc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  max(r) AS max_rank
+        |FROM w2 JOIN rk USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p42_ann_lsh_multi" -> lshMultiOracleSql,
     "p43_neardup_lsh" -> lshNearDupOracleSql,
     "p44_kcore" ->

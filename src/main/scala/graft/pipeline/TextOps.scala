@@ -125,6 +125,52 @@ object TextOps {
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Zipf-rank rarity scoring: rank the corpus vocabulary by frequency
+    * (1 = most frequent, ties by word), then score each document by
+    * its words' ranks — mean rank (higher = rarer diction), hapax
+    * count, rarest rank. The float-free twin of the unigram-LM
+    * perplexity proxy (-ln p(w) is monotone in the rank on a Zipfian
+    * corpus): integer ranks keep every aggregate EXACT across engines
+    * where log-prob sums would drift by libm ulps. The rank window
+    * sorts only the VOCABULARY (≪ corpus — the only global sort);
+    * per-doc stats re-join exploded words against the broadcast-able
+    * rank table and combine map-side.
+    */
+  def zipfRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+    val lm = words.groupBy("w").agg(count(lit(1)).as("wc"))
+    // Global rank WITHOUT a single-partition window: range-partition
+    // the vocabulary on the rank order, then rank = preceding-partition
+    // offset + local row_number. The rank is boundary-independent (any
+    // range split of a total order yields the same global positions),
+    // but both consumers must see the SAME materialized partitioning —
+    // checkpoint before branching (range sampling reseeds per plan
+    // evaluation).
+    val sorted = lm.repartitionByRange(col("wc").desc, col("w"))
+      .sortWithinPartitions(col("wc").desc, col("w"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = sorted.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(sum("pn").over(Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    val rk = sorted.withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("wc").desc, col("w"))))
+      .join(broadcast(offsets), "pid")
+      .select(col("w"), col("wc"), (col("off") + col("rn")).cast("long").as("r"))
+    // no broadcast hint: Catalyst broadcasts the rank table while it
+    // fits and falls back to a shuffled hash join at web-scale vocab
+    words.join(rk, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        round(sum("r").cast("double") / count(lit(1)), 6).as("mean_rank"),
+        sum(when(col("wc") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max("r").as("max_rank"))
+  }
+
   /** Benchmark decontamination: rows of `train` sharing any word
     * n-gram with `eval` (both (id, text) shaped). The eval gram set is
     * assumed benchmark-sized -> broadcast; the corpus side streams.

@@ -331,6 +331,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(dt < dr, s"trained codebook distortion $dt not below random $dr")
   }
 
+  test("zipfRarity: hand-computed ranks, means, hapax counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "b c d d e"), (3L, "a e f"))
+      .toDF("doc_id", "text")
+    // counts: a=4 b=3 c=2 d=2 e=2 f=1 -> ranks a1 b2 c3 d4 e5 f6
+    val got = TextOps.zipfRarity(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((6L, 1.666667, 0L, 3L)), // ranks 1,1,1,2,2,3
+      2L -> ((5L, 3.6, 0L, 5L)),      // ranks 2,3,4,4,5
+      3L -> ((3L, 4.0, 1L, 6L))))     // ranks 1,5,6; f is hapax
+  }
+
   test("tfidf: a term unique to one doc outranks corpus-wide terms") {
     import spark.implicits._
     val docs = Seq(
