@@ -33,6 +33,22 @@ object Dev {
       }
       spark.stop(); return
     }
+    if (name == "p45parts") {
+      import org.apache.spark.sql.functions._
+      val vecs = relational.Tables.load(spark, d, "embeddings")
+      val cb = pipeline.Similarity.pqCodebook(64, 8, 16)
+      def t[A](lbl: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $lbl: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      println("corpus rows: " + vecs.count())
+      for (_ <- 1 to 2) {
+        t("encode only")(pipeline.Similarity.pqEncode(vecs, cb).count())
+        t("full")(pipeline.Similarity.pqTopK(
+          vecs.where(col("vec_id") < 50), vecs, cb, 3).count())
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     // warm
     fn(spark, d).count()

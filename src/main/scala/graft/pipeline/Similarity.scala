@@ -425,15 +425,32 @@ object Similarity {
     * (cid tiebreak) — the cross-engine ulp discipline of the other
     * ANN kernels.
     */
+  /** Corpus PQ encoding: (cid, codes array). Exposed for profiling and
+    * for persisting the compressed corpus separately from queries.
+    */
+  def pqEncode(corpus: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col("vec_id").as("cid"),
+      array((0 until cb.length).map(m =>
+        pqCode(col("embedding"), cb, m)): _*).as("__codes"))
+
   def pqTopK(queries: DataFrame, corpus: DataFrame,
       cb: Array[Array[Array[Double]]], k: Int): DataFrame = {
     val numSub = cb.length
-    val codes = corpus.select(col("vec_id").as("cid"),
-      array((0 until numSub).map(m =>
-        pqCode(col("embedding"), cb, m)): _*).as("__codes"))
+    // materialized like a real PQ index: the compressed code table is
+    // ~dim×4/numSub smaller than the embeddings and is the artifact a
+    // deployment persists; the barrier also stops projection collapse
+    // from re-encoding per (query, corpus) pair
+    val codes = pqEncode(corpus, cb).localCheckpoint(true)
+    // materialize the lookup tables: ADC's contract is "compute k×numSub
+    // sub-distances ONCE per query, then only table lookups per pair" —
+    // without the barrier, projection collapse inlines the 128-dot
+    // array expressions into the post-join projection and re-evaluates
+    // them per (query, corpus) PAIR
     val dtabs = queries.select(col("vec_id").as("qid") +:
       (0 until numSub).map(m =>
         array(pqSubDists(col("embedding"), cb, m): _*).as(s"__dt$m")): _*)
+      .localCheckpoint(true)
     // ADC scan: left-to-right sum over subspaces (the oracle adds in
     // the same order), rounded before the rank compare
     val scored = dtabs.join(codes, col("qid") =!= col("cid"))

@@ -94,6 +94,33 @@ object EventStreams {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** Left-outer variant of [[intervalJoin]]: impressions with no click
+    * in their window emit ONCE with null click columns — but only
+    * after the watermark passes the window end (before that a future
+    * match can't be ruled out), so the final `watermark + within` of
+    * the stream stays withheld in state. Still append-only and
+    * watermark-bounded — the attribution shape where NON-converting
+    * impressions are the signal.
+    */
+  def intervalJoinOuter(impressions: DataFrame, clicks: DataFrame,
+      watermark: String, within: String): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id"),
+        col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("__cu"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    imp.join(clk,
+      col("user_id") === col("__cu") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $within"),
+      "left_outer")
+      .select(col("imp_id"), col("click_id"), col("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   // ---- custom keyed state (mapGroupsWithState) ----------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

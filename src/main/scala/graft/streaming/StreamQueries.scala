@@ -168,6 +168,27 @@ object StreamQueries {
         .orderBy("user_id")
     },
 
+    // Left-outer stream-stream interval join: unmatched views emit
+    // null-extended rows once the watermark passes their window end —
+    // the oracle replicates Spark's eviction rule exactly (the final
+    // global watermark is min(max event time per input) - delay; a
+    // view emits unmatched iff its window closed strictly below it),
+    // so withheld-tail rows are absent on BOTH sides of the compare.
+    "s09_stream_outer_join" -> { (s, d) =>
+      val views = eventStream(s, d)
+        .where(col("user_id") < 50 && col("event_type") === "view")
+      val clicks = eventStream(s, d)
+        .where(col("user_id") < 50 && col("event_type") === "click")
+      val joined = EventStreams.intervalJoinOuter(views, clicks,
+        watermark = "1 hour", within = "10 minutes")
+      runToSink(s, joined, partitions = 4)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("click_id")).as("n_matched"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+        .orderBy("user_id")
+    },
+
     // Custom keyed state (mapGroupsWithState, §2.10 North-star): the
     // explicit-state running per-user totals. Update mode emits the
     // state once per key per BATCH, so the sink holds one row per
@@ -320,6 +341,30 @@ object StreamQueries {
         |  AND click_ts >= imp_ts
         |  AND click_ts <= imp_ts + INTERVAL 10 MINUTE
         |GROUP BY v.user_id ORDER BY 1""".stripMargin,
+    "s09_stream_outer_join" ->
+      """WITH v AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts
+        |  FROM events WHERE user_id < 50 AND event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE user_id < 50 AND event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(imp_ts) FROM v),
+        |  (SELECT max(click_ts) FROM c)) - INTERVAL 1 HOUR AS w),
+        |m AS (SELECT v.user_id, v.imp_id, c.click_id
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |    AND c.click_ts >= v.imp_ts
+        |    AND c.click_ts <= v.imp_ts + INTERVAL 10 MINUTE),
+        |u AS (SELECT v.user_id, v.imp_id FROM v, wm
+        |  WHERE v.imp_ts + INTERVAL 10 MINUTE < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM c
+        |      WHERE c.user_id = v.user_id
+        |        AND c.click_ts >= v.imp_ts
+        |        AND c.click_ts <= v.imp_ts + INTERVAL 10 MINUTE)),
+        |allr AS (SELECT user_id, click_id FROM m
+        |  UNION ALL SELECT user_id, NULL AS click_id FROM u)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(click_id) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unmatched
+        |FROM allr GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s06_stream_stateful_totals" ->
       """SELECT user_id, count(*) AS n_events
         |FROM events WHERE user_id < 100
