@@ -672,6 +672,19 @@ object PipelineQueries {
     },
 
     // ---- batch/corpus management ------------------------------------
+    "p48_wav_audio" -> { (s, d) =>
+      // REAL multimodal codec round-trip: deterministic integer
+      // sawtooth waveforms encode through a real RIFF/WAVE PCM16
+      // writer into binary blobs, then a chunk-walking WAV parser
+      // decodes them back (partition-batch shape both ways); every
+      // output stat comes OUT of the parsed container and is exact
+      // integer arithmetic the oracle recomputes from the closed-form
+      // generator
+      val ev = load(s, d, "events").where(col("event_id") < 200)
+      Multimodal.wavStats(Multimodal.synthWavTable(ev, nSamples = 256))
+        .orderBy("event_id")
+    },
+
     "p36_length_buckets" -> { (s, d) =>
       // token-length quartile bucketing per source (the batch-shape
       // primitive for length-grouped training batches): ntile over a
@@ -915,6 +928,18 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "p45_ann_pq" -> pqOracleSql,
     "p46_label_prop" -> lpaOracleSql,
+    "p48_wav_audio" ->
+      """WITH ev AS (SELECT event_id FROM events WHERE event_id < 200),
+        |smp AS (SELECT ev.event_id,
+        |    ((ev.event_id * 31 + t.i * 17) % 65536) - 32768 AS v
+        |  FROM ev, (SELECT unnest(generate_series(0, 255)) AS i) t)
+        |SELECT event_id,
+        |  CAST(8000 + (event_id % 8) * 1000 AS BIGINT) AS sr,
+        |  CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(44 + 512 AS BIGINT) AS n_bytes,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
     "p47_zipf_rarity" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w

@@ -413,4 +413,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
     assert(decoded.count() == 20)
   }
+
+  test("WAV PCM16 codec: round-trip, header fields, unknown-chunk skipping") {
+    val rnd = new java.util.Random(7)
+    val samples = Array.fill(300)((rnd.nextInt(65536) - 32768).toShort)
+    val bytes = Multimodal.encodeWavPcm16(samples, 44100)
+    assert(bytes.length == 44 + 600)
+    val (sr, back) = Multimodal.decodeWavPcm16(bytes)
+    assert(sr == 44100 && back.sameElements(samples))
+    // a LIST chunk (odd size -> pad byte) spliced before fmt must be
+    // skipped by the chunk walker, like real in-the-wild WAV files
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val patched = java.nio.ByteBuffer
+      .allocate(bytes.length + extra.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(bytes, 0, 12) // RIFF header + WAVE tag
+      .put(extra)
+      .put(bytes, 12, bytes.length - 12)
+      .array()
+    val (sr2, back2) = Multimodal.decodeWavPcm16(patched)
+    assert(sr2 == 44100 && back2.sameElements(samples))
+    // truncated / non-WAV input fails loudly, not garbage-out
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("not a wav".getBytes("US-ASCII"))
+    }
+  }
 }
