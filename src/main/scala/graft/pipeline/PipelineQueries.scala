@@ -685,6 +685,21 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    "p49_ann_ivfpq" -> { (s, d) =>
+      // Composed IVF×PQ — the billion-vector index shape: subspace-0
+      // codes double as coarse cells, queries probe their 4 nearest
+      // cells (of 16) and ADC-score only those cells' codes. Fully
+      // ORACLE-GATED (deterministic codebook = cells, probes, codes
+      // and scores all recomputable from SQL literals); the
+      // nProbe-exhaustive == pqTopK identity is asserted in
+      // PipelineSpec.
+      val vecs = load(s, d, "embeddings")
+      Similarity.ivfPqTopK(vecs.where(col("vec_id") < 50), vecs,
+          Similarity.pqCodebook(dim = 64, numSub = 8, k = 16),
+          k = 3, nProbe = 4)
+        .orderBy("qid", "rank")
+    },
+
     "p36_length_buckets" -> { (s, d) =>
       // token-length quartile bucketing per source (the batch-shape
       // primitive for length-grouped training batches): ntile over a
@@ -864,7 +879,12 @@ object PipelineQueries {
     * lowest-index tiebreak of the argmin sort), then the ADC scan as
     * q-side list lookups by c-side code.
     */
-  private def pqOracleSql: String = {
+  /** Shared WITH-prelude of the PQ oracles: embeddings as doubles plus
+    * the 8 per-subspace distance lists (unrolled left-to-right double
+    * sums over codebook literals) and the codes CTE (first-position
+    * list_min = the lowest-index argmin tiebreak).
+    */
+  private def pqPreludeSql: String = {
     val cb = Similarity.pqCodebook(dim = 64, numSub = 8, k = 16)
     val sub = 64 / 8
     def distList(m: Int): String = (0 until 16).map { j =>
@@ -878,21 +898,49 @@ object PipelineQueries {
     val lists = (0 until 8).map(m => s"  ${distList(m)} AS l$m").mkString(",\n")
     val codes = (0 until 8)
       .map(m => s"list_position(l$m, list_min(l$m)) AS c$m").mkString(", ")
-    val score = (0 until 8).map(m => s"q.l$m[c.c$m]").mkString(" + ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |d AS (SELECT vec_id,
        |$lists
        |  FROM e),
-       |enc AS (SELECT vec_id, $codes FROM d),
+       |enc AS (SELECT vec_id, $codes FROM d)""".stripMargin
+  }
+
+  private def pqAdcScoreSql: String =
+    (0 until 8).map(m => s"q.l$m[c.c$m]").mkString(" + ")
+
+  private def pqOracleSql: String =
+    s"""$pqPreludeSql,
        |sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-       |    round($score, 6) AS adist
+       |    round($pqAdcScoreSql, 6) AS adist
        |  FROM (SELECT * FROM d WHERE vec_id < 50) q
        |  JOIN enc c ON q.vec_id <> c.vec_id),
        |rk AS (SELECT qid, cid, adist, row_number() OVER
        |    (PARTITION BY qid ORDER BY adist ASC, cid) AS rank FROM sc)
        |SELECT qid, cid, rank, adist FROM rk
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
-  }
+
+  /** p49: the composed IVF×PQ oracle — probes = the query's 4 smallest
+    * subspace-0 distances (rank over (l0[i], i) — identical tiebreak to
+    * the argmin sort), candidates = vectors whose subspace-0 CODE is a
+    * probed cell, then the same ADC score as p45.
+    */
+  private def ivfPqOracleSql: String =
+    s"""$pqPreludeSql,
+       |probes AS (SELECT vec_id AS qid, i.i AS cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY l0[i.i], i.i) AS rn
+       |  FROM d, (SELECT unnest(generate_series(1, 16)) AS i) i
+       |  WHERE vec_id < 50),
+       |sc AS (SELECT p.qid, c.vec_id AS cid,
+       |    round($pqAdcScoreSql, 6) AS adist
+       |  FROM probes p
+       |  JOIN enc c ON c.c0 = p.cell AND c.vec_id <> p.qid
+       |  JOIN d q ON q.vec_id = p.qid
+       |  WHERE p.rn <= 4),
+       |rk AS (SELECT qid, cid, adist, row_number() OVER
+       |    (PARTITION BY qid ORDER BY adist ASC, cid) AS rank FROM sc)
+       |SELECT qid, cid, rank, adist FROM rk
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** The p46 oracle unrolls the 4 synchronous LPA rounds as CTEs: each
     * round re-derives every vertex's label as the most frequent
@@ -927,6 +975,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "p45_ann_pq" -> pqOracleSql,
+    "p49_ann_ivfpq" -> ivfPqOracleSql,
     "p46_label_prop" -> lpaOracleSql,
     "p48_wav_audio" ->
       """WITH ev AS (SELECT event_id FROM events WHERE event_id < 200),

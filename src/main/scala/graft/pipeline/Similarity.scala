@@ -454,12 +454,58 @@ object Similarity {
     // ADC scan: left-to-right sum over subspaces (the oracle adds in
     // the same order), rounded before the rank compare
     val scored = dtabs.join(codes, col("qid") =!= col("cid"))
-      .withColumn("adist", round((0 until numSub).map(m =>
-        element_at(col(s"__dt$m"), element_at(col("__codes"), m + 1) + 1))
-        .reduce(_ + _), 6))
+      .withColumn("adist", adcDist(numSub))
+    rankTopK(scored, k)
+  }
+
+  /** Σₘ dtabₘ[codeₘ] — the ADC lookup sum, left-to-right like the
+    * oracle, rounded before any rank compare.
+    */
+  private def adcDist(numSub: Int): Column =
+    round((0 until numSub).map(m =>
+      element_at(col(s"__dt$m"), element_at(col("__codes"), m + 1) + 1))
+      .reduce(_ + _), 6)
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank"), col("adist"))
+  }
+
+  /** IVF×PQ composed ANN — the billion-vector index shape: the PQ
+    * codebook's subspace-0 code doubles as a coarse cell (both are
+    * argmin-over-centroids; sharing them keeps the whole index one
+    * deterministic artifact), queries probe their nProbe nearest cells
+    * by exact subspace-0 sub-distance and the ADC scan touches ONLY
+    * those cells' codes — candidates drop to ~nProbe/numCells of the
+    * corpus where [[pqTopK]] scans all codes. nProbe = numCells is
+    * exhaustive and must equal [[pqTopK]] exactly (the p13 identity,
+    * asserted in PipelineSpec).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      cb: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame = {
+    val numSub = cb.length
+    val codes = pqEncode(corpus, cb)
+      .withColumn("__cell", element_at(col("__codes"), 1))
+      .localCheckpoint(true)
+    val order0 = array_sort(array(
+      pqSubDists(col("embedding"), cb, 0).zipWithIndex.map {
+        case (dst, j) => struct(dst.as("d"), lit(j).as("idx"))
+      }: _*))
+    val dtabs = queries.select((col("vec_id").as("qid") +:
+      (0 until numSub).map(m =>
+        array(pqSubDists(col("embedding"), cb, m): _*).as(s"__dt$m"))) :+
+      transform(slice(order0, 1, nProbe), s => s.getField("idx"))
+        .as("__probes"): _*)
+      .localCheckpoint(true)
+    // each corpus vector lives in exactly one cell, so a (qid, cid)
+    // candidate appears at most once — no dedup pass needed
+    val q = dtabs.withColumn("__cell", explode(col("__probes")))
+      .drop("__probes")
+    val scored = q.join(codes, Seq("__cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("adist", adcDist(numSub))
+    rankTopK(scored, k)
   }
 }

@@ -305,6 +305,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("IVF×PQ at nProbe = numCells equals the full ADC scan exactly") {
+    val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
+    val cb = Similarity.pqCodebook(64, 8, 16)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    val q = vecs.where(col("vec_id") < 20)
+    val full = asMap(Similarity.pqTopK(q, vecs, cb, 3))
+    val exhaustive = asMap(Similarity.ivfPqTopK(q, vecs, cb, 3, nProbe = 16))
+    assert(exhaustive == full)
+    // sub-exhaustive probing trades recall for a bounded candidate set
+    val probed = asMap(Similarity.ivfPqTopK(q, vecs, cb, 3, nProbe = 4))
+    val overlap = probed.values.map(_._1).toSet
+      .intersect(full.values.map(_._1).toSet).size.toDouble /
+      full.values.map(_._1).toSet.size
+    info(s"nProbe=4/16 neighbor overlap: $overlap")
+    assert(probed.nonEmpty && overlap > 0.0)
+  }
+
   test("trained PQ codebook quantizes with lower distortion than the hash codebook") {
     val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
     val trained = Similarity.trainPqCodebook(vecs, dim = 64, numSub = 8, k = 16)
