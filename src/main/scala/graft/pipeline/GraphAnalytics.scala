@@ -209,6 +209,50 @@ object GraphAnalytics {
     labels
   }
 
+  /** HITS hubs & authorities, fixed iteration count, UNNORMALIZED —
+    * dropping the per-round L2 normalization keeps every score an
+    * exact integer (auth = sum of in-neighbor hubs, hub = sum of
+    * out-neighbor auths, from hub_0 = 1), so a SQL oracle can unroll
+    * the rounds as CTEs and hash-match bit-for-bit where float
+    * normalization would drift by libm ulps. Rankings are identical
+    * to normalized HITS (normalization is a positive scalar per
+    * round); callers wanting [0,1] scores divide by the max at the
+    * end. Per round: two hash joins + two map-side-combinable sums,
+    * (id, score) shuffles only — the same shape at 10^9 edges.
+    * Magnitudes grow like maxdeg^(2·iters); iters is the caller's
+    * overflow budget (long holds iters=2 up to ~10^4 average degree).
+    * Input (src, dst) directed; returns (id, hub, auth) for every
+    * vertex, 0 where a vertex has no out/in edges.
+    */
+  def hits(edgesDf: DataFrame, iters: Int): DataFrame = {
+    val e = edgesDf
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var hub = e.select(col("src").as("id")).distinct()
+      .withColumn("score", lit(1L))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      auth = e.join(hub.withColumnRenamed("id", "__sid"),
+          e("src") === col("__sid"))
+        .groupBy(col("dst").as("id")).agg(sum("score").as("score"))
+      hub = e.join(auth.withColumnRenamed("id", "__did")
+            .withColumnRenamed("score", "__as"),
+          e("dst") === col("__did"))
+        .groupBy(col("src").as("id")).agg(sum("__as").as("score"))
+      i += 1
+    }
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    verts
+      .join(hub.withColumnRenamed("score", "hub"), Seq("id"), "left")
+      .join(auth.withColumnRenamed("score", "auth"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+  }
+
   /** Keep one representative (min id) per duplicate cluster — the
     * GraphX twin of Dedup.keepRepresentatives.
     */

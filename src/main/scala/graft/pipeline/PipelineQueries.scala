@@ -685,6 +685,46 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    "p50_bmp_image" -> { (s, d) =>
+      // REAL multimodal image codec round-trip: deterministic integer
+      // gradient pixels encode through a real BMP 24bpp writer
+      // (bottom-up BGR rows, 4-byte padding — w=5..10 exercises pads
+      // of 1..3 bytes) and a header-validating parser decodes them
+      // back; width/height come from the parsed header, sums from the
+      // de-padded pixel array, and wsum position-weights each pixel so
+      // a row-order or channel-order bug cannot cancel out
+      val docs = load(s, d, "documents").where(col("doc_id") < 200)
+      Multimodal.bmpStats(Multimodal.synthBmpTable(docs)).orderBy("doc_id")
+    },
+
+    "p51_y4m_video" -> { (s, d) =>
+      // REAL multimodal video codec: deterministic integer clips
+      // encode through a real YUV4MPEG2 writer (ASCII header + FRAME
+      // markers + raw C444 planes) and a header-parsing frame walker
+      // samples every 2nd frame — one clip in, many frame rows out
+      // (the generator/UDTF batch shape); per-plane sums and the
+      // position-weighted checksum all come out of the parsed planes
+      val ev = load(s, d, "events").where(col("event_id") < 200)
+      Multimodal.y4mFrameSample(Multimodal.synthY4mTable(ev), every = 2)
+        .orderBy("event_id", "frame_idx")
+    },
+
+    "p52_hits" -> { (s, d) =>
+      // HITS hubs/authorities over the customer->nation->region
+      // two-layer digraph, 2 fixed iterations, UNNORMALIZED so every
+      // score is an exact integer the oracle unrolls round by round;
+      // id namespaces offset so customer/nation/region keys can't
+      // collide. Rankings equal normalized HITS (per-round scaling is
+      // a positive scalar).
+      val cust = load(s, d, "customer")
+        .select((col("c_custkey") + 100000).as("src"),
+          (col("c_nationkey") + 1000).as("dst"))
+      val nat = load(s, d, "nation")
+        .select((col("n_nationkey") + 1000).as("src"),
+          col("n_regionkey").as("dst"))
+      GraphAnalytics.hits(cust.unionAll(nat), iters = 2).orderBy("id")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -989,6 +1029,66 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p52_hits" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 100000 + c_custkey AS src, 1000 + c_nationkey AS dst
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT 1000 + n_nationkey, n_regionkey FROM nation)),
+        |h0 AS (SELECT DISTINCT src AS id, 1 AS s FROM ed),
+        |a1 AS (SELECT ed.dst AS id, sum(h0.s) AS s
+        |  FROM ed JOIN h0 ON ed.src = h0.id GROUP BY ed.dst),
+        |h1 AS (SELECT ed.src AS id, sum(a1.s) AS s
+        |  FROM ed JOIN a1 ON ed.dst = a1.id GROUP BY ed.src),
+        |a2 AS (SELECT ed.dst AS id, sum(h1.s) AS s
+        |  FROM ed JOIN h1 ON ed.src = h1.id GROUP BY ed.dst),
+        |h2 AS (SELECT ed.src AS id, sum(a2.s) AS s
+        |  FROM ed JOIN a2 ON ed.dst = a2.id GROUP BY ed.src),
+        |v AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed)
+        |SELECT v.id, CAST(coalesce(h2.s, 0) AS BIGINT) AS hub,
+        |  CAST(coalesce(a2.s, 0) AS BIGINT) AS auth
+        |FROM v LEFT JOIN h2 ON v.id = h2.id LEFT JOIN a2 ON v.id = a2.id
+        |ORDER BY v.id""".stripMargin,
+    "p51_y4m_video" ->
+      """WITH ev AS (SELECT event_id, 4 + event_id % 3 AS w,
+        |    2 + event_id % 4 AS h, 2 + event_id % 5 AS nf
+        |  FROM events WHERE event_id < 200),
+        |fr AS (SELECT ev.event_id, ev.w, ev.h, f.f FROM ev
+        |  JOIN (SELECT unnest(generate_series(0, 5)) AS f) f
+        |    ON f.f < ev.nf AND f.f % 2 = 0),
+        |px AS (SELECT fr.event_id, fr.w, fr.h, fr.f, t.i
+        |  FROM fr JOIN (SELECT unnest(generate_series(0, 29)) AS i) t
+        |    ON t.i < fr.w * fr.h),
+        |ch AS (SELECT event_id, w, h, f, i,
+        |    (event_id*3 + f*7 + i*5) % 256 AS y,
+        |    (event_id*5 + f*11 + i*3) % 256 AS u,
+        |    (event_id*13 + f*2 + i*7) % 256 AS v
+        |  FROM px)
+        |SELECT event_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(u) AS BIGINT) AS sum_u,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(sum((i+1)*(y + 2*u + 3*v)) AS BIGINT) AS wsum
+        |FROM ch GROUP BY event_id, f, w, h
+        |ORDER BY event_id, frame_idx""".stripMargin,
+    "p50_bmp_image" ->
+      """WITH d AS (SELECT doc_id, 5 + doc_id % 6 AS w, 3 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (SELECT d.doc_id, d.w, d.h, t.i AS idx
+        |  FROM d JOIN (SELECT unnest(generate_series(0, 69)) AS i) t
+        |    ON t.i < d.w * d.h),
+        |ch AS (SELECT doc_id, w, h, idx,
+        |    (doc_id*7 + idx*3) % 256 AS b,
+        |    (doc_id*11 + idx*5) % 256 AS g,
+        |    (doc_id*17 + idx*2) % 256 AS r
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(54 + ((w*3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+        |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum((idx+1)*(b + 2*g + 3*r)) AS BIGINT) AS wsum
+        |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "p47_zipf_rarity" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w

@@ -12,16 +12,23 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects; read nanos as long and downcast to micros
-      // (integer div — no double rounding). Schema-conditional so a
-      // re-laid-out copy (already micros) loads unchanged.
+      // events.ts layout varies by generator version: TIMESTAMP(NANOS)
+      // (vectorized reader rejects -> read nanos as long, integer-div
+      // down to micros) or TIMESTAMP(MICROS) without UTC adjustment
+      // (reads as TIMESTAMP_NTZ -> cast; session tz is pinned UTC so
+      // the instant is unchanged). Schema-conditional so every layout
+      // loads to the same TIMESTAMP column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-      else df
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

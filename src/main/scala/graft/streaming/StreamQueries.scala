@@ -36,9 +36,16 @@ object StreamQueries {
     val raw = s.readStream.schema(
       s.read.parquet(s"$d/events.parquet").schema)
       .parquet(s"$d/events.parque[t]")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // micros-without-UTC-adjustment layout; session tz is UTC so
+        // the cast changes the type, not the instant (watermarks need
+        // TIMESTAMP, not NTZ)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a

@@ -73,7 +73,15 @@ class ExplainSpec extends AnyFunSuite {
     assert(!analyzed.contains("UDF"), analyzed.take(2000))
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
-    assert(p.contains("fvec_dot"), p.take(2000))
+    // the encode stage materializes behind a localCheckpoint barrier
+    // (the persisted-code-table artifact), so its plan is checked on
+    // the un-checkpointed builder: codegen'd fvec_dot, no UDF
+    val vecs = graft.relational.Tables.load(spark, sf, "embeddings")
+    val enc = pipeline.Similarity.pqEncode(vecs,
+      pipeline.Similarity.pqCodebook(dim = 64, numSub = 8, k = 16))
+    val ep = enc.queryExecution.executedPlan.toString
+    assert(ep.contains("fvec_dot"), ep.take(2000))
+    assert(!ep.contains("ScalaUDF"), ep.take(2000))
   }
 
   test("q02: aggregation is partial+final (map-side combine)") {

@@ -105,6 +105,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(Seq(10L, 11L, 12L, 13L).forall(comm(_) == 10L), comm.toString)
   }
 
+  test("HITS agrees with brute-force reference on random digraphs") {
+    import spark.implicits._
+    for (seed <- Seq(17, 29); iters <- Seq(1, 3)) {
+      val rnd = new java.util.Random(seed)
+      val edges = (0 until 60)
+        .map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2).distinct
+      var hub = edges.map(_._1).distinct.map(_ -> 1L).toMap
+      var auth = Map.empty[Long, Long]
+      for (_ <- 0 until iters) {
+        auth = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => hub.getOrElse(e._1, 0L)).sum }
+        hub = edges.groupBy(_._1).map { case (u, es) =>
+          u -> es.map(e => auth.getOrElse(e._2, 0L)).sum }
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = verts.map(v =>
+        (v, hub.getOrElse(v, 0L), auth.getOrElse(v, 0L))).toSet
+      val got = GraphAnalytics.hits(edges.toDF("src", "dst"), iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed=$seed iters=$iters")
+    }
+  }
+
   test("LSH banding solver: 50%-recall point lands at or below the threshold") {
     for (numPerm <- Seq(16, 32, 64, 128); t <- Seq(0.5, 0.7, 0.8, 0.9)) {
       val r = Dedup.lshBandsFor(t, numPerm)
@@ -456,6 +480,62 @@ class PipelineSpec extends AnyFunSuite {
     // truncated / non-WAV input fails loudly, not garbage-out
     intercept[IllegalArgumentException] {
       Multimodal.decodeWavPcm16("not a wav".getBytes("US-ASCII"))
+    }
+  }
+
+  test("BMP 24bpp codec: round-trip, padding, top-down, malformed input") {
+    val rnd = new java.util.Random(11)
+    // w=5 -> rowSize 16 (1 pad byte); exercises the padded-row walk
+    val (w, h) = (5, 4)
+    val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val bytes = Multimodal.encodeBmp24(w, h, px)
+    assert(bytes.length == 54 + 16 * h)
+    val (w2, h2, back) = Multimodal.decodeBmp24(bytes)
+    assert(w2 == w && h2 == h && back.sameElements(px))
+    // top-down variant (negative height) must decode to the same
+    // top-down pixel order: rewrite height and reorder file rows
+    val rowSize = 16
+    val td = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -h)
+    for (y <- 0 until h)
+      System.arraycopy(bytes, 54 + (h - 1 - y) * rowSize, td, 54 + y * rowSize, rowSize)
+    val (w3, h3, back3) = Multimodal.decodeBmp24(td)
+    assert(w3 == w && h3 == h && back3.sameElements(px))
+    // malformed input fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp24("not a bmp".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated pixel array
+      Multimodal.decodeBmp24(bytes.take(54 + 8))
+    }
+  }
+
+  test("Y4M codec: round-trip, frame parameters, malformed input") {
+    val rnd = new java.util.Random(13)
+    val (w, h) = (6, 4)
+    val frames = Array.fill(3)(Array.fill(w * h * 3)(rnd.nextInt(256).toByte))
+    val bytes = Multimodal.encodeY4m(w, h, frames)
+    val (w2, h2, back) = Multimodal.decodeY4m(bytes)
+    assert(w2 == w && h2 == h && back.length == 3)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // per-frame parameters after the FRAME tag are legal y4m — the
+    // walker must tolerate them
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val hdrEnd = bytes.indexOf('\n'.toByte) + 1
+    val patched = bytes.take(hdrEnd) ++ "FRAME Ip\n".getBytes("US-ASCII") ++
+      bytes.drop(hdrEnd + marker.length)
+    val (_, _, back2) = Multimodal.decodeY4m(patched)
+    assert(back2.length == 3 && back2(0).sameElements(frames(0)))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("MPEG4 nope\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated frame payload
+      Multimodal.decodeY4m(bytes.take(bytes.length - 10))
+    }
+    intercept[IllegalArgumentException] { // subsampled colorspace
+      Multimodal.decodeY4m(
+        ("YUV4MPEG2 W2 H2 C420\nFRAME\n" + " " * 6).getBytes("ISO-8859-1"))
     }
   }
 }
