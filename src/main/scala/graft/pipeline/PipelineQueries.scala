@@ -725,6 +725,45 @@ object PipelineQueries {
       GraphAnalytics.hits(cust.unionAll(nat), iters = 2).orderBy("id")
     },
 
+    "p53_heavy_hitters" -> { (s, d) =>
+      // Count-min sketch heavy hitters: the d×w counter table is built
+      // in one map-side-combinable pass (shuffle carries ≤ d·w rows no
+      // matter the key cardinality — the 100-TB property), estimates
+      // broadcast the sketch; w=64 on this vocabulary forces real
+      // bucket collisions so the CM overestimate path is exercised,
+      // and the md5 bucket hash lets the oracle rebuild the exact
+      // sketch in SQL — est and n_exact both hash-gated
+      val toks = load(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+      val sk = Sketches.countMinBuild(toks, "w", depth = 4, width = 64)
+      val est = Sketches.countMinEstimate(sk, toks, "w", depth = 4, width = 64)
+      val exact = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, "w").where(col("est") >= 300)
+        .select(col("w").as("token"), col("est"), col("n_exact"))
+        .orderBy("token")
+    },
+
+    "p54_bloom_filter" -> { (s, d) =>
+      // Bloom-filter membership pruning: build over 2/3 of customer
+      // names (k=3 hashes into m=4096 bits), probe customers ∪
+      // suppliers; the set-bit table is ≤ m rows and broadcasts, so
+      // the probe side never shuffles — output is the candidate-member
+      // set INCLUDING the filter's deterministic false positives,
+      // which the oracle reproduces bit-for-bit from the same hashes
+      val c = load(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val build = c.where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_name").as("k"))
+      val probe = c.select(col("c_name").as("k"))
+        .unionAll(load(s, d, "supplier").select(col("s_name").as("k")))
+      val bits = Sketches.bloomBuild(build, "k", numBits = 4096, numHashes = 3)
+      val pass = Sketches.bloomProbe(bits, probe, "k", numBits = 4096, numHashes = 3)
+      pass.join(build.distinct().withColumn("in_build", lit(1L)), Seq("k"), "left")
+        .select(col("k").as("name"),
+          coalesce(col("in_build"), lit(0L)).as("in_build"))
+        .orderBy("name")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1029,6 +1068,41 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p53_heavy_hitters" ->
+      """WITH t2 AS (SELECT w FROM (SELECT unnest(
+        |    regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents) WHERE length(w) > 0),
+        |rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |bk AS (SELECT r, ('0x' || substr(md5(w || '#cms' ||
+        |    CAST(r AS VARCHAR)), 1, 8))::UBIGINT % 64 AS b FROM t2, rr),
+        |sk AS (SELECT r, b, count(*) AS cnt FROM bk GROUP BY r, b),
+        |keys AS (SELECT DISTINCT w FROM t2),
+        |kb AS (SELECT w, r, ('0x' || substr(md5(w || '#cms' ||
+        |    CAST(r AS VARCHAR)), 1, 8))::UBIGINT % 64 AS b FROM keys, rr),
+        |est AS (SELECT w, min(cnt) AS est FROM kb JOIN sk USING (r, b)
+        |  GROUP BY w),
+        |ex AS (SELECT w, count(*) AS n_exact FROM t2 GROUP BY w)
+        |SELECT w AS token, CAST(est.est AS BIGINT) AS est,
+        |  CAST(ex.n_exact AS BIGINT) AS n_exact
+        |FROM est JOIN ex USING (w) WHERE est.est >= 300
+        |ORDER BY token""".stripMargin,
+    "p54_bloom_filter" ->
+      """WITH build AS (SELECT DISTINCT c_name AS k FROM customer
+        |  WHERE c_custkey % 3 <> 0),
+        |probe AS (SELECT c_name AS k FROM customer
+        |  UNION SELECT s_name FROM supplier),
+        |rr AS (SELECT unnest(generate_series(0, 2)) AS r),
+        |bits AS (SELECT DISTINCT ('0x' || substr(md5(k || '#bf' ||
+        |    CAST(r AS VARCHAR)), 1, 8))::UBIGINT % 4096 AS bit
+        |  FROM build, rr),
+        |pb AS (SELECT k, r, ('0x' || substr(md5(k || '#bf' ||
+        |    CAST(r AS VARCHAR)), 1, 8))::UBIGINT % 4096 AS pos
+        |  FROM probe, rr),
+        |hit AS (SELECT k, count(DISTINCT r) AS nm FROM pb
+        |  JOIN bits ON pb.pos = bits.bit GROUP BY k)
+        |SELECT k AS name, CAST(CASE WHEN k IN (SELECT k FROM build)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS in_build
+        |FROM hit WHERE nm = 3 ORDER BY name""".stripMargin,
     "p52_hits" ->
       """WITH ed AS (
         |  SELECT DISTINCT src, dst FROM (

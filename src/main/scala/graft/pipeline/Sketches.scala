@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency/membership sketches as pure DataFrame plans —
+  * the approximate-counting leg of the training-data toolkit (heavy
+  * hitters over token streams, set-membership pruning against huge
+  * reference sets). Both sketches hash with the md5-derived 32-bit
+  * recipe the SimHash/LSH kernels use, so an external SQL engine can
+  * recompute every bucket and the oracle gate sees the sketches
+  * bit-for-bit — no "close enough" tolerance.
+  *
+  * Scale shapes: a count-min sketch is d×w counters regardless of key
+  * cardinality — the build is one map-side-combinable aggregation
+  * whose shuffle carries at most d·w rows; a Bloom filter's set-bit
+  * table is at most m rows and broadcast to the probe side, so the
+  * probe never shuffles. Both merge across shards by addition/union,
+  * the property that lets 1000 executors sketch independently.
+  */
+object Sketches {
+
+  /** 32-bit hash from the first 8 md5 hex digits — non-negative, fits
+    * long, and recomputable in any engine with md5 + hex parse.
+    */
+  private def h32(c: Column, salt: String): Column =
+    conv(substring(md5(concat(c, lit(salt))), 1, 8), 16, 10).cast("long")
+
+  /** Count-min sketch build over a key stream (one row = one
+    * occurrence): returns the (r, b, cnt) counter table, depth rows ×
+    * width buckets. Additive: sketches of shards merge by summing
+    * matching counters, which is exactly what the partial/final
+    * aggregate already does.
+    */
+  def countMinBuild(occurrences: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    occurrences
+      .select(posexplode(array((0 until depth).map(r =>
+        h32(col(keyCol), s"#cms$r") % width): _*)).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate a set of keys against a built sketch: est(key) =
+    * min over rows of the key's bucket counter (the classic CM upper
+    * bound; never below the true count). The sketch side is at most
+    * d·w rows — broadcast, so estimation is shuffle-free on the key
+    * side except the final per-key min, which combines map-side.
+    */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val kb = keys.select(col(keyCol).as("__k")).distinct()
+      .select(col("__k"), posexplode(array((0 until depth).map(r =>
+        h32(col("__k"), s"#cms$r") % width): _*)).as(Seq("r", "b")))
+    kb.join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy(col("__k").as(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Bloom filter build: the distinct set-bit table (bit) for the
+    * build keys, k hash positions in [0, m). At most m rows — the
+    * broadcastable form of the bit array (a real deployment packs it
+    * into longs; the row form keeps the plan pure-relational and the
+    * oracle exact, and m rows ≤ a few MB for any practical m).
+    */
+  def bloomBuild(keys: DataFrame, keyCol: String, numBits: Int,
+      numHashes: Int): DataFrame =
+    keys.select(explode(array((0 until numHashes).map(r =>
+      h32(col(keyCol), s"#bf$r") % numBits): _*)).as("bit")).distinct()
+
+  /** Probe: keep the probe keys whose k positions are ALL set — the
+    * candidate-member set (true members plus the filter's deterministic
+    * false positives). Join against the broadcast bit table per
+    * position, then require all numHashes distinct positions matched;
+    * a key hashing two positions onto one bit counts once, hence the
+    * distinct-r count.
+    */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, keyCol: String,
+      numBits: Int, numHashes: Int): DataFrame = {
+    val pb = probes.select(col(keyCol).as("__k")).distinct()
+      .select(col("__k"), posexplode(array((0 until numHashes).map(r =>
+        h32(col("__k"), s"#bf$r") % numBits): _*)).as(Seq("r", "pos")))
+    pb.join(broadcast(bits), pb("pos") === bits("bit"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(countDistinct(col("r")).as("__nm"))
+      .where(col("__nm") === numHashes)
+      .select(keyCol)
+  }
+}

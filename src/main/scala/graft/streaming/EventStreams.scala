@@ -28,6 +28,31 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total"))
 
+  /** Chained time-window aggregations (two stateful operators in one
+    * append-mode query — Spark 3.4+): inner windows aggregate raw
+    * events, then re-aggregate into coarser outer windows keyed by
+    * `window_time` of the inner window (its end − 1µs, the event-time
+    * column a window aggregate emits). The cascade is the rollup shape
+    * long-horizon dashboards need without replaying raw events — the
+    * outer state sees one row per (inner window, type), not one per
+    * event. Inner windows emit once the watermark passes their end;
+    * outer windows emit once it passes THEIR end, which is always
+    * later, so the chain needs no extra delay.
+    */
+  def chainedWindowAgg(events: DataFrame, inner: String, outer: String,
+      watermark: String): DataFrame = {
+    val fine = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), inner), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    fine
+      .groupBy(window(window_time(col("window")), outer), col("event_type"))
+      .agg(sum("n").as("n_events"), max("n").as("max_inner"),
+        count(lit(1)).as("n_inner"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("max_inner"), col("n_inner"))
+  }
+
   /** Sliding-window per-user activity. */
   def slidingUserActivity(events: DataFrame, windowLen: String,
       slide: String, watermark: String): DataFrame =

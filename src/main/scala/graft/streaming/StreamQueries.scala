@@ -181,6 +181,22 @@ object StreamQueries {
     // global watermark is min(max event time per input) - delay; a
     // view emits unmatched iff its window closed strictly below it),
     // so withheld-tail rows are absent on BOTH sides of the compare.
+    "s10_stream_chained_agg" -> { (s, d) =>
+      // Two stateful window aggregations chained in ONE append-mode
+      // query: hourly per-type counts cascade into 6-hour blocks (sum
+      // + max + hour count) — the outer operator's state holds one row
+      // per (hour, type), never raw events. Both sides cut at Jan 28
+      // so emitted-vs-withheld tail windows can't differ; 6-hour
+      // blocks are epoch-aligned in both engines.
+      val res = EventStreams.chainedWindowAgg(
+        eventStream(s, d), "1 hour", "6 hours", "1 hour")
+      runToSink(s, res)
+        .select(expr("unix_micros(w_start) div 1000000").as("w_start_s"),
+          col("event_type"), col("n_events"), col("max_inner"), col("n_inner"))
+        .where(col("w_start_s") < 1706400000L)
+        .orderBy("w_start_s", "event_type")
+    },
+
     "s09_stream_outer_join" -> { (s, d) =>
       val views = eventStream(s, d)
         .where(col("user_id") < 50 && col("event_type") === "view")
@@ -348,6 +364,19 @@ object StreamQueries {
         |  AND click_ts >= imp_ts
         |  AND click_ts <= imp_ts + INTERVAL 10 MINUTE
         |GROUP BY v.user_id ORDER BY 1""".stripMargin,
+    "s10_stream_chained_agg" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |o AS (SELECT (epoch_us(hr) // 1000000 // 21600) * 21600
+        |      AS w_start_s, event_type,
+        |    sum(n) AS n_events, max(n) AS max_inner, count(*) AS n_inner
+        |  FROM h GROUP BY 1, 2)
+        |SELECT w_start_s, event_type, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(max_inner AS BIGINT) AS max_inner,
+        |  CAST(n_inner AS BIGINT) AS n_inner
+        |FROM o WHERE w_start_s < 1706400000
+        |ORDER BY w_start_s, event_type""".stripMargin,
     "s09_stream_outer_join" ->
       """WITH v AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts
         |  FROM events WHERE user_id < 50 AND event_type = 'view'),
