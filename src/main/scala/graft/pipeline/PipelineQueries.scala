@@ -764,6 +764,18 @@ object PipelineQueries {
         .orderBy("name")
     },
 
+    "p55_hll_registers" -> { (s, d) =>
+      // HyperLogLog through the hash-exact gate: the 64-register table
+      // (bucket = low 6 hash bits, register = max leading-zero rank of
+      // the high 26) is pure integer arithmetic both engines compute
+      // identically — the sketch is verified bit-for-bit, the float
+      // estimate derived from it is error-bound-tested in PipelineSpec.
+      // One map-side-combinable aggregation; shuffle ≤ 64 rows/shard.
+      Sketches.hllRegisters(load(s, d, "customer")
+        .select(col("c_name").as("k")), "k", numBuckets = 64)
+        .orderBy("bucket")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1068,6 +1080,14 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p55_hll_registers" ->
+      """WITH h AS (SELECT CAST(('0x' || substr(md5(c_name || '#hll'),
+        |    1, 8))::UBIGINT AS BIGINT) AS hv FROM customer),
+        |br AS (SELECT hv % 64 AS bucket, hv // 64 AS rem FROM h),
+        |rk AS (SELECT bucket, CASE WHEN rem = 0 THEN 27
+        |    ELSE 27 - length(bin(rem)) END AS rank FROM br)
+        |SELECT bucket, CAST(max(rank) AS BIGINT) AS maxrank
+        |FROM rk GROUP BY bucket ORDER BY bucket""".stripMargin,
     "p53_heavy_hitters" ->
       """WITH t2 AS (SELECT w FROM (SELECT unnest(
         |    regexp_split_to_array(lower(text), '\s+')) AS w

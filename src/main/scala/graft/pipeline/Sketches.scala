@@ -66,6 +66,47 @@ object Sketches {
     keys.select(explode(array((0 until numHashes).map(r =>
       h32(col(keyCol), s"#bf$r") % numBits): _*)).as("bit")).distinct()
 
+  /** HyperLogLog register table: bucket = low log2(m) bits of the
+    * 32-bit key hash, rank = leading-zero count of the remaining bits
+    * plus one, register = max rank per bucket. All integer arithmetic
+    * (leading zeros via the minimal binary-string length, identical in
+    * Spark and DuckDB), so the SKETCH itself is oracle-exact — the
+    * float estimate is derived from it afterwards ([[hllEstimate]])
+    * and error-bound-tested instead. Additive: shard registers merge
+    * by per-bucket max, which is what partial/final aggregation
+    * already does; the shuffle carries ≤ m rows per shard. Buckets no
+    * key hashed into are absent (estimate treats them as rank 0).
+    */
+  def hllRegisters(keys: DataFrame, keyCol: String, numBuckets: Int): DataFrame = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two, got $numBuckets")
+    val remBits = 32 - Integer.numberOfTrailingZeros(numBuckets)
+    val h = h32(col(keyCol), "#hll")
+    val rem = (h / numBuckets).cast("long")
+    keys.select((h % numBuckets).as("bucket"),
+      when(rem === 0, lit(remBits + 1))
+        .otherwise(lit(remBits + 1) - length(bin(rem))).cast("long").as("rank"))
+      .groupBy("bucket").agg(max("rank").as("maxrank"))
+  }
+
+  /** Bias-corrected HLL cardinality estimate from a collected register
+    * table (Flajolet et al.'s alpha_m correction + linear counting for
+    * the small range). m registers, absent buckets = rank 0.
+    */
+  def hllEstimate(registers: Seq[(Long, Long)], numBuckets: Int): Double = {
+    val m = numBuckets.toDouble
+    val regs = Array.fill(numBuckets)(0L)
+    registers.foreach { case (b, r) => regs(b.toInt) = r }
+    val alpha =
+      if (numBuckets <= 16) 0.673
+      else if (numBuckets <= 32) 0.697
+      else if (numBuckets <= 64) 0.709
+      else 0.7213 / (1 + 1.079 / m)
+    val raw = alpha * m * m / regs.map(r => math.pow(2.0, -r.toDouble)).sum
+    val zeros = regs.count(_ == 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+
   /** Probe: keep the probe keys whose k positions are ALL set — the
     * candidate-member set (true members plus the filter's deterministic
     * false positives). Join against the broadcast bit table per

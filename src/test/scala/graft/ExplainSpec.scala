@@ -84,6 +84,18 @@ class ExplainSpec extends AnyFunSuite {
     assert(!ep.contains("ScalaUDF"), ep.take(2000))
   }
 
+  test("p53/p54: sketch sides broadcast — probes never shuffle the sketch") {
+    // count-min estimate joins the ≤ d·w counter table broadcast;
+    // Bloom probe joins the ≤ m set-bit table broadcast; neither may
+    // degenerate to a cartesian or shuffle the key side against it
+    val p53 = planOf("p53_heavy_hitters")
+    assert(p53.contains("BroadcastHashJoin"), p53.take(2000))
+    assert(!p53.contains("CartesianProduct"), p53.take(2000))
+    val p54 = planOf("p54_bloom_filter")
+    assert(p54.contains("BroadcastHashJoin"), p54.take(2000))
+    assert(!p54.contains("CartesianProduct"), p54.take(2000))
+  }
+
   test("q02: aggregation is partial+final (map-side combine)") {
     val p = planOf("q02_agg_groupby")
     assert(p.contains("HashAggregate"), p)

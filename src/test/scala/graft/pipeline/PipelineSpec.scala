@@ -105,6 +105,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(Seq(10L, 11L, 12L, 13L).forall(comm(_) == 10L), comm.toString)
   }
 
+  test("HLL register estimate stays within the m=64 error bound") {
+    import spark.implicits._
+    // 1.04/sqrt(64) = 13% standard error; assert 3 sigma
+    for (n <- Seq(500, 5000)) {
+      val keys = (0 until n).map(i => s"key_$i").toDF("k")
+      val regs = Sketches.hllRegisters(keys, "k", 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val est = Sketches.hllEstimate(regs, 64)
+      assert(math.abs(est - n) < 0.39 * n, s"n=$n est=$est")
+    }
+  }
+
   test("HITS agrees with brute-force reference on random digraphs") {
     import spark.implicits._
     for (seed <- Seq(17, 29); iters <- Seq(1, 3)) {
