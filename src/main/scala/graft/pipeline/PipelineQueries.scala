@@ -776,6 +776,33 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    "p56_span_corruption" -> { (s, d) =>
+      // T5-style span-corruption objective prep: deterministic mask
+      // spans (first 3 tokens of every 15) replace with one sentinel
+      // each in the input; targets list sentinel + masked tokens.
+      // Pure array transforms over one materialized token array —
+      // map-side only, NO shuffle: the objective-prep pass at 100 TB
+      // is embarrassingly parallel and this plan keeps it that way
+      val ws = col("__ws")
+      val sentinel = (i: org.apache.spark.sql.Column) => concat(lit("<extra_id_"),
+        ((i - (i % 15)) / 15).cast("int").cast("string"), lit(">"))
+      load(s, d, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("__ws"))
+        .select(col("doc_id"), size(ws).as("n_tokens"),
+          size(filter(sequence(lit(0), size(ws) - 1),
+            i => i % 15 < 3)).as("n_masked"),
+          array_join(filter(transform(sequence(lit(0), size(ws) - 1), i =>
+            when(i % 15 === 0, sentinel(i))
+              .when(i % 15 >= 3, element_at(ws, (i + 1).cast("int")))),
+            x => x.isNotNull), " ").as("input_text"),
+          array_join(filter(transform(sequence(lit(0), size(ws) - 1), i =>
+            when(i % 15 === 0, concat(sentinel(i), lit(" "),
+                element_at(ws, (i + 1).cast("int"))))
+              .when(i % 15 < 3, element_at(ws, (i + 1).cast("int")))),
+            x => x.isNotNull), " ").as("target_text"))
+        .orderBy("doc_id")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1080,6 +1107,22 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p56_span_corruption" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |t0 AS (SELECT doc_id, len(ws) AS n_tokens, ws,
+        |    unnest(generate_series(0, len(ws) - 1)) AS i FROM d),
+        |t AS (SELECT doc_id, n_tokens, i, ws[i + 1] AS tok,
+        |    i % 15 AS m, i // 15 AS k FROM t0)
+        |SELECT doc_id, CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE m < 3) AS BIGINT) AS n_masked,
+        |  string_agg(CASE WHEN m = 0 THEN '<extra_id_' || k || '>'
+        |      WHEN m >= 3 THEN tok END, ' ' ORDER BY i)
+        |    FILTER (WHERE m = 0 OR m >= 3) AS input_text,
+        |  string_agg(CASE WHEN m = 0 THEN '<extra_id_' || k || '> ' || tok
+        |      ELSE tok END, ' ' ORDER BY i)
+        |    FILTER (WHERE m < 3) AS target_text
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p55_hll_registers" ->
       """WITH h AS (SELECT CAST(('0x' || substr(md5(c_name || '#hll'),
         |    1, 8))::UBIGINT AS BIGINT) AS hv FROM customer),

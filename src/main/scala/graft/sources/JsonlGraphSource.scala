@@ -3,10 +3,13 @@ package graft.sources
 import java.util
 import scala.jdk.CollectionConverters._
 
+import java.math.{BigDecimal => JBigDecimal}
+
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,13 +59,110 @@ object JsonlGraphSource {
   }
 }
 
-final class JsonlGraphTable(path: String) extends Table with SupportsRead {
+final class JsonlGraphTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl-graph($path)"
   override def schema(): StructType = JsonlGraphSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonlWriteBuilder(path, info.schema())
+}
+
+/** ForeignScan's write half — the COPY TO / dump-sink analog: each
+  * task streams its partition to one `part-*.jsonl` file (no driver
+  * funnel, the same one-file-per-partition parallelism as the read
+  * side), renders through the engine's jsonb model so output lines
+  * are canonical, and follows the DSv2 commit protocol (task files
+  * are deleted on abort; overwrite-mode truncates the directory on
+  * the driver before tasks launch).
+  */
+final class JsonlWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new JsonlBatchWrite(path, schema, doTruncate)
+  }
+}
+
+final class JsonlBatchWrite(path: String, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
+  private def idx(name: String): Int = {
+    val i = schema.fieldNames.indexOf(name)
+    require(i >= 0, s"graft-jsonl-graph write requires column '$name'; " +
+      s"got ${schema.simpleString}")
+    i
+  }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val (idIdx, propsIdx) = (idx("id"), idx("properties"))
+    require(schema(idIdx).dataType == LongType &&
+      schema(propsIdx).dataType == StringType,
+      s"graft-jsonl-graph write schema must be (id BIGINT, properties " +
+        s"STRING); got ${schema.simpleString}")
+    val dir = new java.io.File(path)
+    if (dir.isFile) throw new IllegalArgumentException(
+      s"graft-jsonl-graph write target is an existing file: $path")
+    dir.mkdirs()
+    if (truncate)
+      dir.listFiles().filter(_.isFile).foreach(_.delete())
+    new JsonlWriterFactory(path, idIdx, propsIdx)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case JsonlCommitMessage(f) => new java.io.File(f).delete()
+      case _ =>
+    }
+}
+
+final case class JsonlCommitMessage(file: String) extends WriterCommitMessage
+
+final class JsonlWriterFactory(path: String, idIdx: Int, propsIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new JsonlDataWriter(
+      s"$path/part-$partitionId-$taskId.jsonl", idIdx, propsIdx)
+}
+
+final class JsonlDataWriter(file: String, idIdx: Int, propsIdx: Int)
+    extends DataWriter[InternalRow] {
+  private lazy val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+  private var any = false
+
+  override def write(row: InternalRow): Unit = {
+    val id = row.getLong(idIdx)
+    val props = Jsonb.parse(row.getUTF8String(propsIdx).toString) match {
+      case JObj(fields) => fields.filterNot(_._1 == "id")
+      case other => throw new IllegalArgumentException(
+        s"graft-jsonl-graph: properties must be a jsonb object, got " +
+          s"${other.getClass.getSimpleName}")
+    }
+    // id leads each line, mirroring the read side's extraction
+    out.write(JObj(("id" -> JNum(new JBigDecimal(id))) +: props).render)
+    out.write("\n")
+    any = true
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    // an empty partition still commits its (empty) file — harmless to
+    // the reader, and keeps commit idempotent
+    if (!any) new java.io.File(file).createNewFile()
+    JsonlCommitMessage(file)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    new java.io.File(file).delete()
+  }
+  override def close(): Unit = ()
 }
 
 final class JsonlScanBuilder(path: String) extends ScanBuilder
