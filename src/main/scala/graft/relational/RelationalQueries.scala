@@ -903,6 +903,60 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // Ordered-sequence funnel (the MATCH_RECOGNIZE/event-pattern
+    // shape): first view, then first click strictly AFTER it, then
+    // first purchase strictly after that — each stage one aggregation
+    // over a stage-filtered semi-join, so the event table streams
+    // through three pruned passes instead of a per-user sort; users
+    // drop out with NULLs at the stage they missed.
+    "q70_funnel" -> { (s, d) =>
+      val e = load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("v_ts")).as("v_us"),
+          unix_micros(col("c_ts")).as("c_us"),
+          unix_micros(col("p_ts")).as("p_us"))
+        .orderBy("user_id")
+    },
+
+    // Keyed snapshot upsert (MERGE INTO semantics as a pure plan —
+    // no table-format dependency): updates overwrite matched keys,
+    // inserts add new keys, tombstones delete. One full-outer join on
+    // the key; at scale both sides shuffle-partition by key once and
+    // the output is the next snapshot — the incremental-maintenance
+    // primitive behind CDC ingestion.
+    "q71_upsert" -> { (s, d) =>
+      val snap = load(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      // deterministic change set derived from orders: key % 7 == 0 →
+      // tombstone; else upsert bal = o_totalprice of the key's max
+      // order (updates existing customers, inserts key+200000)
+      val ch = load(s, d, "orders")
+        .groupBy(col("o_custkey").as("k"))
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice")))
+          .getField("o_totalprice").as("new_bal"))
+        .withColumn("op", when(col("k") % 7 === 0, lit("D")).otherwise(lit("U")))
+        .unionByName(load(s, d, "orders")
+          .groupBy((col("o_custkey") + 200000).as("k"))
+          .agg(max(struct(col("o_orderkey"), col("o_totalprice")))
+            .getField("o_totalprice").as("new_bal"))
+          .withColumn("op", lit("I")).where(col("k") % 7 =!= 0))
+      snap.join(ch, Seq("k"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(col("k"),
+          coalesce(col("new_bal"), col("bal")).cast("double").as("bal"))
+        .orderBy("k")
+    },
+
     // NOT IN 3VL null semantics (§2.2 NullTest / §2.3 anti variants):
     // a NULL in the subquery poisons NOT IN (never TRUE), while the
     // null-free form is a plain null-aware anti join — both counted
@@ -1399,6 +1453,34 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q70_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT v.user_id, epoch_us(v_ts) AS v_us, epoch_us(c_ts) AS c_us,
+        |  epoch_us(p_ts) AS p_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin,
+    "q71_upsert" ->
+      """WITH snap AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |mx AS (SELECT o_custkey, arg_max(o_totalprice, o_orderkey) AS new_bal
+        |  FROM orders GROUP BY 1),
+        |ch AS (
+        |  SELECT o_custkey AS k, new_bal,
+        |    CASE WHEN o_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op FROM mx
+        |  UNION ALL
+        |  SELECT o_custkey + 200000 AS k, new_bal, 'I' FROM mx
+        |  WHERE (o_custkey + 200000) % 7 <> 0)
+        |SELECT coalesce(snap.k, ch.k) AS k,
+        |  CAST(coalesce(ch.new_bal, snap.bal) AS DOUBLE) AS bal
+        |FROM snap FULL OUTER JOIN ch ON snap.k = ch.k
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY k""".stripMargin,
     "q69_window_count_distinct" ->
       """SELECT event_id, user_id,
         |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id) AS INT)
