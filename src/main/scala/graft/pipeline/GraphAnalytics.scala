@@ -253,6 +253,58 @@ object GraphAnalytics {
         coalesce(col("auth"), lit(0L)).as("auth"))
   }
 
+  /** All-pairs BFS distances over an undirected pair relation (u, v),
+    * depth-capped: a MULTI-SOURCE frontier loop — every vertex is a
+    * source simultaneously, so one round of (frontier ⋈ edges) expands
+    * ALL sources' level-k frontiers at once (the per-source loop would
+    * pay the join latency V times; this pays it diameter times). The
+    * frontier carries (s, v) pairs only; the visited set prunes
+    * re-expansion per source, lineage is bounded by localCheckpoint —
+    * the same loop discipline as Algo's BFS. O(V·E) total like any
+    * exact APSP; the depth cap bounds it for large diameters. Returns
+    * (s, v, dist) for s ≠ v with dist ≤ maxDepth.
+    */
+  def allPairsDistances(pairs: DataFrame, maxDepth: Int): DataFrame = {
+    val edges = pairs
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val dir = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
+      .localCheckpoint(true)
+    var frontier = visited
+    var out: DataFrame = null
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(dir, frontier("v") === dir("a"))
+        .select(col("s"), col("b").as("v")).distinct()
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      val lvl = next.withColumn("dist", lit(depth.toLong))
+      out = if (out == null) lvl else out.unionAll(lvl)
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    if (out == null)
+      pairs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("s"), lit(0L).as("v"), lit(0L).as("dist"))
+        .limit(0)
+    else out
+  }
+
+  /** Closeness centrality (unnormalized, component-safe): per vertex
+    * the reachable-vertex count and the exact integer distance sum
+    * within the depth cap — the (n_reach, sum_dist) pair IS the
+    * harmonic/closeness numerator without the float division, so the
+    * oracle gates it bit-for-bit; callers divide at the end.
+    */
+  def closeness(pairs: DataFrame, maxDepth: Int): DataFrame =
+    allPairsDistances(pairs, maxDepth)
+      .groupBy(col("s").as("id"))
+      .agg(count(lit(1)).as("n_reach"), sum("dist").as("sum_dist"))
+
   /** Keep one representative (min id) per duplicate cluster — the
     * GraphX twin of Dedup.keepRepresentatives.
     */

@@ -803,6 +803,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "p57_closeness" -> { (s, d) =>
+      // Closeness centrality via MULTI-SOURCE BFS: every vertex is a
+      // source in the same frontier, so one (frontier ⋈ edges) round
+      // expands all sources' level-k sets at once — diameter joins
+      // total, not V of them; (n_reach, sum_dist) stays integer so
+      // the oracle (recursive-CTE BFS) gates it exactly, callers
+      // divide for the float centrality at the end
+      val sup = load(s, d, "supplier")
+        .select((col("s_suppkey") + 200000).as("u"),
+          (col("s_nationkey") + 1000).as("v"))
+      val nat = load(s, d, "nation")
+        .select((col("n_nationkey") + 1000).as("u"),
+          col("n_regionkey").as("v"))
+      GraphAnalytics.closeness(sup.unionAll(nat), maxDepth = 4).orderBy("id")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1107,6 +1123,21 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p57_closeness" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT 200000 + s_suppkey AS a, 1000 + s_nationkey AS b
+        |  FROM supplier
+        |  UNION ALL SELECT 1000 + n_nationkey, n_regionkey FROM nation),
+        |dd AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        |r AS (
+        |  SELECT a AS s, b AS v, 1 AS d FROM dd
+        |  UNION
+        |  SELECT r.s, dd.b, r.d + 1 FROM r JOIN dd ON r.v = dd.a
+        |  WHERE r.d < 4),
+        |m AS (SELECT s, v, min(d) AS dist FROM r WHERE s <> v GROUP BY s, v)
+        |SELECT s AS id, CAST(count(*) AS BIGINT) AS n_reach,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist
+        |FROM m GROUP BY s ORDER BY id""".stripMargin,
     "p56_span_corruption" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
         |  FROM documents WHERE doc_id < 200),

@@ -117,6 +117,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("allPairsDistances agrees with Floyd-Warshall on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(19, 31)) {
+      val rnd = new java.util.Random(seed)
+      val n = 10
+      val edges = (0 until 18)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val inf = 1 << 20
+      val dist = Array.fill(n, n)(inf)
+      (0 until n).foreach(i => dist(i)(i) = 0)
+      edges.foreach { case (a, b) =>
+        dist(a.toInt)(b.toInt) = 1; dist(b.toInt)(a.toInt) = 1 }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (dist(i)(k) + dist(k)(j) < dist(i)(j))
+          dist(i)(j) = dist(i)(k) + dist(k)(j)
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = (for {
+        s <- verts; v <- verts
+        if s != v && dist(s.toInt)(v.toInt) <= 4
+      } yield (s, v, dist(s.toInt)(v.toInt).toLong)).toSet
+      val got = GraphAnalytics.allPairsDistances(edges.toDF("u", "v"), 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("HITS agrees with brute-force reference on random digraphs") {
     import spark.implicits._
     for (seed <- Seq(17, 29); iters <- Seq(1, 3)) {
