@@ -197,6 +197,20 @@ object StreamQueries {
         .orderBy("w_start_s", "event_type")
     },
 
+    // Streaming sketch maintenance: the HLL register table as a
+    // running COMPLETE-mode aggregate — registers only ever grow
+    // (max is monotone), so the streaming state (one row per bucket,
+    // ≤ m rows total regardless of stream length) is the sketch
+    // itself; after the AvailableNow replay the final state must
+    // equal the batch sketch bit-for-bit, which is the additive-merge
+    // property the batch path relies on, proven through the gate.
+    "s11_stream_hll" -> { (s, d) =>
+      val keyed = eventStream(s, d)
+        .select(concat(lit("user_"), col("user_id")).as("k"))
+      val regs = graft.pipeline.Sketches.hllRegisters(keyed, "k", 64)
+      runToSink(s, regs, mode = "complete").orderBy("bucket")
+    },
+
     "s09_stream_outer_join" -> { (s, d) =>
       val views = eventStream(s, d)
         .where(col("user_id") < 50 && col("event_type") === "view")
@@ -364,6 +378,14 @@ object StreamQueries {
         |  AND click_ts >= imp_ts
         |  AND click_ts <= imp_ts + INTERVAL 10 MINUTE
         |GROUP BY v.user_id ORDER BY 1""".stripMargin,
+    "s11_stream_hll" ->
+      """WITH h AS (SELECT CAST(('0x' || substr(md5('user_' || user_id ||
+        |    '#hll'), 1, 8))::UBIGINT AS BIGINT) AS hv FROM events),
+        |br AS (SELECT hv % 64 AS bucket, hv // 64 AS rem FROM h),
+        |rk AS (SELECT bucket, CASE WHEN rem = 0 THEN 27
+        |    ELSE 27 - length(bin(rem)) END AS rank FROM br)
+        |SELECT bucket, CAST(max(rank) AS BIGINT) AS maxrank
+        |FROM rk GROUP BY bucket ORDER BY bucket""".stripMargin,
     "s10_stream_chained_agg" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
         |    count(*) AS n
