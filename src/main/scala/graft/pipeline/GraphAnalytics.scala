@@ -305,6 +305,73 @@ object GraphAnalytics {
       .groupBy(col("s").as("id"))
       .agg(count(lit(1)).as("n_reach"), sum("dist").as("sum_dist"))
 
+  /** All-pairs shortest-path COUNTS (Brandes' sigma), depth-capped:
+    * the multi-source frontier additionally carries the number of
+    * shortest s⇝v paths — expansions from the level-(d−1) frontier
+    * sum their sigmas per (s, target) BEFORE the visited anti-join,
+    * which is exactly BFS sigma accumulation (a target first reached
+    * at level d collects every level-(d−1) predecessor's count; a
+    * same-level edge can't contribute because its endpoint is already
+    * in visited). Integer-exact. Returns (s, v, dist, sigma), s ≠ v.
+    */
+  def shortestPathCounts(pairs: DataFrame, maxDepth: Int): DataFrame = {
+    val edges = pairs
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val dir = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
+      .localCheckpoint(true)
+    var frontier = visited.withColumn("sigma", lit(1L))
+    var out: DataFrame = null
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(dir, frontier("v") === dir("a"))
+        .groupBy(col("s"), col("b").as("v"))
+        .agg(sum("sigma").as("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      val lvl = next.withColumn("dist", lit(depth.toLong))
+      out = if (out == null) lvl else out.unionAll(lvl)
+      visited = visited.unionAll(next.select("s", "v")).localCheckpoint(true)
+      frontier = next
+    }
+    if (out == null)
+      pairs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("s"), lit(0L).as("v"), lit(0L).as("sigma"),
+          lit(0L).as("dist")).limit(0)
+    else out.select("s", "v", "dist", "sigma")
+  }
+
+  /** Stress centrality: for every vertex v the number of shortest
+    * (s, t) paths passing THROUGH v — the integer-exact member of the
+    * betweenness family (betweenness divides by sigma_st; stress
+    * doesn't, so the oracle can gate it bit-for-bit). Computed as one
+    * self-join of the sigma table: sigma_sv · sigma_vt counts the s⇝t
+    * shortest paths through v exactly when d(s,v) + d(v,t) = d(s,t).
+    * Ordered (s, t) pairs — undirected callers halve. At scale the
+    * sigma table is the expensive artifact (exact APSP is O(V·E));
+    * the standard sampled-source variant is this same plan with the
+    * source set restricted, which the `pairs` input already expresses.
+    */
+  def stressCentrality(pairs: DataFrame, maxDepth: Int): DataFrame = {
+    val sp = shortestPathCounts(pairs, maxDepth).localCheckpoint(true)
+    val sv = sp.select(col("s"), col("v"), col("dist").as("d1"),
+      col("sigma").as("g1"))
+    val sp2 = sp.select(col("s").as("v_mid"), col("v").as("t"),
+      col("dist").as("d2"), col("sigma").as("g2"))
+    val st = sp.select(col("s").as("s3"), col("v").as("t3"),
+      col("dist").as("d3"))
+    sv.join(sp2, sv("v") === sp2("v_mid"))
+      .where(col("s") =!= col("t"))
+      .join(st, col("s") === col("s3") && col("t") === col("t3") &&
+        (col("d1") + col("d2")) === col("d3"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("g1") * col("g2")).as("stress"))
+  }
+
   /** Keep one representative (min id) per duplicate cluster — the
     * GraphX twin of Dedup.keepRepresentatives.
     */

@@ -819,6 +819,28 @@ object PipelineQueries {
       GraphAnalytics.closeness(sup.unionAll(nat), maxDepth = 4).orderBy("id")
     },
 
+    "p58_stress" -> { (s, d) =>
+      // Stress centrality (integer betweenness-family): shortest-path
+      // COUNTS ride the multi-source BFS frontier (per-level sigma
+      // sums before the visited anti-join — Brandes' forward pass),
+      // then one self-join counts s⇝t shortest paths through each v
+      // via sigma_sv·sigma_vt gated on d(s,v)+d(v,t)=d(s,t). The
+      // customer→{nation, region} diamond gives real sigma > 1 (two
+      // 2-hop routes between same-nation-and-region customers), which
+      // the walk-counting recursive-CTE oracle reproduces exactly
+      val cust = load(s, d, "customer").where(col("c_custkey") < 200)
+      val nat = load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val cn = cust.select((col("c_custkey") + 100000).as("u"),
+        (col("c_nationkey") + 1000).as("v"))
+      val cr = cust.join(broadcast(nat),
+          cust("c_nationkey") === nat("n_nationkey"))
+        .select((col("c_custkey") + 100000).as("u"),
+          col("n_regionkey").as("v"))
+      GraphAnalytics.stressCentrality(cn.unionAll(cr), maxDepth = 4)
+        .orderBy("id")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1123,6 +1145,33 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p58_stress" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT 100000 + c_custkey AS a, 1000 + c_nationkey AS b
+        |  FROM customer WHERE c_custkey < 200
+        |  UNION ALL
+        |  SELECT 100000 + c_custkey, n.n_regionkey
+        |  FROM customer JOIN nation n ON c_nationkey = n_nationkey
+        |  WHERE c_custkey < 200),
+        |dd AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        |r AS (
+        |  SELECT a AS s, b AS v, 1 AS d FROM dd
+        |  UNION ALL
+        |  SELECT r.s, dd.b, r.d + 1 FROM r JOIN dd ON r.v = dd.a
+        |  WHERE r.d < 4),
+        |w AS (SELECT s, v, d, count(*) AS walks FROM r GROUP BY s, v, d),
+        |mn AS (SELECT s, v, min(d) AS dist FROM w WHERE s <> v
+        |  GROUP BY s, v),
+        |m AS (SELECT mn.s, mn.v, mn.dist, w.walks AS sigma FROM mn
+        |  JOIN w ON mn.s = w.s AND mn.v = w.v AND mn.dist = w.d)
+        |SELECT m1.v AS id, CAST(sum(m1.sigma * m2.sigma) AS BIGINT)
+        |    AS stress
+        |FROM m m1
+        |JOIN m m2 ON m1.v = m2.s
+        |JOIN m m3 ON m1.s = m3.s AND m2.v = m3.v
+        |  AND m1.dist + m2.dist = m3.dist
+        |WHERE m1.s <> m2.v
+        |GROUP BY m1.v ORDER BY id""".stripMargin,
     "p57_closeness" ->
       """WITH RECURSIVE ed AS (
         |  SELECT 200000 + s_suppkey AS a, 1000 + s_nationkey AS b

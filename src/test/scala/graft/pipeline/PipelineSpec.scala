@@ -144,6 +144,47 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stress centrality agrees with brute-force sigma enumeration") {
+    import spark.implicits._
+    for (seed <- Seq(23, 41)) {
+      val rnd = new java.util.Random(seed)
+      val n = 9
+      val edges = (0 until 16)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // per-source BFS with path counting
+      def bfs(src: Long): Map[Long, (Int, Long)] = {
+        var dist = Map(src -> 0); var sigma = Map(src -> 1L)
+        var frontier = Seq(src); var d = 0
+        while (frontier.nonEmpty && d < 4) {
+          d += 1
+          val contrib = frontier.flatMap(u =>
+            adj.getOrElse(u, Nil).filterNot(dist.contains)
+              .map(_ -> sigma(u)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          frontier = contrib.keys.toSeq
+          dist ++= frontier.map(_ -> d); sigma ++= contrib
+        }
+        dist.collect { case (v, dd) if v != src => v -> (dd, sigma(v)) }
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val sp = verts.map(s => s -> bfs(s)).toMap
+      val want = (for {
+        s <- verts; t <- verts; v <- verts
+        if s != t && v != s && v != t
+        e1 <- sp(s).get(v); e2 <- sp(v).get(t); e3 <- sp(s).get(t)
+        if e1._1 + e2._1 == e3._1
+      } yield v -> e1._2 * e2._2)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val got = GraphAnalytics.stressCentrality(edges.toDF("u", "v"), 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed got=$got want=$want")
+    }
+  }
+
   test("HITS agrees with brute-force reference on random digraphs") {
     import spark.implicits._
     for (seed <- Seq(17, 29); iters <- Seq(1, 3)) {
