@@ -841,6 +841,17 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    "p59_exact_quantiles" -> { (s, d) =>
+      // EXACT distributed quantiles with NO global sort: histogram
+      // pass (map-side combinable, coordinator sees only bucket
+      // counts) locates each quantile's bucket + local rank, a second
+      // pass re-scans just those buckets. Rank = ceil(q·n) — the
+      // percentile_disc convention — so the values gate bit-for-bit
+      // where sketch quantiles could only be tolerance-tested
+      Sketches.exactQuantiles(load(s, d, "documents"), "n_chars",
+        Seq(0.5, 0.9, 0.99), bucketWidth = 64).orderBy("label")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1145,6 +1156,17 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p59_exact_quantiles" ->
+      """SELECT 'p50' AS label, CAST(percentile_disc(0.5)
+        |    WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS value
+        |  FROM documents
+        |UNION ALL
+        |SELECT 'p90', CAST(percentile_disc(0.9)
+        |    WITHIN GROUP (ORDER BY n_chars) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'p99', CAST(percentile_disc(0.99)
+        |    WITHIN GROUP (ORDER BY n_chars) AS BIGINT) FROM documents
+        |ORDER BY label""".stripMargin,
     "p58_stress" ->
       """WITH RECURSIVE ed AS (
         |  SELECT 100000 + c_custkey AS a, 1000 + c_nationkey AS b

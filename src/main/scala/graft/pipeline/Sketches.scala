@@ -107,6 +107,60 @@ object Sketches {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
   }
 
+  /** EXACT quantiles of a long column by two-pass distributed
+    * selection — no global sort, no approximation: pass 1 is one
+    * map-side-combinable histogram over value/bucketWidth buckets
+    * (collected to the coordinator — bounded by the value range over
+    * the bucket width, hundreds of rows, the legitimate driver step of
+    * every distributed selection algorithm); the coordinator walks the
+    * cumulative counts to locate each quantile's bucket and local
+    * rank; pass 2 re-scans ONLY the needed buckets (predicate pushed
+    * to the scan) and resolves exact values from their value counts.
+    * Rank = ceil(q·n), the PG/DuckDB percentile_disc convention, so an
+    * oracle can gate the result bit-for-bit where a t-digest could
+    * only be tolerance-tested. Two scans of the data beat one
+    * full-shuffle sort at any scale where the histogram fits the
+    * coordinator.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+      bucketWidth: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("long").as("x"))
+      .where(col("x").isNotNull)
+    val hist = vals
+      .groupBy((col("x") - pmod(col("x"), lit(bucketWidth))).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    require(n > 0, "exactQuantiles on an empty input")
+    // locate each quantile's bucket + rank within it
+    case class Loc(label: String, bucket: Long, localRank: Long)
+    val locs = qs.map { q =>
+      val k = math.ceil(q * n).toLong.max(1L)
+      var cum = 0L
+      val (b, before) = hist.collectFirst {
+        case (b, c) if { cum += c; cum >= k } => (b, cum - c)
+      }.get
+      Loc(s"p${(q * 100).round}", b, k - before)
+    }
+    val needed = locs.map(_.bucket).distinct
+    val inBucket = vals
+      .where((col("x") - pmod(col("x"), lit(bucketWidth))).isin(needed: _*))
+      .groupBy("x").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val out = locs.map { l =>
+      var cum = 0L
+      val v = inBucket.iterator
+        .filter(t => t._1 - java.lang.Math.floorMod(t._1, bucketWidth) == l.bucket)
+        .collectFirst { case (v, c) if { cum += c; cum >= l.localRank } => v }
+        .get
+      (l.label, v)
+    }
+    out.toDF("label", "value")
+  }
+
   /** Probe: keep the probe keys whose k positions are ALL set — the
     * candidate-member set (true members plus the filter's deterministic
     * false positives). Join against the broadcast bit table per

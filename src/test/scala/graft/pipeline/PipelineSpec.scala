@@ -105,6 +105,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(Seq(10L, 11L, 12L, 13L).forall(comm(_) == 10L), comm.toString)
   }
 
+  test("exactQuantiles equals the sorted-rank reference on random data") {
+    import spark.implicits._
+    for (seed <- Seq(7, 43); n <- Seq(37, 500)) {
+      val rnd = new java.util.Random(seed)
+      // duplicates + skew on purpose: rank arithmetic must not assume
+      // distinct values or uniform buckets
+      val xs = (0 until n).map(_ => (rnd.nextInt(40) * rnd.nextInt(40)).toLong)
+      val qs = Seq(0.5, 0.9, 0.99)
+      val got = Sketches.exactQuantiles(xs.toDF("v"), "v", qs, bucketWidth = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sorted = xs.sorted
+      val want = qs.map(q =>
+        s"p${(q * 100).round}" ->
+          sorted((math.ceil(q * n).toLong.max(1L) - 1).toInt)).toMap
+      assert(got == want, s"seed=$seed n=$n")
+    }
+  }
+
   test("HLL register estimate stays within the m=64 error bound") {
     import spark.implicits._
     // 1.04/sqrt(64) = 13% standard error; assert 3 sigma
