@@ -372,6 +372,30 @@ object GraphAnalytics {
       .agg(sum(col("g1") * col("g2")).as("stress"))
   }
 
+  /** Local clustering coefficient, integer-exact: per vertex the
+    * closed-triangle count and the wedge count deg·(deg−1)/2 — the
+    * coefficient's numerator and denominator WITHOUT the float
+    * division, so the oracle gates both exactly; callers divide at
+    * the end. Reuses the degree-ordered triangle join (O(m^1.5)) and
+    * one degree aggregation; vertices with deg ≥ 2 and no triangle
+    * surface with n_tri = 0 via the left join.
+    */
+  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
+    val canon = pairs
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").count().withColumnRenamed("count", "deg")
+    val tri = triangleCount(
+      canon.select(col("a").as("u"), col("b").as("v")))
+    deg.where(col("deg") >= 2)
+      .join(tri, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedge"))
+  }
+
   /** Keep one representative (min id) per duplicate cluster — the
     * GraphX twin of Dedup.keepRepresentatives.
     */

@@ -852,6 +852,28 @@ object PipelineQueries {
         Seq(0.5, 0.9, 0.99), bucketWidth = 64).orderBy("label")
     },
 
+    "p60_clustering_coeff" -> { (s, d) =>
+      // Local clustering coefficient as the exact integer pair
+      // (n_tri, n_wedge) — numerator and denominator gate separately,
+      // the float ratio is a trailing division. The customer→nation→
+      // region graph WITH nation–region edges closes one triangle per
+      // customer (c,n,r), so nations accumulate n_tri = their customer
+      // count — real non-trivial coefficients on every vertex class
+      val cust = load(s, d, "customer")
+      val nat = load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val cn = cust.select((col("c_custkey") + 100000).as("u"),
+        (col("c_nationkey") + 1000).as("v"))
+      val cr = cust.join(broadcast(nat),
+          cust("c_nationkey") === nat("n_nationkey"))
+        .select((col("c_custkey") + 100000).as("u"),
+          col("n_regionkey").as("v"))
+      val nr = nat.select((col("n_nationkey") + 1000).as("u"),
+        col("n_regionkey").as("v"))
+      GraphAnalytics.clusteringCoefficient(cn.unionAll(cr).unionAll(nr))
+        .orderBy("id")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1156,6 +1178,29 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p60_clustering_coeff" ->
+      """WITH ed0 AS (
+        |  SELECT 100000 + c_custkey AS u, 1000 + c_nationkey AS v
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 100000 + c_custkey, n.n_regionkey
+        |  FROM customer JOIN nation n ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 1000 + n_nationkey, n_regionkey FROM nation),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |  FROM ed0 WHERE u <> v),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tcnt AS (SELECT id, count(*) AS n_tri FROM (
+        |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY id)
+        |SELECT deg.id, CAST(coalesce(tcnt.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS n_wedge
+        |FROM deg LEFT JOIN tcnt USING (id)
+        |WHERE deg.deg >= 2 ORDER BY id""".stripMargin,
     "p59_exact_quantiles" ->
       """SELECT 'p50' AS label, CAST(percentile_disc(0.5)
         |    WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS value

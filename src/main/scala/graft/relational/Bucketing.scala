@@ -31,4 +31,16 @@ object Bucketing {
     spark.table(leftTable)
       .join(spark.table(rightTable), col(leftKey) === col(rightKey))
   }
+
+  /** Hive-style partitioned layout: one directory per key value, so a
+    * key-filtered read never opens the other partitions' files AT ALL
+    * (partition pruning happens in the file index, before any footer
+    * or row group is touched — stronger than min/max skipping). The
+    * right layout for low-cardinality selective columns (source, lang,
+    * date); bucketing remains the layout for high-cardinality join
+    * keys. At 100 TB the two compose: partition by date/source,
+    * bucket by join key within each partition.
+    */
+  def writePartitioned(df: DataFrame, path: String, keys: String*): Unit =
+    df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
 }

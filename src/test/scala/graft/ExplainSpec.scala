@@ -187,6 +187,35 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"), p)
   }
 
+  test("partitioned layout prunes unread partitions before any file opens") {
+    import graft.relational.{Bucketing, Tables}
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Bucketing.writePartitioned(
+      Tables.load(spark, sf, "documents"), s"$dir/docs", "source")
+    val all = spark.read.parquet(s"$dir/docs")
+    val sources = all.select("source").distinct().count()
+    assert(sources > 1) // otherwise pruning proves nothing
+    val one = all.where(org.apache.spark.sql.functions.col("source") === "web")
+    val scan = one.queryExecution.executedPlan.collectLeaves().head
+    val ss = scan.toString
+    // the source predicate lands in PartitionFilters (directory-level
+    // pruning), NOT PushedFilters (row-group skipping)
+    assert(ss.contains("PartitionFilters") &&
+      ss.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("source"), ss)
+    // and the pruned scan reads strictly fewer files than the full one
+    def files(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().head match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+        case other => fail(s"unexpected leaf: $other")
+      }
+    assert(files(one) < files(all))
+    assert(one.count() ==
+      Tables.load(spark, sf, "documents")
+        .where(org.apache.spark.sql.functions.col("source") === "web").count())
+  }
+
   test("bucketed tables join with no exchange and no sort (co-located layout)") {
     import graft.relational.{Bucketing, Tables}
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
