@@ -211,6 +211,23 @@ object StreamQueries {
       runToSink(s, regs, mode = "complete").orderBy("bucket")
     },
 
+    // Streaming top-k: ORDER BY + LIMIT inside a streaming query are
+    // legal ONLY in complete mode (append can't retract an earlier
+    // emission when a new leader appears) — the planner nuance this
+    // query pins down. Deterministic tiebreak on the key, decimal sum.
+    "s12_stream_topk" -> { (s, d) =>
+      val ranked = eventStream(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,4)")).as("total"))
+        .orderBy(col("n").desc, col("event_type"))
+        .limit(3)
+      runToSink(s, ranked, mode = "complete")
+        .select(col("event_type"), col("n"),
+          round(col("total").cast("double"), 2).as("total"))
+        .orderBy("event_type")
+    },
+
     "s09_stream_outer_join" -> { (s, d) =>
       val views = eventStream(s, d)
         .where(col("user_id") < 50 && col("event_type") === "view")
@@ -378,6 +395,12 @@ object StreamQueries {
         |  AND click_ts >= imp_ts
         |  AND click_ts <= imp_ts + INTERVAL 10 MINUTE
         |GROUP BY v.user_id ORDER BY 1""".stripMargin,
+    "s12_stream_topk" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |    AS total
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
     "s11_stream_hll" ->
       """WITH h AS (SELECT CAST(('0x' || substr(md5('user_' || user_id ||
         |    '#hll'), 1, 8))::UBIGINT AS BIGINT) AS hv FROM events),
