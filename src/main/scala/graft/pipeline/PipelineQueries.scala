@@ -874,6 +874,38 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    "p61_repeated_spans" -> { (s, d) =>
+      // Repeated-span extraction (the ExactSubstr-dedup trim list):
+      // 5-gram positions whose gram occurs ≥ 2 times in the corpus
+      // merge into maximal per-doc token spans via gap-islands over
+      // the position sequence. Scale shape: grams hash to 64 bits
+      // BEFORE the shuffle, corpus frequency is a window over the
+      // hash partition (one pass, no self-join), islands are per-doc
+      // windows — nothing pairwise anywhere
+      val W = org.apache.spark.sql.expressions.Window
+      val toks = load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+        .where(size(col("ws")) >= 5)
+      val grams = toks.select(col("doc_id"),
+          posexplode(Dedup.shingles(concat_ws(" ", col("ws")), 5)))
+        .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh"))
+      val rep = grams
+        .withColumn("cf", count(lit(1)).over(W.partitionBy("gh")))
+        .where(col("cf") >= 2)
+      val wd = W.partitionBy("doc_id").orderBy("pos")
+      val isl = rep
+        .withColumn("brk", when(lag("pos", 1).over(wd).isNull ||
+          col("pos") - lag("pos", 1).over(wd) > 1, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(
+          wd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      isl.groupBy("doc_id", "sid")
+        .agg(min("pos").cast("long").as("span_start"),
+          (max("pos") + 4).cast("long").as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select("doc_id", "span_start", "span_end", "n_grams")
+        .orderBy("doc_id", "span_start")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1178,6 +1210,27 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p61_repeated_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0, len(ws) - 5)) AS i
+        |  FROM t WHERE len(ws) >= 5),
+        |g AS (SELECT doc_id, i,
+        |    array_to_string(ws[i + 1:i + 5], ' ') AS gram FROM p0),
+        |cf AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |rep AS (SELECT g.doc_id, g.i FROM g JOIN cf USING (gram)),
+        |mk AS (SELECT doc_id, i, CASE WHEN lag(i) OVER w IS NULL
+        |      OR i - lag(i) OVER w > 1 THEN 1 ELSE 0 END AS brk
+        |  FROM rep WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |isl AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY i ROWS UNBOUNDED PRECEDING) AS sid FROM mk)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+        |  CAST(max(i) + 4 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, sid
+        |ORDER BY doc_id, span_start""".stripMargin,
     "p60_clustering_coeff" ->
       """WITH ed0 AS (
         |  SELECT 100000 + c_custkey AS u, 1000 + c_nationkey AS v
