@@ -906,6 +906,70 @@ object PipelineQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    "p62_profile" -> { (s, d) =>
+      // ANALYZE-style column profiler: one pass over the table emits
+      // the stats a planner/quality gate wants (null counts, exact
+      // distinct, length and value ranges) as a tidy (column, metric,
+      // value) relation. The multi-countDistinct agg plans as one
+      // Expand — acceptable for a profiling pass that runs once per
+      // ingest batch; everything stays integer so the gate is exact
+      val docs = load(s, d, "documents")
+      val a = docs.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1).otherwise(0)).cast("long").as("text_nulls"),
+        countDistinct(col("text")).as("text_distinct"),
+        min(length(col("text"))).cast("long").as("text_min_len"),
+        max(length(col("text"))).cast("long").as("text_max_len"),
+        countDistinct(col("lang")).as("lang_distinct"),
+        countDistinct(col("source")).as("source_distinct"),
+        min(col("n_chars")).as("n_chars_min"),
+        max(col("n_chars")).as("n_chars_max"),
+        min(col("doc_id")).as("doc_id_min"),
+        max(col("doc_id")).as("doc_id_max"))
+      a.select(expr(
+        """stack(11,
+          |'*', 'n_rows', n_rows,
+          |'text', 'n_nulls', text_nulls,
+          |'text', 'n_distinct', text_distinct,
+          |'text', 'min_len', text_min_len,
+          |'text', 'max_len', text_max_len,
+          |'lang', 'n_distinct', lang_distinct,
+          |'source', 'n_distinct', source_distinct,
+          |'n_chars', 'min', n_chars_min,
+          |'n_chars', 'max', n_chars_max,
+          |'doc_id', 'min', doc_id_min,
+          |'doc_id', 'max', doc_id_max) AS (col_name, metric, value)"""
+          .stripMargin))
+        .orderBy("col_name", "metric")
+    },
+
+    "p63_largest_remainder" -> { (s, d) =>
+      // Exact sample-budget apportionment (largest-remainder/Hamilton
+      // method): allocate N=1000 slots across sources proportionally
+      // with NO floating point — base = floor(n·N/total), the leftover
+      // slots go to the largest remainders (n·N mod total), source
+      // tiebreak. The integer arithmetic makes quota allocation
+      // reproducible across engines and runs — what a sampling
+      // coordinator needs before drawing per-source samples
+      val W = org.apache.spark.sql.expressions.Window
+      val n = lit(1000L)
+      val counts = load(s, d, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum("n_docs").cast("long").as("t"))
+      val q = counts.crossJoin(broadcast(tot))
+        .withColumn("base", (col("n_docs") * n - pmod(col("n_docs") * n, col("t"))) / col("t"))
+        .withColumn("base", col("base").cast("long"))
+        .withColumn("rem", pmod(col("n_docs") * n, col("t")))
+      val leftW = W.orderBy(col("rem").desc, col("source"))
+      val totalBase = q.agg(sum("base").cast("long").as("tb"))
+      q.crossJoin(broadcast(totalBase))
+        .withColumn("rk", row_number().over(leftW))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= n - col("tb"), 1L).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("alloc"))
+        .orderBy("source")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1210,6 +1274,44 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p62_profile" ->
+      """SELECT '*' AS col_name, 'n_rows' AS metric,
+        |  CAST(count(*) AS BIGINT) AS value FROM documents
+        |UNION ALL SELECT 'text', 'n_nulls', CAST(sum(CASE WHEN text IS
+        |  NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'text', 'n_distinct',
+        |  CAST(count(DISTINCT text) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'text', 'min_len',
+        |  CAST(min(length(text)) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'text', 'max_len',
+        |  CAST(max(length(text)) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'lang', 'n_distinct',
+        |  CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'source', 'n_distinct',
+        |  CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'n_chars', 'min',
+        |  CAST(min(n_chars) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'n_chars', 'max',
+        |  CAST(max(n_chars) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'doc_id', 'min',
+        |  CAST(min(doc_id) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'doc_id', 'max',
+        |  CAST(max(doc_id) AS BIGINT) FROM documents
+        |ORDER BY col_name, metric""".stripMargin,
+    "p63_largest_remainder" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+        |  GROUP BY source),
+        |t AS (SELECT sum(n_docs) AS t FROM c),
+        |q AS (SELECT source, n_docs, (n_docs * 1000) // t.t AS base,
+        |    (n_docs * 1000) % t.t AS rem FROM c, t),
+        |tb AS (SELECT sum(base) AS tb FROM q),
+        |r AS (SELECT q.source, q.n_docs, q.base, q.rem,
+        |    row_number() OVER (ORDER BY q.rem DESC, q.source) AS rk
+        |  FROM q)
+        |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+        |  CAST(r.base + CASE WHEN r.rk <= 1000 - tb.tb THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r, tb ORDER BY r.source""".stripMargin,
     "p61_repeated_spans" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS ws
