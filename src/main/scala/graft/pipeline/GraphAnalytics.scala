@@ -396,6 +396,42 @@ object GraphAnalytics {
         (col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedge"))
   }
 
+  /** Deterministic "random" walks (node2vec-style corpus sampling
+    * made reproducible): from each source, `steps` transitions where
+    * the next hop is the neighbor minimizing a 32-bit md5-derived hash
+    * of (source, step, current, neighbor) — pseudo-random per
+    * (walk, step) yet bit-reproducible across engines and runs, which
+    * is what a training-data pipeline needs from its walk corpus
+    * (true RNG walks can't be re-verified or resumed). One hash join +
+    * one map-side-combinable min_by per step; walk state is (source,
+    * current) pairs only. Walks stop at sinks (no out-neighbor rows
+    * simply don't extend). Returns (s, step, v) including step 0.
+    */
+  def deterministicWalks(pairs: DataFrame, sources: DataFrame,
+      steps: Int): DataFrame = {
+    val edges = pairs
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val dir = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var cur = sources.select(col("s").cast("long").as("s"))
+      .distinct().withColumn("v", col("s"))
+    var out = cur.withColumn("step", lit(0L))
+    var t = 0
+    while (t < steps) {
+      t += 1
+      val h = conv(substring(md5(concat_ws("#",
+        col("s"), lit(t), col("v"), col("b"))), 1, 8), 16, 10).cast("long")
+      cur = cur.join(dir, cur("v") === dir("a"))
+        .select(col("s"), col("b"), h.as("h"))
+        .groupBy("s")
+        .agg(min_by(col("b"), struct(col("h"), col("b"))).as("v"))
+      out = out.unionAll(cur.withColumn("step", lit(t.toLong)))
+    }
+    out.select("s", "step", "v")
+  }
+
   /** Keep one representative (min id) per duplicate cluster — the
     * GraphX twin of Dedup.keepRepresentatives.
     */

@@ -970,6 +970,23 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    "p64_walks" -> { (s, d) =>
+      // Deterministic node2vec-style walks over the customer↔nation↔
+      // region graph: the next hop minimizes an md5-derived hash of
+      // (source, step, current, neighbor) — pseudo-random but
+      // bit-reproducible, so the walk corpus gates exactly (the oracle
+      // unrolls all 4 steps with a rank-1 window per step)
+      val cust = load(s, d, "customer").where(col("c_custkey") < 100)
+      val cn = cust.select((col("c_custkey") + 100000).as("u"),
+        (col("c_nationkey") + 1000).as("v"))
+      val nr = load(s, d, "nation")
+        .select((col("n_nationkey") + 1000).as("u"),
+          col("n_regionkey").as("v"))
+      val src = cust.select((col("c_custkey") + 100000).as("s"))
+      GraphAnalytics.deterministicWalks(cn.unionAll(nr), src, steps = 4)
+        .orderBy("s", "step")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1274,6 +1291,42 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p64_walks" ->
+      """WITH ed AS (
+        |  SELECT 100000 + c_custkey AS a, 1000 + c_nationkey AS b
+        |  FROM customer WHERE c_custkey < 100
+        |  UNION ALL SELECT 1000 + n_nationkey, n_regionkey FROM nation),
+        |e2 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM ed WHERE a <> b),
+        |dd AS (SELECT a, b FROM e2 UNION ALL SELECT b, a FROM e2),
+        |w0 AS (SELECT DISTINCT 100000 + c_custkey AS s,
+        |    100000 + c_custkey AS v FROM customer WHERE c_custkey < 100),
+        |c1 AS (SELECT s, dd.b, ('0x' || substr(md5(s || '#1#' || v ||
+        |    '#' || dd.b), 1, 8))::UBIGINT AS h
+        |  FROM w0 JOIN dd ON w0.v = dd.a),
+        |w1 AS (SELECT s, b AS v FROM (SELECT s, b, row_number() OVER
+        |    (PARTITION BY s ORDER BY h, b) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s, dd.b, ('0x' || substr(md5(s || '#2#' || v ||
+        |    '#' || dd.b), 1, 8))::UBIGINT AS h
+        |  FROM w1 JOIN dd ON w1.v = dd.a),
+        |w2 AS (SELECT s, b AS v FROM (SELECT s, b, row_number() OVER
+        |    (PARTITION BY s ORDER BY h, b) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s, dd.b, ('0x' || substr(md5(s || '#3#' || v ||
+        |    '#' || dd.b), 1, 8))::UBIGINT AS h
+        |  FROM w2 JOIN dd ON w2.v = dd.a),
+        |w3 AS (SELECT s, b AS v FROM (SELECT s, b, row_number() OVER
+        |    (PARTITION BY s ORDER BY h, b) AS rn FROM c3) WHERE rn = 1),
+        |c4 AS (SELECT s, dd.b, ('0x' || substr(md5(s || '#4#' || v ||
+        |    '#' || dd.b), 1, 8))::UBIGINT AS h
+        |  FROM w3 JOIN dd ON w3.v = dd.a),
+        |w4 AS (SELECT s, b AS v FROM (SELECT s, b, row_number() OVER
+        |    (PARTITION BY s ORDER BY h, b) AS rn FROM c4) WHERE rn = 1)
+        |SELECT s, CAST(0 AS BIGINT) AS step, v FROM w0
+        |UNION ALL SELECT s, 1, v FROM w1
+        |UNION ALL SELECT s, 2, v FROM w2
+        |UNION ALL SELECT s, 3, v FROM w3
+        |UNION ALL SELECT s, 4, v FROM w4
+        |ORDER BY s, step""".stripMargin,
     "p62_profile" ->
       """SELECT '*' AS col_name, 'n_rows' AS metric,
         |  CAST(count(*) AS BIGINT) AS value FROM documents
