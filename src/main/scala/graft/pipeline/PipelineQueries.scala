@@ -987,6 +987,26 @@ object PipelineQueries {
         .orderBy("s", "step")
     },
 
+    "p65_overlap_matrix" -> { (s, d) =>
+      // Cross-source contamination matrix: how many distinct 8-word
+      // PREFIX digests each source pair shares — the dedup diagnostic
+      // that tells you which ingest feeds copy from each other (prefix
+      // digest, not full text: near-dup families share openings long
+      // before they share bytes). Digests-only shuffles (md5 through
+      // the exchange, never text); the self-join runs on the deduped
+      // (source, digest) relation, bounded by sources-per-digest
+      val dg = load(s, d, "documents")
+        .select(col("source"), md5(concat_ws(" ",
+          slice(split(lower(col("text")), "\\s+"), 1, 8))).as("h"))
+        .distinct()
+      val x = dg.select(col("source").as("src_a"), col("h"))
+      val y = dg.select(col("source").as("src_b"), col("h"))
+      x.join(y, "h").where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(countDistinct("h").as("n_shared"))
+        .orderBy("src_a", "src_b")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1291,6 +1311,14 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p65_overlap_matrix" ->
+      """WITH dg AS (SELECT DISTINCT source, md5(array_to_string(
+        |    (regexp_split_to_array(lower(text), '\s+'))[1:8], ' ')) AS h
+        |  FROM documents)
+        |SELECT x.source AS src_a, y.source AS src_b,
+        |  CAST(count(DISTINCT x.h) AS BIGINT) AS n_shared
+        |FROM dg x JOIN dg y ON x.h = y.h AND x.source < y.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p64_walks" ->
       """WITH ed AS (
         |  SELECT 100000 + c_custkey AS a, 1000 + c_nationkey AS b
