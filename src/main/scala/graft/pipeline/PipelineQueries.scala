@@ -1007,6 +1007,27 @@ object PipelineQueries {
         .orderBy("src_a", "src_b")
     },
 
+    "p66_cooccurrence" -> { (s, d) =>
+      // Skip-gram co-occurrence counts (the word2vec/GloVe corpus
+      // primitive): directional (center, context) pairs at offsets 1
+      // and 2, generated map-side by array transforms over one
+      // materialized token array — the only shuffle is the final
+      // count aggregation on the pair keys, which partial-aggregates;
+      // at 100 TB this is the canonical map-side-combine workload
+      val ws = col("__ws")
+      def pairsAt(k: Int) =
+        load(s, d, "documents")
+          .select(split(lower(col("text")), "\\s+").as("__ws"))
+          .where(size(ws) > k)
+          .select(explode(transform(sequence(lit(1), size(ws) - k), i =>
+            struct(element_at(ws, i).as("wa"),
+              element_at(ws, (i + k).cast("int")).as("wb")))).as("p"))
+          .select(col("p.wa"), col("p.wb"))
+      pairsAt(1).unionAll(pairsAt(2))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("wa", "wb")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1311,6 +1332,18 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM smp GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "p66_cooccurrence" ->
+      """WITH t AS (SELECT regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |p0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM t WHERE len(ws) >= 2),
+        |p1 AS (SELECT ws[i] AS wa, ws[i + 1] AS wb FROM p0),
+        |q0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        |  FROM t WHERE len(ws) >= 3),
+        |p2 AS (SELECT ws[i] AS wa, ws[i + 2] AS wb FROM q0),
+        |u AS (SELECT wa, wb FROM p1 UNION ALL SELECT wa, wb FROM p2)
+        |SELECT wa, wb, CAST(count(*) AS BIGINT) AS n_pairs FROM u
+        |GROUP BY wa, wb ORDER BY wa, wb""".stripMargin,
     "p65_overlap_matrix" ->
       """WITH dg AS (SELECT DISTINCT source, md5(array_to_string(
         |    (regexp_split_to_array(lower(text), '\s+'))[1:8], ' ')) AS h
