@@ -253,9 +253,43 @@ final class Builder(
       st = State(joined, st.vars :+ (hidden -> Kind.KJ))
       Vbl(hidden)
     }
+    // shortestpath()/allshortestpaths() in EXPRESSION position
+    // (cypher_shortestpath.sql:31-100): unlike the MATCH-position form,
+    // non-matching rows SURVIVE with a NULL path — so the finder runs
+    // as a correlated match and LEFT-joins back per row.
+    // allshortestpaths yields the path ARRAY (its length() is the
+    // path count, cypher_shortestpath.sql:139).
+    def bindShortestExpr(all: Boolean, p0: PathPattern): Expr = {
+      val hidden = fresh("spx")
+      val rid = s"${hidden}_rid"
+      val tagged = stableRowTag(st.df, rid)
+      val pv = s"${hidden}_p"
+      val p = p0.copy(variable = Some(pv),
+        finder = if (all) PathFinder.AllShortest else PathFinder.Shortest)
+      val inner = buildMatch(State(tagged, st.vars),
+        Match(Seq(p), optional = false, where = None))
+      val paths =
+        if (all)
+          inner.df.groupBy(col(rid).as(s"${hidden}_m"))
+            .agg(collect_list(col(Compiler.q(pv))).as(hidden))
+        else
+          // deterministic representative by edge-id array (at most one
+          // row per rid anyway when both endpoints are bound)
+          inner.df.groupBy(col(rid).as(s"${hidden}_m"))
+            .agg(min_by(col(Compiler.q(pv)),
+              transform(col(Compiler.q(pv)).getField("edges"),
+                e => e.getField("id"))).as(hidden))
+      val joined = tagged
+        .join(paths, col(rid) === col(s"${hidden}_m"), "left")
+        .drop(rid, s"${hidden}_m")
+      st = State(joined, st.vars :+
+        (hidden -> (if (all) Kind.KPL else Kind.KP)))
+      Vbl(hidden)
+    }
     def go(x: Expr): Expr = x match {
       case ExistsPattern(p) => bind(p)
       case SizePattern(p) => bindCount(p)
+      case ShortestPathExpr(all, p) => bindShortestExpr(all, p)
       case And(l, r) => And(go(l), go(r))
       case Or(l, r) => Or(go(l), go(r))
       case Not(v) => Not(go(v))
@@ -265,6 +299,16 @@ final class Builder(
       case BinOp(op, l, r) => BinOp(op, go(l), go(r))
       case CaseExpr(o, w, el) =>
         CaseExpr(o.map(go), w.map { case (a, b) => (go(a), go(b)) }, el.map(go))
+      case Prop(b, k) => Prop(go(b), k)
+      case Index(b, i) => Index(go(b), go(i))
+      case Slice(b, f, t) => Slice(go(b), f.map(go), t.map(go))
+      case ListExpr(items) => ListExpr(items.map(go))
+      case MapExpr(fields) => MapExpr(fields.map { case (k, v) => (k, go(v)) })
+      case UnaryOp(op, v) => UnaryOp(op, go(v))
+      case StrPred(op, l, r) => StrPred(op, go(l), go(r))
+      case InList(v, l, n) => InList(go(v), go(l), n)
+      case ListPred(op, v, l, w) => ListPred(op, v, go(l), go(w))
+      case ListComp(v, l, w, pj) => ListComp(v, go(l), w.map(go), pj.map(go))
       case other => other
     }
     val e2 = go(e) // mutates st per bound pattern — evaluate first

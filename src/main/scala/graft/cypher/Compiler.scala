@@ -14,6 +14,7 @@ object Kind {
   case object KP extends Kind  // path struct(vertices, edges)
   case object KEL extends Kind // VLE edge array<edge struct>
   case object KVL extends Kind // vertex array<vertex struct> (nodes(p))
+  case object KPL extends Kind // path array (allshortestpaths as expression)
   case object KJ extends Kind  // jsonb value (canonical string)
   case object KB extends Kind  // SQL boolean (from comparisons)
 }
@@ -416,6 +417,9 @@ final class Compiler(
       case "length" =>
         a0.kind match {
           case Kind.KP  => CE(J.fromLong(size(a0.col.getField("edges")).cast("long")), KJ)
+          // allshortestpaths-as-expression: length() = path COUNT
+          // (cypher_shortestpath.sql:139 — graphpath[] semantics)
+          case Kind.KPL => CE(J.fromLong(size(a0.col).cast("long")), KJ)
           case Kind.KEL | Kind.KVL => CE(J.fromLong(size(a0.col).cast("long")), KJ)
           case _       => CE(J.fromLong(J.lengthOf(j0)), KJ)
         }

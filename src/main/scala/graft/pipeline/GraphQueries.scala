@@ -193,6 +193,23 @@ object GraphQueries {
         .orderBy("region")
     },
 
+    // shortestpath in EXPRESSION position (cypher_shortestpath.sql:31):
+    // unlike MATCH-position, rows with NO path survive with a NULL
+    // path — length(NULL) is NULL, so customers outside the target
+    // region keep their row with hops NULL, which the oracle's CASE
+    // reproduces exactly
+    "g39_spx_expr" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer), (r:region {name: 'ASIA'})
+          |WHERE c.acctbal > 9900
+          |RETURN c.name AS name,
+          |  length(shortestpath((c)-[:in*..2]->(r))) AS hops""".stripMargin)
+        .select(J.asText(col("name")).as("name"),
+          J.toLong(col("hops")).as("hops"))
+        .orderBy("name")
+    },
+
     // dijkstra inside MATCH (SURVEY §3.4, nodeDijkstra.c): cheapest
     // weighted path per (source, target) pair; on the chain graph the
     // unique path costs 2 with unit weights, so the relational oracle
@@ -774,6 +791,13 @@ object GraphQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY region""".stripMargin,
+    "g39_spx_expr" ->
+      """SELECT c_name AS name,
+        |  CASE WHEN r_name = 'ASIA' THEN CAST(2 AS BIGINT) END AS hops
+        |FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_acctbal > 9900 ORDER BY name""".stripMargin,
     "g08_dijkstra" ->
       """SELECT r_name AS region, CAST(2 AS BIGINT) AS hops, count(*) AS n
         |FROM customer

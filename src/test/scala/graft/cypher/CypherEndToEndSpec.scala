@@ -430,6 +430,64 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(one.count() == 1)
   }
 
+  test("cypher_shortestpath.sql line-graph matrix: expression vs MATCH position") {
+    // reference cypher_shortestpath.sql:27-100 — the semantic split:
+    // shortestpath() in EXPRESSION position preserves non-matching
+    // (p, f) rows with a NULL path (the reference's ids() helper
+    // renders them {}), while MATCH x = shortestpath(...) FILTERS
+    // them. Line graph 1->2->3->4->5->6, p fixed at 3.
+    val s = freshSession()
+    s.createGraph("spline")
+    s.createVLabel("person"); s.createELabel("knows")
+    s.cypher(
+      """CREATE (:person {id: 1})-[:knows]->(:person {id: 2})-[:knows]->
+        |(:person {id: 3})-[:knows]->(:person {id: 4})-[:knows]->
+        |(:person {id: 5})-[:knows]->(:person {id: 6})""".stripMargin)
+    def ids(q: String): Seq[String] =
+      s.cypher(q).collect().map(r =>
+        Option(r.getString(0)).getOrElse("null")).toSeq.sorted
+    // single-hop, both endpoints bound: direct edge vs no edge
+    assert(ids("""MATCH (p:person), (f:person) WHERE p.id = 3 AND f.id = 4
+      RETURN [v IN nodes(shortestpath((p)-[:knows]->(f))) | v.id] AS ids""")
+      == Seq("[3, 4]"))
+    assert(ids("""MATCH (p:person), (f:person) WHERE p.id = 3 AND f.id = 5
+      RETURN [v IN nodes(shortestpath((p)-[:knows]->(f))) | v.id] AS ids""")
+      == Seq("null"))
+    // expression position over ALL f: row per f, NULL where no path
+    assert(ids("""MATCH (p:person), (f:person) WHERE p.id = 3
+      RETURN [v IN nodes(shortestpath((p)<-[:knows]-(f))) | v.id] AS ids""")
+      == Seq("[3, 2]", "null", "null", "null", "null", "null"))
+    assert(ids("""MATCH (p:person), (f:person) WHERE p.id = 3
+      RETURN [v IN nodes(shortestpath((p)-[:knows*]->(f))) | v.id] AS ids""")
+      == Seq("[3, 4, 5, 6]", "[3, 4, 5]", "[3, 4]",
+        "null", "null", "null"))
+    assert(ids("""MATCH (p:person), (f:person) WHERE p.id = 3
+      RETURN [v IN nodes(shortestpath((p)<-[:knows*]-(f))) | v.id] AS ids""")
+      == Seq("[3, 2, 1]", "[3, 2]", "null", "null", "null", "null"))
+    // MATCH position: non-matching rows are dropped
+    assert(ids("""MATCH (p:person), (f:person), x = shortestpath((p)<-[:knows*]-(f))
+      WHERE p.id = 3
+      RETURN [v IN nodes(x) | v.id] AS ids""")
+      == Seq("[3, 2, 1]", "[3, 2]"))
+    assert(ids("""MATCH (p:person), (f:person), x = shortestpath((p)-[:knows*]->(f))
+      WHERE p.id = 3
+      RETURN [v IN nodes(x) | v.id] AS ids""")
+      == Seq("[3, 4, 5, 6]", "[3, 4, 5]", "[3, 4]"))
+    // endpoints declared inline in the path pattern
+    assert(ids("""MATCH x = shortestpath((p:person)-[:knows*]->(f:person))
+      WHERE p.id = 3
+      RETURN [v IN nodes(x) | v.id] AS ids""")
+      == Seq("[3, 4, 5, 6]", "[3, 4, 5]", "[3, 4]"))
+    // allshortestpaths as EXPRESSION returns the path array; length()
+    // is the path COUNT (cypher_shortestpath.sql:136-142: a second
+    // 2-hop route 3->x->5 makes two 4-hop undirected paths 1..5)
+    s.cypher("""MATCH (p:person), (f:person) WHERE p.id = 3 AND f.id = 5
+      CREATE (p)-[:knows]->(:person {id: 60})-[:knows]->(f)""")
+    assert(ids("""MATCH (p:person), (f:person) WHERE p.id = 1 AND f.id = 5
+      RETURN length(allshortestpaths((p)-[:knows*]-(f))) AS cnt""")
+      == Seq("2"))
+  }
+
   test("F2: zero-length shortestpath on orphan vertices (cypher_shortestpath2 'Orphan')") {
     // cypher_shortestpath2.sql:298-305 — vertices with no edges:
     // `*0..` with o1=o2 returns the single-vertex path, `*1..` nothing,
