@@ -471,7 +471,8 @@ final class Compiler(
       case "sign" => numFn(signum)
       case "sqrt" => numFn(sqrt)
       case "exp" => numFn(exp)
-      case "log" => numFn(log(_))
+      // AG249: log() == ln() (natural log, openCypher semantics)
+      case "log" | "ln" => numFn(log(_))
       case "log10" => numFn(log10)
       case "sin" => numFn(sin)
       case "cos" => numFn(cos)

@@ -488,6 +488,21 @@ class CypherEndToEndSpec extends AnyFunSuite {
       == Seq("2"))
   }
 
+  test("cypher_func.sql AG249: log == ln, string coercion, log10 distinct") {
+    val s = freshSession()
+    s.createGraph("fng"); s.createVLabel("numbers")
+    s.cypher("CREATE (:numbers {string: '10', numeric: 10})")
+    val r = s.cypher(
+      """MATCH (u:numbers)
+        |RETURN log(u.string) AS a, ln(u.numeric) AS b,
+        |  log(u.numeric) AS c, log10(u.numeric) AS d""".stripMargin).first()
+    // log() is the NATURAL log (the reference renamed it per AG249),
+    // numeric strings coerce like PG casts them
+    assert(r.getString(0) == r.getString(1) && r.getString(1) == r.getString(2))
+    assert(r.getString(0).startsWith("2.302585"), r.getString(0))
+    assert(r.getString(3).toDouble == 1.0, r.getString(3))
+  }
+
   test("F2: zero-length shortestpath on orphan vertices (cypher_shortestpath2 'Orphan')") {
     // cypher_shortestpath2.sql:298-305 — vertices with no edges:
     // `*0..` with o1=o2 returns the single-vertex path, `*1..` nothing,
@@ -572,6 +587,10 @@ class CypherEndToEndSpec extends AnyFunSuite {
     // label() returns own label; labels() the DAG closure
     val df3 = s.cypher("MATCH (n:only d) RETURN label(n) AS l, labels(n) AS ls")
     assert(rows(df3) == Seq(Seq("\"d\"", "[\"d\", \"b\", \"a\", \"c\"]")))
+    // labels(n)[i] indexes the closure (cypher_func.sql:31-44)
+    val df4 = s.cypher(
+      "MATCH (n:only d) RETURN labels(n)[0] AS l0, labels(n)[1] AS l1")
+    assert(rows(df4) == Seq(Seq("\"d\"", "\"b\"")))
   }
 
   test("ORDER BY aggregate expression (ORDER BY count(*))") {
