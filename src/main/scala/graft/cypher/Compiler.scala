@@ -523,6 +523,24 @@ final class Compiler(
         CE(J.fromLong((unix_millis(current_timestamp()))), KJ)
       case "startnode" | "endnode" =>
         throw new IllegalArgumentException(s"$name() requires builder support (join)")
+      case other if Compiler.sessionFnExists(other) =>
+        // SQL/user-function interop (§2.11; reference: any pg_proc
+        // function is callable from a Cypher expression — the plpgsql
+        // UDFs of cypher_plpgsql.sql and the ids() helper of
+        // cypher_shortestpath.sql:11-24 are driven exactly this way).
+        // PG casts jsonb arguments to the function's declared argtypes;
+        // the Spark analog sends each argument in its astext form
+        // (string → unquoted text, number/bool → literal text,
+        // container → json text) and lets Catalyst's implicit input
+        // casts coerce to the UDF's declared parameter types. The
+        // result folds back into jsonb space through to_json +
+        // canonical normalize (the same door the scalar SQL sublink
+        // uses); SQL NULL results stay SQL NULL (Cypher has no
+        // 'null'::jsonb — parse_cypher_expr.c:11-19).
+        val natives = args.map(x => J.asText(toJ(compile(x))))
+        val res = call_udf(other, natives: _*)
+        val jres = J.head(graft.expr.JsonbNormalize.normalize(to_json(array(res))))
+        CE(when(res.isNotNull, jres), KJ)
       case other =>
         throw new IllegalArgumentException(s"unknown function: $other")
     }
@@ -589,6 +607,20 @@ object Compiler {
   val aggFns: Set[String] = Set("count", "sum", "avg", "min", "max",
     "collect", "stdev", "stdevp")
   val boolFns: Set[String] = Set()
+
+  /** Does the active session's FunctionRegistry (temporary/user UDFs
+    * or catalog functions — NOT the Cypher builtin surface, which is
+    * matched first) resolve this name? Gates the UDF-interop
+    * fallback in compileFn so genuinely unknown names still error
+    * with PG's "unknown function" wording. Builtin Spark functions
+    * are reachable too, mirroring the reference where any pg_proc
+    * entry is callable from Cypher.
+    */
+  def sessionFnExists(name: String): Boolean =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      spark.catalog.functionExists(name)
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   def q(name: String): String = s"`$name`"
 

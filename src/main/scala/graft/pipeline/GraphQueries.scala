@@ -758,6 +758,25 @@ object GraphQueries {
           J.toLong(col("n_parts")).as("n_parts"),
           J.asText(col("top_nation")).as("top_nation"))
         .orderBy("name")
+    },
+
+    // Cypher invoking a session-registered UDF (§2.11 — the
+    // cypher_plpgsql.sql interop direction: any function the session
+    // registry resolves is callable from a Cypher expression, the way
+    // any pg_proc entry is callable in the reference). Arguments cross
+    // from jsonb to the UDF's declared Scala types via astext +
+    // Catalyst's implicit input casts; the result folds back to jsonb.
+    // The oracle replicates the UDF body in plain SQL.
+    "g40_udf_interop" -> { (sp, d) =>
+      val s = session(sp, d)
+      sp.udf.register("vip_tag",
+        (nm: String, bal: Double) => if (bal >= 9950.0) nm.toLowerCase else nm)
+      s.cypher(
+        """MATCH (c:customer) WHERE c.acctbal > 9900
+          |RETURN c.name AS name, vip_tag(c.name, c.acctbal) AS tag""".stripMargin)
+        .select(J.asText(col("name")).as("name"),
+          J.asText(col("tag")).as("tag"))
+        .orderBy("name")
     }
   )
 
@@ -843,6 +862,11 @@ object GraphQueries {
       """SELECT 'corpus' AS name,
         |  (SELECT count(*) FROM part) AS n_parts,
         |  (SELECT max(n_name) FROM nation) AS top_nation""".stripMargin,
+    "g40_udf_interop" ->
+      """SELECT c_name AS name,
+        |  CASE WHEN c_acctbal >= 9950 THEN lower(c_name)
+        |       ELSE c_name END AS tag
+        |FROM customer WHERE c_acctbal > 9900 ORDER BY name""".stripMargin,
     "g12_undirected" ->
       """SELECT nation, count(*) AS degree FROM (
         |  SELECT n_name AS nation FROM nation

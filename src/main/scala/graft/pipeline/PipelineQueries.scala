@@ -1028,6 +1028,85 @@ object PipelineQueries {
         .orderBy("wa", "wb")
     },
 
+    "p67_bm25" -> { (s, d) =>
+      // BM25 top-k retrieval — the sparse lexical retrieval primitive
+      // for corpus mining / RAG-style training-data selection. The
+      // query set broadcasts and the posting build is pruned by the
+      // query vocabulary BEFORE any shuffle (corpus cost ∝ matching
+      // postings, not corpus size); ranking on the rounded score with
+      // a doc-id tiebreak keeps cross-engine ln() ulps from flipping
+      // order.
+      val sp = s
+      import sp.implicits._
+      val queries = Seq((0L, "spark join window"),
+        (1L, "slow fast table value")).toDF("qid", "qtext")
+      TextOps.bm25TopK(load(s, d, "documents"), "doc_id", "text",
+          queries, "qid", "qtext", k = 10)
+        .orderBy("qid", "rank")
+    },
+
+    "p68_pmi" -> { (s, d) =>
+      // PMI-scored collocations over the adjacent-pair corpus (the
+      // phrase-mining / word2vec-preprocessing primitive): pmi =
+      // ln(c_ab·N / (c_a·c_b)) with marginals drawn from the same
+      // pair table, count floor 5, top-20 by the ROUNDED score with a
+      // pair tiebreak. One pair-count shuffle; the marginals are
+      // vocabulary-sized aggregates of it (Catalyst broadcasts them
+      // while they fit) and N is a broadcast scalar.
+      val ws = col("__ws")
+      val pairs = load(s, d, "documents")
+        .select(split(lower(col("text")), "\\s+").as("__ws"))
+        .where(size(ws) > 1)
+        .select(explode(transform(sequence(lit(1), size(ws) - 1), i =>
+          struct(element_at(ws, i).as("wa"),
+            element_at(ws, (i + 1).cast("int")).as("wb")))).as("p"))
+        .select(col("p.wa"), col("p.wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("n_ab"))
+      val ca = pairs.groupBy("wa").agg(sum("n_ab").as("n_a"))
+      val cb = pairs.groupBy("wb").agg(sum("n_ab").as("n_b"))
+      val tot = pairs.agg(sum("n_ab").as("n_tot"))
+      pairs.join(ca, "wa").join(cb, "wb").crossJoin(broadcast(tot))
+        .where(col("n_ab") >= 5)
+        .withColumn("pmi", round(log(
+          (col("n_ab") * col("n_tot")).cast("double") /
+            (col("n_a") * col("n_b"))), 6))
+        .orderBy(col("pmi").desc, col("wa"), col("wb"))
+        .limit(20)
+        .select(col("wa"), col("wb"), col("n_ab"), col("pmi"))
+    },
+
+    "p69_dsir" -> { (s, d) =>
+      // DSIR-style importance weighting (Xie et al. 2023, data
+      // selection via importance resampling, unigram form): score each
+      // raw document by its per-token log-likelihood ratio under a
+      // Laplace-smoothed target language model (target = src0 docs)
+      // vs the raw-corpus model, then keep the top-20. One token
+      // shuffle builds BOTH models (conditional sums in the same
+      // aggregate); the scoring pass re-joins tokens against the
+      // vocabulary-sized ratio table (broadcast while it fits) and
+      // combines map-side. Rounded score + doc-id tiebreak keeps the
+      // selection engine-portable.
+      val toks = load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+      val lm = toks.groupBy("w").agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c_t"))
+      val consts = lm.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"),
+        count(lit(1)).as("v"))
+      val scored = toks.join(lm, "w").crossJoin(broadcast(consts))
+        .withColumn("llr", log(
+          ((col("c_t") + 1L) * (col("n_r") + col("v"))).cast("double") /
+            ((col("c_r") + 1L) * (col("n_t") + col("v")))))
+        .groupBy("doc_id")
+        .agg(first(col("source")).as("source"),
+          count(lit(1)).as("n_toks"),
+          round(sum("llr") / count(lit(1)), 6).as("score"))
+      scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("source"), col("n_toks"), col("score"))
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1344,6 +1423,72 @@ object PipelineQueries {
         |u AS (SELECT wa, wb FROM p1 UNION ALL SELECT wa, wb FROM p2)
         |SELECT wa, wb, CAST(count(*) AS BIGINT) AS n_pairs FROM u
         |GROUP BY wa, wb ORDER BY wa, wb""".stripMargin,
+    "p67_bm25" ->
+      """WITH q(qid, qtext) AS (VALUES (0, 'spark join window'),
+        |                             (1, 'slow fast table value')),
+        |toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |qt AS (SELECT DISTINCT qid,
+        |    unnest(regexp_split_to_array(lower(qtext), '\s+')) AS term
+        |  FROM q),
+        |tf AS (SELECT doc_id, term, count(*) AS n_t FROM t2
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM t2
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |sc AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(ln((CAST(n_docs AS DOUBLE) - df_t + 0.5)
+        |        / (df_t + 0.5) + 1.0)
+        |      * n_t * (1.2 + 1.0)
+        |      / (n_t + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+        |  JOIN dfq USING (term) CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id),
+        |r AS (SELECT qid, doc_id, score, row_number() OVER
+        |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT qid, rank, doc_id, score FROM r
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "p68_pmi" ->
+      """WITH t AS (SELECT regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |p0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM t WHERE len(ws) >= 2),
+        |pr AS (SELECT ws[i] AS wa, ws[i + 1] AS wb, count(*) AS n_ab
+        |  FROM p0 GROUP BY 1, 2),
+        |ca AS (SELECT wa, sum(n_ab) AS n_a FROM pr GROUP BY wa),
+        |cb AS (SELECT wb, sum(n_ab) AS n_b FROM pr GROUP BY wb),
+        |tot AS (SELECT sum(n_ab) AS n_tot FROM pr)
+        |SELECT wa, wb, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(ln(CAST(n_ab * n_tot AS DOUBLE) / (n_a * n_b)), 6)
+        |    AS pmi
+        |FROM pr JOIN ca USING (wa) JOIN cb USING (wb) CROSS JOIN tot
+        |WHERE n_ab >= 5
+        |ORDER BY pmi DESC, wa, wb LIMIT 20""".stripMargin,
+    "p69_dsir" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE length(w) > 0),
+        |lm AS (SELECT w, count(*) AS c_r,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_t
+        |  FROM t2 GROUP BY w),
+        |consts AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t,
+        |    count(*) AS v FROM lm),
+        |sc AS (SELECT doc_id, any_value(source) AS source,
+        |    count(*) AS n_toks,
+        |    round(sum(ln(CAST((c_t + 1) * (n_r + v) AS DOUBLE)
+        |      / ((c_r + 1) * (n_t + v)))) / count(*), 6) AS score
+        |  FROM t2 JOIN lm USING (w) CROSS JOIN consts
+        |  GROUP BY doc_id)
+        |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks, score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "p65_overlap_matrix" ->
       """WITH dg AS (SELECT DISTINCT source, md5(array_to_string(
         |    (regexp_split_to_array(lower(text), '\s+'))[1:8], ' ')) AS h

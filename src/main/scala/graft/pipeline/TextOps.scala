@@ -125,6 +125,57 @@ object TextOps {
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** BM25 top-k retrieval (Robertson–Spärck Jones with Lucene's
+    * +1-smoothed idf: ln((N - df + 0.5)/(df + 0.5) + 1)) — the sparse
+    * lexical retrieval primitive for corpus mining and RAG-style
+    * training-data selection. Scale shape: the query set (≪ corpus)
+    * broadcasts, and the posting build is pruned by the query
+    * VOCABULARY before any shuffle — only (doc, query-term) rows ever
+    * leave the scan, so corpus cost is proportional to matching
+    * postings, not corpus size; document length stats are one narrow
+    * map-side-combinable aggregate. Ranking uses the ROUNDED score
+    * with a doc-id tiebreak so cross-engine libm ulps in ln() can't
+    * flip order (tfidfTopK's discipline).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    // doc length + corpus stats come from ALL tokens (one narrow agg);
+    // everything term-shaped is restricted to the query vocabulary first
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val qterms = queries
+      .select(col(qidCol), explode(split(lower(col(qtextCol)), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+    val qvocab = qterms.select("term").distinct()
+    val toksQ = toks.join(broadcast(qvocab), Seq("term"))
+    val tf = toksQ.groupBy(idCol, "term").agg(count(lit(1)).as("n_t"))
+    val dfreq = toksQ.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df_t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("score").desc, col(idCol))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, idCol)
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df_t") + 0.5) /
+          (col("df_t") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * col("n_t") * (k1 + 1.0) /
+          (col("n_t") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(qidCol, idCol)
+      .agg(round(sum("contrib"), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("score"))
+  }
+
   /** Zipf-rank rarity scoring: rank the corpus vocabulary by frequency
     * (1 = most frequent, ties by word), then score each document by
     * its words' ranks — mean rank (higher = rarer diction), hapax

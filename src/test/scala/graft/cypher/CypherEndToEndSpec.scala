@@ -867,4 +867,35 @@ class CypherEndToEndSpec extends AnyFunSuite {
         |        FROM (SELECT 1 AS x UNION ALL SELECT 2 AS x)) AS m""".stripMargin))
       == Seq(Seq("2")))
   }
+
+  // §2.11 UDF interop — Cypher invoking session-registered functions,
+  // the cypher_plpgsql.sql direction (user functions callable from
+  // Cypher expressions, like any pg_proc entry in the reference).
+  test("session-registered UDFs are callable from Cypher expressions") {
+    val s = agens
+    // string UDF over a property (astext arg conversion unquotes)
+    spark.udf.register("shout", (x: String) => x.toUpperCase + "!")
+    assert(rows(s.cypher(
+      """MATCH (g:repo {name: 'agens-graph'})
+        |RETURN shout(g.name) AS n""".stripMargin))
+      == Seq(Seq("\"AGENS-GRAPH!\"")))
+    // numeric arg: jsonb number → astext → implicit cast to Long
+    spark.udf.register("next_year", (y: Long) => y + 1)
+    assert(rows(s.cypher(
+      """MATCH (g:repo {name: 'agens-graph'})
+        |RETURN next_year(g.year) AS y""".stripMargin))
+      == Seq(Seq("2017")))
+    // WHERE position: jsonb result participates in comparisons
+    assert(s.cypher(
+      """MATCH (g:repo) WHERE next_year(g.year) = 2017
+        |RETURN g.name AS n""".stripMargin).count() == 2)
+    // NULL result stays SQL NULL (no 'null'::jsonb)
+    spark.udf.register("maybe", (x: String) => if (x == "no") x else null)
+    assert(rows(s.cypher("RETURN maybe('yes') AS m")) == Seq(Seq(null)))
+    // unknown names still error with PG's wording
+    val err = intercept[Exception] {
+      s.cypher("RETURN definitely_not_registered_fn(1) AS x").collect()
+    }
+    assert(err.getMessage.contains("unknown function"))
+  }
 }
