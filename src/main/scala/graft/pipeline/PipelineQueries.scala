@@ -1107,6 +1107,99 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("n_toks"), col("score"))
     },
 
+    "p70_bpe_merges" -> { (s, d) =>
+      // Word-level BPE-style merge mining (the tokenizer-training
+      // loop): each round counts adjacent token pairs corpus-wide,
+      // takes the most frequent pair (count desc, pair asc tiebreak)
+      // as the round's merge, and applies it with a literal replace
+      // over a '|'-delimited token string — left-to-right
+      // non-overlapping, the same rule in both engines, so the merge
+      // table reproduces exactly. The merge table IS the model
+      // artifact: one bounded scalar (the winning pair) reaches the
+      // driver per round, like quantizer training; the corpus passes
+      // stay distributed and map-side.
+      def pairCounts(df: DataFrame) = df
+        .select(split(col("t"), "\\|").as("ws"))
+        .where(size(col("ws")) > 1)
+        .select(explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("wa"),
+            element_at(col("ws"), (i + 1).cast("int")).as("wb")))).as("p"))
+        .select(col("p.wa"), col("p.wb"))
+        .where(length(col("wa")) > 0 && length(col("wb")) > 0)
+        .groupBy("wa", "wb").agg(count(lit(1)).as("n_pairs"))
+      var txt = load(s, d, "documents").select(
+        concat(lit("|"),
+          regexp_replace(lower(col("text")), "\\s+", "|"), lit("|")).as("t"))
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (r <- 1 to 3) {
+        val w = pairCounts(txt)
+          .orderBy(col("n_pairs").desc, col("wa"), col("wb"))
+          .limit(1).collect()(0)
+        val (wa, wb, n) = (w.getString(0), w.getString(1), w.getLong(2))
+        merges += ((r, wa, wb, n))
+        txt = txt.select(call_function("replace", col("t"),
+          lit(s"|$wa|$wb|"), lit(s"|$wa+$wb|")).as("t"))
+      }
+      val sp = s
+      import sp.implicits._
+      merges.toSeq.toDF("round", "wa", "wb", "n_pairs")
+    },
+
+    "p71_mad_filter" -> { (s, d) =>
+      // MAD robust outlier gate (median absolute deviation — the
+      // length-outlier filter that, unlike mean±kσ, a few giant docs
+      // can't drag): med and mad come from the two-pass exact
+      // selection machinery (p59 — the coordinator sees bucket
+      // histograms only, never values), the gate |x − med| > 3·mad is
+      // all integer arithmetic, and the per-source rollup partial-
+      // aggregates map-side.
+      val docs = load(s, d, "documents")
+      def medianOf(df: DataFrame, c: String): Long =
+        Sketches.exactQuantiles(df, c, Seq(0.5), 64).collect()(0).getLong(1)
+      val m = medianOf(docs, "n_chars")
+      val mad = medianOf(docs.select(abs(col("n_chars") - m).as("dev")), "dev")
+      docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(abs(col("n_chars") - m) > 3 * mad, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .withColumn("med", lit(m))
+        .withColumn("mad", lit(mad))
+        .orderBy("source")
+    },
+
+    "p72_drift" -> { (s, d) =>
+      // Per-source distribution drift (grouped Kolmogorov–Smirnov):
+      // bucket doc lengths, evaluate each source's CDF against the
+      // corpus CDF on the dense source×bucket grid, and report the
+      // max gap. The KS numerator |cs·N − ca·ns| stays INTEGER (one
+      // division at the end), so the statistic is engine-exact up to
+      // the final rounding. All windows run over the bucket grid
+      // (buckets × sources — bounded), never over rows.
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(s, d, "documents")
+      val sb = docs
+        .select(col("source"), floor(col("n_chars") / lit(100.0)).cast("long").as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("c"))
+      val filled = sb.select("source").distinct()
+        .crossJoin(sb.select("b").distinct())
+        .join(sb, Seq("source", "b"), "left")
+        .na.fill(0L, Seq("c"))
+      val cum = filled.withColumn("cs",
+        sum("c").over(Window.partitionBy("source").orderBy("b")))
+      val totS = filled.groupBy("source").agg(sum("c").as("ns"))
+      val allB = filled.groupBy("b").agg(sum("c").as("cb"))
+        .withColumn("ca", sum("cb").over(Window.orderBy("b")))
+      val tot = docs.agg(count(lit(1)).as("n_all"))
+      cum.join(allB.select("b", "ca"), "b")
+        .join(totS, "source").crossJoin(broadcast(tot))
+        .withColumn("num", abs(col("cs") * col("n_all") - col("ca") * col("ns")))
+        .groupBy("source")
+        .agg(first("ns").as("n_docs"),
+          round(max("num").cast("double") /
+            (first("ns") * first("n_all")), 6).as("drift"))
+        .orderBy("source")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1489,6 +1582,74 @@ object PipelineQueries {
         |  GROUP BY doc_id)
         |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks, score
         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "p70_bpe_merges" ->
+      """WITH t0 AS (SELECT '|' || array_to_string(
+        |    regexp_split_to_array(lower(text), '\s+'), '|') || '|' AS t
+        |  FROM documents),
+        |s0 AS (SELECT string_split(t, '|') AS ws FROM t0),
+        |i0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM s0 WHERE len(ws) >= 2),
+        |pc0 AS (SELECT ws[i] AS wa, ws[i + 1] AS wb, count(*) AS n
+        |  FROM i0 WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0
+        |  GROUP BY 1, 2),
+        |w1 AS (SELECT wa, wb, n FROM pc0 ORDER BY n DESC, wa, wb LIMIT 1),
+        |t1 AS (SELECT replace(t, '|' || wa || '|' || wb || '|',
+        |    '|' || wa || '+' || wb || '|') AS t FROM t0 CROSS JOIN w1),
+        |s1 AS (SELECT string_split(t, '|') AS ws FROM t1),
+        |i1 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM s1 WHERE len(ws) >= 2),
+        |pc1 AS (SELECT ws[i] AS wa, ws[i + 1] AS wb, count(*) AS n
+        |  FROM i1 WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0
+        |  GROUP BY 1, 2),
+        |w2 AS (SELECT wa, wb, n FROM pc1 ORDER BY n DESC, wa, wb LIMIT 1),
+        |t2 AS (SELECT replace(t, '|' || wa || '|' || wb || '|',
+        |    '|' || wa || '+' || wb || '|') AS t FROM t1 CROSS JOIN w2),
+        |s2 AS (SELECT string_split(t, '|') AS ws FROM t2),
+        |i2 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM s2 WHERE len(ws) >= 2),
+        |pc2 AS (SELECT ws[i] AS wa, ws[i + 1] AS wb, count(*) AS n
+        |  FROM i2 WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0
+        |  GROUP BY 1, 2),
+        |w3 AS (SELECT wa, wb, n FROM pc2 ORDER BY n DESC, wa, wb LIMIT 1)
+        |SELECT 1 AS round, wa, wb, CAST(n AS BIGINT) AS n_pairs FROM w1
+        |UNION ALL
+        |SELECT 2, wa, wb, CAST(n AS BIGINT) FROM w2
+        |UNION ALL
+        |SELECT 3, wa, wb, CAST(n AS BIGINT) FROM w3
+        |ORDER BY round""".stripMargin,
+    "p71_mad_filter" ->
+      """WITH m AS (SELECT percentile_disc(0.5)
+        |    WITHIN GROUP (ORDER BY n_chars) AS med FROM documents),
+        |md AS (SELECT percentile_disc(0.5)
+        |    WITHIN GROUP (ORDER BY abs(n_chars - med)) AS mad,
+        |    any_value(med) AS med FROM documents CROSS JOIN m)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN abs(n_chars - med) > 3 * mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(any_value(med) AS BIGINT) AS med,
+        |  CAST(any_value(mad) AS BIGINT) AS mad
+        |FROM documents CROSS JOIN md
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "p72_drift" ->
+      """WITH sb AS (SELECT source, n_chars // 100 AS b, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT s.source, bb.b
+        |  FROM (SELECT DISTINCT source FROM sb) s
+        |  CROSS JOIN (SELECT DISTINCT b FROM sb) bb),
+        |f AS (SELECT g.source, g.b, coalesce(sb.c, 0) AS c
+        |  FROM grid g LEFT JOIN sb ON sb.source = g.source AND sb.b = g.b),
+        |cum AS (SELECT source, b,
+        |    sum(c) OVER (PARTITION BY source ORDER BY b) AS cs FROM f),
+        |ts AS (SELECT source, sum(c) AS ns FROM f GROUP BY source),
+        |ab AS (SELECT b, sum(cb) OVER (ORDER BY b) AS ca
+        |  FROM (SELECT b, sum(c) AS cb FROM f GROUP BY b)),
+        |n AS (SELECT count(*) AS n_all FROM documents)
+        |SELECT cum.source, CAST(any_value(ns) AS BIGINT) AS n_docs,
+        |  round(CAST(max(abs(cs * n_all - ca * ns)) AS DOUBLE)
+        |    / (any_value(ns) * any_value(n_all)), 6) AS drift
+        |FROM cum JOIN ab USING (b) JOIN ts ON ts.source = cum.source
+        |CROSS JOIN n
+        |GROUP BY cum.source ORDER BY cum.source""".stripMargin,
     "p65_overlap_matrix" ->
       """WITH dg AS (SELECT DISTINCT source, md5(array_to_string(
         |    (regexp_split_to_array(lower(text), '\s+'))[1:8], ' ')) AS h
