@@ -305,6 +305,43 @@ object GraphAnalytics {
       .groupBy(col("s").as("id"))
       .agg(count(lit(1)).as("n_reach"), sum("dist").as("sum_dist"))
 
+  /** Strongly connected components by mutual reachability: one
+    * multi-source DIRECTED reachability closure (the allPairsDistances
+    * frontier discipline — (s,v) pairs only, visited anti-join
+    * pruning, checkpoint-bounded lineage), then scc(v) = min{u : u⇝v
+    * and v⇝u} via a self-join of the closure against its swap. Exact;
+    * like any exact transitive closure it is O(V²) worst-case — the
+    * depth cap bounds the loop, and the practical at-scale use
+    * (collapsing cycles in a mostly-DAG link graph) stays near-linear
+    * because DAG-part reachability prunes via the visited anti-join.
+    * Input (u, v) directed edges; output (vertex, scc) with scc = the
+    * component's minimum vertex id.
+    */
+  def stronglyConnected(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val dir = edges.select(col("u").as("a"), col("v").as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val verts = dir.select(col("a").as("x"))
+      .unionAll(dir.select(col("b").as("x"))).distinct()
+    var visited = verts.select(col("x").as("s"), col("x").as("v"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(dir, frontier("v") === dir("a"))
+        .select(col("s"), col("b").as("v")).distinct()
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    val swap = visited.select(col("v").as("s2"), col("s").as("v2"))
+    visited.join(swap,
+        visited("s") === col("s2") && visited("v") === col("v2"))
+      .select(col("s").as("vertex"), col("v").as("peer"))
+      .groupBy("vertex").agg(min("peer").as("scc"))
+  }
+
   /** All-pairs shortest-path COUNTS (Brandes' sigma), depth-capped:
     * the multi-source frontier additionally carries the number of
     * shortest s⇝v paths — expansions from the level-(d−1) frontier

@@ -1200,6 +1200,59 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    "p73_scc" -> { (s, d) =>
+      // Strongly connected components by mutual reachability over a
+      // DIRECTED graph: each region's nations form a directed ring
+      // (one SCC per region) and customers point into their nation
+      // (DAG part → singleton SCCs). One multi-source directed
+      // closure + a self-join against its swap; scc id = component
+      // minimum. Reported as the component size histogram.
+      import org.apache.spark.sql.expressions.Window
+      val nr = load(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("k"), col("n_regionkey").as("r"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("r").orderBy("k")))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("r")))
+      val ring = nr.alias("a").join(nr.alias("b"),
+          col("a.r") === col("b.r") &&
+            col("b.rn") === pmod(col("a.rn"), col("a.cnt")) + 1)
+        .select((col("a.k") + 100L).as("u"), (col("b.k") + 100L).as("v"))
+      val ce = load(s, d, "customer").where(col("c_custkey") < 50)
+        .select((col("c_custkey") + 10000L).as("u"),
+          (col("c_nationkey") + 100L).as("v"))
+      GraphAnalytics.stronglyConnected(ring.unionAll(ce), maxDepth = 8)
+        .groupBy("scc").agg(count(lit(1)).as("n_members"))
+        .orderBy("scc")
+    },
+
+    "p74_preference_pairs" -> { (s, d) =>
+      // DPO/RLHF preference-pair construction: per source, pair the
+      // i-th best document (quality desc, id tiebreak) with the i-th
+      // worst (quality asc, id), keep pairs with a quality gap ≥ 0.3.
+      // The quality score is p09's engine-exact formula; both rank
+      // windows sort only within sources and the join key is
+      // (source, i) — pairs-only shuffles.
+      import org.apache.spark.sql.expressions.Window
+      val q = load(s, d, "documents").select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("q"))
+      val top = q.select(col("source"), col("doc_id").as("chosen_id"),
+          col("q").as("q_c"))
+        .withColumn("i", row_number().over(Window.partitionBy("source")
+          .orderBy(col("q_c").desc, col("chosen_id"))))
+        .where(col("i") <= 3)
+      val bot = q.select(col("source"), col("doc_id").as("rejected_id"),
+          col("q").as("q_r"))
+        .withColumn("i", row_number().over(Window.partitionBy("source")
+          .orderBy(col("q_r").asc, col("rejected_id"))))
+        .where(col("i") <= 3)
+      top.join(bot, Seq("source", "i"))
+        .withColumn("gap", round(col("q_c") - col("q_r"), 2))
+        .where(col("gap") >= 0.3)
+        .select(col("source"), col("i").as("pair_rank"),
+          col("chosen_id"), col("rejected_id"), col("gap"))
+        .orderBy("source", "pair_rank")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1650,6 +1703,56 @@ object PipelineQueries {
         |FROM cum JOIN ab USING (b) JOIN ts ON ts.source = cum.source
         |CROSS JOIN n
         |GROUP BY cum.source ORDER BY cum.source""".stripMargin,
+    "p73_scc" ->
+      """WITH RECURSIVE nr AS (SELECT n_nationkey AS k, n_regionkey AS r,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS rn,
+        |    count(*) OVER (PARTITION BY n_regionkey) AS cnt FROM nation),
+        |ring AS (SELECT a.k + 100 AS u, b.k + 100 AS v FROM nr a
+        |  JOIN nr b ON a.r = b.r AND b.rn = (a.rn % a.cnt) + 1),
+        |ce AS (SELECT c_custkey + 10000 AS u, c_nationkey + 100 AS v
+        |  FROM customer WHERE c_custkey < 50),
+        |e AS (SELECT u, v FROM ring WHERE u <> v
+        |  UNION ALL SELECT u, v FROM ce),
+        |verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),
+        |reach AS (
+        |  SELECT x AS s, x AS v FROM verts
+        |  UNION
+        |  SELECT r2.s, e.v FROM reach r2 JOIN e ON r2.v = e.u),
+        |mut AS (SELECT a.s AS vertex, a.v AS peer
+        |  FROM reach a JOIN reach b ON a.s = b.v AND a.v = b.s),
+        |sccs AS (SELECT vertex, min(peer) AS scc FROM mut GROUP BY vertex)
+        |SELECT scc, CAST(count(*) AS BIGINT) AS n_members FROM sccs
+        |GROUP BY scc ORDER BY scc""".stripMargin,
+    "p74_preference_pairs" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    regexp_split_to_array(text, '\s+') AS ws,
+        |    greatest(length(text), 1) AS n FROM documents),
+        |m AS (SELECT doc_id, source,
+        |    len(list_filter(ws, w -> w IN
+        |      ('the','a','of','and','to','in','is')))::DOUBLE
+        |      / greatest(len(ws), 1) AS swr,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / n AS pr,
+        |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE / n AS dr,
+        |    length(text) AS lt FROM t),
+        |qd AS (SELECT doc_id, source,
+        |    round((CASE WHEN lt BETWEEN 100 AND 10000 THEN 0.4
+        |         WHEN lt >= 20 THEN 0.2 ELSE 0.0 END)
+        |    + (CASE WHEN pr <= 0.1 THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN dr <= 0.2 THEN 0.1 ELSE 0.0 END)
+        |    + (CASE WHEN swr >= 0.05 THEN 0.2 ELSE 0.0 END), 2) AS q
+        |  FROM m),
+        |top AS (SELECT source, doc_id AS chosen_id, q AS q_c,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY q DESC, doc_id) AS i FROM qd),
+        |bot AS (SELECT source, doc_id AS rejected_id, q AS q_r,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY q ASC, doc_id) AS i FROM qd)
+        |SELECT source, i AS pair_rank, chosen_id, rejected_id,
+        |  round(q_c - q_r, 2) AS gap
+        |FROM top JOIN bot USING (source, i)
+        |WHERE i <= 3 AND round(q_c - q_r, 2) >= 0.3
+        |ORDER BY source, pair_rank""".stripMargin,
     "p65_overlap_matrix" ->
       """WITH dg AS (SELECT DISTINCT source, md5(array_to_string(
         |    (regexp_split_to_array(lower(text), '\s+'))[1:8], ' ')) AS h

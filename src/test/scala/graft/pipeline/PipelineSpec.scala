@@ -336,6 +336,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("SCC matches brute-force Tarjan on random digraphs") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 14
+      val edges = (0 until 30).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // brute-force: mutual reachability via Floyd–Warshall closure
+      val reach = Array.fill(n, n)(false)
+      for (i <- 0 until n) reach(i)(i) = true
+      edges.foreach { case (u, v) => reach(u.toInt)(v.toInt) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = verts.map { v =>
+        v -> verts.filter(u =>
+          reach(u.toInt)(v.toInt) && reach(v.toInt)(u.toInt)).min
+      }.toMap
+      val got = GraphAnalytics.stronglyConnected(
+          edges.toDF("u", "v"), maxDepth = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("GraphX PageRank over the order graph ranks hub customers") {
     import spark.implicits._
     // star: customer 1 receives from 4 orders; 2 from 1
