@@ -1253,6 +1253,67 @@ object PipelineQueries {
         .orderBy("source", "pair_rank")
     },
 
+    "p75_copurchase" -> { (s, d) =>
+      // Bipartite projection (co-purchase graph): parts co-ordered by
+      // the same customer, weight = customer count — the recsys
+      // item-item co-occurrence primitive. The self-join is keyed on
+      // the customer, so its blow-up is bounded per key by basket
+      // size (the standard co-occurrence bound; at web scale you cap
+      // the basket); the id-ordered pair halves the output, and the
+      // pair count partial-aggregates.
+      val cp = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(load(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      cp.alias("x").join(cp.alias("y"),
+          col("x.c") === col("y.c") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_cust").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+
+    "p76_markov_transitions" -> { (s, d) =>
+      // First-order Markov transition matrix over per-user event
+      // sequences (the behavior-modeling / next-event-prediction
+      // primitive): lead() within (user ORDER BY ts, event_id), one
+      // pair-count shuffle, row-normalized probabilities with the
+      // per-state total from a bounded (|states|²) window.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy("cur")
+      tr.withColumn("prob",
+          round(col("n").cast("double") / sum("n").over(tot), 6))
+        .orderBy("cur", "nxt")
+        .select(col("cur"), col("nxt"), col("n"), col("prob"))
+    },
+
+    "p77_retention" -> { (s, d) =>
+      // Retention-cohort triangle: users bucket into their first-seen
+      // day, activity re-counts at each day offset ≤ 7 — the
+      // engagement dashboard primitive. Two aggregations ((user, day)
+      // distinct, then cohort min) and one count-distinct rollup;
+      // everything keys on user or (cohort, offset).
+      val days = load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohort = days.groupBy("user_id").agg(min("day").as("cohort"))
+      days.join(cohort, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+        .where(col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "day_offset")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -1753,6 +1814,34 @@ object PipelineQueries {
         |FROM top JOIN bot USING (source, i)
         |WHERE i <= 3 AND round(q_c - q_r, 2) >= 0.3
         |ORDER BY source, pair_rank""".stripMargin,
+    "p75_copurchase" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT x.p AS pa, y.p AS pb, count(*) AS n_cust
+        |FROM cp x JOIN cp y ON x.c = y.c AND x.p < y.p
+        |GROUP BY 1, 2
+        |ORDER BY n_cust DESC, pa, pb LIMIT 20""".stripMargin,
+    "p76_markov_transitions" ->
+      """WITH tr AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |cnt AS (SELECT cur, nxt, count(*) AS n FROM tr
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY cur), 6) AS prob
+        |FROM cnt ORDER BY cur, nxt""".stripMargin,
+    "p77_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort FROM ud
+        |  GROUP BY user_id)
+        |SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+        |  count(DISTINCT ud.user_id) AS n_users
+        |FROM ud JOIN ch USING (user_id)
+        |WHERE date_diff('day', cohort, day) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p65_overlap_matrix" ->
       """WITH dg AS (SELECT DISTINCT source, md5(array_to_string(
         |    (regexp_split_to_array(lower(text), '\s+'))[1:8], ' ')) AS h

@@ -129,6 +129,16 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("p67: bm25 prunes postings by the broadcast query vocabulary, no UDFs") {
+    val p = planOf("p67_bm25")
+    // the corpus token stream meets the query vocabulary in a
+    // broadcast join BEFORE any aggregation exchange — corpus cost is
+    // proportional to matching postings, not corpus size
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("q63: interval join broadcasts the window table (event side never shuffles)") {
     val p = planOf("q63_interval_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
