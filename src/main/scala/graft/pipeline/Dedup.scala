@@ -56,6 +56,56 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
   }
 
+  /** EXACT set-similarity join by prefix filtering (the AllPairs/
+    * PPJoin family, Chaudhuri et al. / Xiao et al.): order each word
+    * set by GLOBAL document frequency (rarest first); any pair with
+    * Jaccard ≥ tNum/tDen must share a token inside each side's
+    * (n − ceil(t·n) + 1)-token prefix, so candidates come from a keyed
+    * join on PREFIX tokens only and the exact Jaccard verifies within
+    * candidates. Unlike MinHash-LSH this has recall 1.0 BY THEOREM
+    * while still avoiding the all-pairs product; rare-first ordering
+    * keeps the candidate posting lists short (the token a pair is
+    * found under is its rarest shared one). The threshold is a
+    * RATIONAL (tNum/tDen) so prefix lengths and the verify filter stay
+    * in integer arithmetic — no float-ceil boundary can cost a pair.
+    * Scale shape: one vocab count, one per-doc sorted-set build,
+    * prefix explode (id + short token), candidate dedup, sets re-join
+    * for the verify.
+    */
+  def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__id"), explode(wordSet(col(textCol))).as("w"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("f"))
+    val sets = toks.join(freq, "w")
+      .groupBy("__id")
+      .agg(transform(sort_array(collect_list(struct(col("f"), col("w")))),
+          x => x.getField("w")).as("ws"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(true) // prefix + both verify sides read it
+    // prefixLen = n - ceil(t·n) + 1, all-integer (exact in doubles)
+    val prefixLen = (col("n") -
+      floor((lit(tNum) * col("n") + (tDen - 1)) / lit(tDen)) + 1).cast("int")
+    val pre = sets.select(col("__id"),
+      explode(slice(col("ws"), lit(1), prefixLen)).as("w"))
+    val cand = pre.select(col("__id").as("da"), col("w"))
+      .join(pre.select(col("__id").as("db"), col("w")), Seq("w"))
+      .where(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val sa = sets.select(col("__id").as("da"), col("ws").as("wsa"),
+      col("n").as("na"))
+    val sb = sets.select(col("__id").as("db"), col("ws").as("wsb"),
+      col("n").as("nb"))
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("inter",
+        size(array_intersect(col("wsa"), col("wsb"))).cast("long"))
+      // integer threshold test: inter/(na+nb-inter) >= tNum/tDen
+      .where(col("inter") * tDen >= lit(tNum) * (col("na") + col("nb") - col("inter")))
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jac"))
+  }
+
   /** MinHash signatures: numPerm permutations approximated by seeded
     * xxhash64 min-aggregation over shingles (explode -> groupBy doc ->
     * numPerm min() columns; fully map-side-combinable).

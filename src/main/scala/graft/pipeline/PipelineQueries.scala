@@ -1314,6 +1314,18 @@ object PipelineQueries {
         .orderBy("cohort", "day_offset")
     },
 
+    "p78_ppjoin" -> { (s, d) =>
+      // EXACT set-similarity join by prefix filtering (AllPairs/
+      // PPJoin): recall 1.0 by the prefix theorem — the oracle is the
+      // very same brute-force Jaccard SQL p02 gates against, so the
+      // candidate-pruned join must reproduce the all-pairs output
+      // bit-for-bit. The rational threshold (9/10) keeps prefix
+      // lengths and the verify filter in integer arithmetic.
+      Dedup.ppjoinPairs(load(s, d, "documents").where(col("doc_id") < 200),
+          "doc_id", "text", 9, 10)
+        .orderBy("da", "db")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -2172,6 +2184,7 @@ object PipelineQueries {
         |WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
     "p02_dedup_jaccard" -> jaccardPairsSql,
     "p03_dedup_minhash_lsh" -> jaccardPairsSql,
+    "p78_ppjoin" -> jaccardPairsSql,
     "p04_dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t

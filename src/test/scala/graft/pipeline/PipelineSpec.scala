@@ -336,6 +336,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("prefix-filtered ppjoin equals brute-force jaccard exactly") {
+    val docs = graft.relational.Tables.load(spark, sf, "documents")
+      .where(col("doc_id") < 120)
+    val bf = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pp = Dedup.ppjoinPairs(docs, "doc_id", "text", 4, 5)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp == bf) // recall 1.0 by the prefix theorem, precision by verify
+  }
+
   test("SCC matches brute-force Tarjan on random digraphs") {
     import spark.implicits._
     for (seed <- Seq(3, 17, 41)) {
