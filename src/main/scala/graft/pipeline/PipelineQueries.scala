@@ -1326,6 +1326,84 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p79_water_filling" -> { (s, d) =>
+      // Exact integer water-filling: spend a global token budget (60%
+      // of the corpus) across sources, capping heavy sources at the
+      // common water level so light sources keep everything — the
+      // mixture-balancing primitive (the allocation DoReMi/temperature
+      // mixes need once weights become integer sample counts). The
+      // water level comes from the monotone prefix test (pre_i +
+      // (cnt−i)·n_i ≤ B is prefix-closed on the n-sorted source
+      // table); slack spreads one unit each to the largest capped
+      // sources. All windows run over the per-source table (bounded
+      // by source cardinality) and every quantity is integer, so the
+      // allocation reproduces bit-for-bit.
+      import org.apache.spark.sql.expressions.Window
+      val tok = load(s, d, "documents").groupBy("source")
+        .agg(sum("n_chars").as("n"))
+      val bud = tok.agg(floor(sum("n") * 3 / lit(5.0)).cast("long").as("bud"))
+      val cnts = tok.agg(count(lit(1)).as("cnt"), max("n").as("nmax"))
+      val w = Window.orderBy(col("n"), col("source"))
+      val withOk = tok.crossJoin(broadcast(bud)).crossJoin(broadcast(cnts))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("pre", sum("n").over(w))
+        .withColumn("ok",
+          col("pre") + (col("cnt") - col("i")) * col("n") <= col("bud"))
+      val sel = withOk.agg(
+        coalesce(max(when(col("ok"), col("i"))), lit(0L)).as("jmax"),
+        coalesce(max(when(col("ok"), col("pre"))), lit(0L)).as("prefix"))
+      val capped = withOk.crossJoin(broadcast(sel))
+        .withColumn("cap",
+          when(col("jmax") === col("cnt"), col("nmax"))
+            .otherwise(floor((col("bud") - col("prefix")).cast("double") /
+              (col("cnt") - col("jmax"))).cast("long")))
+        .withColumn("alloc0", least(col("n"), col("cap")))
+      val baseSum = capped.agg(sum("alloc0").as("base_sum"))
+      val lw = Window.orderBy(col("n").desc, col("source"))
+      capped.crossJoin(broadcast(baseSum))
+        .withColumn("leftover", col("bud") - col("base_sum"))
+        .withColumn("r", row_number().over(lw).cast("long"))
+        .withColumn("alloc", col("alloc0") +
+          when(col("n") > col("cap") && col("r") <= col("leftover"), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("n").as("n_tokens"), col("alloc"))
+        .orderBy("source")
+    },
+
+    "p80_bigram_surprise" -> { (s, d) =>
+      // Add-one-smoothed bigram LM scoring — the n-gram upgrade of
+      // p69's unigram model (fluency-aware quality/novelty signal):
+      // P(b|a) = (c2+1)/(c1+V), per-doc mean negative log-prob. One
+      // pair-count shuffle + one unigram shuffle build the model;
+      // scoring re-joins doc bigrams against the count tables
+      // (vocabulary-sized, broadcast while they fit) and combines
+      // map-side.
+      val ws = col("__ws")
+      val base = load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("__ws"))
+        .where(size(ws) > 1)
+      val bg = base.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(ws) - 1), i =>
+            struct(element_at(ws, i).as("wa"),
+              element_at(ws, (i + 1).cast("int")).as("wb")))).as("p"))
+        .select(col("doc_id"), col("p.wa"), col("p.wb"))
+      val c2 = bg.groupBy("wa", "wb").agg(count(lit(1)).as("c2"))
+      val uni = load(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+      val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+      val v = uni.agg(countDistinct("w").as("v"))
+      bg.join(c2, Seq("wa", "wb"))
+        .join(c1.withColumnRenamed("w", "wa"), "wa")
+        .crossJoin(broadcast(v))
+        .withColumn("nlp", log(
+          (col("c1") + col("v")).cast("double") / (col("c2") + 1L)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum("nlp") / count(lit(1)), 6).as("surprise"))
+        .orderBy("doc_id")
+    },
+
     "p49_ann_ivfpq" -> { (s, d) =>
       // Composed IVF×PQ — the billion-vector index shape: subspace-0
       // codes double as coarse cells, queries probe their 4 nearest
@@ -2185,6 +2263,49 @@ object PipelineQueries {
     "p02_dedup_jaccard" -> jaccardPairsSql,
     "p03_dedup_minhash_lsh" -> jaccardPairsSql,
     "p78_ppjoin" -> jaccardPairsSql,
+    "p79_water_filling" ->
+      """WITH tok AS (SELECT source, sum(n_chars) AS n FROM documents
+        |  GROUP BY source),
+        |c AS (SELECT count(*) AS cnt, max(n) AS nmax,
+        |  (sum(n) * 3) // 5 AS bud FROM tok),
+        |b AS (SELECT source, n,
+        |    row_number() OVER (ORDER BY n, source) AS i,
+        |    sum(n) OVER (ORDER BY n, source) AS pre FROM tok),
+        |o AS (SELECT b.*, cnt, nmax, bud,
+        |    (pre + (cnt - i) * n <= bud) AS ok FROM b CROSS JOIN c),
+        |sel AS (SELECT coalesce(max(CASE WHEN ok THEN i END), 0) AS jmax,
+        |    coalesce(max(CASE WHEN ok THEN pre END), 0) AS prefix FROM o),
+        |cp AS (SELECT o.*, CASE WHEN jmax = cnt THEN nmax
+        |    ELSE (bud - prefix) // (cnt - jmax) END AS cap
+        |  FROM o CROSS JOIN sel),
+        |al AS (SELECT cp.*, least(n, cap) AS alloc0 FROM cp),
+        |t2 AS (SELECT sum(alloc0) AS base_sum FROM al),
+        |fin AS (SELECT al.*, bud - base_sum AS leftover,
+        |    row_number() OVER (ORDER BY n DESC, source) AS r
+        |  FROM al CROSS JOIN t2)
+        |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(alloc0 + (CASE WHEN n > cap AND r <= leftover
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+        |FROM fin ORDER BY source""".stripMargin,
+    "p80_bigram_surprise" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM t WHERE len(ws) >= 2),
+        |bg AS (SELECT doc_id, ws[i] AS wa, ws[i + 1] AS wb FROM p0),
+        |c2 AS (SELECT wa, wb, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |u2 AS (SELECT w FROM uni WHERE length(w) > 0),
+        |c1 AS (SELECT w AS wa, count(*) AS c1 FROM u2 GROUP BY w),
+        |v AS (SELECT count(DISTINCT w) AS v FROM u2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1))) / count(*), 6)
+        |    AS surprise
+        |FROM bg JOIN c2 USING (wa, wb) JOIN c1 USING (wa) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p04_dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t

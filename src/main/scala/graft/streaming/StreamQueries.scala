@@ -343,6 +343,44 @@ object StreamQueries {
           J.asText(col("event_type")).as("event_type"),
           J.toLong(col("n")).as("n"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Streaming CDC materialization (q71's streaming twin): each
+    // micro-batch folds into a keyed snapshot via foreachBatch — one
+    // row per user, latest (ts, event_id) wins — so state is bounded
+    // by KEY CARDINALITY regardless of stream length, and the merge
+    // (argmax by the total order (ts, event_id)) is associative and
+    // commutative: ANY micro-batch split of the replay yields the
+    // same final snapshot, which is exactly what the batch argmax
+    // oracle asserts.
+    "s13_stream_upsert" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stream_upsert").toString
+      def lastPerKey(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
+      val snap = new java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.DataFrame](null)
+      val q = eventStream(s, d).where(col("user_id") < 100)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val delta = lastPerKey(batch.toDF())
+          val merged = Option(snap.get()) match {
+            case None      => delta
+            case Some(cur) => lastPerKey(cur.unionByName(delta))
+          }
+          snap.set(merged.localCheckpoint(true))
+        }
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      snap.get()
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+        .orderBy("user_id")
     }
   )
 
@@ -395,6 +433,12 @@ object StreamQueries {
         |  AND click_ts >= imp_ts
         |  AND click_ts <= imp_ts + INTERVAL 10 MINUTE
         |GROUP BY v.user_id ORDER BY 1""".stripMargin,
+    "s13_stream_upsert" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id < 100)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "s12_stream_topk" ->
       """SELECT event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 2)
