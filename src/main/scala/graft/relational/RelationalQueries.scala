@@ -957,6 +957,25 @@ object RelationalQueries {
         .orderBy("k")
     },
 
+    // Bounded top-k per key via the CUSTOM physical operator
+    // (graft.plans.TopKPerKey: logical node → injected planner
+    // strategy → partial/final exec pair). The declarative
+    // row_number()<=k form shuffles and sorts EVERY row of every
+    // group; the operator's map-side heaps keep k per key per
+    // partition, so only k·partitions rows per key reach the
+    // exchange — the shape a hot key needs at 100 TB. The oracle is
+    // the declarative form: both must agree row-for-row.
+    "q72_topk_per_key" -> { (s, d) =>
+      val joined = load(s, d, "orders")
+        .join(load(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+          col("o_totalprice"))
+      graft.plans.TopK.topKPerKey(joined, Seq("seg"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .orderBy("seg", "o_orderkey")
+    },
+
     // NOT IN 3VL null semantics (§2.2 NullTest / §2.3 anti variants):
     // a NULL in the subquery poisons NOT IN (never TRUE), while the
     // null-free form is a plain null-aware anti join — both counted
@@ -1481,6 +1500,13 @@ object RelationalQueries {
         |FROM snap FULL OUTER JOIN ch ON snap.k = ch.k
         |WHERE op IS NULL OR op <> 'D'
         |ORDER BY k""".stripMargin,
+    "q72_topk_per_key" ->
+      """SELECT seg, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment AS seg, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3 ORDER BY seg, o_orderkey""".stripMargin,
     "q69_window_count_distinct" ->
       """SELECT event_id, user_id,
         |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id) AS INT)

@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BaseOrdering, RowOrdering, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Bridge to the package-private plumbing a custom operator needs:
+  * wrapping a LogicalPlan back into a DataFrame, injecting a planner
+  * strategy into a live session, and building a row comparator for a
+  * SortOrder (codegen path with interpreted fallback). Kept to exactly
+  * these calls — the operator logic itself lives in graft.plans.
+  */
+object PlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to the session. */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
+
+  def rowOrdering(order: Seq[SortOrder], schema: Seq[Attribute]): BaseOrdering =
+    RowOrdering.create(order, schema)
+}

@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKPerKeySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) = df
+    .withColumn("__rn", row_number().over(
+      Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+    .where(col("__rn") <= k).drop("__rn")
+
+  test("topKPerKey equals the window formulation on random data") {
+    import spark.implicits._
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      // hot key 0 gets most rows; values collide to exercise tiebreaks
+      val rows = (0 until 3000).map { i =>
+        (i.toLong, if (rnd.nextInt(10) < 7) 0L else rnd.nextInt(5).toLong,
+          rnd.nextInt(40).toLong)
+      }
+      val df = rows.toDF("id", "g", "v").repartition(8)
+      val want = windowTopK(df, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = TopK.topKPerKey(df, Seq("g"),
+          Seq(("v", false), ("id", true)), 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("groups smaller than k keep all rows; k=1 is per-key argmin") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5L), (2L, 10L, 3L), (3L, 20L, 9L))
+      .toDF("id", "g", "v")
+    assert(TopK.topKPerKey(df, Seq("g"), Seq(("v", true)), 5).count() == 3)
+    val one = TopK.topKPerKey(df, Seq("g"), Seq(("v", true)), 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(one == Set((10L, 3L), (20L, 9L)))
+  }
+
+  test("plan shape: partial below the exchange, final above, no Window/Sort") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, (i % 3).toLong, i.toLong))
+      .toDF("id", "g", "v").repartition(4)
+    val p = TopK.topKPerKey(df, Seq("g"), Seq(("v", true)), 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(p.contains("TopKPerKeyFinal"), p)
+    assert(p.indexOf("TopKPerKeyFinal") < p.indexOf("Exchange"), p)
+    assert(p.indexOf("Exchange") < p.indexOf("TopKPerKeyPartial"), p)
+    assert(!p.contains("Window"), p)
+  }
+}
