@@ -12,11 +12,16 @@ import graft.expr.ops._
   * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.expr.ops", name), builder))
     }
+    // whole-operator extension: the bounded top-k-per-key plan
+    // (strategy) and the transparent row_number()<=k rewrite onto it
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+  }
 }
 
 object GraftExtensions {

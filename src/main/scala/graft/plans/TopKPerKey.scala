@@ -10,21 +10,19 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graft.PlanBridge
 
 /** Bounded top-k-per-key — a whole-operator extension (SURVEY §2.6's
-  * rank-filter shape done the way a distributed engine should): keep
-  * the k first rows per key group under `order`.
+  * rank-filter shape done heap-first): keep the k first rows per key
+  * group under `order`.
   *
-  * Why a custom operator: the declarative form
-  * `row_number() OVER (PARTITION BY key ORDER BY o) <= k` forces
-  * Spark's Window physical plan to shuffle EVERY row of every group
-  * and sort whole partitions before discarding all but k — there is
-  * no partial "limit per key" the optimizer can derive. This operator
-  * is the aggregation-style twin: a map-side pass keeps at most k
-  * rows per key per partition in bounded heaps (the partial), only
-  * those survivors shuffle (k·partitions rows per key worst-case, not
-  * the group's cardinality), and a final per-key heap pass merges —
-  * no sort of anything but the k-element heaps. At 100 TB with hot
-  * keys this is the difference between shuffling a key's billion rows
-  * and shuffling k per map task.
+  * Why a custom operator: for `row_number() OVER (PARTITION BY key
+  * ORDER BY o) <= k`, Spark 3.5+ does prune with WindowGroupLimit
+  * (partial before the exchange, final after) — but both group-limit
+  * passes sit on top of a FULL Sort of every partition's rows, and
+  * the Window node still evaluates above them. This operator replaces
+  * sort-then-scan with bounded per-key heaps: O(n log k) comparisons,
+  * O(keys·k) memory, no sort buffers to spill, and only k rows per
+  * key per map task reach the exchange. At 100 TB with hot keys the
+  * difference is sorting (and spilling) a key's billion rows per
+  * partition versus maintaining a k-element heap.
   *
   * Wiring: logical node → planner strategy (injected per-session via
   * `experimental.extraStrategies`, idempotent) → partial/final
@@ -100,6 +98,63 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     copy(child = newChild)
 }
 
+/** Transparent optimizer rewrite: the declarative
+  * `Project(Filter(rn <= k, Window(row_number() OVER (...))))` shape
+  * — with the rank column pruned above — becomes TopKPerKey, so
+  * existing window-style queries get the bounded-heap physical plan
+  * without being rewritten by hand. Fires ONLY on the exact safe
+  * shape: a single row_number window expression over the default
+  * running frame, a filter that is nothing but the literal rank
+  * bound, and a projection that drops the rank attribute (the
+  * rewrite's output has no rank column to offer). Like the original
+  * row_number filter, result determinism requires the ordering to be
+  * total within keys — the rewrite neither adds nor removes that
+  * caveat. Opt-in per session (GraftExtensions / TopK.enableRewrite);
+  * the oracle-gated q72 exercises the operator explicitly.
+  */
+object TopKRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => LWindow}
+
+  private def bound(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k))
+        if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: AttributeReference, IntegerLiteral(k))
+        if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference)
+        if a.semanticEquals(rn) => Some(k)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList, Filter(cond, w: LWindow))
+        if w.windowExpressions.length == 1 =>
+      w.windowExpressions.head match {
+        case al @ Alias(WindowExpression(_: RowNumber,
+            WindowSpecDefinition(parts, order,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)
+            if order.nonEmpty =>
+          bound(cond, al.toAttribute) match {
+            case Some(k) if k > 0 &&
+                projList.forall(ne => !ne.exists(_.semanticEquals(al.toAttribute))) =>
+              // InferWindowGroupLimit (Spark 3.5+) runs before user
+              // rules and may already have wrapped the window child;
+              // unwrap it — TopKPerKey subsumes the group limit (and
+              // drops its per-partition Sorts)
+              val child = w.child match {
+                case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+                  wgl.child
+                case c => c
+              }
+              Project(projList, TopKPerKey(parts, order, k, child))
+            case _ => p
+          }
+        case _ => p
+      }
+  }
+}
+
 object TopK {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -122,4 +177,14 @@ object TopK {
     }
     PlanBridge.ofRows(spark, TopKPerKey(keys, order, k, plan))
   }
+
+  /** Opt the session into the transparent row_number→TopKPerKey
+    * rewrite (and the strategy that plans it). */
+  def enableRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    PlanBridge.addStrategy(spark, TopKStrategy)
+    PlanBridge.addOptimizerRule(spark, TopKRewrite)
+  }
+
+  def disableRewrite(spark: org.apache.spark.sql.SparkSession): Unit =
+    PlanBridge.removeOptimizerRule(spark, TopKRewrite)
 }

@@ -25,4 +25,17 @@ object PlanBridge {
 
   def rowOrdering(order: Seq[SortOrder], schema: Seq[Attribute]): BaseOrdering =
     RowOrdering.create(order, schema)
+
+  def addOptimizerRule(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(r))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
+
+  def removeOptimizerRule(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.extraOptimizations = exp.extraOptimizations.filterNot(_ == r)
+  }
 }

@@ -42,6 +42,35 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(one == Set((10L, 3L), (20L, 9L)))
   }
 
+  test("optimizer rule rewrites declarative row_number <= k onto the operator") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, (i % 4).toLong, (i * 7 % 50).toLong))
+      .toDF("id", "g", "v").repartition(4)
+    def decl() = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+      .where(col("rn") <= 2)
+      .select("id", "g", "v")
+    val want = decl().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(decl().queryExecution.executedPlan.toString.contains("Window"))
+    TopK.enableRewrite(spark)
+    try {
+      val after = decl()
+      val p = after.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKeyFinal"), p)
+      assert(!p.contains("Window"), p)
+      assert(after.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+      // NOT rewritten when the rank column survives the projection
+      val keepRn = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .where(col("rn") <= 2)
+      assert(keepRn.queryExecution.executedPlan.toString.contains("Window"))
+    } finally TopK.disableRewrite(spark)
+  }
+
   test("plan shape: partial below the exchange, final above, no Window/Sort") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, (i % 3).toLong, i.toLong))
