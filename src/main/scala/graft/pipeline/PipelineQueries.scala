@@ -1326,6 +1326,30 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p81_leakage_split" -> { (s, d) =>
+      // Leakage-safe train/eval split: near-dup CLUSTERS are the split
+      // unit, so no eval document has a training near-duplicate — the
+      // contamination path a per-document split leaves open. Cluster
+      // labels come from the p14 component machinery; the assignment
+      // hashes the cluster REPRESENTATIVE (md5, 80/20), so every
+      // engine reproduces the split and a cluster can never straddle
+      // it (the split is a function of the cluster).
+      val docs = load(s, d, "documents").where(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+      val cl = Dedup.clusters(pairs)
+      docs.join(cl, docs("doc_id") === cl("id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .withColumn("split",
+          when(conv(substring(md5(concat(lit("split#"), col("cluster"))),
+              1, 8), 16, 10).cast("long") % 10 < 8, lit("train"))
+            .otherwise(lit("eval")))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster").as("n_clusters"))
+        .orderBy("source", "split")
+    },
+
     "p79_water_filling" -> { (s, d) =>
       // Exact integer water-filling: spend a global token budget (60%
       // of the corpus) across sources, capping heavy sources at the
@@ -2263,6 +2287,33 @@ object PipelineQueries {
     "p02_dedup_jaccard" -> jaccardPairsSql,
     "p03_dedup_minhash_lsh" -> jaccardPairsSql,
     "p78_ppjoin" -> jaccardPairsSql,
+    "p81_leakage_split" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+        |sym AS (SELECT da AS id, db AS nb FROM e
+        |        UNION ALL SELECT db, da FROM e),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT id, id FROM sym
+        |  UNION
+        |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nb = reach.id),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |lab AS (SELECT d.doc_id, d.source,
+        |    coalesce(c.comp, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |  WHERE d.doc_id < 200),
+        |sp AS (SELECT source, doc_id, cluster,
+        |    CASE WHEN ('0x' || substr(md5('split#' || cluster), 1, 8))
+        |      ::UBIGINT % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+        |  FROM lab)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p79_water_filling" ->
       """WITH tok AS (SELECT source, sum(n_chars) AS n FROM documents
         |  GROUP BY source),

@@ -976,6 +976,30 @@ object RelationalQueries {
         .orderBy("seg", "o_orderkey")
     },
 
+    // Observed metrics (Dataset.observe / Observation): pipeline
+    // telemetry accumulated ON the pass the query already makes — no
+    // second scan, which is how a 100 TB ingest job affords row
+    // counters and quality tallies. The observed values become the
+    // result row, gated against plain aggregation SQL.
+    "q73_observe" -> { (s, d) =>
+      val obs = new org.apache.spark.sql.Observation()
+      val li = load(s, d, "lineitem")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(28,4)")).as("sum_qty"),
+          count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+      li.count() // one action drives the scan; metrics ride along
+      val m = obs.get
+      val sp = s
+      import sp.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+          m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue,
+          m("n_returned").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty", "n_returned")
+        .select(col("n_rows"), round(col("sum_qty"), 2).as("sum_qty"),
+          col("n_returned"))
+    },
+
     // NOT IN 3VL null semantics (§2.2 NullTest / §2.3 anti variants):
     // a NULL in the subquery poisons NOT IN (never TRUE), while the
     // null-free form is a plain null-aware anti join — both counted
@@ -1500,6 +1524,13 @@ object RelationalQueries {
         |FROM snap FULL OUTER JOIN ch ON snap.k = ch.k
         |WHERE op IS NULL OR op <> 'D'
         |ORDER BY k""".stripMargin,
+    "q73_observe" ->
+      """SELECT count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |    AS sum_qty,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returned
+        |FROM lineitem""".stripMargin,
     "q72_topk_per_key" ->
       """SELECT seg, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment AS seg, o_orderkey, o_totalprice,
