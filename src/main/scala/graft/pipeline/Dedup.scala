@@ -336,6 +336,36 @@ object Dedup {
       .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
   }
 
+  private def shiftRU(x: Column, n: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned(
+        org.apache.spark.sql.graft.ColumnBridge.expression(x),
+        org.apache.spark.sql.graft.ColumnBridge.expression(n)))
+  private def shiftL(x: Column, n: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.graft.ColumnBridge.expression(x),
+        org.apache.spark.sql.graft.ColumnBridge.expression(n)))
+
+  /** Map-side SimHash: the same 64-bit signature `simhash` computes
+    * via explode + UDAF, folded per row over the token array instead —
+    * NO shuffle, so it composes with streams (one signature per
+    * incoming row) and with scans that must stay narrow. Bit-for-bit
+    * equal to the aggregate path (spec-asserted): same md5-derived
+    * token hash, same ±1 per occurrence, same >0 bit rule.
+    */
+  def simhashMapSide(text: Column): Column = {
+    val hs = transform(split(text, "\\s+"), t => tokenHash64(t))
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(hs, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx, (c, b) =>
+        c + when(shiftRU(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counts, bitIdx, (c, b) =>
+        when(c > 0, shiftL(lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("__id"),
       explode(split(col(textCol), "\\s+")).as("__t"))

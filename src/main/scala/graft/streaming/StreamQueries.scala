@@ -381,6 +381,52 @@ object StreamQueries {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("value"))
         .orderBy("user_id")
+    },
+
+    // Streaming sketch-blocked dedup: documents stream in, each doc's
+    // map-side SimHash prefix (top 16 bits — the p04 banding piece)
+    // is its blocking bucket, and keyed state remembers the MINIMUM
+    // doc id seen so far per bucket: a doc flags duplicate-candidate
+    // iff its bucket holds a smaller id from an earlier batch or its
+    // own batch (within a batch the min rule is order-independent).
+    // State is one long per occupied bucket (≤ 2^16 entries) —
+    // bounded FOREVER, no watermark needed, because min is monotone.
+    // Like any incremental deduper, flags follow arrival order across
+    // batches (an already-kept doc is never retracted); the
+    // AvailableNow replay delivers the corpus as ONE batch, so the
+    // oracle's global-min rule applies exactly (it rebuilds the same
+    // md5-derived signatures in SQL).
+    "s14_stream_sketch_dedup" -> { (s, d) =>
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(s"$d/documents.parque[t]")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), col("source"),
+          graft.pipeline.Dedup.simhashMapSide(col("text")).as("sig"))
+        .select(col("doc_id"), col("source"),
+          shiftrightunsigned(col("sig"), 48).as("bucket"))
+        .as[(Long, String, Long)]
+      val flagged = docs.groupByKey(_._3)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+          (_: Long, rows: Iterator[(Long, String, Long)],
+           state: GroupState[Long]) =>
+            val batch = rows.toSeq
+            val prior = if (state.exists) state.get else Long.MaxValue
+            val minAll = math.min(prior, batch.map(_._1).min)
+            state.update(minAll)
+            batch.map { case (id, src, _) =>
+              (id, src, id != minAll)
+            }.iterator
+        }.toDF("doc_id", "source", "is_dup")
+      runToSink(s, flagged)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+        .orderBy("source")
     }
   )
 
@@ -433,6 +479,31 @@ object StreamQueries {
         |  AND click_ts >= imp_ts
         |  AND click_ts <= imp_ts + INTERVAL 10 MINUTE
         |GROUP BY v.user_id ORDER BY 1""".stripMargin,
+    "s14_stream_sketch_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN c > 0 THEN (1::UBIGINT << b)
+        |           ELSE 0::UBIGINT END) AS sh
+        |  FROM bits GROUP BY doc_id),
+        |bk AS (SELECT s.doc_id, d.source, (sh >> 48) AS bucket
+        |  FROM sig s JOIN documents d USING (doc_id)),
+        |m AS (SELECT bucket, min(doc_id) AS mn FROM bk GROUP BY bucket)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> mn THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups
+        |FROM bk JOIN m USING (bucket)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "s13_stream_upsert" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id

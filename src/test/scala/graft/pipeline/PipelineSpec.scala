@@ -336,6 +336,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("map-side simhash equals the explode+UDAF signature bit-for-bit") {
+    val docs = graft.relational.Tables.load(spark, sf, "documents")
+      .where(col("doc_id") < 150)
+    val agg = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mapSide = docs.select(col("doc_id"),
+        Dedup.simhashMapSide(col("text")).as("sig")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mapSide == agg)
+  }
+
   test("prefix-filtered ppjoin equals brute-force jaccard exactly") {
     val docs = graft.relational.Tables.load(spark, sf, "documents")
       .where(col("doc_id") < 120)
