@@ -347,6 +347,56 @@ object Dedup {
         org.apache.spark.sql.graft.ColumnBridge.expression(x),
         org.apache.spark.sql.graft.ColumnBridge.expression(n)))
 
+  private def delOne(c: Column, i: Column): Column =
+    concat(call_function("substr", c, lit(1), i - 1),
+      call_function("substr", c, i + 1))
+
+  /** SymSpell-style deletion neighborhood of a string for edit
+    * distance ≤ 2: the string itself, every 1-char deletion, every
+    * 2-char deletion — pure array expressions, map-side. Two strings
+    * with Levenshtein distance ≤ 2 ALWAYS share a member (delete the
+    * ≤2 edited positions from each side), so a join on the
+    * neighborhood is an exact candidate generator; the classical
+    * blocking scheme for short keys (names, titles, codes) where
+    * q-gram count filters lose their set-overlap guarantees.
+    */
+  def deletionNeighborhood2(c: Column): Column = {
+    val n = length(c)
+    val v0 = array(c)
+    val v1 = when(n >= 1,
+      transform(sequence(lit(1), n), i => delOne(c, i)))
+      .otherwise(array().cast("array<string>"))
+    val v2 = when(n >= 2,
+      flatten(transform(sequence(lit(1), n - 1), i =>
+        // delete j first (so i's position is unshifted), then i
+        transform(sequence(i + 1, n), j => delOne(delOne(c, j), i)))))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(concat(v0, v1, v2))
+  }
+
+  /** Exact fuzzy self-join: all pairs within Levenshtein distance
+    * ≤ 2, found by joining deletion neighborhoods (complete by the
+    * deletion argument above) and verifying with the real edit
+    * distance. Neighborhood size is O(L²) per string — the entity-
+    * resolution shape for SHORT keys; candidates shuffle as
+    * (variant, id) pairs and the verify join touches only colliding
+    * ids.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__n"))
+    val withV = base.select(col("__id"), col("__n"),
+      explode(deletionNeighborhood2(col("__n"))).as("__v"))
+    val cand = withV.select(col("__v"), col("__id").as("da"), col("__n").as("na"))
+      .join(withV.select(col("__v"), col("__id").as("db"), col("__n").as("nb")),
+        Seq("__v"))
+      .where(col("da") < col("db"))
+      .select("da", "na", "db", "nb").distinct()
+    cand.withColumn("dist", levenshtein(col("na"), col("nb")))
+      .where(col("dist") <= 2)
+      .select(col("da"), col("db"), col("dist"))
+  }
+
   /** Map-side SimHash: the same 64-bit signature `simhash` computes
     * via explode + UDAF, folded per row over the token array instead —
     * NO shuffle, so it composes with streams (one signature per

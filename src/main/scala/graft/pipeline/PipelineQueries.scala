@@ -1326,6 +1326,19 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p82_fuzzy_join" -> { (s, d) =>
+      // Exact fuzzy self-join (entity resolution): part names within
+      // Levenshtein distance ≤ 2, candidates from the SymSpell-style
+      // deletion-neighborhood join (complete by construction — two
+      // strings within 2 edits always share a ≤2-deletion variant),
+      // verified with the real edit distance. The oracle brute-forces
+      // all pairs, so the blocked join must reproduce it exactly.
+      Dedup.editDistancePairs(
+          load(s, d, "part").where(col("p_partkey") < 400),
+          "p_partkey", "p_name")
+        .orderBy("da", "db")
+    },
+
     "p81_leakage_split" -> { (s, d) =>
       // Leakage-safe train/eval split: near-dup CLUSTERS are the split
       // unit, so no eval document has a training near-duplicate — the
@@ -2287,6 +2300,14 @@ object PipelineQueries {
     "p02_dedup_jaccard" -> jaccardPairsSql,
     "p03_dedup_minhash_lsh" -> jaccardPairsSql,
     "p78_ppjoin" -> jaccardPairsSql,
+    "p82_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey AS k, p_name AS n FROM part
+        |  WHERE p_partkey < 400)
+        |SELECT a.k AS da, b.k AS db,
+        |  CAST(levenshtein(a.n, b.n) AS INT) AS dist
+        |FROM p a JOIN p b ON a.k < b.k
+        |WHERE levenshtein(a.n, b.n) <= 2
+        |ORDER BY da, db""".stripMargin,
     "p81_leakage_split" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id,
