@@ -1326,6 +1326,79 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p83_ivm" -> { (s, d) =>
+      // Incremental view maintenance: a (count, sum) aggregate view
+      // absorbs a delta of inserts AND deletes by signed merge —
+      // count/sum/avg are self-maintainable, so the view updates from
+      // the DELTA's size, never a recompute of the 100-TB base. The
+      // oracle recomputes from the final state directly, proving the
+      // delta algebra: base ⊕ (+inserts) ⊕ (−deletes) ≡ full rebuild.
+      val orders = load(s, d, "orders")
+      val base = orders.where(col("o_orderkey") < 10000)
+      val inserts = orders
+        .where(col("o_orderkey") >= 10000 && col("o_orderkey") < 20000)
+      val deletes = base.where(col("o_orderkey") % 13 === 0)
+      def signedAgg(df: DataFrame, sign: Int) = df
+        .groupBy("o_orderpriority")
+        .agg((count(lit(1)) * sign).as("dn"),
+          (sum(col("o_totalprice").cast("decimal(28,4)")) * sign).as("dsum"))
+      signedAgg(base, 1)
+        .unionByName(signedAgg(inserts, 1))
+        .unionByName(signedAgg(deletes, -1))
+        .groupBy("o_orderpriority")
+        .agg(sum("dn").as("n_orders"),
+          round(sum("dsum").cast("decimal(38,4)"), 2).cast("double").as("total"))
+        .where(col("n_orders") > 0)
+        .orderBy("o_orderpriority")
+    },
+
+    "p84_scd2" -> { (s, d) =>
+      // Slowly-changing-dimension (type 2) build: per-user event-type
+      // timelines collapse into validity intervals [valid_from,
+      // valid_to) via gap-islands — lag detects the change, a running
+      // sum numbers the island, the island aggregates to one row.
+      // Windows partition by user (never global); the warehouse
+      // dimension-build primitive.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = load(s, d, "events").where(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(lag("event_type", 1).over(w).isNull ||
+            lag("event_type", 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("chg").over(w))
+      val isl = ev.groupBy("user_id", "island")
+        .agg(first("event_type").as("state"),
+          min(struct(col("ts"), col("event_id"))).getField("ts").as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy("user_id").orderBy("island")
+      isl.withColumn("valid_to", lead("valid_from", 1).over(w2))
+        .select(col("user_id"), col("island"), col("state"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"),
+          col("n_events"))
+        .orderBy("user_id", "island")
+    },
+
+    "p85_entropy" -> { (s, d) =>
+      // Token-distribution entropy per source (corpus diversity
+      // metric): H = ln(T) − Σ c·ln(c) / T over integer counts — one
+      // (source, token) count shuffle, then a per-source rollup; the
+      // float appears only in the last expression, rounded.
+      val toks = load(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+      toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          round(log(sum("c")) -
+            sum(col("c") * log("c")) / sum("c"), 6).as("entropy"))
+        .orderBy("source")
+    },
+
     "p82_fuzzy_join" -> { (s, d) =>
       // Exact fuzzy self-join (entity resolution): part names within
       // Levenshtein distance ≤ 2, candidates from the SymSpell-style
@@ -2300,6 +2373,47 @@ object PipelineQueries {
     "p02_dedup_jaccard" -> jaccardPairsSql,
     "p03_dedup_minhash_lsh" -> jaccardPairsSql,
     "p78_ppjoin" -> jaccardPairsSql,
+    "p83_ivm" ->
+      """WITH fs AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey < 10000 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey >= 10000 AND o_orderkey < 20000)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,4))), 2)
+        |    AS DOUBLE) AS total
+        |FROM fs GROUP BY 1 HAVING count(*) > 0
+        |ORDER BY 1""".stripMargin,
+    "p84_scd2" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id < 50),
+        |m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS island FROM m),
+        |g AS (SELECT user_id, island, any_value(event_type) AS state,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM i GROUP BY user_id, island),
+        |f AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY island) AS valid_to FROM g)
+        |SELECT user_id, CAST(island AS BIGINT) AS island, state,
+        |  epoch_us(valid_from) AS from_us, epoch_us(valid_to) AS to_us,
+        |  n_events
+        |FROM f ORDER BY user_id, island""".stripMargin,
+    "p85_entropy" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT source, w FROM toks WHERE length(w) > 0),
+        |c AS (SELECT source, w, count(*) AS c FROM t2 GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |    - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "p82_fuzzy_join" ->
       """WITH p AS (SELECT p_partkey AS k, p_name AS n FROM part
         |  WHERE p_partkey < 400)
