@@ -1326,6 +1326,72 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p86_tokenizer_apply" -> { (s, d) =>
+      // Tokenizer APPLICATION — the other half of p70's training loop:
+      // the mined merge list applies to text in rank order (each merge
+      // a literal replace over the '|'-delimited token string, the
+      // same left-to-right rule), then the segmented corpus reports
+      // its token counts per source. Train once (3 driver scalars),
+      // apply map-side everywhere — the tokenizer-as-artifact shape.
+      def pairCounts(df: DataFrame) = df
+        .select(split(col("t"), "\\|").as("ws"))
+        .where(size(col("ws")) > 1)
+        .select(explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("wa"),
+            element_at(col("ws"), (i + 1).cast("int")).as("wb")))).as("p"))
+        .select(col("p.wa"), col("p.wb"))
+        .where(length(col("wa")) > 0 && length(col("wb")) > 0)
+        .groupBy("wa", "wb").agg(count(lit(1)).as("n_pairs"))
+      def delim(df: DataFrame) = df.select(col("source"),
+        concat(lit("|"),
+          regexp_replace(lower(col("text")), "\\s+", "|"), lit("|")).as("t"))
+      // train on the doc_id<100 slice, apply to the WHOLE corpus
+      var train = delim(load(s, d, "documents").where(col("doc_id") < 100))
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      for (_ <- 1 to 3) {
+        val w = pairCounts(train)
+          .orderBy(col("n_pairs").desc, col("wa"), col("wb"))
+          .limit(1).collect()(0)
+        merges += ((w.getString(0), w.getString(1)))
+        train = train.select(col("source"), call_function("replace", col("t"),
+          lit(s"|${w.getString(0)}|${w.getString(1)}|"),
+          lit(s"|${w.getString(0)}+${w.getString(1)}|")).as("t"))
+      }
+      val applied = merges.foldLeft(delim(load(s, d, "documents"))) {
+        case (df, (wa, wb)) =>
+          df.select(col("source"), call_function("replace", col("t"),
+            lit(s"|$wa|$wb|"), lit(s"|$wa+$wb|")).as("t"))
+      }
+      applied
+        .select(col("source"), (size(split(col("t"), "\\|")) - 2).as("n_toks"),
+          size(filter(split(col("t"), "\\|"), x => x.contains("+"))).as("n_merged"))
+        .groupBy("source")
+        .agg(sum("n_toks").as("n_tokens"),
+          sum("n_merged").cast("long").as("n_merged_tokens"))
+        .orderBy("source")
+    },
+
+    "p87_containment" -> { (s, d) =>
+      // One-sided CONTAINMENT dedup (quote/subset detection): score
+      // |A∩B| / |A| — near-1 when the SHORTER doc is mostly inside the
+      // longer one even though symmetric Jaccard stays low; the
+      // training-data "document quotes another" contamination shape.
+      // Same bounded all-pairs verification slice as p02; the LSH/
+      // prefix machinery is the scale path for the candidate step.
+      val docs = load(s, d, "documents").where(col("doc_id") < 200)
+      val withSets = docs.select(col("doc_id").as("__id"),
+        Dedup.wordSet(col("text")).as("__ws"))
+      val a = withSets.select(col("__id").as("da"), col("__ws").as("wa"))
+      val b = withSets.select(col("__id").as("db"), col("__ws").as("wb"))
+      a.join(b, col("da") =!= col("db"))
+        .withColumn("cont",
+          size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(col("wa")))
+        .where(col("cont") >= 0.98 && size(col("wa")) < size(col("wb")))
+        .select(col("da"), col("db"), round(col("cont"), 6).as("containment"))
+        .orderBy("da", "db")
+    },
+
     "p83_ivm" -> { (s, d) =>
       // Incremental view maintenance: a (count, sum) aggregate view
       // absorbs a delta of inserts AND deletes by signed merge —
@@ -2373,6 +2439,62 @@ object PipelineQueries {
     "p02_dedup_jaccard" -> jaccardPairsSql,
     "p03_dedup_minhash_lsh" -> jaccardPairsSql,
     "p78_ppjoin" -> jaccardPairsSql,
+    "p86_tokenizer_apply" ->
+      """WITH t0 AS (SELECT '|' || array_to_string(
+        |    regexp_split_to_array(lower(text), '\s+'), '|') || '|' AS t
+        |  FROM documents WHERE doc_id < 100),
+        |s0 AS (SELECT string_split(t, '|') AS ws FROM t0),
+        |i0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM s0 WHERE len(ws) >= 2),
+        |pc0 AS (SELECT ws[i] AS wa, ws[i + 1] AS wb, count(*) AS n
+        |  FROM i0 WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0
+        |  GROUP BY 1, 2),
+        |w1 AS (SELECT wa, wb FROM pc0 ORDER BY n DESC, wa, wb LIMIT 1),
+        |t1 AS (SELECT replace(t, '|' || wa || '|' || wb || '|',
+        |    '|' || wa || '+' || wb || '|') AS t FROM t0 CROSS JOIN w1),
+        |s1 AS (SELECT string_split(t, '|') AS ws FROM t1),
+        |i1 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM s1 WHERE len(ws) >= 2),
+        |pc1 AS (SELECT ws[i] AS wa, ws[i + 1] AS wb, count(*) AS n
+        |  FROM i1 WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0
+        |  GROUP BY 1, 2),
+        |w2 AS (SELECT wa, wb FROM pc1 ORDER BY n DESC, wa, wb LIMIT 1),
+        |t2 AS (SELECT replace(t, '|' || wa || '|' || wb || '|',
+        |    '|' || wa || '+' || wb || '|') AS t FROM t1 CROSS JOIN w2),
+        |s2 AS (SELECT string_split(t, '|') AS ws FROM t2),
+        |i2 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM s2 WHERE len(ws) >= 2),
+        |pc2 AS (SELECT ws[i] AS wa, ws[i + 1] AS wb, count(*) AS n
+        |  FROM i2 WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0
+        |  GROUP BY 1, 2),
+        |w3 AS (SELECT wa, wb FROM pc2 ORDER BY n DESC, wa, wb LIMIT 1),
+        |full0 AS (SELECT source, '|' || array_to_string(
+        |    regexp_split_to_array(lower(text), '\s+'), '|') || '|' AS t
+        |  FROM documents),
+        |f1 AS (SELECT source, replace(t, '|' || wa || '|' || wb || '|',
+        |    '|' || wa || '+' || wb || '|') AS t FROM full0 CROSS JOIN w1),
+        |f2 AS (SELECT source, replace(t, '|' || wa || '|' || wb || '|',
+        |    '|' || wa || '+' || wb || '|') AS t FROM f1 CROSS JOIN w2),
+        |f3 AS (SELECT source, replace(t, '|' || wa || '|' || wb || '|',
+        |    '|' || wa || '+' || wb || '|') AS t FROM f2 CROSS JOIN w3),
+        |c AS (SELECT source, len(string_split(t, '|')) - 2 AS n_toks,
+        |    len(list_filter(string_split(t, '|'),
+        |      x -> contains(x, '+'))) AS n_merged
+        |  FROM f3)
+        |SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_merged) AS BIGINT) AS n_merged_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "p87_containment" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE / len(a.ws), 6)
+        |    AS containment
+        |FROM w a JOIN w b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE / len(a.ws) >= 0.98
+        |  AND len(a.ws) < len(b.ws)
+        |ORDER BY da, db""".stripMargin,
     "p83_ivm" ->
       """WITH fs AS (
         |  SELECT * FROM orders
