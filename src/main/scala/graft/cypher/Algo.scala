@@ -295,7 +295,26 @@ object Algo {
     // Both are cross-validated against the VLE path universe
     // (PathFinderCrossCheckSpec).
     val twoSided = b.spark.conf
-      .get("spark.graft.pathSearch", "onesided") == "twosided"
+      .get("spark.graft.pathSearch", "onesided") match {
+      case "twosided" => true
+      case "auto" =>
+        // Cost-based strategy choice from catalog-level stats (the
+        // lakehouse stand-in for the reference's auto-gathered
+        // ag_graphmeta): meet-in-middle halves the depth exponent, so
+        // it wins whenever the graph EXPANDS — avg out-degree d > 1
+        // makes one-sided cost |S|·d^L vs two-sided (|S|+|T|)·d^(L/2).
+        // On contracting/DAG-ish topologies (d ≤ ~1.5) forward
+        // frontiers die out fast and one-sided avoids the second
+        // frontier's bookkeeping. Both counts are footer-cheap row
+        // counts of the label parquet, negligible next to the search.
+        val eCnt = b.edgeScan(rel.types, rel.direction).count()
+        val vCnt = b.vertexScan(None, only = false).count()
+        val choice = vCnt > 0 && eCnt * 2 > vCnt * 3 // d > 1.5
+        b.spark.conf.set("spark.graft.pathSearch.lastChoice",
+          if (choice) "twosided" else "onesided")
+        choice
+      case _ => false
+    }
     val paths = finder match {
       case PathFinder.Dijkstra(weight, qual, limitK) =>
         dijkstra(b, rel, relName, weight, qual, limitK.getOrElse(1L), origins)

@@ -53,6 +53,25 @@ class PathFinderCrossCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("auto mode: results agree and the stats-based choice tracks density") {
+    spark.conf.set("spark.graft.pathSearch", "auto")
+    try {
+      // dense random graph (90 edges / 20 vertices → d ≫ 1.5):
+      // auto must pick the meet-in-middle search AND agree with VLE
+      runCase(11)
+      assert(spark.conf.get("spark.graft.pathSearch.lastChoice") == "twosided")
+      // sparse chain (d ≈ 1): auto stays one-sided, same answers
+      val chain = buildRandomGraph(99, 12, 0)
+      (0 until 11).foreach(i => chain.cypher(
+        s"MATCH (x:v {n: $i}), (y:v {n: ${i + 1}}) CREATE (x)-[:e]->(y)"))
+      val d = chain.cypher(
+        """MATCH p = shortestpath((a:v {n: 0})-[:e*..11]->(b:v {n: 5}))
+          |RETURN length(p) AS l""".stripMargin).collect()
+      assert(d.map(_.getString(0)) sameElements Array("5"))
+      assert(spark.conf.get("spark.graft.pathSearch.lastChoice") == "onesided")
+    } finally spark.conf.unset("spark.graft.pathSearch")
+  }
+
   private def runCase(seed: Int): Unit = {
       val s = buildRandomGraph(seed, n = 10, nEdges = 26)
       val expect = vleMinPaths(s)
