@@ -1326,6 +1326,31 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p88_centroids" -> { (s, d) =>
+      // Per-class embedding centroid + dispersion (cluster-health /
+      // probe-quality metric): the mean vector materializes as
+      // (label, dim) keyed partial sums via posexplode — a
+      // vector-typed column never shuffles — and each member's cosine
+      // to its centroid re-joins on the same (label, dim) keys. All
+      // arithmetic in double from the first cast so the oracle's
+      // dim-wise recomputation matches at the rounding.
+      val e = load(s, d, "embeddings").where(col("vec_id") < 300)
+      val dims = e.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v0")))
+        .withColumn("v", col("v0").cast("double"))
+      val cent = dims.groupBy("label", "dim").agg(avg("v").as("c"))
+      dims.join(cent, Seq("label", "dim"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("v") * col("c")).as("dot"),
+          sum(col("v") * col("v")).as("n2"),
+          sum(col("c") * col("c")).as("c2"))
+        .withColumn("cos", col("dot") / sqrt(col("n2") * col("c2")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("cos"), 6).as("mean_cos"))
+        .orderBy("label")
+    },
+
     "p86_tokenizer_apply" -> { (s, d) =>
       // Tokenizer APPLICATION — the other half of p70's training loop:
       // the mined merge list applies to text in rank order (each merge
@@ -2439,6 +2464,21 @@ object PipelineQueries {
     "p02_dedup_jaccard" -> jaccardPairsSql,
     "p03_dedup_minhash_lsh" -> jaccardPairsSql,
     "p78_ppjoin" -> jaccardPairsSql,
+    "p88_centroids" ->
+      """WITH e AS (SELECT vec_id, label, embedding AS em
+        |  FROM embeddings WHERE vec_id < 300),
+        |ix AS (SELECT vec_id, label, em,
+        |    unnest(generate_series(1, len(em))) AS i FROM e),
+        |d AS (SELECT vec_id, label, i - 1 AS dim,
+        |    CAST(em[i] AS DOUBLE) AS v FROM ix),
+        |cent AS (SELECT label, dim, avg(v) AS c FROM d GROUP BY 1, 2),
+        |p AS (SELECT vec_id, d.label, sum(v * c) AS dot,
+        |    sum(v * v) AS n2, sum(c * c) AS c2
+        |  FROM d JOIN cent ON cent.label = d.label AND cent.dim = d.dim
+        |  GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(dot / sqrt(n2 * c2)), 6) AS mean_cos
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
     "p86_tokenizer_apply" ->
       """WITH t0 AS (SELECT '|' || array_to_string(
         |    regexp_split_to_array(lower(text), '\s+'), '|') || '|' AS t
