@@ -1326,6 +1326,41 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p89_jl_projection" -> { (s, d) =>
+      // Johnson–Lindenstrauss-style random projection (64 → 16 dims):
+      // the projection matrix is the SAME deterministic driver-side
+      // constant family the LSH planes use, embedded as literals, so
+      // the oracle recomputes every projected coordinate bit-for-bit
+      // (left-to-right double sums both engines). Reported per pair:
+      // original squared distance (dot identity — codegen'd
+      // FloatVecDot, no HOF boxing) and the projected/original ratio,
+      // the distortion a dimensionality-reduced dedup/ANN stage must
+      // budget for. Projection is one map-side pass; pair work is the
+      // bounded verification slice.
+      val mat = Similarity.lshPlaneMatrix(64, 16)
+      val e = load(s, d, "embeddings").where(col("vec_id") < 40)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val proj = e.select(Seq(col("vec_id"), col("v")) ++
+        (0 until 16).map(j =>
+          Similarity.dot(col("v"), typedlit(mat(j))).as(s"p$j")): _*)
+      val a = proj.select(Seq(col("vec_id").as("da"), col("v").as("va")) ++
+        (0 until 16).map(j => col(s"p$j").as(s"pa$j")): _*)
+      val b = proj.select(Seq(col("vec_id").as("db"), col("v").as("vb")) ++
+        (0 until 16).map(j => col(s"p$j").as(s"pb$j")): _*)
+      val orig = Similarity.dot(col("va"), col("va")) +
+        Similarity.dot(col("vb"), col("vb")) -
+        lit(2.0) * Similarity.dot(col("va"), col("vb"))
+      val projD2 = (0 until 16).map(j =>
+        (col(s"pa$j") - col(s"pb$j")) * (col(s"pa$j") - col(s"pb$j")))
+        .reduce(_ + _)
+      a.join(b, col("da") < col("db"))
+        .withColumn("orig_d2", orig)
+        .withColumn("ratio", projD2 / col("orig_d2"))
+        .select(col("da"), col("db"), round(col("orig_d2"), 6).as("orig_d2"),
+          round(col("ratio"), 6).as("ratio"))
+        .orderBy("da", "db")
+    },
+
     "p88_centroids" -> { (s, d) =>
       // Per-class embedding centroid + dispersion (cluster-health /
       // probe-quality metric): the mean vector materializes as
@@ -1716,6 +1751,33 @@ object PipelineQueries {
     * projection is an unrolled left-to-right double sum, so signs (and
     * therefore buckets) are bit-identical across engines.
     */
+  /** p89's oracle embeds the SAME driver-side projection matrix as
+    * literals: every projected coordinate is an unrolled left-to-right
+    * double sum, matching FloatVecDot's accumulation exactly.
+    */
+  private def jlOracleSql: String = {
+    val m = Similarity.lshPlaneMatrix(64, 16)
+    val projDefs = (0 until 16).map { j =>
+      val sum = (0 until 64).map(i => s"v[${i + 1}]*(${m(j)(i)})").mkString(" + ")
+      s"($sum) AS p$j"
+    }.mkString(",\n    ")
+    val projD2 = (0 until 16)
+      .map(j => s"(a.p$j - b.p$j)*(a.p$j - b.p$j)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 40),
+       |p AS (SELECT vec_id, v,
+       |    $projDefs
+       |  FROM e),
+       |pr AS (SELECT a.vec_id AS da, b.vec_id AS db,
+       |    list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+       |      - 2.0 * list_dot_product(a.v, b.v) AS orig_d2,
+       |    $projD2 AS proj_d2
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
+       |SELECT da, db, round(orig_d2, 6) AS orig_d2,
+       |  round(proj_d2 / orig_d2, 6) AS ratio
+       |FROM pr ORDER BY da, db""".stripMargin
+  }
+
   private def lshOracleSql: String = {
     val m = Similarity.lshPlaneMatrix(64, 8)
     val sigTerms = (0 until 8).map { p =>
@@ -2677,6 +2739,7 @@ object PipelineQueries {
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY da, db""".stripMargin,
     "p07_ann_lsh" -> lshOracleSql,
+    "p89_jl_projection" -> jlOracleSql,
     "p13_ann_ivf" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
