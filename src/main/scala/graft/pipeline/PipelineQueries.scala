@@ -1326,6 +1326,38 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p90_k_anonymity" -> { (s, d) =>
+      // k-anonymity audit over quasi-identifiers (lang, source,
+      // length bucket): groups smaller than k = 5 re-identify — the
+      // privacy gate a dataset release runs. One grouped count + a
+      // per-source rollup, all integer.
+      val docs = load(s, d, "documents")
+        .select(col("source"), col("lang"),
+          floor(col("n_chars") / lit(500.0)).cast("long").as("lb"))
+      docs.groupBy("source", "lang", "lb").agg(count(lit(1)).as("gs"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("gs") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("gs") < 5, col("gs")).otherwise(0L)).as("n_risky_docs"),
+          min("gs").as("min_group"))
+        .orderBy("source")
+    },
+
+    "p91_bounded_contribution" -> { (s, d) =>
+      // Bounded-contribution aggregation (the differential-privacy
+      // prep step): each user's contribution to a per-type count is
+      // CLIPPED at 5 before summation, bounding the sensitivity any
+      // noise calibration needs. Per-(user, type) partial counts
+      // combine map-side; the clip is a map over that bounded table.
+      load(s, d, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(sum("c").as("n_true"),
+          sum(least(col("c"), lit(5L))).as("n_bounded"),
+          count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
+
     "p89_jl_projection" -> { (s, d) =>
       // Johnson–Lindenstrauss-style random projection (64 → 16 dims):
       // the projection matrix is the SAME deterministic driver-side
@@ -2740,6 +2772,24 @@ object PipelineQueries {
         |ORDER BY da, db""".stripMargin,
     "p07_ann_lsh" -> lshOracleSql,
     "p89_jl_projection" -> jlOracleSql,
+    "p90_k_anonymity" ->
+      """WITH g AS (SELECT source, lang, n_chars // 500 AS lb,
+        |    count(*) AS gs
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT source, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(sum(CASE WHEN gs < 5 THEN gs ELSE 0 END) AS BIGINT)
+        |    AS n_risky_docs,
+        |  CAST(min(gs) AS BIGINT) AS min_group
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "p91_bounded_contribution" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_true,
+        |  CAST(sum(least(c, 5)) AS BIGINT) AS n_bounded,
+        |  count(*) AS n_users
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "p13_ann_ivf" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
