@@ -1326,6 +1326,52 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p93_transitivity" -> { (s, d) =>
+      // Near-dup relation cohesion audit: open vs closed wedges in
+      // the exact-Jaccard pair graph — tells you whether the
+      // threshold behaves like an equivalence (safe to collapse into
+      // clusters, p14) or chains (collapse over-merges). Wedges key
+      // on the shared middle vertex; the closing edge is one left
+      // join against the id-ordered pair set.
+      val docs = load(s, d, "documents").where(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+        .select("da", "db")
+      val sym = pairs.unionAll(
+        pairs.select(col("db").as("da"), col("da").as("db")))
+      val wedges = sym.select(col("da").as("x"), col("db").as("m"))
+        .join(sym.select(col("da").as("m"), col("db").as("y")), "m")
+        .where(col("x") < col("y"))
+      wedges.join(pairs.select(col("da").as("x"), col("db").as("y"))
+          .withColumn("cl", lit(1)), Seq("x", "y"), "left")
+        .agg(count(lit(1)).as("n_wedges"),
+          sum(when(col("cl").isNotNull, 1L).otherwise(0L)).as("n_closed"))
+        .withColumn("n_open", col("n_wedges") - col("n_closed"))
+    },
+
+    "p92_snapshot_diff" -> { (s, d) =>
+      // Dataset version diff — the reproducibility/dataset-card
+      // primitive: two snapshots compare by content digest in one
+      // full-outer join on the id, classifying every document as
+      // added / removed / changed / unchanged. Digests (16 bytes)
+      // shuffle, never text. Snapshot B simulates a release: drops
+      // ids < 100, adds none, rewrites every 10th text.
+      val docs = load(s, d, "documents").where(col("doc_id") < 500)
+      val a = docs.where(col("doc_id") < 400)
+        .select(col("doc_id"), md5(col("text")).as("ha"))
+      val b = docs.where(col("doc_id") >= 100)
+        .select(col("doc_id"), md5(
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("hb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") === col("hb"), "unchanged")
+            .otherwise("changed"))
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
+    },
+
     "p90_k_anonymity" -> { (s, d) =>
       // k-anonymity audit over quasi-identifiers (lang, source,
       // length bucket): groups smaller than k = 5 re-identify — the
@@ -2772,6 +2818,41 @@ object PipelineQueries {
         |ORDER BY da, db""".stripMargin,
     "p07_ann_lsh" -> lshOracleSql,
     "p89_jl_projection" -> jlOracleSql,
+    "p93_transitivity" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+        |sym AS (SELECT da, db FROM e UNION ALL SELECT db, da FROM e),
+        |wd AS (SELECT a.da AS x, a.db AS m, b.db AS y
+        |  FROM sym a JOIN sym b ON a.db = b.da WHERE a.da < b.db),
+        |f AS (SELECT x, y,
+        |    EXISTS (SELECT 1 FROM e WHERE e.da = wd.x AND e.db = wd.y)
+        |      AS cl
+        |  FROM wd)
+        |SELECT count(*) AS n_wedges,
+        |  CAST(sum(CASE WHEN cl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_closed,
+        |  CAST(count(*) - sum(CASE WHEN cl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_open
+        |FROM f""".stripMargin,
+    "p92_snapshot_diff" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 500),
+        |a AS (SELECT doc_id, md5(text) AS ha FROM dd WHERE doc_id < 400),
+        |b AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' v2' ELSE text END) AS hb
+        |  FROM dd WHERE doc_id >= 100),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, ha, hb
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT CASE WHEN ha IS NULL THEN 'added'
+        |    WHEN hb IS NULL THEN 'removed'
+        |    WHEN ha = hb THEN 'unchanged' ELSE 'changed' END AS status,
+        |  count(*) AS n_docs
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "p90_k_anonymity" ->
       """WITH g AS (SELECT source, lang, n_chars // 500 AS lb,
         |    count(*) AS gs
