@@ -1326,6 +1326,43 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p94_exact_k_sample" -> { (s, d) =>
+      // Exactly-k-per-group deterministic sample: rank by a keyed md5
+      // draw (engine-reproducible "randomness") and keep k = 7 per
+      // source — via the custom bounded-heap TopKPerKey operator (its
+      // second oracle-gated consumer): k rows per key per map task
+      // reach the exchange and nothing is sorted but the heaps. The
+      // oracle is the declarative row_number form over the same hash.
+      val docs = load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("smp#"), col("doc_id"))).as("h"))
+      graft.plans.TopK.topKPerKey(docs, Seq("source"),
+          Seq(("h", true), ("doc_id", true)), 7)
+        .select(col("source"), col("doc_id"), col("h"))
+        .orderBy("source", "doc_id")
+    },
+
+    "p95_temperature_sweep" -> { (s, d) =>
+      // Mixture-weight table across a temperature sweep in ONE pass
+      // (the data-mixing-law tuning table): per-source token shares
+      // re-weight by share^(1/T) for T ∈ {1, 2, 4} and renormalize.
+      // The corpus pays one per-source aggregate; the sweep explodes
+      // over the BOUNDED source table and normalizes with a
+      // per-temperature window over it.
+      import org.apache.spark.sql.expressions.Window
+      val base = load(s, d, "documents").groupBy("source")
+        .agg(sum("n_chars").as("n"))
+      val tot = base.agg(sum("n").as("t"))
+      base.crossJoin(broadcast(tot))
+        .withColumn("share", col("n").cast("double") / col("t"))
+        .withColumn("T", explode(array(lit(1), lit(2), lit(4))))
+        .withColumn("w", pow(col("share"), lit(1.0) / col("T")))
+        .withColumn("weight",
+          round(col("w") / sum("w").over(Window.partitionBy("T")), 6))
+        .select(col("T"), col("source"), col("weight"))
+        .orderBy("T", "source")
+    },
+
     "p93_transitivity" -> { (s, d) =>
       // Near-dup relation cohesion audit: open vs closed wedges in
       // the exact-Jaccard pair graph — tells you whether the
@@ -2818,6 +2855,25 @@ object PipelineQueries {
         |ORDER BY da, db""".stripMargin,
     "p07_ann_lsh" -> lshOracleSql,
     "p89_jl_projection" -> jlOracleSql,
+    "p94_exact_k_sample" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    md5('smp#' || doc_id) AS h,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('smp#' || doc_id), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, h FROM r WHERE rn <= 7
+        |ORDER BY source, doc_id""".stripMargin,
+    "p95_temperature_sweep" ->
+      """WITH base AS (SELECT source, sum(n_chars) AS n FROM documents
+        |  GROUP BY source),
+        |tot AS (SELECT sum(n) AS t FROM base),
+        |sh AS (SELECT source, CAST(n AS DOUBLE) / t AS share
+        |  FROM base CROSS JOIN tot),
+        |sw AS (SELECT source, share, unnest([1, 2, 4]) AS T FROM sh),
+        |ww AS (SELECT source, T, pow(share, 1.0 / T) AS w FROM sw)
+        |SELECT T, source,
+        |  round(w / sum(w) OVER (PARTITION BY T), 6) AS weight
+        |FROM ww ORDER BY T, source""".stripMargin,
     "p93_transitivity" ->
       """WITH w AS (SELECT doc_id,
         |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
