@@ -1326,6 +1326,65 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p96_sim_histogram" -> { (s, d) =>
+      // Pairwise-similarity histogram over the bounded audit slice —
+      // the threshold-tuning diagnostic behind every dedup dial
+      // (where does corpus mass sit on the Jaccard axis?). The
+      // bucket floor runs on the RAW double ratio: both engines
+      // divide the same integer counts, so the floor is engine-exact
+      // even at bucket boundaries.
+      val withSets = load(s, d, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id").as("id"), Dedup.wordSet(col("text")).as("ws"))
+      val a = withSets.select(col("id").as("da"), col("ws").as("wa"))
+      val b = withSets.select(col("id").as("db"), col("ws").as("wb"))
+      a.join(b, col("da") < col("db"))
+        .withColumn("jac",
+          size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb"))))
+        .select(floor(col("jac") * 10).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
+    },
+
+    "p97_contam_sweep" -> { (s, d) =>
+      // Contamination sensitivity sweep: the p22 gate at n-gram sizes
+      // 4, 6 and 8 in one result — short grams over-flag, long grams
+      // miss; the sweep is how the size gets picked. Each n is one
+      // broadcast semi-join against the fixed 100-doc benchmark.
+      val docs = load(s, d, "documents")
+      val train = docs.where(col("doc_id") < 400)
+      val eval_ = docs.where(col("doc_id") >= 400 && col("doc_id") < 500)
+      Seq(4, 6, 8).map { n =>
+        TextOps.contaminated(train, eval_, n, "doc_id", "text")
+          .agg(count(lit(1)).as("n_contaminated"))
+          .select(lit(n).as("n"), col("n_contaminated"))
+      }.reduce(_ unionByName _).orderBy("n")
+    },
+
+    "p98_oov" -> { (s, d) =>
+      // Out-of-vocabulary quality signal (OCR-noise / gibberish
+      // detector): dictionary = top-10 corpus words (count desc, word
+      // tiebreak — deterministic at the boundary), per-doc OOV
+      // fraction, per-source mean + high-OOV count. The dictionary is
+      // broadcast-sized by construction; scoring combines map-side.
+      val toks = load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+      val dict = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(10).select("w")
+      toks.join(broadcast(dict).withColumn("in_d", lit(1)), Seq("w"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("nt"),
+          sum(when(col("in_d").isNull, 1L).otherwise(0L)).as("noov"))
+        .withColumn("rate", col("noov").cast("double") / col("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("rate"), 6).as("mean_oov"),
+          sum(when(col("rate") > 0.5, 1L).otherwise(0L)).as("n_high_oov"))
+        .orderBy("source")
+    },
+
     "p94_exact_k_sample" -> { (s, d) =>
       // Exactly-k-per-group deterministic sample: rank by a keyed md5
       // draw (engine-reproducible "randomness") and keep k = 7 per
@@ -2855,6 +2914,64 @@ object PipelineQueries {
         |ORDER BY da, db""".stripMargin,
     "p07_ann_lsh" -> lshOracleSql,
     "p89_jl_projection" -> jlOracleSql,
+    "p96_sim_histogram" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |j AS (SELECT floor((len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / len(list_distinct(list_concat(a.ws, b.ws)))) * 10)
+        |    AS bucket
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_pairs
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p97_contam_sweep" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |g4 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(ws) - 3),
+        |    i -> array_to_string(list_slice(ws, i, i + 3), ' '))) AS gram
+        |  FROM w WHERE len(ws) >= 4),
+        |e4 AS (SELECT DISTINCT gram FROM g4
+        |  WHERE doc_id >= 400 AND doc_id < 500),
+        |c4 AS (SELECT count(DISTINCT doc_id) AS n FROM g4
+        |  JOIN e4 USING (gram) WHERE doc_id < 400),
+        |g6 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(ws) - 5),
+        |    i -> array_to_string(list_slice(ws, i, i + 5), ' '))) AS gram
+        |  FROM w WHERE len(ws) >= 6),
+        |e6 AS (SELECT DISTINCT gram FROM g6
+        |  WHERE doc_id >= 400 AND doc_id < 500),
+        |c6 AS (SELECT count(DISTINCT doc_id) AS n FROM g6
+        |  JOIN e6 USING (gram) WHERE doc_id < 400),
+        |g8 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(ws) - 7),
+        |    i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS gram
+        |  FROM w WHERE len(ws) >= 8),
+        |e8 AS (SELECT DISTINCT gram FROM g8
+        |  WHERE doc_id >= 400 AND doc_id < 500),
+        |c8 AS (SELECT count(DISTINCT doc_id) AS n FROM g8
+        |  JOIN e8 USING (gram) WHERE doc_id < 400)
+        |SELECT 4 AS n, (SELECT n FROM c4) AS n_contaminated
+        |UNION ALL SELECT 6, (SELECT n FROM c6)
+        |UNION ALL SELECT 8, (SELECT n FROM c8)
+        |ORDER BY n""".stripMargin,
+    "p98_oov" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, source, w FROM toks WHERE length(w) > 0),
+        |dict AS (SELECT w FROM (SELECT w, count(*) AS c FROM t2
+        |  GROUP BY w ORDER BY c DESC, w LIMIT 10)),
+        |sc AS (SELECT doc_id, source, count(*) AS nt,
+        |    sum(CASE WHEN w IN (SELECT w FROM dict) THEN 0 ELSE 1 END)
+        |      AS noov
+        |  FROM t2 GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(CAST(noov AS DOUBLE) / nt), 6) AS mean_oov,
+        |  CAST(sum(CASE WHEN CAST(noov AS DOUBLE) / nt > 0.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_oov
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     "p94_exact_k_sample" ->
       """WITH r AS (SELECT source, doc_id,
         |    md5('smp#' || doc_id) AS h,
