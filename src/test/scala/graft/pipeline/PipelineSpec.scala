@@ -336,6 +336,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("editDistancePairs edge cases: short strings, duplicates, empties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ab"), (2L, "b"),          // ed 1 via deletion
+      (3L, ""), (4L, "xy"),           // empty vs 2 chars → ed 2
+      (5L, "hello"), (6L, "hello"),   // exact duplicate → ed 0
+      (7L, "hallo"), (8L, "help")     // 1 and 3 edits from "hello"
+    ).toDF("id", "n")
+    val got = Dedup.editDistancePairs(df, "id", "n")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // brute-force reference
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, na) <- rows; (ib, nb) <- rows
+      if ia < ib && lev(na, nb) <= 2
+    } yield ((ia, ib), lev(na, nb))).toMap
+    assert(got == want)
+  }
+
+  test("ppjoin handles single-word and identical documents") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "alpha"), (3L, "alpha beta"),
+      (4L, "gamma")).toDF("id", "t")
+    val got = Dedup.ppjoinPairs(df, "id", "t", 1, 2) // threshold 0.5
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // jaccard: (1,2)=1.0, (1,3)=(2,3)=0.5, others 0
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("map-side simhash equals the explode+UDAF signature bit-for-bit") {
     val docs = graft.relational.Tables.load(spark, sf, "documents")
       .where(col("doc_id") < 150)
