@@ -1326,6 +1326,50 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p99_normalize" -> { (s, d) =>
+      // Canonical text-normalization pre-pass audit (the step every
+      // corpus runs before hashing — and why p01's digests
+      // lowercase): control-char strip + lowercase + whitespace
+      // collapse + trim, reported as change counts and char deltas
+      // per source. Pure regexp in the RE2/Java common subset — a
+      // narrow map pass, no shuffle before the rollup.
+      val docs = load(s, d, "documents")
+      val nt = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[\\x00-\\x1f]", ""),
+        "\\s+", " "))
+      docs.select(col("source"), col("text"), nt.as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nt") =!= col("text"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum((length(col("text")) - length(col("nt"))).cast("long"))
+            .as("chars_removed"))
+        .orderBy("source")
+    },
+
+    "p100_ref_integrity" -> { (s, d) =>
+      // Referential-integrity census (lakehouse ingest QA): orphan
+      // counts per relationship via anti-join probes plus a coverage
+      // probe (customers with no orders — naturally non-zero). Each
+      // probe is one keyed anti-join; counts partial-aggregate.
+      val li = load(s, d, "lineitem")
+      val o = load(s, d, "orders")
+      val c = load(s, d, "customer")
+      val a = li.join(o.select("o_orderkey"),
+          li("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("lineitem_orphans").as("probe"), col("n_rows"))
+      val b = o.join(c.select("c_custkey"),
+          o("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("orders_orphans").as("probe"), col("n_rows"))
+      val cc = c.join(o.select("o_custkey"),
+          c("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("customers_no_orders").as("probe"), col("n_rows"))
+      a.unionByName(b).unionByName(cc).orderBy("probe")
+    },
+
     "p96_sim_histogram" -> { (s, d) =>
       // Pairwise-similarity histogram over the bounded audit slice —
       // the threshold-tuning diagnostic behind every dedup dial
@@ -2914,6 +2958,31 @@ object PipelineQueries {
         |ORDER BY da, db""".stripMargin,
     "p07_ann_lsh" -> lshOracleSql,
     "p89_jl_projection" -> jlOracleSql,
+    "p99_normalize" ->
+      """WITH n AS (SELECT source, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[\x00-\x1f]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(length(text) - length(nt)) AS BIGINT)
+        |    AS chars_removed
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
+    "p100_ref_integrity" ->
+      """SELECT 'customers_no_orders' AS probe,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+        |    AS n_rows
+        |UNION ALL
+        |SELECT 'lineitem_orphans',
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |UNION ALL
+        |SELECT 'orders_orphans',
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |ORDER BY probe""".stripMargin,
     "p96_sim_histogram" ->
       """WITH w AS (SELECT doc_id,
         |    list_distinct(regexp_split_to_array(text, '\s+')) AS ws
