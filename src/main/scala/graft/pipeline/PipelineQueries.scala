@@ -1326,6 +1326,52 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p101_fertility" -> { (s, d) =>
+      // Tokenizer fertility by language (subword units per whitespace
+      // word — the metric that exposes which languages a tokenizer
+      // taxes): integer token sums per lang, one final ratio. Narrow
+      // map pass + bounded rollup.
+      load(s, d, "documents")
+        .select(col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("nw"),
+          TextOps.subwordCount(col("text")).cast("long").as("ns"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nw").as("n_words"), sum("ns").as("n_subwords"),
+          round(sum("ns").cast("double") / sum("nw"), 6).as("fertility"))
+        .orderBy("lang")
+    },
+
+    "p102_corr" -> { (s, d) =>
+      // Length↔quality correlation per source, computed EXACTLY:
+      // Pearson r from integer co-moments (quality is a 2-decimal
+      // score, so ×100 is an exact integer; n_chars already is) —
+      // n·Σxy − Σx·Σy over the exact integer sums, one float sqrt at
+      // the very end. Engine-portable where a streaming co-moment
+      // formula would drift; the sums partial-aggregate map-side.
+      val q = load(s, d, "documents").select(col("source"),
+        col("n_chars").as("x"),
+        // ×100 then round-to-integer: the 2-decimal score's double
+        // form sits ~1e-15 off the exact centi value, so a bare long
+        // cast would truncate 29.999… to 29 — round first (both
+        // engines land far from any .5 boundary)
+        round(TextOps.qualityScore(col("text")) * 100, 0).cast("long").as("y"))
+      q.groupBy("source").agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("r", round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            // each variance co-moment is < 2^52 (exact in double);
+            // their PRODUCT would overflow long, so the cast happens
+            // per factor before the multiply — identical in the oracle
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
+        .select(col("source"), col("n"), col("r"))
+        .orderBy("source")
+    },
+
     "p99_normalize" -> { (s, d) =>
       // Canonical text-normalization pre-pass audit (the step every
       // corpus runs before hashing — and why p01's digests
@@ -2958,6 +3004,45 @@ object PipelineQueries {
         |ORDER BY da, db""".stripMargin,
     "p07_ann_lsh" -> lshOracleSql,
     "p89_jl_projection" -> jlOracleSql,
+    "p101_fertility" ->
+      """WITH t AS (SELECT lang,
+        |    len(regexp_split_to_array(text, '\s+')) AS nw,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS ns
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+        |  round(CAST(sum(ns) AS DOUBLE) / sum(nw), 6) AS fertility
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "p102_corr" ->
+      """WITH t0 AS (SELECT doc_id, source, text,
+        |    regexp_split_to_array(text, '\s+') AS ws,
+        |    greatest(length(text), 1) AS nn, n_chars FROM documents),
+        |m AS (SELECT doc_id, source, n_chars,
+        |    len(list_filter(ws, w -> w IN
+        |      ('the','a','of','and','to','in','is')))::DOUBLE
+        |      / greatest(len(ws), 1) AS swr,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / nn
+        |      AS pr,
+        |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE / nn AS dr,
+        |    length(text) AS lt FROM t0),
+        |q AS (SELECT source, n_chars AS x,
+        |    CAST(round(round((CASE WHEN lt BETWEEN 100 AND 10000 THEN 0.4
+        |         WHEN lt >= 20 THEN 0.2 ELSE 0.0 END)
+        |    + (CASE WHEN pr <= 0.1 THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN dr <= 0.2 THEN 0.1 ELSE 0.0 END)
+        |    + (CASE WHEN swr >= 0.05 THEN 0.2 ELSE 0.0 END), 2) * 100, 0)
+        |      AS BIGINT) AS y
+        |  FROM m),
+        |a AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM q GROUP BY source)
+        |SELECT source, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+        |FROM a ORDER BY source""".stripMargin,
     "p99_normalize" ->
       """WITH n AS (SELECT source, text,
         |    trim(regexp_replace(regexp_replace(lower(text),
