@@ -777,6 +777,25 @@ object GraphQueries {
         .select(J.asText(col("name")).as("name"),
           J.asText(col("tag")).as("tag"))
         .orderBy("name")
+    },
+
+    // Diamond pattern with a REVERSE hop in the chain + graphid
+    // ordering + a NEGATIVE pattern predicate over a bound variable —
+    // the friend-of-friend query shape: pairs of customers co-located
+    // in a nation where the first has never placed an order. id(a) <
+    // id(b) halves the pairs at graphid level (same label ⇒ packed-id
+    // order = key order); NOT exists((a)-[:placed]->()) decorrelates
+    // through the row-tagged pattern-predicate machinery.
+    "g41_foaf_pattern" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (a:customer)-[:in]->(n:nation)<-[:in]-(b:customer)
+          |WHERE id(a) < id(b)
+          |  AND NOT exists((a)-[:placed]->({status: 'F'}))
+          |RETURN n.name AS nation, count(*) AS n_pairs""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n_pairs")).as("n_pairs"))
+        .orderBy("nation")
     }
   )
 
@@ -862,6 +881,15 @@ object GraphQueries {
       """SELECT 'corpus' AS name,
         |  (SELECT count(*) FROM part) AS n_parts,
         |  (SELECT max(n_name) FROM nation) AS top_nation""".stripMargin,
+    "g41_foaf_pattern" ->
+      """SELECT n_name AS nation, count(*) AS n_pairs
+        |FROM customer a
+        |JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_custkey < b.c_custkey
+        |JOIN nation ON n_nationkey = a.c_nationkey
+        |WHERE a.c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g40_udf_interop" ->
       """SELECT c_name AS name,
         |  CASE WHEN c_acctbal >= 9950 THEN lower(c_name)
