@@ -129,6 +129,13 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("p94: exact-k sampling plans through the custom TopKPerKey operator") {
+    val p = planOf("p94_exact_k_sample")
+    assert(p.contains("TopKPerKeyFinal"), p)
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(!p.contains("Window"), p) // no rank window, no partition sort
+  }
+
   test("p67: bm25 prunes postings by the broadcast query vocabulary, no UDFs") {
     val p = planOf("p67_bm25")
     // the corpus token stream meets the query vocabulary in a
