@@ -1326,6 +1326,44 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p103_nb_langid" -> { (s, d) =>
+      // Naive-Bayes language ID trained ON the corpus's own labels
+      // and applied back, with the CONFUSION MATRIX through the gate
+      // — the supervised teach-and-apply loop (upgrades p10's marker
+      // heuristic). Laplace-smoothed per-language unigram likelihoods
+      // + log prior; prediction = argmax on the ROUNDED posterior
+      // with a language tiebreak (min_by over (−score, lang) — the
+      // same rule the oracle's rank window applies). The scoring grid
+      // is tokens × |languages| (bounded ×5); model tables are
+      // vocabulary-sized.
+      val docs = load(s, d, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+      val langs = docs.groupBy(col("lang").as("l"))
+        .agg(count(lit(1)).as("ndl"))
+      val tot = docs.agg(count(lit(1)).as("n_all"))
+      val cw = toks.groupBy(col("lang").as("l"), col("w"))
+        .agg(count(lit(1)).as("cw"))
+      val ct = cw.groupBy("l").agg(sum("cw").as("ctot"))
+      val vocab = toks.agg(countDistinct("w").as("v"))
+      val ll = toks.crossJoin(broadcast(langs.select("l")))
+        .join(cw, Seq("l", "w"), "left").na.fill(0L, Seq("cw"))
+        .join(ct, "l").crossJoin(broadcast(vocab))
+        .groupBy("doc_id", "lang", "l")
+        .agg(sum(log((col("cw") + 1).cast("double") /
+          (col("ctot") + col("v")))).as("ll"))
+      val scored = ll.join(langs, "l").crossJoin(broadcast(tot))
+        .withColumn("score", round(col("ll") +
+          log(col("ndl").cast("double") / col("n_all")), 6))
+      scored.groupBy("doc_id", "lang")
+        .agg(min_by(col("l"), struct((col("score") * -1).as("ns"),
+          col("l"))).as("pred"))
+        .groupBy(col("lang").as("true_lang"), col("pred").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
+    },
+
     "p101_fertility" -> { (s, d) =>
       // Tokenizer fertility by language (subword units per whitespace
       // word — the metric that exposes which languages a tokenizer
@@ -3004,6 +3042,32 @@ object PipelineQueries {
         |ORDER BY da, db""".stripMargin,
     "p07_ann_lsh" -> lshOracleSql,
     "p89_jl_projection" -> jlOracleSql,
+    "p103_nb_langid" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, lang, w FROM toks WHERE length(w) > 0),
+        |langs AS (SELECT lang AS l, count(*) AS ndl FROM documents
+        |  GROUP BY 1),
+        |tot AS (SELECT count(*) AS nall FROM documents),
+        |cw AS (SELECT lang AS l, w, count(*) AS cw FROM t2 GROUP BY 1, 2),
+        |ct AS (SELECT l, sum(cw) AS ctot FROM cw GROUP BY l),
+        |v AS (SELECT count(DISTINCT w) AS v FROM t2),
+        |g AS (SELECT t2.doc_id, t2.lang, langs.l, t2.w
+        |  FROM t2 CROSS JOIN langs),
+        |sc AS (SELECT g.doc_id, g.lang, g.l,
+        |    sum(ln(CAST(coalesce(cw.cw, 0) + 1 AS DOUBLE) / (ctot + v)))
+        |      AS ll
+        |  FROM g LEFT JOIN cw ON cw.l = g.l AND cw.w = g.w
+        |  JOIN ct ON ct.l = g.l CROSS JOIN v
+        |  GROUP BY 1, 2, 3),
+        |ps AS (SELECT doc_id, lang, sc.l,
+        |    round(ll + ln(CAST(ndl AS DOUBLE) / nall), 6) AS score
+        |  FROM sc JOIN langs ON langs.l = sc.l CROSS JOIN tot),
+        |pr AS (SELECT doc_id, lang, l, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, l) AS rn FROM ps)
+        |SELECT lang AS true_lang, l AS pred_lang, count(*) AS n
+        |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p101_fertility" ->
       """WITH t AS (SELECT lang,
         |    len(regexp_split_to_array(text, '\s+')) AS nw,
