@@ -1326,6 +1326,38 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    "p104_kmeans" -> { (s, d) =>
+      // DISTRIBUTED k-means, fully oracle-gated: deterministic seeds
+      // (vectors 0–3), two Lloyd iterations, assignment by argmin on
+      // the ROUNDED squared distance with a centroid tiebreak (the
+      // repo's float-argmin discipline), centroid update as
+      // (cid, dim) keyed means — vectors never shuffle whole, only
+      // (id, dim, value) triples; each iteration is one join + two
+      // map-side-combinable aggregations. The oracle unrolls both
+      // iterations as CTEs.
+      val dims = load(s, d, "embeddings").where(col("vec_id") < 200)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v0")))
+        .withColumn("v", col("v0").cast("double")).drop("v0")
+        .localCheckpoint(true) // read by every iteration + final pass
+      def assign(cent: DataFrame) = dims.join(cent, Seq("dim"))
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"),
+          struct(round(col("d2"), 6).as("rd"), col("cid"))).as("cid"))
+      var cent = dims.where(col("vec_id") < 4)
+        .select(col("vec_id").cast("long").as("cid"), col("dim"),
+          col("v").as("c"))
+      for (_ <- 1 to 2)
+        cent = dims.join(assign(cent), "vec_id")
+          .groupBy("cid", "dim").agg(avg("v").as("c"))
+      val sizes = assign(cent).groupBy("cid")
+        .agg(count(lit(1)).as("n_members"))
+      cent.where(col("dim") === 0).join(sizes, "cid")
+        .select(col("cid"), col("n_members"), round(col("c"), 6).as("c0"))
+        .orderBy("cid")
+    },
+
     "p103_nb_langid" -> { (s, d) =>
       // Naive-Bayes language ID trained ON the corpus's own labels
       // and applied back, with the CONFUSION MATRIX through the gate
@@ -3042,6 +3074,38 @@ object PipelineQueries {
         |ORDER BY da, db""".stripMargin,
     "p07_ann_lsh" -> lshOracleSql,
     "p89_jl_projection" -> jlOracleSql,
+    "p104_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding AS em FROM embeddings
+        |  WHERE vec_id < 200),
+        |ix AS (SELECT vec_id, em,
+        |    unnest(generate_series(1, len(em))) AS i FROM e),
+        |dm AS (SELECT vec_id, i - 1 AS dim, CAST(em[i] AS DOUBLE) AS v
+        |  FROM ix),
+        |cA AS (SELECT vec_id AS cid, dim, v AS c FROM dm
+        |  WHERE vec_id < 4),
+        |dA AS (SELECT dm.vec_id, cA.cid, sum((v - c) * (v - c)) AS d2
+        |  FROM dm JOIN cA USING (dim) GROUP BY 1, 2),
+        |aA AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(d2, 6), cid) AS rn FROM dA) WHERE rn = 1),
+        |cB AS (SELECT cid, dim, avg(v) AS c FROM dm JOIN aA USING (vec_id)
+        |  GROUP BY 1, 2),
+        |dB AS (SELECT dm.vec_id, cB.cid, sum((v - c) * (v - c)) AS d2
+        |  FROM dm JOIN cB USING (dim) GROUP BY 1, 2),
+        |aB AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(d2, 6), cid) AS rn FROM dB) WHERE rn = 1),
+        |cC AS (SELECT cid, dim, avg(v) AS c FROM dm JOIN aB USING (vec_id)
+        |  GROUP BY 1, 2),
+        |dC AS (SELECT dm.vec_id, cC.cid, sum((v - c) * (v - c)) AS d2
+        |  FROM dm JOIN cC USING (dim) GROUP BY 1, 2),
+        |aC AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(d2, 6), cid) AS rn FROM dC) WHERE rn = 1),
+        |sz AS (SELECT cid, count(*) AS n_members FROM aC GROUP BY cid)
+        |SELECT cC.cid, n_members, round(c, 6) AS c0
+        |FROM cC JOIN sz USING (cid) WHERE dim = 0
+        |ORDER BY cid""".stripMargin,
     "p103_nb_langid" ->
       """WITH toks AS (SELECT doc_id, lang,
         |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
