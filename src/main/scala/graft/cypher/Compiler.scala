@@ -505,11 +505,20 @@ final class Compiler(
         CE(J.fromText(replace(J.asText(j0), J.asText(toJ(compile(args(1)))),
           J.asText(toJ(compile(args(2)))))), KJ)
       case "substring" =>
+        // 0-based start, PG window-clamp semantics (text.c substr):
+        // the window is [start, start+len) in 0-based chars, clipped
+        // to the string — a negative start CONSUMES length rather
+        // than counting from the end (substring('123', -1, 1) = "",
+        // cypher_substring.out:9-13). Spark's substring treats
+        // pos <= 0 as from-the-end, so clamp before delegating.
         val s = J.asText(j0)
-        val start = (J.toLong(toJ(compile(args(1)))) + 1L).cast("int") // 0-based -> 1-based
-        if (args.length > 2)
-          CE(J.fromText(substring(s, start, J.toLong(toJ(compile(args(2)))).cast("int"))), KJ)
-        else CE(J.fromText(substring(s, start, lit(Int.MaxValue))), KJ)
+        val start1 = (J.toLong(toJ(compile(args(1)))) + 1L) // 1-based, may be < 1
+        val lo = greatest(start1, lit(1L))
+        if (args.length > 2) {
+          val len = J.toLong(toJ(compile(args(2))))
+          val clipped = greatest(start1 + len - lo, lit(0L)).cast("int")
+          CE(J.fromText(substring(s, lo.cast("int"), clipped)), KJ)
+        } else CE(J.fromText(substring(s, lo.cast("int"), lit(Int.MaxValue))), KJ)
       case "split" =>
         val s = J.asText(j0)
         val sep = J.asText(toJ(compile(args(1))))

@@ -1358,6 +1358,122 @@ object PipelineQueries {
         .orderBy("cid")
     },
 
+    "p105_auc" -> { (s, d) =>
+      // Exact ROC-AUC (Mann–Whitney with average-rank tie handling)
+      // of a quality score against a binary relevance label, per
+      // source — the classifier-calibration gate every model-filtered
+      // corpus needs. The 100-TB shape: rows collapse to the bounded
+      // (source, score) histogram FIRST (one map-side-combinable
+      // count shuffle); the rank window then runs over histogram
+      // buckets, never rows. Concordance is accumulated as an exact
+      // INTEGER (2·np·nn_below + np·nn counts concordant pairs twice
+      // and ties once), so the only float op is the final division.
+      val sc = load(s, d, "documents")
+        .select(col("source"),
+          (col("lang") === "en").cast("long").as("pos"),
+          floor(col("n_chars") / 50).as("score"))
+      val hist = sc.groupBy("source", "score")
+        .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("score")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("nn_below",
+        coalesce(sum(col("nn")).over(w), lit(0L)))
+      cum.groupBy("source")
+        .agg(sum(col("np") * 2 * col("nn_below") + col("np") * col("nn")).as("c2"),
+          sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          when(col("n_pos") * col("n_neg") === 0, lit(null))
+            .otherwise(round(col("c2").cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+        .orderBy("source")
+    },
+
+    "p107_adamic_adar" -> { (s, d) =>
+      // Adamic–Adar link prediction over the customer–part bipartite
+      // graph (p75's projection, scored): AA(u,v) = Σ 1/ln(deg p)
+      // over parts p both customers ordered — rare parts vote
+      // loudest. Wedge join keys on the part, so fan-out is bounded
+      // per part by its degree (at web scale heavy hub parts get
+      // capped or salted — the deg table this computes is exactly the
+      // cap's input); only (customer, customer) id pairs ride the
+      // pair shuffle. A wedge needs deg ≥ 2, so ln(deg) ≥ ln 2 — no
+      // division hazard. Rounded before the rank compare, id
+      // tiebreaks (the repo's float-ordering discipline).
+      val cp = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(load(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val deg = cp.groupBy("p").agg(count(lit(1)).as("dp"))
+      val wedges = cp.alias("x")
+        .join(cp.alias("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.p").as("p"))
+        .join(deg, "p")
+      wedges.groupBy("ca", "cb")
+        .agg(round(sum(lit(1.0) / log(col("dp"))), 6).as("aa"),
+          count(lit(1)).as("n_common"))
+        .orderBy(col("aa").desc, col("ca"), col("cb"))
+        .limit(25)
+    },
+
+    "p110_metapath_walk" -> { (s, d) =>
+      // Deterministic metapath random walks (metapath2vec corpus
+      // generation): walkers alternate customer→part→customer hops
+      // over the purchase bipartite graph, picking neighbor
+      // idx = (walk·1103515245 + step·12345) mod deg — a pure-integer
+      // LCG both engines evaluate exactly, so the corpus is
+      // reproducible anywhere. The scale shape: adjacency is indexed
+      // ONCE per direction (row_number per source key — per-key
+      // bounded), each hop is one equi-join on (node, idx); walker
+      // state is (walk, step, node) ids only — no vectors, no text,
+      // nothing wide ever shuffles.
+      val cp = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(load(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val wOut = org.apache.spark.sql.expressions.Window
+        .partitionBy("c").orderBy("p")
+      val cpIdx = cp.select(col("c").as("cc"), col("p"),
+        (row_number().over(wOut) - 1).as("aidx"))
+      val cDeg = cp.groupBy("c").agg(count(lit(1)).as("cd"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("p").orderBy("c")
+      val pcIdx = cp.select(col("p").as("pp"), col("c"),
+        (row_number().over(wIn) - 1).as("aidx"))
+      val pDeg = cp.groupBy("p").agg(count(lit(1)).as("pd"))
+      def pick(step: Int): org.apache.spark.sql.Column =
+        pmod(col("walk") * 1103515245L + lit(step) * 12345L, col("deg"))
+      // step 0: walkers start at customers 1..50 that have purchases
+      var cur = cDeg.where(col("c") <= 50)
+        .select(col("c").as("walk"), col("c").as("cur"))
+      val hops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (step <- 0 until 4) {
+        cur =
+          if (step % 2 == 0) // customer → part
+            cur.join(cDeg.withColumnRenamed("cd", "deg"),
+                col("cur") === col("c"))
+              .withColumn("idx", pick(step))
+              .join(cpIdx,
+                col("cc") === col("cur") && col("aidx") === col("idx"))
+              .select(col("walk"), col("p").as("cur"))
+          else // part → customer
+            cur.join(pDeg.withColumnRenamed("pd", "deg"),
+                col("cur") === col("p"))
+              .withColumn("idx", pick(step))
+              .join(pcIdx,
+                col("pp") === col("cur") && col("aidx") === col("idx"))
+              .select(col("walk"), col("c").as("cur"))
+        hops += cur.select(col("walk"), lit(step + 1).as("step"),
+          lit(if (step % 2 == 0) "part" else "cust").as("kind"),
+          col("cur").as("node"))
+      }
+      hops.reduce(_ unionAll _).orderBy("walk", "step")
+    },
+
     "p103_nb_langid" -> { (s, d) =>
       // Naive-Bayes language ID trained ON the corpus's own labels
       // and applied back, with the CONFUSION MATRIX through the gate
@@ -3106,6 +3222,70 @@ object PipelineQueries {
         |SELECT cC.cid, n_members, round(c, 6) AS c0
         |FROM cC JOIN sz USING (cid) WHERE dim = 0
         |ORDER BY cid""".stripMargin,
+
+    "p105_auc" ->
+      """WITH sc AS (SELECT source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    floor(n_chars / 50) AS score FROM documents),
+        |h AS (SELECT source, score, sum(pos) AS np, sum(1 - pos) AS nn
+        |  FROM sc GROUP BY 1, 2),
+        |c AS (SELECT source, score, np, nn,
+        |    coalesce(sum(nn) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS nn_below
+        |  FROM h)
+        |SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(np) * sum(nn) = 0 THEN NULL
+        |    ELSE round(sum(np * 2 * nn_below + np * nn)
+        |      / (2.0 * sum(np) * sum(nn)), 6)
+        |  END AS auc
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "p107_adamic_adar" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT p, count(*) AS dp FROM cp GROUP BY p),
+        |w AS (SELECT x.c AS ca, y.c AS cb, x.p AS p
+        |  FROM cp x JOIN cp y ON x.p = y.p AND x.c < y.c),
+        |aa AS (SELECT ca, cb, round(sum(1.0 / ln(dp)), 6) AS aa,
+        |    count(*) AS n_common
+        |  FROM w JOIN deg USING (p) GROUP BY ca, cb)
+        |SELECT ca, cb, aa, n_common FROM aa
+        |ORDER BY aa DESC, ca, cb LIMIT 25""".stripMargin,
+
+    "p110_metapath_walk" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cpi AS (SELECT c AS cc, p,
+        |  row_number() OVER (PARTITION BY c ORDER BY p) - 1 AS aidx FROM cp),
+        |cdeg AS (SELECT c, count(*) AS cd FROM cp GROUP BY c),
+        |pci AS (SELECT p AS pp, c,
+        |  row_number() OVER (PARTITION BY p ORDER BY c) - 1 AS aidx FROM cp),
+        |pdeg AS (SELECT p, count(*) AS pd FROM cp GROUP BY p),
+        |w0 AS (SELECT c AS walk, c AS cur FROM cdeg WHERE c <= 50),
+        |s1 AS (SELECT w0.walk, cpi.p AS cur FROM w0
+        |  JOIN cdeg ON w0.cur = cdeg.c
+        |  JOIN cpi ON cpi.cc = w0.cur
+        |    AND cpi.aidx = (w0.walk * 1103515245 + 0) % cd),
+        |s2 AS (SELECT s1.walk, pci.c AS cur FROM s1
+        |  JOIN pdeg ON s1.cur = pdeg.p
+        |  JOIN pci ON pci.pp = s1.cur
+        |    AND pci.aidx = (s1.walk * 1103515245 + 12345) % pd),
+        |s3 AS (SELECT s2.walk, cpi.p AS cur FROM s2
+        |  JOIN cdeg ON s2.cur = cdeg.c
+        |  JOIN cpi ON cpi.cc = s2.cur
+        |    AND cpi.aidx = (s2.walk * 1103515245 + 24690) % cd),
+        |s4 AS (SELECT s3.walk, pci.c AS cur FROM s3
+        |  JOIN pdeg ON s3.cur = pdeg.p
+        |  JOIN pci ON pci.pp = s3.cur
+        |    AND pci.aidx = (s3.walk * 1103515245 + 37035) % pd)
+        |SELECT walk, 1 AS step, 'part' AS kind, cur AS node FROM s1
+        |UNION ALL SELECT walk, 2, 'cust', cur FROM s2
+        |UNION ALL SELECT walk, 3, 'part', cur FROM s3
+        |UNION ALL SELECT walk, 4, 'cust', cur FROM s4
+        |ORDER BY walk, step""".stripMargin,
+
     "p103_nb_langid" ->
       """WITH toks AS (SELECT doc_id, lang,
         |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w

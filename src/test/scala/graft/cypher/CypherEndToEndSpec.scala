@@ -52,6 +52,39 @@ class CypherEndToEndSpec extends AnyFunSuite {
       Seq("\"agens-graph-jdbc\"", "\"java\"")))
   }
 
+  test("F1: substring matrix from cypher_substring.out (AG246)") {
+    val s = freshSession()
+    s.createGraph("substring_ag246")
+    s.createVLabel("string")
+    s.cypher("CREATE (:string {sval: '123', nval: 123})")
+    // substring(string, start, length): 0-based start, PG window clamp
+    // (negative start consumes length — cypher_substring.out:9-36)
+    val exp3 = Seq(-1 -> "\"\"", 0 -> "\"1\"", 1 -> "\"2\"", 2 -> "\"3\"",
+      3 -> "\"\"")
+    for ((st, want) <- exp3) {
+      assert(rows(s.cypher(
+        s"MATCH (u:string) RETURN substring(u.sval, $st, 1) AS r")) ==
+        Seq(Seq(want)), s"substring(sval, $st, 1)")
+      assert(rows(s.cypher(s"RETURN substring('123', $st, 1) AS r")) ==
+        Seq(Seq(want)), s"substring('123', $st, 1)")
+    }
+    // substring(string, start): suffix form (cypher_substring.out:41-71)
+    val exp2 = Seq(-1 -> "\"123\"", 0 -> "\"123\"", 1 -> "\"23\"",
+      2 -> "\"3\"", 3 -> "\"\"")
+    for ((st, want) <- exp2) {
+      assert(rows(s.cypher(
+        s"MATCH (u:string) RETURN substring(u.sval, $st) AS r")) ==
+        Seq(Seq(want)), s"substring(sval, $st)")
+      assert(rows(s.cypher(s"RETURN substring('123', $st) AS r")) ==
+        Seq(Seq(want)), s"substring('123', $st)")
+    }
+    // deep-negative start still consumes length / clamps to the head
+    assert(rows(s.cypher("RETURN substring('123', -2) AS r")) ==
+      Seq(Seq("\"123\"")))
+    assert(rows(s.cypher("RETURN substring('123', -2, 3) AS r")) ==
+      Seq(Seq("\"1\"")))
+  }
+
   test("F1: implicit grouping with count(*)") {
     val df = agens.cypher(
       """MATCH (g:repo)-[r]->() RETURN g.name AS n, count(*) AS c""")
