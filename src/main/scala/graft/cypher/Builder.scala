@@ -221,37 +221,103 @@ final class Builder(
     */
   private def rewriteExistsPatterns(st0: State, e: Expr): (State, Expr) = {
     var st = st0
-    def bind(p: PathPattern): Expr = {
-      val hidden = fresh("exists")
-      val rid = s"${hidden}_rid"
-      // materialized before the plan forks — see stableRowTag
-      val tagged = stableRowTag(st.df, rid)
-      val inner = buildMatch(State(tagged, st.vars),
-        Match(Seq(p), optional = false, where = None))
-      val matched = inner.df.select(col(rid).as(s"${hidden}_m")).distinct()
-      val joined = tagged
-        .join(matched, col(rid) === col(s"${hidden}_m"), "left")
-        .withColumn(hidden, col(s"${hidden}_m").isNotNull)
-        .drop(rid, s"${hidden}_m")
-      st = State(joined, st.vars :+ (hidden -> Kind.KB))
+    def patternVarNames(p: PathPattern): Seq[String] =
+      ((p.head +: p.tail.map(_._2)).flatMap(_.variable) ++
+        p.tail.map(_._1).flatMap(_.variable) ++ p.variable.toSeq).distinct
+    /** Shared bound vars IF all are id-identified (vertex/edge) —
+      * then the pattern verdict is a function of their ids and can
+      * key-correlate; None forces the per-row rid fallback (a shared
+      * path/list var has no single join key).
+      */
+    def keyVars(p: PathPattern): Option[Seq[(String, Kind)]] = {
+      val bound = st.vars.toMap
+      val shared = patternVarNames(p).filter(bound.contains)
+      if (shared.forall(v => bound(v) == KV || bound(v) == KE))
+        Some(shared.map(v => v -> bound(v)))
+      else None
+    }
+    /** exists()/size() depend only on the pattern's shared variables —
+      * so evaluate per DISTINCT shared-entity binding and hash-join
+      * the verdict back BY ID, instead of tagging every input row and
+      * re-running the pattern against the whole bound relation. After
+      * a pattern join has exploded rows (g41's per-nation customer
+      * pairs), the probe pays |distinct entities|, not |joined rows|,
+      * and no row tag / checkpoint barrier is needed at all. `agg`
+      * turns the inner match into the verdict column; `empty` is the
+      * no-match value for rows whose key never matched.
+      */
+    def bindKeyed(hidden: String, p: PathPattern,
+        shared: Seq[(String, Kind)], kind: Kind,
+        finish: Column => Column): Expr = {
+      val n = s"${hidden}_n"
+      if (shared.isEmpty) {
+        // uncorrelated pattern: one global match count, broadcast
+        // onto every row through a single-row left join (stays lazy)
+        val probe = spark.range(1).toDF(s"${hidden}_one")
+        val inner = buildMatch(State(probe, Vector.empty),
+          Match(Seq(p), optional = false, where = None))
+        val verdict = broadcast(inner.df.groupBy()
+          .agg(count(lit(1)).as(n)))
+        val joined = st.df.join(verdict, lit(true), "left")
+          .withColumn(hidden, finish(col(n))).drop(n)
+        st = State(joined, st.vars :+ (hidden -> kind))
+      } else {
+        val probe = st.df
+          .select(shared.map(v => col(Compiler.q(v._1))): _*).distinct()
+        val inner = buildMatch(State(probe, shared.toVector),
+          Match(Seq(p), optional = false, where = None))
+        val keyed = inner.df.groupBy(shared.zipWithIndex.map { case (v, i) =>
+            col(Compiler.q(v._1)).getField("id").as(s"${hidden}_k$i") }: _*)
+          .agg(count(lit(1)).as(n))
+        val cond = shared.indices.map(i =>
+          col(Compiler.q(shared(i)._1)).getField("id") ===
+            col(s"${hidden}_k$i")).reduce(_ && _)
+        val joined = st.df.join(keyed, cond, "left")
+          .withColumn(hidden, finish(col(n)))
+          .drop(shared.indices.map(i => s"${hidden}_k$i") :+ n: _*)
+        st = State(joined, st.vars :+ (hidden -> kind))
+      }
       Vbl(hidden)
     }
-    def bindCount(p: PathPattern): Expr = {
-      val hidden = fresh("psize")
-      val rid = s"${hidden}_rid"
-      // materialized before the plan forks — see stableRowTag
-      val tagged = stableRowTag(st.df, rid)
-      val inner = buildMatch(State(tagged, st.vars),
-        Match(Seq(p), optional = false, where = None))
-      val counts = inner.df.groupBy(col(rid).as(s"${hidden}_m"))
-        .agg(count(lit(1)).as(s"${hidden}_n"))
-      val joined = tagged
-        .join(counts, col(rid) === col(s"${hidden}_m"), "left")
-        .withColumn(hidden,
-          graft.expr.J.fromLong(coalesce(col(s"${hidden}_n"), lit(0L))))
-        .drop(rid, s"${hidden}_m", s"${hidden}_n")
-      st = State(joined, st.vars :+ (hidden -> Kind.KJ))
-      Vbl(hidden)
+    def bind(p: PathPattern): Expr = keyVars(p) match {
+      case Some(shared) =>
+        bindKeyed(fresh("exists"), p, shared, Kind.KB,
+          c => coalesce(c, lit(0L)) > 0)
+      case None =>
+        val hidden = fresh("exists")
+        val rid = s"${hidden}_rid"
+        // materialized before the plan forks — see stableRowTag
+        val tagged = stableRowTag(st.df, rid)
+        val inner = buildMatch(State(tagged, st.vars),
+          Match(Seq(p), optional = false, where = None))
+        val matched = inner.df.select(col(rid).as(s"${hidden}_m")).distinct()
+        val joined = tagged
+          .join(matched, col(rid) === col(s"${hidden}_m"), "left")
+          .withColumn(hidden, col(s"${hidden}_m").isNotNull)
+          .drop(rid, s"${hidden}_m")
+        st = State(joined, st.vars :+ (hidden -> Kind.KB))
+        Vbl(hidden)
+    }
+    def bindCount(p: PathPattern): Expr = keyVars(p) match {
+      case Some(shared) =>
+        bindKeyed(fresh("psize"), p, shared, Kind.KJ,
+          c => graft.expr.J.fromLong(coalesce(c, lit(0L))))
+      case None =>
+        val hidden = fresh("psize")
+        val rid = s"${hidden}_rid"
+        // materialized before the plan forks — see stableRowTag
+        val tagged = stableRowTag(st.df, rid)
+        val inner = buildMatch(State(tagged, st.vars),
+          Match(Seq(p), optional = false, where = None))
+        val counts = inner.df.groupBy(col(rid).as(s"${hidden}_m"))
+          .agg(count(lit(1)).as(s"${hidden}_n"))
+        val joined = tagged
+          .join(counts, col(rid) === col(s"${hidden}_m"), "left")
+          .withColumn(hidden,
+            graft.expr.J.fromLong(coalesce(col(s"${hidden}_n"), lit(0L))))
+          .drop(rid, s"${hidden}_m", s"${hidden}_n")
+        st = State(joined, st.vars :+ (hidden -> Kind.KJ))
+        Vbl(hidden)
     }
     // shortestpath()/allshortestpaths() in EXPRESSION position
     // (cypher_shortestpath.sql:31-100): unlike the MATCH-position form,

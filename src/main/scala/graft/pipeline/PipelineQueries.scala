@@ -1389,6 +1389,57 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    "p106_bitext_margin" -> { (s, d) =>
+      // Margin-based bitext mining (the ratio-margin criterion):
+      // cross-lingual pair candidates score cos(a,b) normalized by
+      // the mean of each side's top-k neighborhood — absolute-cosine
+      // thresholds fail because "hubs" score high against everything;
+      // the margin divides that hubness out. Sides = label parity
+      // (stand-in for two languages). Bounded pair join here is the
+      // verification baseline; at scale the candidate pairs come from
+      // the ANN kernels (LSH/IVF) and the SAME margin math re-scores
+      // them — the normalizers are per-vector aggregates of each
+      // side's top-k lists, one extra ids-only shuffle. Scores round
+      // to 6 before every compare (rank + threshold), id tiebreaks.
+      val e = load(s, d, "embeddings").where(col("vec_id") < 200)
+      val a = e.where(col("label") % 2 === 0)
+        .select(col("vec_id").as("aid"), col("embedding").as("av"),
+          Similarity.norm(col("embedding")).as("__an"))
+      val b = e.where(col("label") % 2 === 1)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"),
+          Similarity.norm(col("embedding")).as("__bn"))
+      val pairs = a.join(b)
+        .withColumn("cos", round(Similarity.dot(col("av"), col("bv")) /
+          (col("__an") * col("__bn")), 6))
+        .select("aid", "bid", "cos")
+        .localCheckpoint(true) // three consumers below share one scan
+      // top-k neighborhood mass as an EXACT decimal sum (not a
+      // rounded double mean — HALF_UP vs binary rounding flips the
+      // 6th digit across engines); margin = cos/((ma/k + mb/k)/2)
+      // = 2k·cos/(ma+mb), one double division from exact inputs
+      val wa = org.apache.spark.sql.expressions.Window
+        .partitionBy("aid").orderBy(col("cos").desc, col("bid"))
+      val ka = pairs.withColumn("rk", row_number().over(wa))
+        .where(col("rk") <= 4)
+        .groupBy("aid")
+        .agg(sum(col("cos").cast("decimal(10,6)")).as("ma"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("bid").orderBy(col("cos").desc, col("aid"))
+      val kb = pairs.withColumn("rk", row_number().over(wb))
+        .where(col("rk") <= 4)
+        .groupBy("bid")
+        .agg(sum(col("cos").cast("decimal(10,6)")).as("mb"))
+      val scored = pairs.join(ka, "aid").join(kb, "bid")
+        .withColumn("margin", round(col("cos") * 8.0 /
+          (col("ma") + col("mb")).cast("double"), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("aid").orderBy(col("margin").desc, col("bid"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1 && col("margin") >= 1.05)
+        .select(col("aid"), col("bid"), col("margin"))
+        .orderBy("aid")
+    },
+
     "p107_adamic_adar" -> { (s, d) =>
       // Adamic–Adar link prediction over the customer–part bipartite
       // graph (p75's projection, scored): AA(u,v) = Σ 1/ln(deg p)
@@ -3241,6 +3292,30 @@ object PipelineQueries {
         |      / (2.0 * sum(np) * sum(nn)), 6)
         |  END AS auc
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "p106_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |  FROM embeddings WHERE vec_id < 200),
+        |a AS (SELECT vec_id AS aid, v FROM e WHERE label % 2 = 0),
+        |b AS (SELECT vec_id AS bid, v FROM e WHERE label % 2 = 1),
+        |pr AS (SELECT aid, bid,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |  FROM a, b),
+        |ka AS (SELECT aid, sum(CAST(cos AS DECIMAL(10,6))) AS ma FROM (
+        |    SELECT aid, cos, row_number() OVER (PARTITION BY aid
+        |      ORDER BY cos DESC, bid) AS rk FROM pr)
+        |  WHERE rk <= 4 GROUP BY aid),
+        |kb AS (SELECT bid, sum(CAST(cos AS DECIMAL(10,6))) AS mb FROM (
+        |    SELECT bid, cos, row_number() OVER (PARTITION BY bid
+        |      ORDER BY cos DESC, aid) AS rk FROM pr)
+        |  WHERE rk <= 4 GROUP BY bid),
+        |sc AS (SELECT pr.aid, pr.bid,
+        |    round(cos * 8.0 / CAST(ma + mb AS DOUBLE), 6) AS margin
+        |  FROM pr JOIN ka USING (aid) JOIN kb USING (bid)),
+        |rk AS (SELECT aid, bid, margin, row_number() OVER
+        |    (PARTITION BY aid ORDER BY margin DESC, bid) AS rk FROM sc)
+        |SELECT aid, bid, margin FROM rk WHERE rk = 1 AND margin >= 1.05
+        |ORDER BY aid""".stripMargin,
 
     "p107_adamic_adar" ->
       """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
