@@ -1267,6 +1267,7 @@ object PipelineQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
+        .localCheckpoint(true) // both wedge sides share the one shuffle
       cp.alias("x").join(cp.alias("y"),
           col("x.c") === col("y.c") && col("x.p") < col("y.p"))
         .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
@@ -1457,6 +1458,7 @@ object PipelineQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
+        .localCheckpoint(true) // three consumers (deg + both wedge sides)
       val deg = cp.groupBy("p").agg(count(lit(1)).as("dp"))
       val wedges = cp.alias("x")
         .join(cp.alias("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
@@ -1486,6 +1488,7 @@ object PipelineQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
+        .localCheckpoint(true) // four consumers (two indexes + two degs)
       val wOut = org.apache.spark.sql.expressions.Window
         .partitionBy("c").orderBy("p")
       val cpIdx = cp.select(col("c").as("cc"), col("p"),
