@@ -186,7 +186,7 @@ object Algo {
     }
 
     var vle = if (results == null)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         StructType(Seq(
           StructField("__start", LongType), StructField("__cur", LongType),
           StructField("__edges", ArrayType(b.edgeStructType)),
@@ -715,7 +715,7 @@ object Algo {
   }
 
   private def emptyIdPaths(b: Builder): DataFrame =
-    b.spark.createDataFrame(b.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    b.spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(Seq(
         StructField("__start", LongType), StructField("__cur", LongType),
         StructField("__edges", ArrayType(b.edgeStructType)),

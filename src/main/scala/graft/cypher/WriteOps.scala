@@ -464,7 +464,7 @@ object WriteOps {
     }
     val createdIds =
       if (createdIdsHolder.isEmpty)
-        b.spark.createDataFrame(b.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        b.spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("id",
               org.apache.spark.sql.types.LongType, false))))

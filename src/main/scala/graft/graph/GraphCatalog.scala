@@ -382,8 +382,16 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val dir = labelDir(graph, name)
     val schema = labelSchema(lm)
     if (hasParquet(dir)) spark.read.schema(schema).parquet(dir.toString)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else emptyFrame(schema)
   }
+
+  /** Statically-empty relation (LocalRelation, not an empty RDD): its
+    * emptiness is visible to Catalyst, so PropagateEmptyRelation folds
+    * empty-label branches out of subtree unions and joins at plan
+    * time — the metadata-pruning analog of skipping empty partitions.
+    */
+  private def emptyFrame(schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
 
   /** Align a set of label scans to a common (base + shred) shape and
     * union them (PG's Append over inheritance children). Members that
@@ -421,7 +429,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
   def scanAll(graph: String, kind: Char): DataFrame = {
     val ls = readMeta(graph).labels.values.filter(_.kind == kind).toSeq
     val schema = if (kind == 'v') vertexSchema else edgeSchema
-    if (ls.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    if (ls.isEmpty) emptyFrame(schema)
     else alignedUnion(graph, ls)
   }
 

@@ -796,6 +796,21 @@ object GraphQueries {
         .select(J.asText(col("nation")).as("nation"),
           J.toLong(col("n_pairs")).as("n_pairs"))
         .orderBy("nation")
+    },
+
+    // size() pattern predicate through the KEY-correlated path (the
+    // g41 fix's counting twin): the per-customer order multiplicity
+    // evaluates once per distinct customer id and joins back — no row
+    // tag, no checkpoint barrier (ExplainSpec g41 asserts the shape).
+    "g42_size_pattern" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE size((c)-[:placed]->()) >= 15
+          |RETURN n.name AS nation, count(*) AS n_heavy""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n_heavy")).as("n_heavy"))
+        .orderBy("nation")
     }
   )
 
@@ -889,6 +904,12 @@ object GraphQueries {
         |JOIN nation ON n_nationkey = a.c_nationkey
         |WHERE a.c_custkey NOT IN
         |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g42_size_pattern" ->
+      """SELECT n_name AS nation, count(*) AS n_heavy
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE (SELECT count(*) FROM orders
+        |       WHERE o_custkey = c_custkey) >= 15
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g40_udf_interop" ->
       """SELECT c_name AS name,

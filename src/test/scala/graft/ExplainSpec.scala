@@ -259,4 +259,16 @@ class ExplainSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_customer")
     }
   }
+
+  test("g41: pattern-exists qual key-correlates — no row-tag materialization barrier") {
+    // the NOT exists((a)-[:placed]->(...)) predicate must evaluate per
+    // distinct customer and join back by id; the old per-row plan
+    // tagged the exploded pair join with monotonically_increasing_id
+    // behind a localCheckpoint (a Scan ExistingRDD barrier that
+    // materialized |pairs| rows and cut every downstream optimization)
+    val p = planOf("g41_foaf_pattern")
+    assert(!p.contains("ExistingRDD"), p)
+    assert(!p.contains("monotonically_increasing_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
