@@ -1336,26 +1336,45 @@ object PipelineQueries {
       // (id, dim, value) triples; each iteration is one join + two
       // map-side-combinable aggregations. The oracle unrolls both
       // iterations as CTEs.
-      val dims = load(s, d, "embeddings").where(col("vec_id") < 200)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v0")))
-        .withColumn("v", col("v0").cast("double")).drop("v0")
-        .localCheckpoint(true) // read by every iteration + final pass
-      def assign(cent: DataFrame) = dims.join(cent, Seq("dim"))
-        .groupBy("vec_id", "cid")
-        .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
-        .groupBy("vec_id")
-        .agg(min_by(col("cid"),
-          struct(round(col("d2"), 6).as("rd"), col("cid"))).as("cid"))
-      var cent = dims.where(col("vec_id") < 4)
-        .select(col("vec_id").cast("long").as("cid"), col("dim"),
-          col("v").as("c"))
-      for (_ <- 1 to 2)
-        cent = dims.join(assign(cent), "vec_id")
-          .groupBy("cid", "dim").agg(avg("v").as("c"))
-      val sizes = assign(cent).groupBy("cid")
+      val (cent, assigned) = kmeans200(s, d)
+      val sizes = assigned.groupBy("cid")
         .agg(count(lit(1)).as("n_members"))
       cent.where(col("dim") === 0).join(sizes, "cid")
         .select(col("cid"), col("n_members"), round(col("c"), 6).as("c0"))
+        .orderBy("cid")
+    },
+
+    "p111_semdedup" -> { (s, d) =>
+      // SemDeDup (cluster-sharded semantic dedup): the all-pairs
+      // cosine pass that is hopeless on the full corpus runs WITHIN
+      // k-means cells only — pairs shrink from |corpus|^2 to
+      // sum(|cell|^2), the published recipe for embedding-space dedup
+      // at the 100-TB scale. Clusters are p104's deterministic Lloyd
+      // assignment (same seeds, same rounded-argmin tiebreak, so the
+      // structure under test is oracle-identical); within a cell a
+      // member drops when a LOWER-id member sits at cos >= 0.35 —
+      // an id-deterministic keep rule both engines replay exactly.
+      val (_, assigned) = kmeans200(s, d)
+      val emb = load(s, d, "embeddings").where(col("vec_id") < 200)
+        .join(assigned, "vec_id")
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          Similarity.norm(col("embedding")).as("__n"))
+        .localCheckpoint(true) // pair join probes + member census
+      val a = emb.select(col("cid"), col("vec_id").as("da"),
+        col("embedding").as("va"), col("__n").as("__na"))
+      val b = emb.select(col("cid"), col("vec_id").as("db"),
+        col("embedding").as("vb"), col("__n").as("__nb"))
+      val dropped = a.join(b, Seq("cid")).where(col("da") < col("db"))
+        .withColumn("cos", round(Similarity.dot(col("va"), col("vb")) /
+          (col("__na") * col("__nb")), 6))
+        .where(col("cos") >= 0.35)
+        .select(col("cid"), col("db").as("vec_id")).distinct()
+      emb.join(dropped.withColumn("__drop", lit(1)),
+          Seq("cid", "vec_id"), "left")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("__drop").isNull, 1L).otherwise(0L)).as("n_kept"))
         .orderBy("cid")
     },
 
@@ -2232,6 +2251,66 @@ object PipelineQueries {
         .orderBy("source")
     }
   )
+
+  /** The p104 k-means CTE chain (two unrolled Lloyd iterations ending
+    * in assignment aC + centroids cC), shared by the p104 and p111
+    * oracles.
+    */
+  private def kmeansOracleCtes: String =
+    """WITH e AS (SELECT vec_id, embedding AS em FROM embeddings
+      |  WHERE vec_id < 200),
+      |ix AS (SELECT vec_id, em,
+      |    unnest(generate_series(1, len(em))) AS i FROM e),
+      |dm AS (SELECT vec_id, i - 1 AS dim, CAST(em[i] AS DOUBLE) AS v
+      |  FROM ix),
+      |cA AS (SELECT vec_id AS cid, dim, v AS c FROM dm
+      |  WHERE vec_id < 4),
+      |dA AS (SELECT dm.vec_id, cA.cid, sum((v - c) * (v - c)) AS d2
+      |  FROM dm JOIN cA USING (dim) GROUP BY 1, 2),
+      |aA AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY round(d2, 6), cid) AS rn FROM dA) WHERE rn = 1),
+      |cB AS (SELECT cid, dim, avg(v) AS c FROM dm JOIN aA USING (vec_id)
+      |  GROUP BY 1, 2),
+      |dB AS (SELECT dm.vec_id, cB.cid, sum((v - c) * (v - c)) AS d2
+      |  FROM dm JOIN cB USING (dim) GROUP BY 1, 2),
+      |aB AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY round(d2, 6), cid) AS rn FROM dB) WHERE rn = 1),
+      |cC AS (SELECT cid, dim, avg(v) AS c FROM dm JOIN aB USING (vec_id)
+      |  GROUP BY 1, 2),
+      |dC AS (SELECT dm.vec_id, cC.cid, sum((v - c) * (v - c)) AS d2
+      |  FROM dm JOIN cC USING (dim) GROUP BY 1, 2),
+      |aC AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY round(d2, 6), cid) AS rn FROM dC) WHERE rn = 1)""".stripMargin
+
+  /** p104's deterministic distributed k-means (vec_id < 200, seeds =
+    * vectors 0–3, two Lloyd iterations, argmin on the ROUNDED squared
+    * distance with a centroid tiebreak): returns (centroids as
+    * (cid, dim, c), final assignment as (vec_id, cid)). Shared by
+    * p104 and p111 so both gates test the SAME cluster structure the
+    * oracle CTE chain unrolls.
+    */
+  private def kmeans200(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val dims = load(s, d, "embeddings").where(col("vec_id") < 200)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v0")))
+      .withColumn("v", col("v0").cast("double")).drop("v0")
+      .localCheckpoint(true) // read by every iteration + final pass
+    def assign(cent: DataFrame) = dims.join(cent, Seq("dim"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"),
+        struct(round(col("d2"), 6).as("rd"), col("cid"))).as("cid"))
+    var cent = dims.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("long").as("cid"), col("dim"),
+        col("v").as("c"))
+    for (_ <- 1 to 2)
+      cent = dims.join(assign(cent), "vec_id")
+        .groupBy("cid", "dim").agg(avg("v").as("c"))
+    (cent, assign(cent))
+  }
 
   /** p02's exact-Jaccard pair SQL — shared verbatim by p03: the LSH
     * pipeline post-verifies candidates with exact Jaccard, and on this
@@ -3244,38 +3323,29 @@ object PipelineQueries {
         |ORDER BY da, db""".stripMargin,
     "p07_ann_lsh" -> lshOracleSql,
     "p89_jl_projection" -> jlOracleSql,
-    "p104_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding AS em FROM embeddings
-        |  WHERE vec_id < 200),
-        |ix AS (SELECT vec_id, em,
-        |    unnest(generate_series(1, len(em))) AS i FROM e),
-        |dm AS (SELECT vec_id, i - 1 AS dim, CAST(em[i] AS DOUBLE) AS v
-        |  FROM ix),
-        |cA AS (SELECT vec_id AS cid, dim, v AS c FROM dm
-        |  WHERE vec_id < 4),
-        |dA AS (SELECT dm.vec_id, cA.cid, sum((v - c) * (v - c)) AS d2
-        |  FROM dm JOIN cA USING (dim) GROUP BY 1, 2),
-        |aA AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY round(d2, 6), cid) AS rn FROM dA) WHERE rn = 1),
-        |cB AS (SELECT cid, dim, avg(v) AS c FROM dm JOIN aA USING (vec_id)
-        |  GROUP BY 1, 2),
-        |dB AS (SELECT dm.vec_id, cB.cid, sum((v - c) * (v - c)) AS d2
-        |  FROM dm JOIN cB USING (dim) GROUP BY 1, 2),
-        |aB AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY round(d2, 6), cid) AS rn FROM dB) WHERE rn = 1),
-        |cC AS (SELECT cid, dim, avg(v) AS c FROM dm JOIN aB USING (vec_id)
-        |  GROUP BY 1, 2),
-        |dC AS (SELECT dm.vec_id, cC.cid, sum((v - c) * (v - c)) AS d2
-        |  FROM dm JOIN cC USING (dim) GROUP BY 1, 2),
-        |aC AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY round(d2, 6), cid) AS rn FROM dC) WHERE rn = 1),
+    "p104_kmeans" -> (kmeansOracleCtes +
+      """,
         |sz AS (SELECT cid, count(*) AS n_members FROM aC GROUP BY cid)
         |SELECT cC.cid, n_members, round(c, 6) AS c0
         |FROM cC JOIN sz USING (cid) WHERE dim = 0
-        |ORDER BY cid""".stripMargin,
+        |ORDER BY cid""".stripMargin),
+
+    "p111_semdedup" -> (kmeansOracleCtes +
+      """,
+        |mem AS (SELECT e.vec_id, cid, em FROM e JOIN aC USING (vec_id)),
+        |dr AS (SELECT DISTINCT b.cid, b.vec_id
+        |  FROM mem a JOIN mem b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(
+        |    a.em::DOUBLE[], b.em::DOUBLE[]), 6) >= 0.35)
+        |SELECT m.cid, count(*) AS n_members,
+        |  CAST(sum(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM mem m LEFT JOIN dr
+        |  ON dr.cid = m.cid AND dr.vec_id = m.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "p105_auc" ->
       """WITH sc AS (SELECT source,
