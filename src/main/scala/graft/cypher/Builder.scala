@@ -168,23 +168,93 @@ final class Builder(
     if (wide) tagged.localCheckpoint(true) else tagged
   }
 
+  /** Every bound-variable reference a match could make: pattern var
+    * names (node/edge/path reuse binds by NAME) plus every `Vbl` in
+    * any expression position (property-map constraints, WHERE,
+    * dijkstra weight/qual). Over-collection is safe (an extra probe
+    * column); under-collection would unbind a correlated reference.
+    */
+  private def matchRefNames(m: Match): Seq[String] = {
+    val acc = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(x: Any): Unit = x match {
+      case Vbl(n) => acc += n
+      case np: NodePattern => np.variable.foreach(acc += _); np.props.foreach(walk)
+      case rp: RelPattern => rp.variable.foreach(acc += _); rp.props.foreach(walk)
+      case pp: PathPattern =>
+        pp.variable.foreach(acc += _)
+        walk(pp.head); pp.tail.foreach { case (r, n) => walk(r); walk(n) }
+        walk(pp.finder)
+      case p: Product => p.productIterator.foreach(walk)
+      case s: Iterable[_] => s.foreach(walk)
+      case _ => ()
+    }
+    m.paths.foreach(walk); m.where.foreach(walk)
+    acc.toSeq
+  }
+
+  /** The match's bound references IF every one is id-identified
+    * (vertex/edge) — then correlation can key on ids; None forces
+    * per-row rid correlation.
+    */
+  private def keyableRefs(st: State, m: Match): Option[Seq[(String, Kind)]] = {
+    val bound = st.vars.toMap
+    val shared = matchRefNames(m).filter(bound.contains)
+    if (shared.forall(v => bound(v) == KV || bound(v) == KE))
+      Some(shared.map(v => v -> bound(v)))
+    else None
+  }
+
   private[cypher] def buildMatch(st: State, m: Match): State = {
     if (m.optional) {
       // LATERAL left join against the bound row (transformMatchOptional
-      // parse_graph.c:1184-1260): tag rows, run the inner match, then
-      // left-join new vars back by row id. The tag MUST be materialized
-      // before the plan forks: monotonically_increasing_id downstream
-      // of an exchange is not stable across re-evaluation (shuffle-read
-      // row order races between mappers), so the two branches would
-      // otherwise see different ids.
-      val tagged = stableRowTag(st.df, "__rowid")
-      val base = State(tagged, st.vars)
-      val inner = buildMatch(base, m.copy(optional = false))
-      val newVars = inner.vars.drop(st.vars.length)
-      val innerSel = inner.df.select(
-        (col("__rowid") +: newVars.map(v => col(Compiler.q(v._1)))): _*)
-      val joined = tagged.join(innerSel, Seq("__rowid"), "left").drop("__rowid")
-      State(joined, st.vars ++ newVars)
+      // parse_graph.c:1184-1260). When every correlated reference is
+      // id-identified, run the inner match once per DISTINCT shared
+      // binding and left-join the new vars back BY ID — multiplicities
+      // and null-extension are identical to the per-row form, but the
+      // probe pays |distinct entities| and needs no row tag / eager
+      // checkpoint of the whole bound relation (the 100-TB hazard).
+      keyableRefs(st, m.copy(optional = false)) match {
+        case Some(shared) if shared.nonEmpty =>
+          val probe = st.df
+            .select(shared.map(v => col(Compiler.q(v._1))): _*).distinct()
+          val inner = buildMatch(State(probe, shared.toVector),
+            m.copy(optional = false))
+          val newVars = inner.vars.drop(shared.length)
+          val keyed = inner.df.select(shared.zipWithIndex.map { case (v, i) =>
+            col(Compiler.q(v._1)).getField("id").as(s"__om_k$i") } ++
+            newVars.map(v => col(Compiler.q(v._1))): _*)
+          val cond = shared.indices.map(i =>
+            col(Compiler.q(shared(i)._1)).getField("id") ===
+              col(s"__om_k$i")).reduce(_ && _)
+          val joined = st.df.join(keyed, cond, "left")
+            .drop(shared.indices.map(i => s"__om_k$i"): _*)
+          State(joined, st.vars ++ newVars)
+        case Some(_) => // no shared refs: uncorrelated — one inner run,
+          // left-joined onto every row (empty inner -> null extension)
+          val probe = spark.range(1).toDF("__om_one")
+          val inner = buildMatch(State(probe, Vector.empty),
+            m.copy(optional = false))
+          val newVars = inner.vars
+          val keyed = inner.df.select(
+            newVars.map(v => col(Compiler.q(v._1))): _*)
+          State(st.df.join(keyed, lit(true), "left"), st.vars ++ newVars)
+        case None =>
+          // a correlated reference is not id-identified (path/list/
+          // jsonb kind): tag rows and correlate per row. The tag MUST
+          // be materialized before the plan forks:
+          // monotonically_increasing_id downstream of an exchange is
+          // not stable across re-evaluation (shuffle-read row order
+          // races), so the two branches would otherwise disagree.
+          val tagged = stableRowTag(st.df, "__rowid")
+          val base = State(tagged, st.vars)
+          val inner = buildMatch(base, m.copy(optional = false))
+          val newVars = inner.vars.drop(st.vars.length)
+          val innerSel = inner.df.select(
+            (col("__rowid") +: newVars.map(v => col(Compiler.q(v._1)))): _*)
+          val joined = tagged.join(innerSel, Seq("__rowid"), "left")
+            .drop("__rowid")
+          State(joined, st.vars ++ newVars)
+      }
     } else {
       var cur = st
       val newEdgeVars = Vector.newBuilder[(String, Kind)]
@@ -221,21 +291,15 @@ final class Builder(
     */
   private def rewriteExistsPatterns(st0: State, e: Expr): (State, Expr) = {
     var st = st0
-    def patternVarNames(p: PathPattern): Seq[String] =
-      ((p.head +: p.tail.map(_._2)).flatMap(_.variable) ++
-        p.tail.map(_._1).flatMap(_.variable) ++ p.variable.toSeq).distinct
-    /** Shared bound vars IF all are id-identified (vertex/edge) —
+    /** Shared bound refs IF all are id-identified (vertex/edge) —
       * then the pattern verdict is a function of their ids and can
       * key-correlate; None forces the per-row rid fallback (a shared
-      * path/list var has no single join key).
+      * path/list/jsonb ref has no single join key). Uses the complete
+      * reference collector, so property-map constraints referencing
+      * outer vars (exists((a)-->({k: c.name}))) correlate too.
       */
-    def keyVars(p: PathPattern): Option[Seq[(String, Kind)]] = {
-      val bound = st.vars.toMap
-      val shared = patternVarNames(p).filter(bound.contains)
-      if (shared.forall(v => bound(v) == KV || bound(v) == KE))
-        Some(shared.map(v => v -> bound(v)))
-      else None
-    }
+    def keyVars(p: PathPattern): Option[Seq[(String, Kind)]] =
+      keyableRefs(st, Match(Seq(p), optional = false, where = None))
     /** exists()/size() depend only on the pattern's shared variables —
       * so evaluate per DISTINCT shared-entity binding and hash-join
       * the verdict back BY ID, instead of tagging every input row and
