@@ -391,29 +391,49 @@ final class Builder(
     // path count, cypher_shortestpath.sql:139).
     def bindShortestExpr(all: Boolean, p0: PathPattern): Expr = {
       val hidden = fresh("spx")
-      val rid = s"${hidden}_rid"
-      val tagged = stableRowTag(st.df, rid)
       val pv = s"${hidden}_p"
       val p = p0.copy(variable = Some(pv),
         finder = if (all) PathFinder.AllShortest else PathFinder.Shortest)
-      val inner = buildMatch(State(tagged, st.vars),
-        Match(Seq(p), optional = false, where = None))
-      val paths =
-        if (all)
-          inner.df.groupBy(col(rid).as(s"${hidden}_m"))
-            .agg(collect_list(col(Compiler.q(pv))).as(hidden))
+      def pathAgg(inner: DataFrame, keys: Seq[Column]): DataFrame =
+        if (all) inner.groupBy(keys: _*)
+          .agg(collect_list(col(Compiler.q(pv))).as(hidden))
         else
           // deterministic representative by edge-id array (at most one
-          // row per rid anyway when both endpoints are bound)
-          inner.df.groupBy(col(rid).as(s"${hidden}_m"))
+          // row per key anyway when both endpoints are bound)
+          inner.groupBy(keys: _*)
             .agg(min_by(col(Compiler.q(pv)),
               transform(col(Compiler.q(pv)).getField("edges"),
                 e => e.getField("id"))).as(hidden))
-      val joined = tagged
-        .join(paths, col(rid) === col(s"${hidden}_m"), "left")
-        .drop(rid, s"${hidden}_m")
-      st = State(joined, st.vars :+
-        (hidden -> (if (all) Kind.KPL else Kind.KP)))
+      val kind = if (all) Kind.KPL else Kind.KP
+      keyVars(p) match {
+        case Some(shared) if shared.nonEmpty =>
+          // path value is a function of the shared endpoint ids: run
+          // the finder once per DISTINCT binding, join back by id —
+          // no row tag, no checkpoint of the bound relation
+          val probe = st.df
+            .select(shared.map(v => col(Compiler.q(v._1))): _*).distinct()
+          val inner = buildMatch(State(probe, shared.toVector),
+            Match(Seq(p), optional = false, where = None))
+          val keyed = pathAgg(inner.df, shared.zipWithIndex.map {
+            case (v, i) =>
+              col(Compiler.q(v._1)).getField("id").as(s"${hidden}_k$i") })
+          val cond = shared.indices.map(i =>
+            col(Compiler.q(shared(i)._1)).getField("id") ===
+              col(s"${hidden}_k$i")).reduce(_ && _)
+          val joined = st.df.join(keyed, cond, "left")
+            .drop(shared.indices.map(i => s"${hidden}_k$i"): _*)
+          st = State(joined, st.vars :+ (hidden -> kind))
+        case _ =>
+          val rid = s"${hidden}_rid"
+          val tagged = stableRowTag(st.df, rid)
+          val inner = buildMatch(State(tagged, st.vars),
+            Match(Seq(p), optional = false, where = None))
+          val paths = pathAgg(inner.df, Seq(col(rid).as(s"${hidden}_m")))
+          val joined = tagged
+            .join(paths, col(rid) === col(s"${hidden}_m"), "left")
+            .drop(rid, s"${hidden}_m")
+          st = State(joined, st.vars :+ (hidden -> kind))
+      }
       Vbl(hidden)
     }
     def go(x: Expr): Expr = x match {
