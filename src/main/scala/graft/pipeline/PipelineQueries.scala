@@ -1378,6 +1378,37 @@ object PipelineQueries {
         .orderBy("cid")
     },
 
+    "p112_shared_ngram_spans" -> { (s, d) =>
+      // Exact shared-13-gram pair detection — the substring-plagiarism
+      // signal sketches can't give exactly: MinHash estimates whole-doc
+      // Jaccard, this counts the shared long spans that mark copied
+      // passages (the Lee et al. substring-dedup shape, bounded to
+      // gram granularity). Inverted index on the gram: docs sharing a
+      // gram pair up per posting, count distinct shared grams per
+      // pair. Grams hash to 64 bits BEFORE the shuffle (p32's
+      // discipline — the oracle joins gram STRINGS; equal counts prove
+      // the hash carried no collisions), so the exchange moves 8-byte
+      // keys, never 13-word text. Posting-list fan-out is per-gram
+      // bounded — the deg table of rare grams; at web scale the cap
+      // drops stop-gram postings the way p107 caps hub parts.
+      val grams = load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+        .where(size(col("w")) >= 13)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("w")) - 13),
+          i => xxhash64(array_join(slice(col("w"), i + 1, lit(13)), " "))))
+          .as("h"))
+        .distinct()
+      val pairs = grams.alias("x")
+        .join(grams.alias("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs.where(col("n_shared") >= 5)
+        .orderBy(col("n_shared").desc, col("da"), col("db"))
+        .limit(30)
+    },
+
     "p105_auc" -> { (s, d) =>
       // Exact ROC-AUC (Mann–Whitney with average-rank tie handling)
       // of a quality score against a binary relevance label, per
@@ -3346,6 +3377,19 @@ object PipelineQueries {
         |FROM mem m LEFT JOIN dr
         |  ON dr.cid = m.cid AND dr.vec_id = m.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "p112_shared_ngram_spans" ->
+      """WITH ws AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS a FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(a, i, i + 12), ' ') AS gram
+        |  FROM ws, unnest(generate_series(1, len(a) - 12)) AS t(i)
+        |  WHERE len(a) >= 13),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, n_shared FROM p WHERE n_shared >= 5
+        |ORDER BY n_shared DESC, da, db LIMIT 30""".stripMargin,
 
     "p105_auc" ->
       """WITH sc AS (SELECT source,
