@@ -225,14 +225,23 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
   }
 
   /** Ancestor closure, self included, DAG-deduped — labels() semantics
-    * (graph.c vertex_labels over inheritance diamonds).
+    * (graph.c vertex_labels → pg_inherits.c find_all_ancestors:735):
+    * a BFS worklist where each node's parents are visited in CREATION
+    * order (find_inheritance_parents qsorts parent OIDs — labid here),
+    * appending only unseen labels. Diamond closures like
+    * cypher_func.sql's complex1 "l" therefore list level by level,
+    * not depth-first.
     */
   def ancestors(graph: String, name: String): Seq[String] = {
     val m = readMeta(graph)
-    val out = mutable.LinkedHashSet[String]()
-    def rec(n: String): Unit = if (out.add(n))
-      m.labels.get(n).toSeq.flatMap(_.parents).foreach(rec)
-    rec(name)
+    val out = mutable.LinkedHashSet[String](name)
+    val queue = mutable.Queue(name)
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      val parents = m.labels.get(n).toSeq.flatMap(_.parents)
+        .sortBy(p => m.labels.get(p).map(_.labid).getOrElse(Int.MaxValue))
+      parents.foreach { p => if (out.add(p)) queue.enqueue(p) }
+    }
     out.toSeq
   }
 

@@ -617,13 +617,56 @@ class CypherEndToEndSpec extends AnyFunSuite {
     // ONLY scan
     val df2 = s.cypher("MATCH (n:only c) RETURN n.name AS name")
     assert(rows(df2) == Seq(Seq("\"c\"")))
-    // label() returns own label; labels() the DAG closure
+    // label() returns own label; labels() the DAG closure in BFS
+    // order, parents by creation id (cypher_func.out simple test)
     val df3 = s.cypher("MATCH (n:only d) RETURN label(n) AS l, labels(n) AS ls")
-    assert(rows(df3) == Seq(Seq("\"d\"", "[\"d\", \"b\", \"a\", \"c\"]")))
+    assert(rows(df3) == Seq(Seq("\"d\"", "[\"d\", \"b\", \"c\", \"a\"]")))
     // labels(n)[i] indexes the closure (cypher_func.sql:31-44)
     val df4 = s.cypher(
       "MATCH (n:only d) RETURN labels(n)[0] AS l0, labels(n)[1] AS l1")
     assert(rows(df4) == Seq(Seq("\"d\"", "\"b\"")))
+  }
+
+  test("F5: labels() closure order over inheritance diamonds (cypher_func complex1/complex2)") {
+    // find_all_ancestors is a BFS worklist with parents visited in
+    // CREATION order (pg_inherits.c:735 + find_inheritance_parents'
+    // oid qsort); golden values from cypher_func.out complex tests.
+    def closure(s: CypherSession, lbl: String): String =
+      rows(s.cypher(s"MATCH (n:only $lbl) RETURN labels(n) AS ls"))(0)(0)
+        .asInstanceOf[String]
+    locally {
+      val s = freshSession()
+      s.createGraph("complex1")
+      s.createVLabel("a"); s.createVLabel("b", Seq("a")); s.createVLabel("c")
+      s.createVLabel("d"); s.createVLabel("e", Seq("b", "c"))
+      s.createVLabel("f"); s.createVLabel("g")
+      s.createVLabel("h", Seq("d")); s.createVLabel("i", Seq("d"))
+      s.createVLabel("j", Seq("d")); s.createVLabel("k", Seq("e", "f", "g"))
+      s.createVLabel("l", Seq("i", "j", "k", "g"))
+      for (n <- Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l"))
+        s.cypher(s"CREATE (:$n {name: '$n'})")
+      assert(closure(s, "e") == "[\"e\", \"b\", \"c\", \"a\"]")
+      assert(closure(s, "k") == "[\"k\", \"e\", \"f\", \"g\", \"b\", \"c\", \"a\"]")
+      assert(closure(s, "l") ==
+        "[\"l\", \"g\", \"i\", \"j\", \"k\", \"d\", \"e\", \"f\", \"b\", \"c\", \"a\"]")
+    }
+    locally {
+      val s = freshSession()
+      s.createGraph("complex2")
+      s.createVLabel("a"); s.createVLabel("b"); s.createVLabel("c", Seq("a"))
+      s.createVLabel("d", Seq("a", "b")); s.createVLabel("e", Seq("d"))
+      s.createVLabel("f", Seq("a")); s.createVLabel("g", Seq("e", "f"))
+      s.createVLabel("h", Seq("c", "g")); s.createVLabel("i", Seq("g"))
+      s.createVLabel("j", Seq("h", "i"))
+      for (n <- Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+        s.cypher(s"CREATE (:$n {name: '$n'})")
+      assert(closure(s, "d") == "[\"d\", \"a\", \"b\"]")
+      assert(closure(s, "g") == "[\"g\", \"e\", \"f\", \"d\", \"a\", \"b\"]")
+      assert(closure(s, "h") ==
+        "[\"h\", \"c\", \"g\", \"a\", \"e\", \"f\", \"d\", \"b\"]")
+      assert(closure(s, "j") ==
+        "[\"j\", \"h\", \"i\", \"c\", \"g\", \"a\", \"e\", \"f\", \"d\", \"b\"]")
+    }
   }
 
   test("ORDER BY aggregate expression (ORDER BY count(*))") {
