@@ -65,7 +65,14 @@ object GraftExtensions {
     // re-canonicalize JSON text (key sort, numeric canonical form) —
     // the SQL-side door into jsonb space for native values:
     // jsonb_get(jsonb_norm(to_json(named_struct('v', x))), '"v"')
-    "jsonb_norm" -> (args => graft.expr.JsonbNormalize.Normalize(args(0))))
+    "jsonb_norm" -> (args => graft.expr.JsonbNormalize.Normalize(args(0))),
+    // memcomparable key: ORDER BY / GROUP BY jsonb values from SQL
+    // with PG jsonb ordering (type rank, full-precision numerics)
+    "jsonb_sort_key" -> (args => graft.expr.JsonbSortKey(args(0))),
+    // codegen'd primitive dot product over array<float>/array<double>
+    // — the ANN kernel, exposed for SQL-side similarity scoring
+    "vec_dot" -> (args =>
+      graft.expr.VectorExpressions.FloatVecDot(args(0), args(1))))
 
   /** Register into an already-built session (tests, REPLs): the
     * extensions path only applies at session construction.

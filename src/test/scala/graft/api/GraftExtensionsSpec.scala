@@ -44,5 +44,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT sum(jsonb_to_long(jsonb_get(j, '\"v\"'))) FROM jt")
       .collect()(0).getLong(0)
     assert(sum == 10L)
+    // vector + sort-key kernels from SQL
+    assert(one("SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))")
+      == 11.0)
+    val ord = spark.sql(
+      """SELECT v FROM VALUES ('"b"'), ('10'), ('2'), ('null'), ('"a"')
+        |AS t(v) ORDER BY jsonb_sort_key(v)""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    // PG jsonb type rank: Null < String < Number (jsonb_util.c
+    // compareJsonbContainers); 2 < 10 numerically, not textually
+    assert(ord == Seq("null", "\"a\"", "\"b\"", "2", "10"))
   }
 }
