@@ -1541,14 +1541,18 @@ object PipelineQueries {
         .localCheckpoint(true) // four consumers (two indexes + two degs)
       val wOut = org.apache.spark.sql.expressions.Window
         .partitionBy("c").orderBy("p")
+      // each index/degree frame feeds two of the four hops — pin them
+      // so hops probe instead of recomputing the window per use
       val cpIdx = cp.select(col("c").as("cc"), col("p"),
-        (row_number().over(wOut) - 1).as("aidx"))
+        (row_number().over(wOut) - 1).as("aidx")).localCheckpoint(true)
       val cDeg = cp.groupBy("c").agg(count(lit(1)).as("cd"))
+        .localCheckpoint(true)
       val wIn = org.apache.spark.sql.expressions.Window
         .partitionBy("p").orderBy("c")
       val pcIdx = cp.select(col("p").as("pp"), col("c"),
-        (row_number().over(wIn) - 1).as("aidx"))
+        (row_number().over(wIn) - 1).as("aidx")).localCheckpoint(true)
       val pDeg = cp.groupBy("p").agg(count(lit(1)).as("pd"))
+        .localCheckpoint(true)
       def pick(step: Int): org.apache.spark.sql.Column =
         pmod(col("walk") * 1103515245L + lit(step) * 12345L, col("deg"))
       // step 0: walkers start at customers 1..50 that have purchases
