@@ -106,7 +106,7 @@ object Algo {
 
     val E = {
       // keep the loop frames narrow: drop shred sidecar passthroughs
-      val base = b.edgeScan(rel.types, rel.direction)
+      val base = b.edgeScan(rel.types, rel.direction, rel.only)
         .select(col("__edge"), col("__s"), col("__e"))
       rel.props match {
         case Some(pe) =>
@@ -307,7 +307,7 @@ object Algo {
         // frontiers die out fast and one-sided avoids the second
         // frontier's bookkeeping. Both counts are footer-cheap row
         // counts of the label parquet, negligible next to the search.
-        val eCnt = b.edgeScan(rel.types, rel.direction).count()
+        val eCnt = b.edgeScan(rel.types, rel.direction, rel.only).count()
         val vCnt = b.vertexScan(None, only = false).count()
         val choice = vCnt > 0 && eCnt * 2 > vCnt * 3 // d > 1.5
         b.spark.conf.set("spark.graft.pathSearch.lastChoice",
@@ -360,7 +360,7 @@ object Algo {
 
   private def bfs(b: Builder, rel: RelPattern, lo: Long, hi: Long,
       keepAll: Boolean, origins: DataFrame): DataFrame = {
-    val E0 = b.edgeScan(rel.types, rel.direction)
+    val E0 = b.edgeScan(rel.types, rel.direction, rel.only)
     val E = E0.select(col("__edge"), col("__s"), col("__e"))
     val ex = new Expander(b.spark, E, "__s")
     val V = b.vertexScan(None, only = false)
@@ -467,7 +467,7 @@ object Algo {
     */
   private def bfs2(b: Builder, rel: RelPattern, lo: Long, hi: Long,
       keepAll: Boolean, origins: DataFrame, targets: DataFrame): DataFrame = {
-    val E0 = b.edgeScan(rel.types, rel.direction)
+    val E0 = b.edgeScan(rel.types, rel.direction, rel.only)
     val E = E0.select(col("__edge"), col("__s"), col("__e"))
     // forward expands out of __s (out-adjacency), backward into __e
     // (in-adjacency) — hub degrees differ per direction
@@ -636,7 +636,7 @@ object Algo {
   private def dijkstra(b: Builder, rel: RelPattern, relName: String,
       weight: Expr, qual: Option[Expr], limitK: Long,
       origins: DataFrame): DataFrame = {
-    val E0 = b.edgeScan(rel.types, rel.direction)
+    val E0 = b.edgeScan(rel.types, rel.direction, rel.only)
     // compile weight/qual with the edge struct bound under the rel name
     val kinds = Map(relName -> (KE: Kind))
     val comp = new Compiler(kinds, Map.empty, Map.empty, Map.empty)

@@ -59,7 +59,7 @@ object Ast {
       only: Boolean, props: Option[Expr])
   final case class RelPattern(variable: Option[String], types: Seq[String],
       direction: Int, varLength: Option[(Option[Long], Option[Long])],
-      props: Option[Expr])
+      props: Option[Expr], only: Boolean = false)
   final case class PathPattern(variable: Option[String],
       head: NodePattern, tail: Seq[(RelPattern, NodePattern)],
       finder: PathFinder = PathFinder.None)

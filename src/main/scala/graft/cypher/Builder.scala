@@ -596,9 +596,13 @@ final class Builder(
   /** Edge scan with normalized __s/__e join endpoints. Undirected
     * patterns scan both orientations (genEdgeUnion parse_graph.c:178).
     */
-  private[cypher] def edgeScan(types: Seq[String], direction: Int): DataFrame = {
+  private[cypher] def edgeScan(types: Seq[String], direction: Int,
+      only: Boolean = false): DataFrame = {
+    // ONLY (gram.y:18684): exact label tables, no inheritance subtree
     val base = types match {
       case Nil => catalog.scanAll(graph, 'e')
+      case ts if only => ts.map(t => catalog.scanOnly(graph, t))
+        .reduce(_ unionAll _)
       case ts  => ts.map(t => catalog.scan(graph, t)).reduce(_ unionAll _)
     }
     val e = struct(col("id"), col("start"), col("end"), col("properties"))
@@ -634,7 +638,7 @@ final class Builder(
       case None => ()
     }
     val prevId = col(Compiler.q(prevName)).getField("id")
-    val edgesRaw = edgeScan(rel.types, rel.direction)
+    val edgesRaw = edgeScan(rel.types, rel.direction, rel.only)
     val edges = edgesRaw.select(col("__edge").as(relName) +:
       col("__s").as(s"__s_$relName") +: col("__e").as(s"__e_$relName") +:
       shredFrameCols(edgesRaw, relName): _*)

@@ -396,8 +396,15 @@ object Parser {
       var label: Option[String] = None
       var only = false
       if (eatSym(":")) {
+        // legacy prefix form (:only lbl) kept as an extension; the
+        // reference grammar is postfix — (n:lbl ONLY {props}),
+        // gram.y:18643
         if (eatKw("only")) only = true
         label = Some(ident())
+      }
+      if (eatKw("only")) {
+        if (label.isEmpty) fail("ONLY must have one label preceding it")
+        only = true
       }
       val props =
         if (atSym("{")) Some(parseMapLiteral())
@@ -419,6 +426,7 @@ object Parser {
       var types: Seq[String] = Nil
       var varLength: Option[(Option[Long], Option[Long])] = None
       var props: Option[Expr] = None
+      var only = false
       if (eatSym("[")) {
         cur match {
           case TId(_) => variable = Some(ident())
@@ -429,6 +437,12 @@ object Parser {
           ts += ident()
           while (eatSym("|")) ts += ident()
           types = ts.toSeq
+        }
+        // postfix ONLY (gram.y:18684): exact label, no subtree —
+        // before the varlen spec, errors without a type
+        if (eatKw("only")) {
+          if (types.isEmpty) fail("ONLY must have one label preceding it")
+          only = true
         }
         if (eatSym("*")) {
           var lo: Option[Long] = None
@@ -454,7 +468,7 @@ object Parser {
       else if (eatSym("-")) {
         if (eatSym(">")) direction = 1 else direction = 0
       } else fail("expected relationship tail")
-      RelPattern(variable, types, direction, varLength, props)
+      RelPattern(variable, types, direction, varLength, props, only)
     }
 
     // ----------------------------------------------------- expressions

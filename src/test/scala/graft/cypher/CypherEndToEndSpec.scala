@@ -627,6 +627,62 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows(df4) == Seq(Seq("\"d\"", "\"b\"")))
   }
 
+  test("F5: edge-label inheritance matrix with ONLY and VLE (cypher_dml vl/el)") {
+    // golden from cypher_dml.out: el2 INHERITS el1, el3 INHERITS el2;
+    // [:el1] scans the subtree, [:el1 ONLY] the exact label (postfix
+    // ONLY, gram.y:18684), and both compose with *1..3 expansion
+    val s = freshSession()
+    s.createGraph("inhm")
+    s.createVLabel("vl1"); s.createVLabel("vl2", Seq("vl1"))
+    s.createVLabel("vl3", Seq("vl2"))
+    s.createELabel("el1"); s.createELabel("el2", Seq("el1"))
+    s.createELabel("el3", Seq("el2"))
+    s.cypher("CREATE (:vl1 {id:1})")
+    s.cypher("CREATE (:vl2 {id:2})")
+    s.cypher("CREATE (:vl3 {id:3})")
+    s.cypher("MATCH (A:vl1 {id:1}), (B:vl2 {id:2}) MERGE (A)-[:el1]->(B)")
+    s.cypher("MATCH (A:vl1 {id:1}), (C:vl3 {id:3}) MERGE (A)-[:el2]->(C)")
+    s.cypher("MATCH (B:vl2 {id:2}), (C:vl3 {id:3}) MERGE (B)-[:el3]->(C)")
+    def pairs(q: String): Seq[(String, String)] =
+      rows(s.cypher(q)).map(r => (r(0).toString, r(1).toString))
+        .sortBy(identity)
+    // vertex subtree scans + postfix ONLY
+    assert(rows(s.cypher("MATCH (N:vl1) RETURN N.id AS i ORDER BY i")) ==
+      Seq(Seq("1"), Seq("2"), Seq("3")))
+    assert(rows(s.cypher("MATCH (N:vl2 ONLY) RETURN N.id AS i")) ==
+      Seq(Seq("2")))
+    intercept[Exception] { s.cypher("MATCH (N ONLY) RETURN N") }
+    // directed edge subtree scans
+    assert(pairs("MATCH (A)-[r:el1]->(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("1", "2"), ("1", "3"), ("2", "3")))
+    assert(pairs("MATCH (A)-[r:el2]->(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("1", "3"), ("2", "3")))
+    assert(pairs("MATCH (A)-[r:el3]->(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("2", "3")))
+    // exact-label edge scans
+    assert(pairs("MATCH (A)-[r:el1 ONLY]->(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("1", "2")))
+    assert(pairs("MATCH (A)-[r:el2 ONLY]->(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("1", "3")))
+    intercept[Exception] { s.cypher("MATCH (A)-[r ONLY]->(B) RETURN A.id") }
+    // reverse + undirected subtree
+    assert(pairs("MATCH (A)<-[r:el2]-(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("3", "1"), ("3", "2")))
+    assert(rows(s.cypher(
+      "MATCH (A)-[r:el1]-(B) RETURN count(*) AS n")) == Seq(Seq("6")))
+    // VLE over the subtree vs exact label (cypher_dml.out *1..3 rows)
+    assert(pairs("MATCH (A)-[r:el1 *1..3]->(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("1", "2"), ("1", "3"), ("1", "3"), ("2", "3")))
+    assert(pairs("MATCH (A)-[r:el2 *1..3]->(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("1", "3"), ("2", "3")))
+    assert(pairs("MATCH (A)-[r:el1 ONLY *1..3]->(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("1", "2")))
+    assert(pairs("MATCH (A)-[r:el2 ONLY *1..3]->(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("1", "3")))
+    assert(pairs("MATCH (A)<-[r:el1 ONLY *1..3]-(B) RETURN A.id AS a, B.id AS b") ==
+      Seq(("2", "1")))
+  }
+
   test("F5: labels() closure order over inheritance diamonds (cypher_func complex1/complex2)") {
     // find_all_ancestors is a BFS worklist with parents visited in
     // CREATION order (pg_inherits.c:735 + find_inheritance_parents'
