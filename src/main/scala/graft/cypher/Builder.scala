@@ -256,6 +256,30 @@ final class Builder(
           State(joined, st.vars ++ newVars)
       }
     } else {
+      // duplicate-variable rules within one MATCH clause
+      // (parse_graph.c checkDuplicatedElemVar; cypher_dml.out): edge
+      // and path variables bind exactly once; a vertex variable may
+      // repeat only against other vertex occurrences (the join form)
+      locally {
+        val seen = scala.collection.mutable.Map.empty[String, Char]
+        def claim(n: String, role: Char): Unit = {
+          val clash = seen.get(n) match {
+            case Some(r) => r != 'v' || role != 'v'
+            case None => false
+          }
+          if (clash) throw new IllegalArgumentException(
+            s"""duplicate variable "$n"""")
+          seen.getOrElseUpdate(n, role)
+        }
+        m.paths.foreach { p =>
+          p.variable.foreach(claim(_, 'p'))
+          p.head.variable.foreach(claim(_, 'v'))
+          p.tail.foreach { case (r, nd) =>
+            r.variable.foreach(claim(_, 'e'))
+            nd.variable.foreach(claim(_, 'v'))
+          }
+        }
+      }
       var cur = st
       val newEdgeVars = Vector.newBuilder[(String, Kind)]
       m.paths.foreach { p =>
@@ -538,9 +562,23 @@ final class Builder(
     StructField("end", LongType, false), StructField("properties", StringType, true)))
 
   /** Scan for a node pattern: label subtree or all vertex labels. */
+  /** Label lookup with the reference's kind diagnostics
+    * (parse_graph.c: label kind checks on scan transform).
+    */
+  private[cypher] def labelOfKind(l: String, kind: Char): Unit = {
+    val lm = catalog.label(graph, l).getOrElse(
+      throw new IllegalArgumentException(s"""label "$l" does not exist"""))
+    if (lm.kind != kind)
+      throw new IllegalArgumentException(
+        if (lm.kind == 'e') s"""label "$l" is edge label"""
+        else s"""label "$l" is vertex label""")
+  }
+
   private[cypher] def vertexScan(label: Option[String], only: Boolean): DataFrame = {
     val df = label match {
-      case Some(l) => if (only) catalog.scanOnly(graph, l) else catalog.scan(graph, l)
+      case Some(l) =>
+        labelOfKind(l, 'v')
+        if (only) catalog.scanOnly(graph, l) else catalog.scan(graph, l)
       case None => catalog.scanAll(graph, 'v')
     }
     df
@@ -552,6 +590,7 @@ final class Builder(
       // re-binding an existing var: optional extra label/prop constraint
       var df = st.df
       n.label.foreach { l =>
+        labelOfKind(l, 'v')
         val labids = catalog.subtree(graph, l).map(_.labid)
         df = df.where(shiftrightunsigned(col(Compiler.q(name)).getField("id"), 48)
           .cast("int").isin(labids: _*))
@@ -599,6 +638,7 @@ final class Builder(
   private[cypher] def edgeScan(types: Seq[String], direction: Int,
       only: Boolean = false): DataFrame = {
     // ONLY (gram.y:18684): exact label tables, no inheritance subtree
+    types.foreach(labelOfKind(_, 'e'))
     val base = types match {
       case Nil => catalog.scanAll(graph, 'e')
       case ts if only => ts.map(t => catalog.scanOnly(graph, t))

@@ -460,6 +460,7 @@ object Parser {
           varLength = Some((lo, hi))
         }
         if (atSym("{")) props = Some(parseMapLiteral())
+        else if (atSym("=")) { pos += 1; props = Some(parseExpr()) } // [:l =expr]
         else if (cur.isInstanceOf[TParam]) props = Some(parseAtom())
         expectSym("]")
       }

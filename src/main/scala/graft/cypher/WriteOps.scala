@@ -25,6 +25,18 @@ object WriteOps {
     * New vertices/edges get ids packed from a driver-reserved range
     * (SURVEY §7.3 hard part 4).
     */
+  /** CREATE/MERGE property maps must evaluate to a jsonb OBJECT (or
+    * NULL, which the reference folds to {}) — "jsonb object is
+    * expected for property map" otherwise (cypher_dml.out). Canonical
+    * jsonb strings identify objects by their first character, so the
+    * check costs one codegen'd comparison per row.
+    */
+  private def objectProps(c: Column): Column =
+    when(c.isNull, lit("{}"))
+      .when(substring(c, 1, 1) === "{", c)
+      .otherwise(raise_error(
+        lit("jsonb object is expected for property map")).cast("string"))
+
   def create(b: Builder, st0: State, paths: Seq[PathPattern]): State = {
     var st = st0
     // one pass: count rows & materialize input (the write makes the
@@ -33,7 +45,64 @@ object WriteOps {
     val n = df.count()
     var vars = st.vars
 
+    val pathVarsSeen = scala.collection.mutable.Set.empty[String]
+    // appends DEFER until the whole statement has validated and every
+    // element column has evaluated (forced below): a guard or runtime
+    // error in a later path/property map must not leave earlier paths
+    // half-written (statement-level atomicity; sequence gaps on failed
+    // statements remain, like PG sequences)
+    val deferred = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame => Unit]
     paths.foreach { p =>
+      // CREATE variable rules (transformCreatePattern parse_graph.c;
+      // cypher_dml.out): a path variable must be fresh; an edge
+      // variable must be fresh; a vertex may RE-reference an earlier
+      // binding only bare (no label/props — the connect-to-existing
+      // form), and a path that is just such a re-reference creates
+      // nothing and needs a relationship
+      p.variable.foreach { pv =>
+        if (vars.exists(_._1 == pv) || pathVarsSeen(pv))
+          throw new IllegalArgumentException(s"""duplicate variable "$pv"""")
+        pathVarsSeen += pv
+      }
+      val nodeVarsInPath =
+        (p.head.variable ++ p.tail.flatMap(_._2.variable)).toSeq
+      val edgeVarsInPath = p.tail.flatMap(_._1.variable)
+      def vertexRef(nv: String, labeled: Boolean): Unit = {
+        if (pathVarsSeen(nv) || edgeVarsInPath.contains(nv))
+          throw new IllegalArgumentException(s"""duplicate variable "$nv"""")
+        val bound = vars.find(_._1 == nv)
+        if (bound.exists(_._2 != KV)) throw new IllegalArgumentException(
+          s"""duplicate variable "$nv"""")
+        if (bound.isDefined && labeled)
+          throw new IllegalArgumentException(s"""duplicate variable "$nv"""")
+      }
+      p.head.variable.foreach { hv =>
+        vertexRef(hv, p.head.label.nonEmpty || p.head.props.nonEmpty)
+        if (vars.exists(_._1 == hv) && p.tail.isEmpty)
+          throw new IllegalArgumentException(
+            "there must be at least one relationship")
+      }
+      p.tail.foreach { case (r, nd) =>
+        r.variable.foreach { rv =>
+          if (vars.exists(_._1 == rv) || pathVarsSeen(rv) ||
+              nodeVarsInPath.contains(rv) ||
+              edgeVarsInPath.count(_ == rv) > 1)
+            throw new IllegalArgumentException(s"""duplicate variable "$rv"""")
+        }
+        nd.variable.foreach(nv =>
+          vertexRef(nv, nd.label.nonEmpty || nd.props.nonEmpty))
+        if (r.direction == 0) throw new IllegalArgumentException(
+          "only directed relationships are allowed in CREATE")
+        if (r.types.size != 1) throw new IllegalArgumentException(
+          "only one relationship type is allowed for CREATE")
+      }
+      if (p.head.label.contains("ag_vertex") ||
+          p.tail.exists(_._2.label.contains("ag_vertex")))
+        throw new IllegalArgumentException(
+          "specifying default label is not allowed")
+      if (p.tail.exists(_._1.types.contains("ag_edge")))
+        throw new IllegalArgumentException("cannot create edge on default label")
       // vertices first, then edges (edges need endpoint ids)
       var prevName: String = null
       val elems: Seq[(Option[RelPattern], NodePattern)] =
@@ -44,25 +113,26 @@ object WriteOps {
         if (!vars.exists(_._1 == nodeName)) {
           // new vertex; unlabeled CREATE targets the implicit base label
           val label = node.label.getOrElse("ag_vertex")
-          val lm = b.catalog.label(b.graph, label).getOrElse(
-            throw new IllegalArgumentException(s"label \"$label\" does not exist"))
-          require(lm.kind == 'v', s"label \"$label\" is not a vertex label")
+          b.labelOfKind(label, 'v')
+          val lm = b.catalog.label(b.graph, label).get
           val base = b.catalog.reserveIds(b.graph, label, math.max(n, 1L))
           val idCol = lit(GraphId.pack(lm.labid, 0L)) + lit(base) + col("__cidx")
           val comp = b.compiler(State(df, vars))
           val propsCol = node.props match {
-            case Some(pe) => comp.toJ(comp.compile(pe))
+            case Some(pe) => objectProps(comp.toJ(comp.compile(pe)))
             case None => lit("{}")
           }
           df = df.withColumn(nodeName,
             struct(idCol.cast("long").as("id"), propsCol.as("properties")))
           vars = vars :+ (nodeName -> KV)
-          checkConstraints(b, label,
-            df.select(col(Compiler.q(nodeName)).getField("properties").as("properties")))
-          b.catalog.append(b.graph, label,
-            df.select(col(Compiler.q(nodeName)).getField("id").as("id"),
-              col(Compiler.q(nodeName)).getField("properties").as("properties")))
-          b.insertedVertices += n
+          deferred += { fdf =>
+            checkConstraints(b, label,
+              fdf.select(col(Compiler.q(nodeName)).getField("properties").as("properties")))
+            b.catalog.append(b.graph, label,
+              fdf.select(col(Compiler.q(nodeName)).getField("id").as("id"),
+                col(Compiler.q(nodeName)).getField("properties").as("properties")))
+            b.insertedVertices += n
+          }
         }
         relOpt.foreach { rel =>
           require(rel.direction != 0, "CREATE requires a directed relationship")
@@ -70,14 +140,13 @@ object WriteOps {
           val relName = rel.variable.getOrElse(s"__ce_${vars.length}_${boundNames.length}")
           val tpe = rel.types.headOption.getOrElse(
             throw new IllegalArgumentException("CREATE requires a relationship type"))
-          val lm = b.catalog.label(b.graph, tpe).getOrElse(
-            throw new IllegalArgumentException(s"label \"$tpe\" does not exist"))
-          require(lm.kind == 'e', s"label \"$tpe\" is not an edge label")
+          b.labelOfKind(tpe, 'e')
+          val lm = b.catalog.label(b.graph, tpe).get
           val base = b.catalog.reserveIds(b.graph, tpe, math.max(n, 1L))
           val idCol = (lit(GraphId.pack(lm.labid, 0L)) + lit(base) + col("__cidx")).cast("long")
           val comp = b.compiler(State(df, vars))
           val propsCol = rel.props match {
-            case Some(pe) => comp.toJ(comp.compile(pe))
+            case Some(pe) => objectProps(comp.toJ(comp.compile(pe)))
             case None => lit("{}")
           }
           val (startName, endName) =
@@ -88,14 +157,16 @@ object WriteOps {
             struct(idCol.as("id"), startId.as("start"), endId.as("end"),
               propsCol.as("properties")))
           vars = vars :+ (relName -> KE)
-          checkConstraints(b, tpe,
-            df.select(col(Compiler.q(relName)).getField("properties").as("properties")))
-          b.catalog.append(b.graph, tpe,
-            df.select(col(Compiler.q(relName)).getField("id").as("id"),
-              col(Compiler.q(relName)).getField("start").as("start"),
-              col(Compiler.q(relName)).getField("end").as("end"),
-              col(Compiler.q(relName)).getField("properties").as("properties")))
-          b.insertedEdges += n
+          deferred += { fdf =>
+            checkConstraints(b, tpe,
+              fdf.select(col(Compiler.q(relName)).getField("properties").as("properties")))
+            b.catalog.append(b.graph, tpe,
+              fdf.select(col(Compiler.q(relName)).getField("id").as("id"),
+                col(Compiler.q(relName)).getField("start").as("start"),
+                col(Compiler.q(relName)).getField("end").as("end"),
+                col(Compiler.q(relName)).getField("properties").as("properties")))
+            b.insertedEdges += n
+          }
         }
         prevName = nodeName
         boundNames += nodeName
@@ -113,7 +184,11 @@ object WriteOps {
         vars = vars :+ (pv -> KP)
       }
     }
-    State(df.drop("__cidx"), vars)
+    // force every element column (ids + property maps incl. the
+    // object-shape raise_error) BEFORE the first append
+    val finalDf = df.localCheckpoint(true)
+    deferred.foreach(_(finalDf))
+    State(finalDf.drop("__cidx"), vars)
   }
 
   /** Write-time constraint validation (reference:

@@ -1,0 +1,82 @@
+package graft.cypher
+
+import graft.SparkTestBase
+import graft.api.CypherSession
+import graft.graph.GraphCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Statement-validity matrix ported from cypher_dml.out: the CREATE /
+  * MATCH shapes the reference REJECTS must be rejected here too, with
+  * the same diagnostics, and the legal odd shapes must run.
+  */
+class DmlValiditySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def fresh(): CypherSession = {
+    val root = java.nio.file.Files.createTempDirectory("graft_dmlv").toString
+    val s = new CypherSession(spark, new GraphCatalog(spark, root))
+    s.createGraph("v")
+    s.createVLabel("repo"); s.createELabel("lib"); s.createELabel("doc")
+    s
+  }
+  lazy val s = fresh()
+
+  private def err(q: String): String =
+    intercept[Exception](s.cypher(q).collect()).getMessage
+
+  test("CREATE rejections (cypher_dml.out:~60-90)") {
+    assert(err("CREATE ()-[a:lib]->(a)").contains("duplicate variable \"a\""))
+    assert(err("CREATE a=(), (a)").contains("duplicate variable \"a\""))
+    assert(err("CREATE (a), (a {})").contains("duplicate variable \"a\""))
+    assert(err("CREATE (a), (a)").contains("there must be at least one relationship"))
+    assert(err("CREATE ()-[]-()").contains("only directed relationships are allowed in CREATE"))
+    assert(err("CREATE ()-[]->()").contains("only one relationship type is allowed for CREATE"))
+    assert(err("CREATE ()-[:lib|doc]->()").contains("only one relationship type is allowed for CREATE"))
+    assert(err("CREATE (a)-[a:lib]->()").contains("duplicate variable \"a\""))
+    assert(err("CREATE ()-[a:lib]->()-[a:doc]->()").contains("duplicate variable \"a\""))
+    assert(err("CREATE a=(), ()-[a:doc]->()").contains("duplicate variable \"a\""))
+    assert(err("CREATE (a), a=()").contains("duplicate variable \"a\""))
+    assert(err("CREATE ()-[a:lib]->(), a=()").contains("duplicate variable \"a\""))
+    assert(err("CREATE a=(), a=()").contains("duplicate variable \"a\""))
+    assert(err("CREATE (:lib)").contains("is edge label"))
+    assert(err("CREATE ()-[:repo]->()").contains("is vertex label"))
+    assert(err("CREATE (:ag_vertex)").contains("specifying default label is not allowed"))
+    assert(err("CREATE ()-[:ag_edge]->()").contains("cannot create edge on default label"))
+    // property map must evaluate to an object (runtime check)
+    assert(err("CREATE (=0)").contains("jsonb object is expected for property map"))
+    assert(err("CREATE ()-[:lib =0]->()").contains("jsonb object is expected for property map"))
+    // NULL property maps fold to {} (legal; cypher_dml.sql:56)
+    s.cypher("CREATE (=null)-[:lib =null]->()")
+    val n = s.cypher("MATCH ()-[r:lib]->() RETURN count(*) AS n")
+      .collect()(0).getString(0)
+    assert(n == "1")
+  }
+
+  test("MATCH rejections + legal odd shapes (cypher_dml.out:~95-115)") {
+    assert(err("MATCH ()-[a]-(), (a) RETURN *").contains("duplicate variable \"a\""))
+    assert(err("MATCH a=(), (a) RETURN *").contains("duplicate variable \"a\""))
+    assert(err("MATCH ()-[a]-(a) RETURN *").contains("duplicate variable \"a\""))
+    assert(err("MATCH ()-[a]-()-[a]-() RETURN *").contains("duplicate variable \"a\""))
+    assert(err("MATCH a=(), ()-[a]-() RETURN *").contains("duplicate variable \"a\""))
+    assert(err("MATCH (a), a=() RETURN *").contains("duplicate variable \"a\""))
+    assert(err("MATCH ()-[a]->(), a=() RETURN *").contains("duplicate variable \"a\""))
+    assert(err("MATCH a=(), a=() RETURN *").contains("duplicate variable \"a\""))
+    assert(err("MATCH (:lib) RETURN *").contains("is edge label"))
+    assert(err("MATCH ()-[:repo]->() RETURN *").contains("is vertex label"))
+    assert(err("MATCH (x:nosuch) RETURN *").contains("does not exist"))
+    // legal: vertex var re-match is a join; (a =0) matches nothing
+    assert(s.cypher("MATCH (a), (a) RETURN count(*) AS n").count() == 1)
+    assert(s.cypher("MATCH (a =0) RETURN a").count() == 0)
+  }
+
+  test("intra-CREATE references and path variables (cypher_dml.sql:60-66)") {
+    val t = fresh()
+    t.cypher("CREATE (a {name:'agens'}), (b {name:a.name})")
+    val names = t.cypher("MATCH (x) RETURN x.name AS n ORDER BY n")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("\"agens\"", "\"agens\""))
+    val l = t.cypher("CREATE p=()-[:lib]->() RETURN length(p) AS l")
+      .collect()(0).getString(0)
+    assert(l == "1")
+  }
+}
