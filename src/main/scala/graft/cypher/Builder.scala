@@ -730,6 +730,8 @@ final class Builder(
     * jsonb object var in the pipeline.
     */
   private def buildLoad(st: State, l: LoadClause): State = {
+    if (st.has(l.as)) throw new IllegalArgumentException(
+      s"""duplicate variable "${l.as}"""")
     val t = loadTable(l.table)
     val rowJson = JsonbNormalize.normalize(to_json(struct(t.columns.map(col): _*)))
     val loaded = t.select(rowJson.as(l.as))
@@ -742,6 +744,17 @@ final class Builder(
   // ========================================================= projection
 
   private[cypher] def buildProjection(st0: State, p: Projection): State = {
+    // WITH items must be named — a bare expression has no variable for
+    // later clauses to reference ("expression in WITH must be aliased",
+    // parse_cypher_expr.c); bare variables keep their own name
+    if (!p.isReturn)
+      p.items.foreach {
+        case (Vbl(_), None) => ()
+        case (e, None) if !e.isInstanceOf[Vbl] =>
+          throw new IllegalArgumentException(
+            "expression in WITH must be aliased (use AS)")
+        case _ => ()
+      }
     // startnode()/endnode() re-fetch vertices by the edge's endpoint id
     // (graph.c edge_start_vertex): rewrite to hidden joined vars first
     val (st1, p2) = rewriteEndpointFns(st0, p)

@@ -730,7 +730,14 @@ object Parser {
                 while (eatSym(",")) args += parseExpr()
               }
               expectSym(")")
-              FnCall(name.toLowerCase, args.toSeq, distinct)
+              // edge_start_vertex/edge_end_vertex (graph.c:986,1002)
+              // are the SQL-callable spellings of startnode/endnode
+              val canonical = name.toLowerCase match {
+                case "start_vertex" => "startnode"
+                case "end_vertex"   => "endnode"
+                case other => other
+              }
+              FnCall(canonical, args.toSeq, distinct)
             }
           }
           else { pos += 1; Vbl(name) }

@@ -266,7 +266,16 @@ object WriteOps {
     def addE(df: DataFrame): Unit =
       edgeIds = if (edgeIds == null) df else edgeIds.unionAll(df)
 
-    d.exprs.foreach { e =>
+    d.exprs.foreach {
+      // DELETE startnode(e)/endnode(e) (edge_start_vertex graph.c:986;
+      // cypher_dml.sql DETACH DELETE end_vertex(a)): deletion only
+      // needs the vertex ID, which the edge already carries — no
+      // vertex re-fetch join
+      case FnCall(fn @ ("startnode" | "endnode"), Seq(arg), _)
+          if comp.compile(arg).kind == KE =>
+        val f = if (fn == "startnode") "start" else "end"
+        addV(frame.select(comp.compile(arg).col.getField(f).as("id")))
+      case e =>
       val ce = comp.compile(e)
       ce.kind match {
         case KV => addV(frame.select(ce.col.getField("id").as("id")))

@@ -69,6 +69,27 @@ class DmlValiditySpec extends AnyFunSuite {
     assert(s.cypher("MATCH (a =0) RETURN a").count() == 0)
   }
 
+  test("WITH/LOAD/endpoint shapes from cypher_dml tail") {
+    val t = fresh()
+    t.cypher("CREATE (:repo {name:'a'})-[:lib {lang:'c'}]->(:repo {name:'b'})")
+    t.cypher("CREATE (:repo {name:'x'})-[:doc {lang:'en'}]->(:repo {name:'y'})")
+    def terr(q: String): String =
+      intercept[Exception](t.cypher(q).collect()).getMessage
+    // WITH items must be aliased (parse_cypher_expr.c)
+    assert(terr("MATCH (a) WITH a.name RETURN *")
+      .contains("expression in WITH must be aliased"))
+    // LOAD FROM cannot rebind (cypher_dml.sql "LOAD FROM history AS a")
+    assert(terr("MATCH (a) LOAD FROM history_missing AS a RETURN *")
+      .contains("duplicate variable \"a\""))
+    // DELETE of a vertex-valued EXPRESSION (vertices(p)[i], endpoint fns)
+    t.cypher("MATCH p=()-[:lib]->() DETACH DELETE (vertices(p))[1]")
+    assert(t.cypher("MATCH (v:repo) RETURN count(*) AS n")
+      .collect()(0).getString(0) == "3")
+    t.cypher("MATCH ()-[a:doc]->() DETACH DELETE end_vertex(a)")
+    assert(t.cypher("MATCH (v:repo) RETURN count(*) AS n")
+      .collect()(0).getString(0) == "2")
+  }
+
   test("intra-CREATE references and path variables (cypher_dml.sql:60-66)") {
     val t = fresh()
     t.cypher("CREATE (a {name:'agens'}), (b {name:a.name})")
