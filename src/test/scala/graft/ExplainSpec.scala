@@ -260,6 +260,15 @@ class ExplainSpec extends AnyFunSuite {
     }
   }
 
+  test("g03: OPTIONAL MATCH key-correlates — no row-tag materialization barrier") {
+    // id-identified correlated refs run the inner match per distinct
+    // entity and left-join by id; no monotonically_increasing_id tag,
+    // no eager checkpoint (Scan ExistingRDD) of the bound relation
+    val p = planOf("g03_optional_match")
+    assert(!p.contains("monotonically_increasing_id"), p)
+    assert(!p.contains("ExistingRDD"), p)
+  }
+
   test("g41: pattern-exists qual key-correlates — no row-tag materialization barrier") {
     // the NOT exists((a)-[:placed]->(...)) predicate must evaluate per
     // distinct customer and join back by id; the old per-row plan
