@@ -197,6 +197,10 @@ final class Builder(
     * per-row rid correlation.
     */
   private def keyableRefs(st: State, m: Match): Option[Seq[(String, Kind)]] = {
+    // escape hatch (and the differential-test lever): force the
+    // per-row rid correlation everywhere
+    if (spark.conf.get("spark.graft.keyedCorrelation", "true") == "false")
+      return None
     val bound = st.vars.toMap
     val shared = matchRefNames(m).filter(bound.contains)
     if (shared.forall(v => bound(v) == KV || bound(v) == KE))
