@@ -291,7 +291,15 @@ final class Compiler(
     case InList(x, listE, negated) =>
       val xc = toJ(compile(x))
       val lc = toJ(compile(listE))
-      val c = J.contains(lc, xc) // scalar-in-array containment
+      // the RHS must be a list (or NULL -> NULL): "RETURN 1 IN 1"
+      // errors "CypherList is expected but integer" in the reference
+      // (transformCypherExpr); canonical jsonb identifies arrays by
+      // their first character, so the guard is one codegen'd compare
+      val c0 = J.contains(lc, xc) // scalar-in-array containment
+      val c = when(lc.isNull, lit(null).cast("boolean"))
+        .when(substring(lc, 1, 1) === "[", c0)
+        .otherwise(raise_error(concat(lit("CypherList is expected but "),
+          lc)).cast("boolean"))
       CE(if (negated) !c else c, KB)
 
     case CaseExpr(operand, whens, els) =>
