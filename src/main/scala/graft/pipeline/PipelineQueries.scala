@@ -1409,6 +1409,37 @@ object PipelineQueries {
         .limit(30)
     },
 
+    "p113_knn_graph" -> { (s, d) =>
+      // Exact k-NN graph + reciprocity census — the construction
+      // primitive under graph-based ANN (HNSW neighborhoods) and
+      // graph-propagated semantic dedup: reciprocal edges mark stable
+      // mutual neighborhoods, the usual pruning criterion. Brute-force
+      // pair scoring is the bounded verification baseline (the LSH/IVF
+      // kernels are the candidate source at scale); the reciprocity
+      // join carries id pairs only, and the per-label mean re-sums the
+      // ROUNDED cosines as exact decimals (one double division at the
+      // end — the cross-engine discipline).
+      val e = load(s, d, "embeddings").where(col("vec_id") < 300)
+      val q = e.select(col("vec_id"), col("embedding"))
+      val knn = Similarity.bruteForceTopK(q, q, 3)
+        .join(e.select(col("vec_id").as("qid"), col("label")), "qid")
+        .localCheckpoint(true) // reciprocity self-join + census share it
+      val recip = knn.select(col("qid").as("rq"), col("cid").as("rc"))
+        .alias("a")
+        .join(knn.select(col("qid").as("rc"), col("cid").as("rq")).alias("b"),
+          Seq("rq", "rc"))
+        .select(col("rq").as("qid"), col("rc").as("cid"))
+        .withColumn("__recip", lit(1))
+      knn.join(recip, Seq("qid", "cid"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("__recip").isNotNull, 1L).otherwise(0L))
+            .as("n_reciprocal"),
+          round(sum(col("cos").cast("decimal(10,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_cos"))
+        .orderBy("label")
+    },
+
     "p105_auc" -> { (s, d) =>
       // Exact ROC-AUC (Mann–Whitney with average-rank tie handling)
       // of a quality score against a binary relevance label, per
@@ -3394,6 +3425,29 @@ object PipelineQueries {
         |  GROUP BY 1, 2)
         |SELECT da, db, n_shared FROM p WHERE n_shared >= 5
         |ORDER BY n_shared DESC, da, db LIMIT 30""".stripMargin,
+
+    "p113_knn_graph" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE vec_id < 300),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlab, c.vec_id AS cid,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]), 6) AS cos
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+        |knn AS (SELECT qid, qlab, cid, cos FROM (
+        |    SELECT qid, qlab, cid, cos, row_number() OVER
+        |      (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM scored)
+        |  WHERE rk <= 3),
+        |recip AS (SELECT a.qid, a.cid FROM knn a JOIN knn b
+        |  ON a.qid = b.cid AND a.cid = b.qid)
+        |SELECT qlab AS label, count(*) AS n_edges,
+        |  CAST(sum(CASE WHEN r.qid IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_reciprocal,
+        |  round(CAST(sum(CAST(cos AS DECIMAL(10,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_cos
+        |FROM knn k LEFT JOIN recip r
+        |  ON k.qid = r.qid AND k.cid = r.cid
+        |GROUP BY qlab ORDER BY qlab""".stripMargin,
 
     "p105_auc" ->
       """WITH sc AS (SELECT source,
