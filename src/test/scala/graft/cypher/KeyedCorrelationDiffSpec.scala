@@ -59,7 +59,16 @@ class KeyedCorrelationDiffSpec extends AnyFunSuite {
     // expression-position shortestpath between shared endpoints
     """MATCH (a:n {grp: 0}), (b:n {grp: 1})
       |WITH a, b, shortestpath((a)-[:t *..4]->(b)) AS p
-      |RETURN a.k AS ak, b.k AS bk, length(p) AS l""".stripMargin)
+      |RETURN a.k AS ak, b.k AS bk, length(p) AS l""".stripMargin,
+    // UNCORRELATED exists (no shared refs): one global verdict
+    """MATCH (a:n) WHERE exists(()-[:u]->({k: 0}))
+      |RETURN a.k AS k""".stripMargin,
+    // UNCORRELATED exists that matches nothing
+    """MATCH (a:n) WHERE NOT exists(()-[:u]->({k: 99}))
+      |RETURN a.k AS k""".stripMargin,
+    // uncorrelated OPTIONAL MATCH: cross-joined inner result / nulls
+    """MATCH (a:n {grp: 2}) OPTIONAL MATCH (x:n {k: 0})-[:t]->(y:n)
+      |RETURN a.k AS ak, y.k AS yk""".stripMargin)
 
   test("keyed correlation ≡ rid correlation on randomized graphs") {
     for (seed <- Seq(7, 41, 99)) {
