@@ -523,7 +523,12 @@ final class Compiler(
         val start1 = (J.toLong(toJ(compile(args(1)))) + 1L) // 1-based, may be < 1
         val lo = greatest(start1, lit(1L))
         if (args.length > 2) {
-          val len = J.toLong(toJ(compile(args(2))))
+          // PG's substr errors on a negative length ("negative substring
+          // length not allowed", text.c) — do not clamp it to empty
+          val len0 = J.toLong(toJ(compile(args(2))))
+          val len = when(len0 < 0,
+            raise_error(lit("negative substring length not allowed"))
+              .cast("long")).otherwise(len0)
           val clipped = greatest(start1 + len - lo, lit(0L)).cast("int")
           CE(J.fromText(substring(s, lo.cast("int"), clipped)), KJ)
         } else CE(J.fromText(substring(s, lo.cast("int"), lit(Int.MaxValue))), KJ)

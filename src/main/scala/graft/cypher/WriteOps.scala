@@ -50,8 +50,13 @@ object WriteOps {
     // element column has evaluated (forced below): a guard or runtime
     // error in a later path/property map must not leave earlier paths
     // half-written (statement-level atomicity; sequence gaps on failed
-    // statements remain, like PG sequences)
-    val deferred = scala.collection.mutable.ArrayBuffer
+    // statements remain, like PG sequences). Checks and appends are
+    // SEPARATE passes — every label's constraints validate against the
+    // forced frame before the first durable append, so a CHECK/UNIQUE
+    // violation on the Nth label cannot leave labels 1..N-1 written.
+    val deferredChecks = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame => Unit]
+    val deferredAppends = scala.collection.mutable.ArrayBuffer
       .empty[DataFrame => Unit]
     paths.foreach { p =>
       // CREATE variable rules (transformCreatePattern parse_graph.c;
@@ -68,14 +73,21 @@ object WriteOps {
       val nodeVarsInPath =
         (p.head.variable ++ p.tail.flatMap(_._2.variable)).toSeq
       val edgeVarsInPath = p.tail.flatMap(_._1.variable)
+      // node vars already traversed earlier in THIS path: a labeled or
+      // propertied re-occurrence is "duplicate variable" exactly like a
+      // cross-path re-reference (transformCreateNode's findTarget scans
+      // the whole statement targetList — parse_graph.c isNodeForRef);
+      // only the bare connect-to-existing form may repeat
+      val seenNodesInPath = scala.collection.mutable.Set.empty[String]
       def vertexRef(nv: String, labeled: Boolean): Unit = {
         if (pathVarsSeen(nv) || edgeVarsInPath.contains(nv))
           throw new IllegalArgumentException(s"""duplicate variable "$nv"""")
         val bound = vars.find(_._1 == nv)
         if (bound.exists(_._2 != KV)) throw new IllegalArgumentException(
           s"""duplicate variable "$nv"""")
-        if (bound.isDefined && labeled)
+        if ((bound.isDefined || seenNodesInPath(nv)) && labeled)
           throw new IllegalArgumentException(s"""duplicate variable "$nv"""")
+        seenNodesInPath += nv
       }
       p.head.variable.foreach { hv =>
         vertexRef(hv, p.head.label.nonEmpty || p.head.props.nonEmpty)
@@ -125,9 +137,11 @@ object WriteOps {
           df = df.withColumn(nodeName,
             struct(idCol.cast("long").as("id"), propsCol.as("properties")))
           vars = vars :+ (nodeName -> KV)
-          deferred += { fdf =>
+          deferredChecks += { fdf =>
             checkConstraints(b, label,
               fdf.select(col(Compiler.q(nodeName)).getField("properties").as("properties")))
+          }
+          deferredAppends += { fdf =>
             b.catalog.append(b.graph, label,
               fdf.select(col(Compiler.q(nodeName)).getField("id").as("id"),
                 col(Compiler.q(nodeName)).getField("properties").as("properties")))
@@ -157,9 +171,11 @@ object WriteOps {
             struct(idCol.as("id"), startId.as("start"), endId.as("end"),
               propsCol.as("properties")))
           vars = vars :+ (relName -> KE)
-          deferred += { fdf =>
+          deferredChecks += { fdf =>
             checkConstraints(b, tpe,
               fdf.select(col(Compiler.q(relName)).getField("properties").as("properties")))
+          }
+          deferredAppends += { fdf =>
             b.catalog.append(b.graph, tpe,
               fdf.select(col(Compiler.q(relName)).getField("id").as("id"),
                 col(Compiler.q(relName)).getField("start").as("start"),
@@ -185,9 +201,11 @@ object WriteOps {
       }
     }
     // force every element column (ids + property maps incl. the
-    // object-shape raise_error) BEFORE the first append
+    // object-shape raise_error) BEFORE the first append; then ALL
+    // constraint checks, then all appends
     val finalDf = df.localCheckpoint(true)
-    deferred.foreach(_(finalDf))
+    deferredChecks.foreach(_(finalDf))
+    deferredAppends.foreach(_(finalDf))
     State(finalDf.drop("__cidx"), vars)
   }
 

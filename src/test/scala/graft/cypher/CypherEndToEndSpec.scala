@@ -83,6 +83,11 @@ class CypherEndToEndSpec extends AnyFunSuite {
       Seq(Seq("\"123\"")))
     assert(rows(s.cypher("RETURN substring('123', -2, 3) AS r")) ==
       Seq(Seq("\"1\"")))
+    // a negative LENGTH is an error, not an empty string (PG substr:
+    // "negative substring length not allowed"; text.c)
+    val negLen = intercept[Exception](
+      s.cypher("RETURN substring('123', 0, -1) AS r").collect()).getMessage
+    assert(negLen.contains("negative substring length not allowed"))
   }
 
   test("F1: implicit grouping with count(*)") {

@@ -52,6 +52,38 @@ class DmlValiditySpec extends AnyFunSuite {
     assert(n == "1")
   }
 
+  test("within-path labeled/propertied vertex re-reference is duplicate (transformCreateNode findTarget)") {
+    // a same-statement re-reference carrying a label or props is
+    // "duplicate variable" even inside ONE path — parse_graph.c's
+    // findTarget scans the whole statement targetList; only the bare
+    // connect-to-existing form may repeat
+    assert(err("CREATE (a {x:1})-[:lib]->(a {y:2})").contains("duplicate variable \"a\""))
+    assert(err("CREATE (a)-[:lib]->(a:repo)").contains("duplicate variable \"a\""))
+    assert(err("CREATE (a)-[:lib]->(a {})").contains("duplicate variable \"a\""))
+    // bare re-reference closes the triangle onto the SAME new vertex
+    val t = fresh()
+    t.cypher("CREATE (a {x:1})-[:lib]->({y:2})-[:doc]->(a)")
+    val n = t.cypher("MATCH (a)-[:lib]->()-[:doc]->(a) RETURN count(*) AS n")
+      .collect()(0).getString(0)
+    assert(n == "1")
+  }
+
+  test("constraint violation on a later label leaves earlier labels unwritten") {
+    // checks run as a separate pass BEFORE any append: a CHECK
+    // violation on the second label must not leave the first label's
+    // rows durably appended (statement-level atomicity)
+    val t = fresh()
+    t.createVLabel("cv1"); t.createVLabel("cv2")
+    t.cypher("CREATE CONSTRAINT ON cv2 ASSERT x IS NOT NULL")
+    intercept[Exception] {
+      t.cypher("CREATE (:cv1 {n:1})-[:lib]->(:cv2 {y:2})").collect()
+    }
+    assert(t.cypher("MATCH (a:cv1) RETURN count(*) AS n")
+      .collect()(0).getString(0) == "0")
+    assert(t.cypher("MATCH ()-[r:lib]->() RETURN count(*) AS n")
+      .collect()(0).getString(0) == "0")
+  }
+
   test("MATCH rejections + legal odd shapes (cypher_dml.out:~95-115)") {
     assert(err("MATCH ()-[a]-(), (a) RETURN *").contains("duplicate variable \"a\""))
     assert(err("MATCH a=(), (a) RETURN *").contains("duplicate variable \"a\""))
