@@ -99,9 +99,146 @@ final class Builder(
   def runSingle(sq: SingleQuery): DataFrame = runSingleState(sq).df
 
   private def runSingleState(sq: SingleQuery): State = {
+    sq.clauses match {
+      case Seq(m: Match, p: Projection) =>
+        pairCountRewrite(m, p).foreach(st => return st)
+      case _ => ()
+    }
     val init = State(spark.range(1).select(lit(0L).as("__dummy")), Vector.empty)
     // a bare write query returns its (possibly dummy) frame
     sq.clauses.foldLeft(init)(applyClause)
+  }
+
+  /** Count-only pair-pattern rewrite: a symmetric two-hop pattern
+    * `(a)-[:t]->(n)<-[:t]-(b)` whose WHERE halves the pairs with
+    * `id(a) < id(b)` and whose projection only ever COUNTS the pairs
+    * (never touches `b`) does not need the pair join at all. Both
+    * endpoints range over the SAME adjacency relation, so for each
+    * qualifying `a`-row the number of partners is its suffix count in
+    * the per-`n` adjacency ordered by endpoint id — one window over a
+    * single scan instead of a per-key quadratic self-join (the
+    * reference evaluates the written join, `parse_graph.c:1579`, but
+    * is single-node; at cluster scale the pair materialization is the
+    * bottleneck, while the window's per-`n` partition is bounded by
+    * max degree). Pair multiplicity over multi-edges is preserved:
+    * each a-EDGE occurrence counts every b-EDGE occurrence with a
+    * strictly greater endpoint id (RANGE frame ⇒ same-id rows, i.e.
+    * other edges of `a` itself, are excluded). Rows with suffix 0 are
+    * dropped before grouping — the pair join emits no row for an `a`
+    * with no greater-id partner, so its keys must not surface.
+    */
+  private def pairCountRewrite(m: Match, p: Projection): Option[State] = {
+    if (spark.conf.get("spark.graft.pairCountRewrite", "true") == "false")
+      return None
+    if (m.optional || m.paths.length != 1) return None
+    val pp = m.paths.head
+    if (pp.variable.nonEmpty || pp.finder != PathFinder.None ||
+      pp.tail.length != 2) return None
+    val aN = pp.head
+    val (e1, nN) = pp.tail(0)
+    val (e2, bN) = pp.tail(1)
+    // the two hops must scan the same adjacency: same types/ONLY, no
+    // var-length, both oriented the same way relative to n (a->n and
+    // b->n, or a<-n and b<-n, or both undirected), anonymous prop-free
+    // edges, and b an exact bare twin of a's label
+    if (e1.varLength.nonEmpty || e2.varLength.nonEmpty) return None
+    if (e1.direction + e2.direction != 0) return None
+    if (e1.types.sorted != e2.types.sorted || e1.only != e2.only) return None
+    if (e1.variable.nonEmpty || e2.variable.nonEmpty) return None
+    if (e1.props.nonEmpty || e2.props.nonEmpty) return None
+    if (bN.props.nonEmpty || bN.only != aN.only || bN.label != aN.label)
+      return None
+    val aV = aN.variable.getOrElse(return None)
+    val bV = bN.variable.getOrElse(return None)
+    if (aV == bV || nN.variable.exists(v => v == aV || v == bV)) return None
+    // every name an expression could reach (vars + pattern vars inside
+    // exists()/size()/shortestpath sub-patterns)
+    def refNames(x: Any): Set[String] = {
+      val acc = scala.collection.mutable.Set.empty[String]
+      def walk(y: Any): Unit = y match {
+        case Vbl(nm) => acc += nm
+        case np: NodePattern => np.variable.foreach(acc += _); np.props.foreach(walk)
+        case rp: RelPattern => rp.variable.foreach(acc += _); rp.props.foreach(walk)
+        case q: Product => q.productIterator.foreach(walk)
+        case s: Iterable[_] => s.foreach(walk)
+        case _ => ()
+      }
+      walk(x); acc.toSet
+    }
+    if (nN.props.exists(pe => refNames(pe).exists(v => v == aV || v == bV)))
+      return None
+    if (aN.props.exists(pe => refNames(pe).contains(bV))) return None
+    // WHERE: at least one id(a) < id(b) half-pair conjunct; everything
+    // else may reference a and n but never b
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val cs = m.where.map(conjuncts).getOrElse(Seq.empty)
+    def idOf(v: String) = FnCall("id", Seq(Vbl(v)))
+    val isHalf: Expr => Boolean = {
+      case Cmp("<", l, r) => l == idOf(aV) && r == idOf(bV)
+      case Cmp(">", l, r) => l == idOf(bV) && r == idOf(aV)
+      case _ => false
+    }
+    val (half, residual) = cs.partition(isHalf)
+    if (half.isEmpty) return None
+    if (residual.exists(r => refNames(r).contains(bV))) return None
+    // projection: at least one aggregate, every aggregate a bare
+    // count(*) (any other aggregate sees per-pair multiplicities the
+    // single-scan form cannot reproduce), and no reference to b
+    if (p.star) return None
+    val aggItems = p.items.filter { case (e, _) => Compiler.hasAgg(e) }
+    if (aggItems.isEmpty || !aggItems.forall(_._1 == CountStar)) return None
+    val others = p.items.filter { case (e, _) => !Compiler.hasAgg(e) }
+    if (others.exists(i => refNames(i._1).contains(bV))) return None
+    if (p.orderBy.exists(o => refNames(o._1).contains(bV))) return None
+    if (p.where.exists(w => refNames(w).contains(bV))) return None
+
+    // single unfiltered adjacency scan (x)-[:t]->(n): a's props and
+    // the residual WHERE apply AFTER the window, so the suffix count
+    // ranges over every candidate b
+    val init = State(spark.range(1).select(lit(0L).as("__dummy")), Vector.empty)
+    var st = buildMatch(init, Match(
+      Seq(PathPattern(None, aN.copy(props = None), Seq((e1, nN)))),
+      optional = false, where = None))
+    val nName = st.vars.collectFirst {
+      case (nm, KV) if nm != aV => nm }.getOrElse(return None)
+    val aId = col(Compiler.q(aV)).getField("id")
+    val nId = col(Compiler.q(nName)).getField("id")
+    import org.apache.spark.sql.expressions.Window
+    val wTot = Window.partitionBy(nId)
+    val wLe = Window.partitionBy(nId).orderBy(aId)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val sfx = count(lit(1)).over(wTot) - count(lit(1)).over(wLe)
+    // the suffix filter is applied LAST: the a-side filters (props,
+    // residual WHERE incl. exists() probes, which re-derive a distinct
+    // a-id probe from this frame) never reference __sfxl, so Catalyst's
+    // ColumnPruning drops the Window from the probe branch entirely —
+    // filtering here first would pin the window recomputation onto it
+    st = State(st.df.withColumn("__sfxl", sfx), st.vars)
+    aN.props.foreach { pe =>
+      st = State(st.df.where(propQual(st, aV, pe)), st.vars) }
+    residual.foreach { w =>
+      val (st2, w2) = rewriteExistsPatterns(st, w)
+      val comp = compiler(st2)
+      st = State(st2.df.where(comp.toBool(comp.compile(w2))), st2.vars)
+    }
+    st = State(st.df.where(col("__sfxl") > 0)
+      .withColumn("__sfx", J.fromLong(col("__sfxl"))).drop("__sfxl"),
+      st.vars :+ ("__sfx" -> KJ))
+    // count(*) over pairs = sum of suffix counts; a global (keyless)
+    // count over zero rows is 0, never null
+    val zero = Lit(graft.jsonb.JNum(java.math.BigDecimal.ZERO))
+    val sumSfx: Expr =
+      if (others.isEmpty) FnCall("coalesce",
+        Seq(FnCall("sum", Seq(Vbl("__sfx"))), zero))
+      else FnCall("sum", Seq(Vbl("__sfx")))
+    val p2 = p.copy(items = p.items.map {
+      case (CountStar, alias) => (sumSfx, alias)
+      case other => other
+    })
+    Some(buildProjection(st, p2))
   }
 
   /** (df + hidden sort-key cols, equality-key col names, hidden names). */

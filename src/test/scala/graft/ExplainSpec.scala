@@ -279,5 +279,9 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("ExistingRDD"), p)
     assert(!p.contains("monotonically_increasing_id"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // count-only pair rewrite: the quadratic (a,b) self-join is gone —
+    // the pair count comes from a suffix-count window over ONE
+    // adjacency scan (partitioned by the middle vertex id)
+    assert(p.contains("Window"), p)
   }
 }
