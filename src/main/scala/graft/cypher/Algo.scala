@@ -317,7 +317,8 @@ object Algo {
     }
     val paths = finder match {
       case PathFinder.Dijkstra(weight, qual, limitK) =>
-        dijkstra(b, rel, relName, weight, qual, limitK.getOrElse(1L), origins)
+        dijkstra(b, rel, relName, weight, qual, limitK.getOrElse(1L), origins,
+          targets)
       case PathFinder.AllShortest =>
         if (twoSided) bfs2(b, rel, loV, hiV, keepAll = true, origins, targets)
         else bfs(b, rel, loV, hiV, keepAll = true, origins)
@@ -635,7 +636,7 @@ object Algo {
     */
   private def dijkstra(b: Builder, rel: RelPattern, relName: String,
       weight: Expr, qual: Option[Expr], limitK: Long,
-      origins: DataFrame): DataFrame = {
+      origins: DataFrame, targets: DataFrame): DataFrame = {
     val E0 = b.edgeScan(rel.types, rel.direction, rel.only)
     // compile weight/qual with the edge struct bound under the rel name
     val kinds = Map(relName -> (KE: Kind))
@@ -693,7 +694,39 @@ object Algo {
         col("__w").as("__dist")))
       .withColumn("__new", lit(1))
       .localCheckpoint(true)
-    var frontier = best
+
+    // Target-side termination (the set-based form of the reference's
+    // pairing-heap early exit, nodeDijkstra.c:37-50): the only rows
+    // findPaths consumes are (origin, target) pairs, and with
+    // NON-NEGATIVE weights an extension is never cheaper than its
+    // source path — so once an origin has a full k-set at EVERY
+    // target, any frontier path costlier than that origin's worst
+    // settled target distance can neither displace a target entry nor
+    // lead anywhere that could. Pruning is strict (> bound): an
+    // equal-cost path may still win the (dist, length, ids) tiebreak
+    // through zero-weight edges. Negative weights break the bound —
+    // the conf restores the plain fixpoint (the reference's Dijkstra
+    // assumes non-negative weights too).
+    val prune = b.spark.conf
+      .get("spark.graft.dijkstraTargetPrune", "true") != "false"
+    val nTargets = if (prune) targets.count() else 0L
+    def pruneFrontier(f: DataFrame): DataFrame = {
+      if (!prune || nTargets == 0L) return f
+      val bounds = best
+        .join(targets, col("__cur") === col("__target"), "left_semi")
+        .groupBy("__start", "__cur")
+        .agg(count(lit(1)).as("__n"), max(col("__dist")).as("__kd"))
+        .groupBy("__start")
+        .agg(count(lit(1)).as("__nt"), min(col("__n")).as("__minn"),
+          max(col("__kd")).as("__bound"))
+        .where(col("__nt") === nTargets && col("__minn") === limitK)
+        .select(col("__start").as("__bstart"), col("__bound"))
+      f.join(bounds, col("__start") === col("__bstart"), "left")
+        .where(col("__bound").isNull || col("__dist") <= col("__bound"))
+        .drop("__bstart", "__bound")
+    }
+
+    var frontier = pruneFrontier(best)
     var rounds = 0
     while (rounds < MaxDepth && frontier.head(1).nonEmpty) {
       val expanded = withWeight(
@@ -708,9 +741,10 @@ object Algo {
         .withColumn("__new", lit(1))
       best = topK(best.withColumn("__new", lit(0)).unionAll(expanded))
         .localCheckpoint(true)
-      frontier = best.where(col("__new") === 1)
+      frontier = pruneFrontier(best.where(col("__new") === 1))
       rounds += 1
     }
+    b.spark.conf.set("spark.graft.dijkstra.lastRounds", rounds.toString)
     attachVerts(b, best.drop("__w", "__dist", "__new"), V)
   }
 
