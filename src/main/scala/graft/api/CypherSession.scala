@@ -53,6 +53,16 @@ final class CypherSession(
   def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame =
     ddlStatement(query).getOrElse(runAst(Parser.parse(query), params))
 
+  private val CreateGraphRe =
+    """(?is)CREATE\s+GRAPH(\s+IF\s+NOT\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AUTHORIZATION\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
+  private val DropGraphRe =
+    """(?is)DROP\s+GRAPH(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)(\s+CASCADE)?""".r
+  private val CreateLabelRe =
+    """(?is)CREATE\s+(UNLOGGED\s+)?([VE])LABEL(\s+IF\s+NOT\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)(\s+DISABLE\s+INDEX)?(?:\s+INHERITS\s*\(([^)]*)\))?""".r
+  private val AlterPersistRe =
+    """(?is)ALTER\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(UNLOGGED|LOGGED)""".r
+  private val AlterDisIdxRe =
+    """(?is)ALTER\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s+DISABLE\s+INDEX""".r
   private val CreateConRe =
     """(?is)CREATE\s+CONSTRAINT(?:\s+([A-Za-z_][A-Za-z0-9_]*))?\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)\s+ASSERT\s+(.+)""".r
   private val DropConRe =
@@ -69,6 +79,42 @@ final class CypherSession(
   private def ddlStatement(query: String): Option[DataFrame] = {
     val q = query.trim.stripSuffix(";").trim
     q match {
+      // statement-level graph/label DDL (gram.y:16677-16800). The
+      // modifier long tail — AUTHORIZATION (no user model here),
+      // UNLOGGED (no WAL), DISABLE INDEX (no runtime btree) — is
+      // accepted and recorded as metadata no-ops.
+      case CreateGraphRe(ine, name, auth) =>
+        catalog.createGraph(name, ifNotExists = ine != null,
+          owner = Option(auth))
+        if (catalog.graphExists(name) &&
+          catalog.label(name, "ag_vertex").isEmpty)
+          catalog.createLabel(name, "ag_vertex", 'v', Nil, ifNotExists = true)
+        if (currentGraph == null) currentGraph = name
+        Some(spark.emptyDataFrame)
+      case DropGraphRe(ife, name, _) =>
+        catalog.dropGraph(name, ifExists = ife != null)
+        if (currentGraph == name) currentGraph = null
+        Some(spark.emptyDataFrame)
+      case CreateLabelRe(unlogged, kindS, ine, name, disIdx, inh) =>
+        val parents = Option(inh).toSeq.flatMap(_.split(",")).map(_.trim)
+          .filter(_.nonEmpty)
+        catalog.createLabel(graphPath, name,
+          if (kindS.equalsIgnoreCase("v")) 'v' else 'e',
+          parents, ifNotExists = ine != null,
+          persistence = if (unlogged != null) 'u' else 'p',
+          disableIndex = disIdx != null)
+        Some(spark.emptyDataFrame)
+      case AlterPersistRe(_, ife, name, mode) =>
+        if (catalog.label(graphPath, name).isEmpty && ife != null)
+          return Some(spark.emptyDataFrame) // NOTICE ... skipping
+        catalog.setLabelPersistence(graphPath, name,
+          if (mode.equalsIgnoreCase("unlogged")) 'u' else 'p')
+        Some(spark.emptyDataFrame)
+      case AlterDisIdxRe(_, ife, name) =>
+        if (catalog.label(graphPath, name).isEmpty && ife != null)
+          return Some(spark.emptyDataFrame)
+        catalog.setLabelIndexDisabled(graphPath, name)
+        Some(spark.emptyDataFrame)
       case CreateConRe(name, label, body0) =>
         val uniqueRe = "(?is)\\s*IS\\s+UNIQUE\\s*$".r
         val isUnique = uniqueRe.findFirstIn(body0).isDefined

@@ -99,6 +99,7 @@ final class Builder(
   def runSingle(sq: SingleQuery): DataFrame = runSingleState(sq).df
 
   private def runSingleState(sq: SingleQuery): State = {
+    checkEagerAllowed(sq)
     sq.clauses match {
       case Seq(m: Match, p: Projection) =>
         pairCountRewrite(m, p).foreach(st => return st)
@@ -107,6 +108,37 @@ final class Builder(
     val init = State(spark.range(1).select(lit(0L).as("__dummy")), Vector.empty)
     // a bare write query returns its (possibly dummy) frame
     sq.clauses.foldLeft(init)(applyClause)
+  }
+
+  /** `enable_eager` GUC surface (guc.c:1165-1172; cypher_eager.sql off
+    * matrix). This engine is eager BY CONSTRUCTION — every clause sees
+    * the previous clause's writes through copy-on-write frames — so
+    * the knob only models the reference's off-mode DIAGNOSTICS: a plan
+    * the reference would have to run eagerly is rejected with its
+    * error. Per assign_query_eager (parse_graph.c:5598-5655) that is
+    * (a) any SET/DELETE/MERGE clause that is not the statement's final
+    * clause (`!graph.last && (sets||exprs)`, `writeOp == GWROP_MERGE`),
+    * and (b) a final MERGE preceded by another write clause
+    * (`nxtQry MERGE && qry CREATE|MERGE`).
+    */
+  private def checkEagerAllowed(sq: SingleQuery): Unit = {
+    if (spark.conf.get("spark.graft.enableEager", "true") != "false") return
+    val n = sq.clauses.length
+    def isWrite(c: Clause): Boolean = c match {
+      case _: CreateClause | _: DeleteClause | _: SetClause |
+           _: MergeClause => true
+      case _ => false
+    }
+    val eager = sq.clauses.zipWithIndex.exists {
+      case (c, i) if i < n - 1 => c match {
+        case _: SetClause | _: DeleteClause | _: MergeClause => true
+        case _ => false
+      }
+      case (_: MergeClause, _) => sq.clauses.dropRight(1).exists(isWrite)
+      case _ => false
+    }
+    if (eager)
+      throw new IllegalStateException("eagerness plan is not allowed.")
   }
 
   /** Count-only pair-pattern rewrite: a symmetric two-hop pattern

@@ -412,13 +412,30 @@ object WriteOps {
         throw new IllegalArgumentException(s"variable `$v` not defined"))
       require(kind == KV || kind == KE, s"SET target `$v` must be a graph element")
       // updates table: id -> new properties; last write (statement row
-      // order) wins when several rows update one element
-      // (enable_multiple_update analog, nodeModifyGraph.c:33)
+      // order) wins when several rows update one element. With
+      // enable_multiple_update off the reference WARNS and keeps the
+      // FIRST update instead (execCypherSet.c:316-324 HASH_FIND skip),
+      // so the off-mode flips to min_by and reports the repeated
+      // elements (bounded sample — the count is the aggregate signal).
+      val multiOk = b.spark.conf
+        .get("spark.graft.enableMultipleUpdate", "true") != "false"
       val updates = newDf.where(cond)
         .select(col(Compiler.q(v)).getField("id").as("id"),
           newProps.as("__np"), col("__setord"))
-        .groupBy("id").agg(max_by(col("__np"), col("__setord")).as("__np"))
+        .groupBy("id").agg(
+          (if (multiOk) max_by(col("__np"), col("__setord"))
+           else min_by(col("__np"), col("__setord"))).as("__np"),
+          count(lit(1)).as("__nupd"))
         .localCheckpoint(true)
+      if (!multiOk) {
+        updates.where(col("__nupd") > 1).select("id").limit(5).collect()
+          .foreach { r =>
+            val gid = r.getLong(0)
+            System.err.println(
+              s"WARNING:  graph element(${gid >>> 48},${gid & ((1L << 48) - 1)}) " +
+                "has been SET multiple times")
+          }
+      }
       val nUpd = updates.count()
       b.updatedProperties += nUpd
       // rewrite affected label tables — file-pruned: only the files

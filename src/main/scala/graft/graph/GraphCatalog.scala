@@ -23,7 +23,14 @@ final case class LabelMeta(
     kind: Char, // 'v' | 'e'
     parents: Seq[String],
     shred: Map[String, String] = Map.empty,
-    shredOff: Boolean = false)
+    shredOff: Boolean = false,
+    // recorded DDL modifiers (gram.y:16725-16800). There is no WAL and
+    // no runtime btree here, so both are acknowledged metadata no-ops:
+    // persistence 'p'/'u' mirrors pg_class.relpersistence
+    // (CREATE UNLOGGED VLABEL / ALTER ... SET [UN]LOGGED), and
+    // indexDisabled mirrors the INVALID pkey of DISABLE INDEX
+    persistence: Char = 'p',
+    indexDisabled: Boolean = false)
 
 /** A graph = a namespace of label tables backed by Parquet under
   * `<root>/<graph>/<label>/`, with JSON metadata at
@@ -55,15 +62,22 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
   private def metaPath(g: String): Path = graphDir(g).resolve("_graph.json")
   private def labelDir(g: String, l: String): Path = graphDir(g).resolve(l)
 
-  /** CREATE GRAPH (graphcmds.c CreateGraphCommand). */
-  def createGraph(name: String, ifNotExists: Boolean = false): Unit = {
+  /** CREATE GRAPH [AUTHORIZATION r] (graphcmds.c CreateGraphCommand;
+    * gram.y:16677-16724). There is no user model here, so the owner is
+    * recorded as graph metadata only.
+    */
+  def createGraph(name: String, ifNotExists: Boolean = false,
+      owner: Option[String] = None): Unit = {
     if (Files.exists(graphDir(name))) {
       if (ifNotExists) return
       throw new IllegalStateException(s"graph \"$name\" already exists")
     }
     Files.createDirectories(graphDir(name))
-    writeMeta(name, GraphMeta(mutable.LinkedHashMap.empty, 1, 0))
+    writeMeta(name, GraphMeta(mutable.LinkedHashMap.empty, 1, 0,
+      owner = owner))
   }
+
+  def graphOwner(name: String): Option[String] = readMeta(name).owner
 
   /** DROP GRAPH (RemoveGraphById). */
   def dropGraph(name: String, ifExists: Boolean = false): Unit = {
@@ -116,9 +130,12 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------ label DDL
 
-  /** CREATE VLABEL / ELABEL [INHERITS (...)] (graphcmds.c DefineLabel). */
+  /** CREATE [UNLOGGED] VLABEL / ELABEL [DISABLE INDEX] [INHERITS (...)]
+    * (graphcmds.c DefineLabel; gram.y:16725-16800 for the modifiers).
+    */
   def createLabel(graph: String, name: String, kind: Char,
-      parents: Seq[String] = Nil, ifNotExists: Boolean = false): Unit = {
+      parents: Seq[String] = Nil, ifNotExists: Boolean = false,
+      persistence: Char = 'p', disableIndex: Boolean = false): Unit = {
     val m = readMeta(graph)
     if (m.labels.contains(name)) {
       if (ifNotExists) return
@@ -127,12 +144,36 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // implicit base labels ag_vertex/ag_edge are represented by Nil parents
     parents.foreach { p =>
       val pm = m.labels.getOrElse(p,
-        throw new IllegalStateException(s"parent label \"$p\" does not exist"))
-      require(pm.kind == kind, s"parent label \"$p\" has different kind")
+        throw new IllegalStateException(
+          s"""parent graph label "$p" does not exist"""))
+      if (pm.kind != kind) throw new IllegalStateException(
+        s"""parent graph label "$p" is not ${
+          if (kind == 'v') "vertex" else "edge"} label.""")
     }
-    m.labels(name) = LabelMeta(name, m.nextLabid, kind, parents)
+    m.labels(name) = LabelMeta(name, m.nextLabid, kind, parents,
+      persistence = persistence, indexDisabled = disableIndex)
     writeMeta(graph, m.copy(nextLabid = m.nextLabid + 1))
     Files.createDirectories(labelDir(graph, name))
+  }
+
+  /** ALTER VLABEL/ELABEL ... SET [UN]LOGGED / DISABLE INDEX
+    * (cypher_ddl.out:439,505): metadata-only here, like the CREATE
+    * modifiers.
+    */
+  def setLabelPersistence(graph: String, name: String, p: Char): Unit = {
+    val m = readMeta(graph)
+    val lm = m.labels.getOrElse(name,
+      throw new IllegalStateException(s"label \"$name\" does not exist"))
+    m.labels(name) = lm.copy(persistence = p)
+    writeMeta(graph, m)
+  }
+
+  def setLabelIndexDisabled(graph: String, name: String): Unit = {
+    val m = readMeta(graph)
+    val lm = m.labels.getOrElse(name,
+      throw new IllegalStateException(s"label \"$name\" does not exist"))
+    m.labels(name) = lm.copy(indexDisabled = true)
+    writeMeta(graph, m)
   }
 
   def dropLabel(graph: String, name: String): Unit = {
@@ -193,8 +234,10 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     */
   def labelsDf(graph: String): DataFrame = {
     import spark.implicits._
-    labels(graph).map(l => (l.name, l.labid, l.kind.toString, l.parents))
-      .toDF("labname", "labid", "labkind", "parents")
+    labels(graph).map(l => (l.name, l.labid, l.kind.toString, l.parents,
+        l.persistence.toString, l.indexDisabled))
+      .toDF("labname", "labid", "labkind", "parents",
+        "persistence", "index_disabled")
   }
 
   def graphsDf(): DataFrame = {
@@ -685,7 +728,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       labels: mutable.LinkedHashMap[String, LabelMeta],
       nextLabid: Int,
       unused: Long,
-      sequences: mutable.LinkedHashMap[String, Long] = mutable.LinkedHashMap.empty)
+      sequences: mutable.LinkedHashMap[String, Long] = mutable.LinkedHashMap.empty,
+      owner: Option[String] = None)
 
   private def writeMeta(g: String, m: GraphMeta): Unit = {
     import graft.jsonb._
@@ -697,14 +741,17 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         "parents" -> JArr(l.parents.toVector.map(JStr)),
         "shred" -> Jsonb.mkObj(l.shred.toSeq.sortBy(_._1).map {
           case (k, t) => k -> JStr(t) }),
-        "shredOff" -> JBool(l.shredOff)))
+        "shredOff" -> JBool(l.shredOff),
+        "persistence" -> JStr(l.persistence.toString),
+        "indexDisabled" -> JBool(l.indexDisabled)))
     })
     val seqJson = Jsonb.mkObj(m.sequences.toSeq.map { case (k, v) =>
       k -> JNum(java.math.BigDecimal.valueOf(v)) })
     val doc = Jsonb.mkObj(Seq(
       "labels" -> labelsJson,
       "nextLabid" -> JNum(java.math.BigDecimal.valueOf(m.nextLabid)),
-      "sequences" -> seqJson))
+      "sequences" -> seqJson) ++
+      m.owner.map(o => "owner" -> (JStr(o): JValue)).toSeq)
     Files.writeString(metaPath(g), doc.render)
   }
 
@@ -725,7 +772,9 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
             ps.collect { case JStr(s) => s } }.getOrElse(Vector.empty),
           o.get("shred").collect { case JObj(fs) =>
             fs.collect { case (k, JStr(t)) => k -> t }.toMap }.getOrElse(Map.empty),
-          o.get("shredOff").collect { case JBool(b) => b }.getOrElse(false))
+          o.get("shredOff").collect { case JBool(b) => b }.getOrElse(false),
+          o.get("persistence").collect { case JStr(s) => s.head }.getOrElse('p'),
+          o.get("indexDisabled").collect { case JBool(b) => b }.getOrElse(false))
         case _ => ()
       }
       case _ => ()
@@ -740,6 +789,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     }
     GraphMeta(labels,
       doc.get("nextLabid").collect { case JNum(n) => n.intValue }.getOrElse(1),
-      0, sequences)
+      0, sequences,
+      owner = doc.get("owner").collect { case JStr(s) => s })
   }
 }

@@ -17,6 +17,62 @@ class DdlSpec extends AnyFunSuite {
     new CypherSession(spark, new GraphCatalog(spark, root))
   }
 
+  test("statement DDL: CREATE/DROP GRAPH with AUTHORIZATION (gram.y:16677-16724)") {
+    val s = fresh()
+    s.cypher("CREATE GRAPH sg1 AUTHORIZATION alice")
+    assert(s.catalog.graphExists("sg1"))
+    assert(s.catalog.graphOwner("sg1").contains("alice"))
+    assert(s.graphPath == "sg1")
+    s.cypher("CREATE GRAPH IF NOT EXISTS sg1 AUTHORIZATION bob") // skip
+    assert(s.catalog.graphOwner("sg1").contains("alice"))
+    intercept[Exception] { s.cypher("CREATE GRAPH sg1") }
+    s.cypher("CREATE GRAPH IF NOT EXISTS sg2")
+    assert(s.catalog.graphOwner("sg2").isEmpty)
+    s.cypher("DROP GRAPH sg2 CASCADE")
+    assert(!s.catalog.graphExists("sg2"))
+    intercept[Exception] { s.cypher("DROP GRAPH sg2") }
+    s.cypher("DROP GRAPH IF EXISTS sg2")
+  }
+
+  test("statement DDL: UNLOGGED / DISABLE INDEX / INHERITS modifiers (cypher_ddl.out:125-170)") {
+    val s = fresh()
+    s.cypher("CREATE GRAPH mods")
+    // CREATE UNLOGGED VLABEL unlog → relpersistence 'u'
+    s.cypher("CREATE UNLOGGED VLABEL unlog")
+    assert(s.catalog.label("mods", "unlog").get.persistence == 'u')
+    // CREATE VLABEL vdi DISABLE INDEX → pkey recorded INVALID
+    s.cypher("CREATE VLABEL vdi DISABLE INDEX")
+    assert(s.catalog.label("mods", "vdi").get.indexDisabled)
+    // modifiers compose with IF NOT EXISTS + INHERITS
+    s.cypher("CREATE VLABEL parent")
+    s.cypher("CREATE UNLOGGED ELABEL IF NOT EXISTS eun DISABLE INDEX")
+    val eun = s.catalog.label("mods", "eun").get
+    assert(eun.kind == 'e' && eun.persistence == 'u' && eun.indexDisabled)
+    s.cypher("CREATE VLABEL child INHERITS (parent)")
+    assert(s.catalog.label("mods", "child").get.parents == Seq("parent"))
+    // wrong-kind parent errors match the reference (cypher_ddl.out:121-124)
+    val m1 = intercept[Exception](
+      s.cypher("CREATE ELABEL we INHERITS (parent)")).getMessage
+    assert(m1.contains("""parent graph label "parent" is not edge label."""))
+    // ALTER ... SET UNLOGGED/LOGGED + ALTER ... DISABLE INDEX
+    // (cypher_ddl.out:439,505) incl. IF EXISTS skip semantics
+    s.cypher("ALTER VLABEL parent SET UNLOGGED")
+    assert(s.catalog.label("mods", "parent").get.persistence == 'u')
+    s.cypher("ALTER VLABEL parent SET LOGGED")
+    assert(s.catalog.label("mods", "parent").get.persistence == 'p')
+    s.cypher("ALTER VLABEL parent DISABLE INDEX")
+    assert(s.catalog.label("mods", "parent").get.indexDisabled)
+    s.cypher("ALTER VLABEL IF EXISTS unknown SET LOGGED") // skipping
+    intercept[Exception] { s.cypher("ALTER VLABEL unknown SET LOGGED") }
+    // modifiers surface in the catalog view (pg_class join analog)
+    val row = s.catalog.labelsDf("mods").where("labname = 'unlog'")
+      .select("persistence", "index_disabled").collect().head
+    assert(row.getString(0) == "u" && !row.getBoolean(1))
+    // a written label round-trips through the modifier metadata
+    s.cypher("CREATE (:unlog {x: 1})")
+    assert(s.cypher("MATCH (n:unlog) RETURN n").count() == 1)
+  }
+
   test("unique constraint rejects duplicates, within batch and across") {
     val s = fresh()
     s.createGraph("cg")

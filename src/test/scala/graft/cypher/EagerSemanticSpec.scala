@@ -191,4 +191,77 @@ class EagerSemanticSpec extends AnyFunSuite {
         |DELETE b""".stripMargin)
     assert(s.cypher("MATCH (a:v2) RETURN a.no AS no").count() == 0)
   }
+
+  // ------------------------------- enable_eager off-mode diagnostics
+  // (guc.c:1165-1172; cypher_eager.out SET enable_eager = false rows).
+  // The engine stays eager by construction — the knob models the
+  // reference's rejection of plans that REQUIRE eagerness.
+  test("enable_eager=off: off-matrix accepts and rejections (cypher_eager.out)") {
+    val s = fresh()
+    spark.conf.set("spark.graft.enableEager", "false")
+    try {
+      def rejected(q: String): Unit = {
+        val m = intercept[Exception](s.cypher(q)).getMessage
+        assert(m.contains("eagerness plan is not allowed."), q)
+      }
+      // CREATE - CREATE runs (cypher_eager.out:19-24)
+      s.cypher(
+        """MATCH (a:v1)
+          |CREATE (b:v3 {no: a.no})
+          |CREATE (c:v2 {no: a.no + 2})""".stripMargin)
+      assert(labelsAndNos(s).size == 6)
+      s.cypher("MATCH (a:v2) DETACH DELETE a")
+      // final lone SET / DELETE / MERGE still run
+      s.cypher("MATCH (a:v1) CREATE (:v2 =properties(a))")
+      s.cypher("MATCH (a:v2) SET a.no = a.no + 1")
+      s.cypher("MERGE (m:v4 {no: 9})")
+      s.cypher("MATCH (a:v2) DELETE a")
+      s.cypher("MATCH (a:v4) DELETE a")
+      // CREATE - MERGE rejected (cypher_eager.out:35-40)
+      rejected(
+        """MATCH (a:v1)
+          |CREATE (b:v3 {no: a.no})
+          |MERGE (c:v2 {no: a.no + 2})""".stripMargin)
+      // MERGE - MERGE rejected (cypher_eager.out:106-111)
+      rejected(
+        """MATCH (a:v1)
+          |MERGE (b:v3 {no: a.no})
+          |MERGE (c:v2 {no: a.no + 2})""".stripMargin)
+      // SET - CREATE / SET - MERGE / SET - SET rejected (non-final SET)
+      rejected(
+        """MATCH (a:v1)
+          |SET a.no = a.no - 2
+          |CREATE (:v3 {no: a.no + 3})""".stripMargin)
+      rejected(
+        """MATCH (a:v1)
+          |SET a.no = a.no - 2
+          |MERGE (b:v2 {no: 1})""".stripMargin)
+      rejected(
+        """MATCH (a:v1)
+          |SET a.no = a.no - 2
+          |SET a.no = a.no + 2""".stripMargin)
+      // non-final DELETE rejected; SET followed by RETURN rejected
+      // (read-your-write needs the eager boundary)
+      rejected("MATCH (a:v1) DELETE a CREATE (:v2 {no: 1})")
+      rejected("MATCH (a:v1) SET a.no = 0 RETURN a.no AS no")
+    } finally spark.conf.set("spark.graft.enableEager", "true")
+  }
+
+  test("enable_multiple_update=off: first update wins, repeated SET warned") {
+    val s = fresh() // v1 nos 1,2,3
+    s.createVLabel("mu")
+    s.cypher("CREATE (:mu {x: 0})")
+    // every v1 row updates THE one mu element: on = last-write-wins
+    // (max __setord = highest b id ⇒ no 3), off = first (execCypherSet
+    // .c:316-324 HASH_FIND skip ⇒ no 1)
+    s.cypher("MATCH (m:mu), (b:v1) SET m.x = b.no")
+    assert(s.cypher("MATCH (m:mu) RETURN m.x AS x").collect()
+      .head.getString(0) == "3")
+    spark.conf.set("spark.graft.enableMultipleUpdate", "false")
+    try {
+      s.cypher("MATCH (m:mu), (b:v1) SET m.x = b.no")
+      assert(s.cypher("MATCH (m:mu) RETURN m.x AS x").collect()
+        .head.getString(0) == "1")
+    } finally spark.conf.set("spark.graft.enableMultipleUpdate", "true")
+  }
 }
