@@ -23,9 +23,14 @@ object Algo {
   private val CheckpointEvery = 4
   /** Safety cap for unbounded expansions (reference: INT_MAX,
     * execGraphVle.c:33 — we cap pragmatically; uniqueness bounds
-    * terminate loops well before this on real data).
+    * terminate loops well before this on real data). Configurable per
+    * session via `spark.graft.maxDepth` for the rare genuinely deeper
+    * traversal — a documented deviation from the reference's
+    * unbounded default.
     */
-  private val MaxDepth = 64
+  private val DefaultMaxDepth = 64
+  private def maxDepthOf(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.graft.maxDepth", DefaultMaxDepth.toString).toInt
 
   /** Skew-safe frontier→adjacency join for the iterative loops.
     *
@@ -102,6 +107,7 @@ object Algo {
       node: NodePattern, relName: String, lo: Long,
       hiOpt: Option[Long], needVerts: Boolean = true): (State, String) = {
     val spark = b.spark
+    val MaxDepth = maxDepthOf(spark)
     val hi = hiOpt.getOrElse(MaxDepth.toLong).min(MaxDepth.toLong)
 
     val E = {
@@ -279,6 +285,7 @@ object Algo {
 
     val (lo, hi) = rel.varLength.getOrElse((Some(1L), Some(1L)))
     val loV = lo.getOrElse(1L)
+    val MaxDepth = maxDepthOf(b.spark)
     val hiV = hi.getOrElse(MaxDepth.toLong).min(MaxDepth.toLong)
     val relName = rel.variable.getOrElse(s"__sp_e_${p.hashCode.abs % 1000}")
 
@@ -728,6 +735,7 @@ object Algo {
 
     var frontier = pruneFrontier(best)
     var rounds = 0
+    val MaxDepth = maxDepthOf(b.spark)
     while (rounds < MaxDepth && frontier.head(1).nonEmpty) {
       val expanded = withWeight(
         ex.join(frontier, col("__cur"),

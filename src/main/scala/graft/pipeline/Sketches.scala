@@ -126,10 +126,27 @@ object Sketches {
       bucketWidth: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(bucketWidth > 0, "bucketWidth must be positive")
     val vals = df.select(col(valueCol).cast("long").as("x"))
       .where(col("x").isNotNull)
+    // coordinator guard: the histogram collect is bounded by
+    // range/bucketWidth — a pathological width over a wide value range
+    // would OOM the driver, so the width auto-widens until the
+    // estimated bucket count fits `spark.graft.quantileMaxBuckets`
+    // (results stay EXACT — wider buckets only shift work to the
+    // bounded pass-2 re-scan). The chosen width is surfaced for
+    // observability.
+    val maxBuckets = spark.conf
+      .get("spark.graft.quantileMaxBuckets", "1000000").toLong
+    val mm = vals.agg(min(col("x")), max(col("x"))).head
+    require(!mm.isNullAt(0), "exactQuantiles on an empty input")
+    val range = BigInt(mm.getLong(1)) - BigInt(mm.getLong(0))
+    val bw =
+      if (range / bucketWidth + 1 <= maxBuckets) bucketWidth
+      else ((range + maxBuckets - 1) / maxBuckets).toLong.max(bucketWidth)
+    spark.conf.set("spark.graft.quantiles.lastBucketWidth", bw.toString)
     val hist = vals
-      .groupBy((col("x") - pmod(col("x"), lit(bucketWidth))).as("b"))
+      .groupBy((col("x") - pmod(col("x"), lit(bw))).as("b"))
       .agg(count(lit(1)).as("c"))
       .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
     val n = hist.map(_._2).sum
@@ -146,14 +163,14 @@ object Sketches {
     }
     val needed = locs.map(_.bucket).distinct
     val inBucket = vals
-      .where((col("x") - pmod(col("x"), lit(bucketWidth))).isin(needed: _*))
+      .where((col("x") - pmod(col("x"), lit(bw))).isin(needed: _*))
       .groupBy("x").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
     val out = locs.map { l =>
       var cum = 0L
       val v = inBucket.iterator
-        .filter(t => t._1 - java.lang.Math.floorMod(t._1, bucketWidth) == l.bucket)
+        .filter(t => t._1 - java.lang.Math.floorMod(t._1, bw) == l.bucket)
         .collectFirst { case (v, c) if { cum += c; cum >= l.localRank } => v }
         .get
       (l.label, v)

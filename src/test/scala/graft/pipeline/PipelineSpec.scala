@@ -123,6 +123,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantiles auto-widens a pathological bucketWidth (coordinator guard)") {
+    import spark.implicits._
+    // width 1 over a ±1e12 range would be a trillion-bucket histogram
+    // collect; the guard widens until the estimate fits the bound and
+    // the quantiles stay exact
+    val xs = Seq(-1000000000000L, -5L, 0L, 3L, 7L, 11L, 999999999999L)
+    spark.conf.set("spark.graft.quantileMaxBuckets", "1000")
+    try {
+      val got = Sketches.exactQuantiles(xs.toDF("v"), "v",
+          Seq(0.25, 0.5, 0.99), bucketWidth = 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sorted = xs.sorted
+      val want = Seq(0.25, 0.5, 0.99).map(q =>
+        s"p${(q * 100).round}" ->
+          sorted((math.ceil(q * xs.length).toLong.max(1L) - 1).toInt)).toMap
+      assert(got == want)
+      val bw = spark.conf.get("spark.graft.quantiles.lastBucketWidth").toLong
+      assert(bw > 1L && BigInt(2) * BigInt("1000000000000") / bw <= 1000)
+      intercept[IllegalArgumentException] {
+        Sketches.exactQuantiles(xs.toDF("v"), "v", Seq(0.5), bucketWidth = 0)
+      }
+    } finally spark.conf.unset("spark.graft.quantileMaxBuckets")
+  }
+
   test("HLL register estimate stays within the m=64 error bound") {
     import spark.implicits._
     // 1.04/sqrt(64) = 13% standard error; assert 3 sigma
