@@ -33,6 +33,26 @@ object Dev {
       }
       spark.stop(); return
     }
+    if (name == "g29parts") {
+      def t[A](lbl: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $lbl: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val s = t("fixture build")(pipeline.GraphQueries.session(spark, d))
+      t("registerAll")(relational.Tables.registerAll(spark, d))
+      val sqlText =
+        """SELECT count(*) AS n_orders FROM
+          |  (SELECT CAST(floor(o_totalprice / 50) AS BIGINT) AS thr
+          |   FROM orders WHERE o_totalprice > 400000) t
+          |WHERE EXISTS (MATCH (c:customer)
+          |  WHERE c.acctbal > t.thr AND c.mktsegment = 'BUILDING' RETURN c)""".stripMargin
+      for (round <- 1 to 3) {
+        println(s"round $round")
+        val df = t("sql() compile")(s.sql(sqlText))
+        t("execute")(df.collect())
+      }
+      spark.stop(); return
+    }
     if (name == "p45parts") {
       import org.apache.spark.sql.functions._
       val vecs = relational.Tables.load(spark, d, "embeddings")

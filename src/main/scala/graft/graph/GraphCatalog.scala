@@ -520,8 +520,19 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // (the layout role the reference's btree/GIN indexes played)
     clusterSorted(out, lm.kind)
       .write.mode("append").parquet(labelDir(graph, label).toString)
-    if (lm2 != lm) { m.labels(label) = lm2; writeMeta(graph, m) }
+    // meta update under the catalog lock, against a FRESH read:
+    // concurrent appends to DIFFERENT labels (bulk ingest fans out one
+    // future per label) must not lose each other's shred-meta updates
+    // through a stale read-modify-write of the shared _graph.json.
+    // Same-label appends remain the caller's responsibility to order.
+    if (lm2 != lm) metaLock.synchronized {
+      val fresh = readMeta(graph)
+      fresh.labels(label) = lm2
+      writeMeta(graph, fresh)
+    }
   }
+
+  private val metaLock = new Object
 
   private def clusterSorted(df: DataFrame, kind: Char): DataFrame =
     df.sortWithinPartitions(if (kind == 'v') "id" else "start")

@@ -71,42 +71,6 @@ object GraphQueries {
     val inId = lit(GraphId.pack(labid(s, "in"), 0L))
     val plId = lit(GraphId.pack(labid(s, "placed"), 0L))
 
-    s.catalog.append(g, "region", region.select(
-      (rId + col("r_regionkey")).cast("long").as("id"),
-      props("name" -> col("r_name")).as("properties")))
-    s.catalog.append(g, "nation", nation.select(
-      (nId + col("n_nationkey")).cast("long").as("id"),
-      props("name" -> col("n_name")).as("properties")))
-    s.catalog.append(g, "customer", spread(customer.select(
-      (cId + col("c_custkey")).cast("long").as("id"),
-      props("name" -> col("c_name"), "acctbal" -> col("c_acctbal"),
-        "mktsegment" -> col("c_mktsegment")).as("properties")), "id"))
-    s.catalog.append(g, "order", spread(orders.select(
-      (oId + col("o_orderkey")).cast("long").as("id"),
-      props("totalprice" -> col("o_totalprice"),
-        "status" -> col("o_orderstatus")).as("properties")), "id"))
-
-    // edges: nation -in-> region; customer -in-> nation (locids are
-    // disjoint ranges: nationkey, then customerkey offset by 100)
-    s.catalog.append(g, "in", nation.select(
-      (inId + col("n_nationkey")).cast("long").as("id"),
-      (nId + col("n_nationkey")).cast("long").as("start"),
-      (rId + col("n_regionkey")).cast("long").as("end"),
-      lit("{}").as("properties")))
-    s.catalog.append(g, "in", spread(customer.select(
-      (inId + lit(100L) + col("c_custkey")).cast("long").as("id"),
-      (cId + col("c_custkey")).cast("long").as("start"),
-      (nId + col("c_nationkey")).cast("long").as("end"),
-      lit("{}").as("properties")), "start"))
-    s.catalog.append(g, "placed", spread(orders.select(
-      (plId + col("o_orderkey")).cast("long").as("id"),
-      (cId + col("o_custkey")).cast("long").as("start"),
-      (oId + col("o_orderkey")).cast("long").as("end"),
-      lit("{}").as("properties")), "start"))
-
-    // supplier -ships-> part from lineitem: a MULTIgraph (parallel
-    // edges per (supplier, part) pair — one per lineitem), which is
-    // what makes allshortestpaths return multiple paths per pair
     s.createVLabel("supplier"); s.createVLabel("part")
     s.createELabel("ships")
     val supplier = Tables.load(spark, sfDir, "supplier")
@@ -115,18 +79,86 @@ object GraphQueries {
     val sId = lit(GraphId.pack(labid(s, "supplier"), 0L))
     val pId = lit(GraphId.pack(labid(s, "part"), 0L))
     val shId = lit(GraphId.pack(labid(s, "ships"), 0L))
-    s.catalog.append(g, "supplier", supplier.select(
-      (sId + col("s_suppkey")).cast("long").as("id"),
-      props("name" -> col("s_name")).as("properties")))
-    s.catalog.append(g, "part", spread(part.select(
-      (pId + col("p_partkey")).cast("long").as("id"),
-      props("name" -> col("p_name")).as("properties")), "id"))
-    // locid = orderkey*8 + linenumber (linenumber <= 7) — unique
-    s.catalog.append(g, "ships", spread(lineitem.select(
-      (shId + col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("id"),
-      (sId + col("l_suppkey")).cast("long").as("start"),
-      (pId + col("l_partkey")).cast("long").as("end"),
-      props("qty" -> col("l_quantity")).as("properties")), "start"))
+
+    // Ingest fan-out: each label's append chain is one future —
+    // different labels write to different parquet dirs and the catalog
+    // meta read-modify-write is lock-guarded (GraphCatalog.append), so
+    // the ten bulk loads overlap instead of queueing one Spark job at
+    // a time (the fixture build was the g-suite's whole cold tail).
+    // Big batches localCheckpoint first: append scans its input twice
+    // (shred-type inference, then the write) and the jsonb
+    // normalization is the expensive part of the scan.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def chk(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val tasks = Seq(
+      Future {
+        s.catalog.append(g, "region", region.select(
+          (rId + col("r_regionkey")).cast("long").as("id"),
+          props("name" -> col("r_name")).as("properties")))
+      },
+      Future {
+        s.catalog.append(g, "nation", nation.select(
+          (nId + col("n_nationkey")).cast("long").as("id"),
+          props("name" -> col("n_name")).as("properties")))
+      },
+      Future {
+        s.catalog.append(g, "customer", chk(spread(customer.select(
+          (cId + col("c_custkey")).cast("long").as("id"),
+          props("name" -> col("c_name"), "acctbal" -> col("c_acctbal"),
+            "mktsegment" -> col("c_mktsegment")).as("properties")), "id")))
+      },
+      Future {
+        s.catalog.append(g, "order", chk(spread(orders.select(
+          (oId + col("o_orderkey")).cast("long").as("id"),
+          props("totalprice" -> col("o_totalprice"),
+            "status" -> col("o_orderstatus")).as("properties")), "id")))
+      },
+      Future {
+        // edges: nation -in-> region; customer -in-> nation (locids
+        // are disjoint ranges: nationkey, then customerkey offset by
+        // 100). Same label — the two appends stay ordered in one task.
+        s.catalog.append(g, "in", nation.select(
+          (inId + col("n_nationkey")).cast("long").as("id"),
+          (nId + col("n_nationkey")).cast("long").as("start"),
+          (rId + col("n_regionkey")).cast("long").as("end"),
+          lit("{}").as("properties")))
+        s.catalog.append(g, "in", spread(customer.select(
+          (inId + lit(100L) + col("c_custkey")).cast("long").as("id"),
+          (cId + col("c_custkey")).cast("long").as("start"),
+          (nId + col("c_nationkey")).cast("long").as("end"),
+          lit("{}").as("properties")), "start"))
+      },
+      Future {
+        s.catalog.append(g, "placed", spread(orders.select(
+          (plId + col("o_orderkey")).cast("long").as("id"),
+          (cId + col("o_custkey")).cast("long").as("start"),
+          (oId + col("o_orderkey")).cast("long").as("end"),
+          lit("{}").as("properties")), "start"))
+      },
+      Future {
+        // supplier -ships-> part from lineitem: a MULTIgraph (parallel
+        // edges per (supplier, part) pair — one per lineitem), which is
+        // what makes allshortestpaths return multiple paths per pair
+        s.catalog.append(g, "supplier", supplier.select(
+          (sId + col("s_suppkey")).cast("long").as("id"),
+          props("name" -> col("s_name")).as("properties")))
+      },
+      Future {
+        s.catalog.append(g, "part", chk(spread(part.select(
+          (pId + col("p_partkey")).cast("long").as("id"),
+          props("name" -> col("p_name")).as("properties")), "id")))
+      },
+      Future {
+        // locid = orderkey*8 + linenumber (linenumber <= 7) — unique
+        s.catalog.append(g, "ships", chk(spread(lineitem.select(
+          (shId + col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("id"),
+          (sId + col("l_suppkey")).cast("long").as("start"),
+          (pId + col("l_partkey")).cast("long").as("end"),
+          props("qty" -> col("l_quantity")).as("properties")), "start")))
+      })
+    tasks.foreach(Await.result(_, Duration.Inf))
     s
   }
 
