@@ -63,6 +63,10 @@ final class CypherSession(
     """(?is)ALTER\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(UNLOGGED|LOGGED)""".r
   private val AlterDisIdxRe =
     """(?is)ALTER\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s+DISABLE\s+INDEX""".r
+  private val CreatePropIdxRe =
+    """(?is)CREATE\s+(UNIQUE\s+)?PROPERTY\s+INDEX(\s+CONCURRENTLY)?(\s+IF\s+NOT\s+EXISTS)?(\s+(?!ON\b)[A-Za-z_][A-Za-z0-9_]*)?\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+USING\s+\w+)?\s*\((.*)\)\s*(?:WITH\s*\([^)]*\))?\s*(?:TABLESPACE\s+\w+)?\s*(?:WHERE\s*\(.*\))?""".r
+  private val DropPropIdxRe =
+    """(?is)DROP\s+PROPERTY\s+INDEX(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)""".r
   private val CreateConRe =
     """(?is)CREATE\s+CONSTRAINT(?:\s+([A-Za-z_][A-Za-z0-9_]*))?\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)\s+ASSERT\s+(.+)""".r
   private val DropConRe =
@@ -114,6 +118,29 @@ final class CypherSession(
         if (catalog.label(graphPath, name).isEmpty && ife != null)
           return Some(spark.emptyDataFrame)
         catalog.setLabelIndexDisabled(graphPath, name)
+        Some(spark.emptyDataFrame)
+      // CREATE [UNIQUE] PROPERTY INDEX ... ON label (keys)
+      // (gram.y:16972-17029). CONCURRENTLY/USING/WITH/TABLESPACE/WHERE
+      // are accepted no-ops (no runtime btree); the index itself drives
+      // the label's file clustering (GraphCatalog.createPropertyIndex).
+      case CreatePropIdxRe(uniq, _, ine, nm, label, params) =>
+        // split keys on top-level commas only: expression elems like
+        // ((a.b + c.d)) carry parens
+        val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+        var depth = 0; val cur = new StringBuilder
+        params.foreach {
+          case ',' if depth == 0 => keys += cur.result().trim; cur.clear()
+          case c =>
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            cur += c
+        }
+        if (cur.result().trim.nonEmpty) keys += cur.result().trim
+        catalog.createPropertyIndex(graphPath, label,
+          Option(nm).map(_.trim), keys.toSeq, unique = uniq != null,
+          ifNotExists = ine != null)
+        Some(spark.emptyDataFrame)
+      case DropPropIdxRe(ife, nm) =>
+        catalog.dropPropertyIndex(graphPath, nm, ifExists = ife != null)
         Some(spark.emptyDataFrame)
       case CreateConRe(name, label, body0) =>
         val uniqueRe = "(?is)\\s*IS\\s+UNIQUE\\s*$".r

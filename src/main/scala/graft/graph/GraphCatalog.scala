@@ -17,6 +17,18 @@ import org.apache.spark.sql.types._
   * columns), or "j" (jsonb text column only). `shredOff` disables the
   * whole mechanism for labels with too many distinct keys.
   */
+/** CREATE PROPERTY INDEX metadata (gram.y:16972-17029). There is no
+  * runtime btree here — an index is a LAYOUT declaration: label files
+  * re-cluster on the first simple key's shred column so parquet
+  * row-group/file min-max stats play the pruning role the reference's
+  * btree played (SURVEY §2.12). UNIQUE indexes also register a unique
+  * constraint (the enforcement half of the reference's unique index).
+  */
+final case class PropIndexMeta(
+    name: String,
+    keys: Seq[String],
+    unique: Boolean)
+
 final case class LabelMeta(
     name: String,
     labid: Int,
@@ -24,6 +36,7 @@ final case class LabelMeta(
     parents: Seq[String],
     shred: Map[String, String] = Map.empty,
     shredOff: Boolean = false,
+    indexes: Seq[PropIndexMeta] = Nil,
     // recorded DDL modifiers (gram.y:16725-16800). There is no WAL and
     // no runtime btree here, so both are acknowledged metadata no-ops:
     // persistence 'p'/'u' mirrors pg_class.relpersistence
@@ -174,6 +187,101 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"label \"$name\" does not exist"))
     m.labels(name) = lm.copy(indexDisabled = true)
     writeMeta(graph, m)
+  }
+
+  /** CREATE [UNIQUE] PROPERTY INDEX (CreatePropertyIndexStmt,
+    * gram.y:16972-17029; graphcmds.c). The layout analog of the btree
+    * build: record the index, then RE-CLUSTER existing label files on
+    * the first simple key's shred column (range-partitioned across the
+    * current file count + sorted in-file), so file/row-group min-max
+    * stats prune key predicates the way the reference's index scan
+    * did. Expression keys are recorded but drive no layout.
+    */
+  def createPropertyIndex(graph: String, label: String,
+      idxName: Option[String], keys: Seq[String], unique: Boolean,
+      ifNotExists: Boolean = false): Unit = {
+    require(keys.nonEmpty, "property index needs at least one key")
+    val m = readMeta(graph)
+    val lm = m.labels.getOrElse(label,
+      throw new IllegalStateException(s"""label "$label" does not exist"""))
+    val autoKey = keys.head.takeWhile(c => c.isLetterOrDigit || c == '_')
+    val nm = idxName.getOrElse(
+      s"${label}_${if (autoKey.nonEmpty) autoKey else "expr"}_idx")
+    if (lm.indexes.exists(_.name == nm)) {
+      if (ifNotExists) return
+      throw new IllegalStateException(s"""index "$nm" already exists""")
+    }
+    m.labels(label) = lm.copy(indexes = lm.indexes :+
+      PropIndexMeta(nm, keys, unique))
+    writeMeta(graph, m)
+    if (unique) {
+      // the enforcement half: a unique property index IS a unique
+      // constraint over the key tuple (propertyindex.sql piv4/piv5)
+      val body = if (keys.length == 1) keys.head
+        else keys.mkString("[", ", ", "]")
+      addConstraint(graph, label, s"${nm}_uc", "unique", body)
+    }
+    reindexLabel(graph, label)
+  }
+
+  /** DROP PROPERTY INDEX name (OBJECT_PROPERTY_INDEX drop route). The
+    * data keeps its current clustering; the next write re-clusters by
+    * whatever indexes remain.
+    */
+  def dropPropertyIndex(graph: String, idxName: String,
+      ifExists: Boolean = false): Unit = {
+    val m = readMeta(graph)
+    val hit = m.labels.values.find(_.indexes.exists(_.name == idxName))
+    hit match {
+      case None =>
+        if (!ifExists) throw new IllegalStateException(
+          s"""property index "$idxName" does not exist""")
+      case Some(lm) =>
+        val victim = lm.indexes.find(_.name == idxName).get
+        m.labels(lm.name) = lm.copy(
+          indexes = lm.indexes.filterNot(_.name == idxName))
+        writeMeta(graph, m)
+        if (victim.unique &&
+          constraints(graph).exists(_.name == s"${idxName}_uc"))
+          dropConstraint(graph, s"${idxName}_uc")
+    }
+  }
+
+  /** Rewrite a label's files in index-clustered order: range-partition
+    * by the typed key value (same ordering the shred-column sort and
+    * the pushed-down predicates use), preserving the current file
+    * count. No-op when the label is empty or the key is not uniformly
+    * shredded (metadata-only index, like a btree on a missing column
+    * would be empty).
+    */
+  private def reindexLabel(graph: String, label: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val lm = readMeta(graph).labels(label)
+    val dir = labelDir(graph, label)
+    if (!Files.exists(dir)) return
+    val any = { val s = Files.list(dir)
+      try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      finally s.close() }
+    if (!any) return
+    val keyOpt = lm.indexes.iterator.flatMap(_.keys.headOption)
+      .find(k => ShredKeyRe.findFirstIn(k).isDefined && lm.shred.contains(k))
+    val base = if (lm.kind == 'v') vertexSchema else edgeSchema
+    val cur = spark.read.schema(base).parquet(dir.toString)
+    // keep the label's parallel layout: one range per current
+    // NON-EMPTY file (append batches leave empty shuffle parts behind)
+    val files = cur.groupBy(input_file_name()).count().count().toInt.max(1)
+    val df = keyOpt match {
+      case Some(k) =>
+        val v = graft.expr.J.getKey(col("properties"), k)
+        val typed = lm.shred(k) match {
+          case "n" => v.cast(shredDecimal)
+          case "s" => graft.expr.J.asText(v)
+          case _ => v
+        }
+        cur.repartitionByRange(files, typed)
+      case None => cur
+    }
+    overwrite(graph, label, df)
   }
 
   def dropLabel(graph: String, name: String): Unit = {
@@ -518,7 +626,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // cluster within files: vertices by id, edges by start — parquet
     // row-group min/max stats then prune id lookups and VLE seed scans
     // (the layout role the reference's btree/GIN indexes played)
-    clusterSorted(out, lm.kind)
+    clusterSorted(out, lm2)
       .write.mode("append").parquet(labelDir(graph, label).toString)
     // meta update under the catalog lock, against a FRESH read:
     // concurrent appends to DIFFERENT labels (bulk ingest fans out one
@@ -534,8 +642,30 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
 
   private val metaLock = new Object
 
-  private def clusterSorted(df: DataFrame, kind: Char): DataFrame =
-    df.sortWithinPartitions(if (kind == 'v') "id" else "start")
+  /** In-file clustering order. Default: vertices by id, edges by start
+    * (id lookups and VLE seed scans prune on row-group min/max). A
+    * property index on a simple shredded key takes precedence — the
+    * index declares that key the label's access path, so files cluster
+    * on its shred column (typed when uniform) with the default key as
+    * the secondary sort.
+    */
+  private def clusterSorted(df: DataFrame, lm: LabelMeta): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val default = if (lm.kind == 'v') "id" else "start"
+    val idxCol = lm.indexes.iterator
+      .flatMap(_.keys.headOption)
+      .filter(k => ShredKeyRe.findFirstIn(k).isDefined)
+      .flatMap(k => lm.shred.get(k).map {
+        case "n" => pnCol(k)
+        case "s" => psCol(k)
+        case _ => pjCol(k)
+      })
+      .find(df.columns.contains)
+    idxCol match {
+      case Some(c) => df.sortWithinPartitions(col(c), col(default))
+      case None => df.sortWithinPartitions(default)
+    }
+  }
 
   /** Replace a label table's contents (copy-on-write rewrite: write to
     * a staging dir, then swap — keeps the statement-level snapshot
@@ -557,7 +687,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       else (withShredCols(clean, types), lm.copy(shred = types, shredOff = false))
     val dir = labelDir(graph, label)
     val staging = graphDir(graph).resolve(s"_staging_$label")
-    clusterSorted(out, lm.kind)
+    clusterSorted(out, lm2)
       .write.mode("overwrite").parquet(staging.toString)
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
@@ -645,7 +775,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       Files.deleteIfExists(p)
     }
     rm(staging)
-    clusterSorted(out, lm.kind)
+    clusterSorted(out, lm2)
       .write.mode("overwrite").parquet(staging.toString)
     untouched.foreach { p =>
       var target = staging.resolve(p.getFileName)
@@ -753,6 +883,12 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         "shred" -> Jsonb.mkObj(l.shred.toSeq.sortBy(_._1).map {
           case (k, t) => k -> JStr(t) }),
         "shredOff" -> JBool(l.shredOff),
+        "indexes" -> JArr(l.indexes.toVector.map { ix =>
+          Jsonb.mkObj(Seq(
+            "name" -> JStr(ix.name),
+            "keys" -> JArr(ix.keys.toVector.map(JStr)),
+            "unique" -> JBool(ix.unique)))
+        }),
         "persistence" -> JStr(l.persistence.toString),
         "indexDisabled" -> JBool(l.indexDisabled)))
     })
@@ -784,6 +920,15 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
           o.get("shred").collect { case JObj(fs) =>
             fs.collect { case (k, JStr(t)) => k -> t }.toMap }.getOrElse(Map.empty),
           o.get("shredOff").collect { case JBool(b) => b }.getOrElse(false),
+          o.get("indexes").collect { case JArr(ixs) =>
+            ixs.collect { case ix: JObj =>
+              PropIndexMeta(
+                ix.get("name").collect { case JStr(s) => s }.get,
+                ix.get("keys").collect { case JArr(ks) =>
+                  ks.collect { case JStr(s) => s } }.getOrElse(Vector.empty),
+                ix.get("unique").collect { case JBool(b) => b }
+                  .getOrElse(false))
+            } }.getOrElse(Vector.empty),
           o.get("persistence").collect { case JStr(s) => s.head }.getOrElse('p'),
           o.get("indexDisabled").collect { case JBool(b) => b }.getOrElse(false))
         case _ => ()

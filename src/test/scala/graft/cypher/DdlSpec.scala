@@ -1,6 +1,7 @@
 package graft.cypher
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import graft.SparkTestBase
 import graft.api.CypherSession
 import graft.graph.GraphCatalog
@@ -71,6 +72,75 @@ class DdlSpec extends AnyFunSuite {
     // a written label round-trips through the modifier metadata
     s.cypher("CREATE (:unlog {x: 1})")
     assert(s.cypher("MATCH (n:unlog) RETURN n").count() == 1)
+  }
+
+  test("CREATE PROPERTY INDEX re-clusters label files on the key (propertyindex.sql)") {
+    val s = fresh()
+    s.cypher("CREATE GRAPH pidx")
+    s.cypher("CREATE VLABEL piv")
+    // two appends with INTERLEAVED age ranges: every file spans the
+    // whole range, so before the index a key predicate can prune
+    // nothing at file level
+    s.cypher("UNWIND range(0, 198) AS i WITH i WHERE i % 2 = 0 CREATE (:piv {age: i})")
+    s.cypher("UNWIND range(1, 199) AS i WITH i WHERE i % 2 = 1 CREATE (:piv {age: i})")
+    val dir = java.nio.file.Paths.get(s.catalog.root, "pidx", "piv")
+    def fileRanges(): Seq[(Double, Double)] = {
+      val st = java.nio.file.Files.list(dir)
+      try st.iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".parquet")).flatMap { f =>
+          val r = spark.read.parquet(f.toString)
+            .selectExpr("min(cast(__pn_age as double))",
+              "max(cast(__pn_age as double))").collect().head
+          // append batches can leave empty shuffle part files behind
+          if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
+        }.sortBy(_._1)
+      finally st.close()
+    }
+    val before = fileRanges()
+    assert(before.size >= 2)
+    assert(before.forall { case (lo, hi) => lo <= 1 && hi >= 198 }) // all overlap
+    s.cypher("CREATE PROPERTY INDEX ON piv (age)")
+    assert(s.catalog.label("pidx", "piv").get.indexes
+      .exists(ix => ix.name == "piv_age_idx" && ix.keys == Seq("age")))
+    // re-clustered: file key ranges are now DISJOINT — min-max stats
+    // prune key predicates at file level (the btree's pruning role)
+    val after = fileRanges()
+    assert(after.size >= 2)
+    after.sliding(2).foreach { case Seq((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"file ranges overlap after reindex: $after")
+    case _ => () }
+    // data intact + the key predicate reaches the scan as a pushed
+    // filter on the shred column
+    val q = s.cypher("MATCH (n:piv) WHERE n.age = 150 RETURN count(*) AS c")
+    assert(q.collect().head.getString(0) == "1")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("__pn_age"), plan)
+    // name collision + IF NOT EXISTS; DROP
+    intercept[Exception] { s.cypher("CREATE PROPERTY INDEX ON piv (age)") }
+    s.cypher("CREATE PROPERTY INDEX IF NOT EXISTS piv_age_idx ON piv (age)")
+    s.cypher("DROP PROPERTY INDEX piv_age_idx")
+    assert(s.catalog.label("pidx", "piv").get.indexes.isEmpty)
+    intercept[Exception] { s.cypher("DROP PROPERTY INDEX piv_age_idx") }
+    s.cypher("DROP PROPERTY INDEX IF EXISTS piv_age_idx")
+    // modifier/expression forms parse as recorded no-ops
+    s.cypher("CREATE PROPERTY INDEX CONCURRENTLY ON piv USING hash (age) WITH (fillfactor = 80)")
+    s.cypher("CREATE PROPERTY INDEX ON piv ((age + 1))")
+    assert(s.catalog.label("pidx", "piv").get.indexes.size == 2)
+  }
+
+  test("UNIQUE PROPERTY INDEX enforces uniqueness (propertyindex.sql piv4/piv5)") {
+    val s = fresh()
+    s.cypher("CREATE GRAPH puq")
+    s.cypher("CREATE VLABEL piv4")
+    s.cypher("CREATE UNIQUE PROPERTY INDEX ON piv4 (id)")
+    s.cypher("CREATE (:piv4 {id: 100})")
+    intercept[Exception] { s.cypher("CREATE (:piv4 {id: 100})") }
+    s.cypher("CREATE (:piv4 {id: 101})")
+    assert(s.cypher("MATCH (n:piv4) RETURN n").count() == 2)
+    // dropping the index drops its uniqueness enforcement
+    s.cypher("DROP PROPERTY INDEX piv4_id_idx")
+    s.cypher("CREATE (:piv4 {id: 100})")
+    assert(s.cypher("MATCH (n:piv4) RETURN n").count() == 3)
   }
 
   test("unique constraint rejects duplicates, within batch and across") {
