@@ -356,7 +356,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       val p = gs.next()
       if (Files.exists(p.resolve("_graph.json"))) names += p.getFileName.toString
     }
-    names.toSeq.sorted.toDF("graphname")
+    names.toSeq.sorted.map(n => (n, graphOwner(n).orNull))
+      .toDF("graphname", "owner")
   }
 
   /** labid -> label name map (for label()/type() functions). */

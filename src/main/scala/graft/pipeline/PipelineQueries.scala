@@ -1545,13 +1545,16 @@ object PipelineQueries {
         .join(cp.alias("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
         .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.p").as("p"))
         .join(deg, "p")
-      // each 1/ln(dp) term rounds to 6 digits and sums as exact DECIMAL
-      // (not a raw double sum, whose accumulation order differs between
-      // engines and can flip the 6th digit the rank then keys on) —
-      // the repo's float-ordering discipline, same shape as p106/p113
+      // each 1/ln(dp) term rounds to 6 digits, scales to an exact LONG
+      // (micro-units), and sums as integers (not a raw double sum,
+      // whose accumulation order differs between engines and can flip
+      // the 6th digit the rank then keys on) — the repo's
+      // float-ordering discipline in its cheapest form: long sums
+      // codegen partial-aggregate, unlike a decimal UDAF. The second
+      // round() kills the binary error of *1e6 before the cast.
       wedges.groupBy("ca", "cb")
-        .agg(round(sum(round(lit(1.0) / log(col("dp")), 6)
-            .cast("decimal(10,6)")).cast("double"), 6).as("aa"),
+        .agg(round(sum(round(round(lit(1.0) / log(col("dp")), 6) * 1e6, 0)
+            .cast("long")).cast("double") / 1e6, 6).as("aa"),
           count(lit(1)).as("n_common"))
         .orderBy(col("aa").desc, col("ca"), col("cb"))
         .limit(25)
@@ -3504,8 +3507,8 @@ object PipelineQueries {
         |w AS (SELECT x.c AS ca, y.c AS cb, x.p AS p
         |  FROM cp x JOIN cp y ON x.p = y.p AND x.c < y.c),
         |aa AS (SELECT ca, cb,
-        |    round(CAST(sum(CAST(round(1.0 / ln(dp), 6) AS DECIMAL(10,6)))
-        |      AS DOUBLE), 6) AS aa,
+        |    round(CAST(sum(CAST(round(round(1.0 / ln(dp), 6) * 1000000, 0)
+        |      AS BIGINT)) AS DOUBLE) / 1000000, 6) AS aa,
         |    count(*) AS n_common
         |  FROM w JOIN deg USING (p) GROUP BY ca, cb)
         |SELECT ca, cb, aa, n_common FROM aa
