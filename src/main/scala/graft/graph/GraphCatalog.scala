@@ -900,7 +900,12 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       "nextLabid" -> JNum(java.math.BigDecimal.valueOf(m.nextLabid)),
       "sequences" -> seqJson) ++
       m.owner.map(o => "owner" -> (JStr(o): JValue)).toSeq)
-    Files.writeString(metaPath(g), doc.render)
+    // write-temp + atomic rename: concurrent readers (parallel ingest
+    // futures) must see the old or the new meta, never a torn file
+    val tmp = graphDir(g).resolve(s"_graph.json.tmp.${Thread.currentThread().getId}")
+    Files.writeString(tmp, doc.render)
+    Files.move(tmp, metaPath(g), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def readMeta(g: String): GraphMeta = {
