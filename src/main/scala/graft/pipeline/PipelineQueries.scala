@@ -1560,6 +1560,44 @@ object PipelineQueries {
         .limit(25)
     },
 
+    "p114_aa_degree_capped" -> { (s, d) =>
+      // Degree-capped Adamic–Adar — p107's 100-TB form made explicit.
+      // The wedge join's fan-out is quadratic per middle vertex, so at
+      // web scale hub middles (a part half the corpus ordered, a token
+      // every document contains) dominate cost while contributing the
+      // LEAST signal (AA weights 1/ln(deg) — hubs vote quietest).
+      // Capping the middle degree (here deg ∈ [2, 28]) bounds every
+      // wedge group to cap² pairs BEFORE the join — the standard
+      // link-prediction hub filter, and the difference between a plan
+      // that survives 100× and one that doesn't: the cap turns the
+      // worst-case quadratic into a constant per middle. The cap is
+      // part of the operator's spec, so results stay exact and
+      // oracle-gated (same long-scaled micro-unit sums as p107).
+      val cp = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(load(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true)
+      val deg = cp.groupBy("p").agg(count(lit(1)).as("dp"))
+        .where(col("dp") >= 2 && col("dp") <= 28)
+      // filter the adjacency BY the capped middle set first: wedges
+      // never form through a hub at all (the join, not a post-filter)
+      val cpCapped = cp.join(deg.select("p"), "p")
+      val wedges = cpCapped.alias("x")
+        .join(cpCapped.alias("y"),
+          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.p").as("p"))
+        .join(deg, "p")
+      wedges.groupBy("ca", "cb")
+        .agg(round(sum(round(round(lit(1.0) / log(col("dp")), 6) * 1e6, 0)
+            .cast("long")).cast("double") / 1e6, 6).as("aa"),
+          count(lit(1)).as("n_common"))
+        .orderBy(col("aa").desc, col("ca"), col("cb"))
+        .limit(25)
+    },
+
     "p110_metapath_walk" -> { (s, d) =>
       // Deterministic metapath random walks (metapath2vec corpus
       // generation): walkers alternate customer→part→customer hops
@@ -3514,6 +3552,21 @@ object PipelineQueries {
         |SELECT ca, cb, aa, n_common FROM aa
         |ORDER BY aa DESC, ca, cb LIMIT 25""".stripMargin,
 
+    "p114_aa_degree_capped" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT p, count(*) AS dp FROM cp GROUP BY p
+        |  HAVING count(*) BETWEEN 2 AND 28),
+        |cpc AS (SELECT cp.c, cp.p FROM cp JOIN deg USING (p)),
+        |w AS (SELECT x.c AS ca, y.c AS cb, x.p AS p
+        |  FROM cpc x JOIN cpc y ON x.p = y.p AND x.c < y.c),
+        |aa AS (SELECT ca, cb,
+        |    round(CAST(sum(CAST(round(round(1.0 / ln(dp), 6) * 1000000, 0)
+        |      AS BIGINT)) AS DOUBLE) / 1000000, 6) AS aa,
+        |    count(*) AS n_common
+        |  FROM w JOIN deg USING (p) GROUP BY ca, cb)
+        |SELECT ca, cb, aa, n_common FROM aa
+        |ORDER BY aa DESC, ca, cb LIMIT 25""".stripMargin,
     "p110_metapath_walk" ->
       """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
