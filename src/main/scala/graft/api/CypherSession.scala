@@ -63,6 +63,16 @@ final class CypherSession(
     """(?is)ALTER\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(UNLOGGED|LOGGED)""".r
   private val AlterDisIdxRe =
     """(?is)ALTER\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s+DISABLE\s+INDEX""".r
+  private val SetGraphPathRe =
+    """(?is)SET\s+GRAPH_PATH\s*=\s*(.+)""".r
+  private val ShowGraphPathRe =
+    """(?is)SHOW\s+GRAPH_PATH""".r
+  private val AlterGraphRenameRe =
+    """(?is)ALTER\s+GRAPH\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+  private val AlterGraphOwnerRe =
+    """(?is)ALTER\s+GRAPH\s+([A-Za-z_][A-Za-z0-9_]*)\s+OWNER\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+  private val AlterLabelRenameRe =
+    """(?is)ALTER\s+([VE])LABEL\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)""".r
   private val CreatePropIdxRe =
     """(?is)CREATE\s+(UNIQUE\s+)?PROPERTY\s+INDEX(\s+CONCURRENTLY)?(\s+IF\s+NOT\s+EXISTS)?(\s+(?!ON\b)[A-Za-z_][A-Za-z0-9_]*)?\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+USING\s+\w+)?\s*\((.*)\)\s*(?:WITH\s*\([^)]*\))?\s*(?:TABLESPACE\s+\w+)?\s*(?:WHERE\s*\(.*\))?""".r
   private val DropPropIdxRe =
@@ -87,6 +97,36 @@ final class CypherSession(
       // modifier long tail — AUTHORIZATION (no user model here),
       // UNLOGGED (no WAL), DISABLE INDEX (no runtime btree) — is
       // accepted and recorded as metadata no-ops.
+      // graph_path GUC statement forms (guc.c:4670-4677
+      // check_graph_path; cypher_ddl.out:12-19,62-68)
+      case SetGraphPathRe(value) =>
+        val v = value.trim.stripPrefix("'").stripSuffix("'")
+        if (v.contains(","))
+          throw new IllegalArgumentException(
+            "SET graph_path takes only one argument")
+        if (!catalog.graphExists(v))
+          throw new IllegalArgumentException(
+            s"""invalid value for parameter "graph_path": "$v"""" +
+              s""" (graph "$v" does not exist)""")
+        currentGraph = v
+        Some(spark.emptyDataFrame)
+      case ShowGraphPathRe() =>
+        import spark.implicits._
+        Some(Seq(Option(currentGraph).getOrElse("")).toDF("graph_path"))
+      case AlterGraphRenameRe(from, to) =>
+        renameGraph(from, to)
+        Some(spark.emptyDataFrame)
+      case AlterGraphOwnerRe(name, role) =>
+        catalog.setGraphOwner(name, role)
+        Some(spark.emptyDataFrame)
+      case AlterLabelRenameRe(kindS, from, to) =>
+        val lm = catalog.label(graphPath, from).getOrElse(
+          throw new IllegalStateException(s"""label "$from" does not exist"""))
+        val expect = if (kindS.equalsIgnoreCase("v")) 'v' else 'e'
+        require(lm.kind == expect,
+          s"label \"$from\" is not a ${kindS.toUpperCase}LABEL")
+        renameLabel(from, to)
+        Some(spark.emptyDataFrame)
       case CreateGraphRe(ine, name, auth) =>
         catalog.createGraph(name, ifNotExists = ine != null,
           owner = Option(auth))

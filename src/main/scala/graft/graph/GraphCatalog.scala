@@ -92,6 +92,12 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
 
   def graphOwner(name: String): Option[String] = readMeta(name).owner
 
+  /** ALTER GRAPH ... OWNER TO r (cypher_ddl.out:51-58) — owner is
+    * recorded metadata, like AUTHORIZATION at create.
+    */
+  def setGraphOwner(name: String, owner: String): Unit =
+    writeMeta(name, readMeta(name).copy(owner = Some(owner)))
+
   /** DROP GRAPH (RemoveGraphById). */
   def dropGraph(name: String, ifExists: Boolean = false): Unit = {
     if (!Files.exists(graphDir(name))) {

@@ -74,6 +74,35 @@ class DdlSpec extends AnyFunSuite {
     assert(s.cypher("MATCH (n:unlog) RETURN n").count() == 1)
   }
 
+  test("SET/SHOW graph_path + ALTER GRAPH RENAME/OWNER statements (cypher_ddl.out:12-68)") {
+    val s = fresh()
+    assert(s.cypher("SHOW graph_path").collect().head.getString(0) == "")
+    s.cypher("CREATE GRAPH gp1")
+    assert(s.cypher("SHOW graph_path").collect().head.getString(0) == "gp1")
+    s.cypher("CREATE GRAPH gp2")
+    s.cypher("SET graph_path = gp2")
+    assert(s.graphPath == "gp2")
+    // nonexistent graph + multi-entry diagnostics (cypher_ddl.out:64-68)
+    val m1 = intercept[Exception](s.cypher("SET graph_path = nope")).getMessage
+    assert(m1.contains("""invalid value for parameter "graph_path": "nope""""))
+    val m2 = intercept[Exception](
+      s.cypher("SET graph_path = gp1, gp2")).getMessage
+    assert(m2.contains("SET graph_path takes only one argument"))
+    // ALTER GRAPH statements (cypher_ddl.out:41-58)
+    s.cypher("ALTER GRAPH gp2 RENAME TO gpr")
+    assert(s.graphPath == "gpr" && s.catalog.graphExists("gpr"))
+    s.cypher("ALTER GRAPH gpr OWNER TO temp")
+    assert(s.catalog.graphOwner("gpr").contains("temp"))
+    assert(s.catalog.graphsDf().where("graphname = 'gpr'")
+      .select("owner").collect().head.getString(0) == "temp")
+    // ALTER VLABEL ... RENAME TO statement
+    s.cypher("CREATE VLABEL rv")
+    s.cypher("CREATE (:rv {k: 1})")
+    s.cypher("ALTER VLABEL rv RENAME TO rv2")
+    assert(s.cypher("MATCH (n:rv2) RETURN n").count() == 1)
+    intercept[Exception] { s.cypher("ALTER ELABEL rv2 RENAME TO rv3") }
+  }
+
   test("CREATE PROPERTY INDEX re-clusters label files on the key (propertyindex.sql)") {
     val s = fresh()
     s.cypher("CREATE GRAPH pidx")
