@@ -63,6 +63,8 @@ final class CypherSession(
     """(?is)ALTER\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(UNLOGGED|LOGGED)""".r
   private val AlterDisIdxRe =
     """(?is)ALTER\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s+DISABLE\s+INDEX""".r
+  private val ExplainRe =
+    """(?is)EXPLAIN(\s*\([^)]*\))?\s+(.+)""".r
   private val SetGraphPathRe =
     """(?is)SET\s+GRAPH_PATH\s*=\s*(.+)""".r
   private val ShowGraphPathRe =
@@ -97,6 +99,29 @@ final class CypherSession(
       // modifier long tail — AUTHORIZATION (no user model here),
       // UNLOGGED (no WAL), DISABLE INDEX (no runtime btree) — is
       // accepted and recorded as metadata no-ops.
+      // EXPLAIN [(...)] <cypher> (the reference reuses PG's EXPLAIN
+      // front door, cypher_dml.sql:475+): compile without executing
+      // and return the optimized/physical plan as rows. The options
+      // list is accepted and ignored — Spark's formatted explain is
+      // the native equivalent of VERBOSE/COSTS OFF.
+      case ExplainRe(_, inner) =>
+        import spark.implicits._
+        import graft.cypher.Ast
+        // writes apply at plan-build time in this engine, so EXPLAIN
+        // is read-only (documented divergence: the reference plans
+        // writes without running them)
+        val ast = graft.cypher.Parser.parse(inner)
+        val writes = (ast.first +: ast.setOps.map(_._2)).exists(_.clauses.exists {
+          case _: Ast.CreateClause | _: Ast.DeleteClause |
+               _: Ast.SetClause | _: Ast.MergeClause => true
+          case _ => false
+        })
+        if (writes) throw new IllegalArgumentException(
+          "EXPLAIN supports read-only Cypher here (writes apply at build time)")
+        val df = cypher(inner)
+        val text = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Some(text.linesIterator.toSeq.toDF("plan"))
       // graph_path GUC statement forms (guc.c:4670-4677
       // check_graph_path; cypher_ddl.out:12-19,62-68)
       case SetGraphPathRe(value) =>

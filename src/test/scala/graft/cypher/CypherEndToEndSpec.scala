@@ -90,6 +90,20 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(negLen.contains("negative substring length not allowed"))
   }
 
+  test("EXPLAIN statement returns the plan without executing (cypher_dml.sql:475)") {
+    val s = freshSession()
+    s.createGraph("expl")
+    s.createVLabel("ev")
+    s.cypher("CREATE (:ev {k: 1})")
+    val plan = s.cypher("EXPLAIN (VERBOSE, COSTS OFF) MATCH (n:ev) RETURN n.k AS k")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"), plan)
+    assert(plan.contains("Scan parquet"), plan)
+    // EXPLAIN of a write is rejected, not silently executed
+    intercept[Exception] { s.cypher("EXPLAIN CREATE (:ev {k: 2})") }
+    assert(s.cypher("MATCH (n:ev) RETURN n").count() == 1)
+  }
+
   test("F1: implicit grouping with count(*)") {
     val df = agens.cypher(
       """MATCH (g:repo)-[r]->() RETURN g.name AS n, count(*) AS c""")
