@@ -150,7 +150,8 @@ object Bench {
             expr(s"INTERVAL '${i * evSpan}' SECOND")))
         val probes = Seq("g41_foaf_pattern", "g32_detach_delete",
           "s05_stream_interval_join", "s09_stream_outer_join",
-          "p107_adamic_adar", "p110_metapath_walk")
+          "p107_adamic_adar", "p110_metapath_walk",
+          "p75_copurchase", "g29_sql_exists_correlated")
         // graph bulk load at sf1 is one-time ETL, untimed (same rule as
         // the main suite's warmup) — g41's probe number must measure
         // the query, not the 10x ingest
