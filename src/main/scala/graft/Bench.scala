@@ -125,8 +125,10 @@ object Bench {
         def rep(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
           (0 until K).map(i => shift(ld(t), i)).reduce(_ unionAll _)
             .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-        Seq("region", "nation").foreach(t => ld(t)
-          .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
+        // dims stay 1x; documents/embeddings ride along unscaled so
+        // Tables.registerAll (the hybrid-SQL probe) finds every table
+        Seq("region", "nation", "documents", "embeddings").foreach(t =>
+          ld(t).write.mode("overwrite").parquet(s"$dir/$t.parquet"))
         rep("customer")((d, i) =>
           d.withColumn("c_custkey", col("c_custkey") + lit(i * C)))
         rep("orders")((d, i) => d
@@ -162,10 +164,12 @@ object Bench {
           if (System.nanoTime() > deadline) None
           else SparkEntry.queries.get(name).map { fn =>
             val t0 = System.nanoTime()
-            try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+            // a failed probe reports -1, never a bogus near-zero time
+            val ok = try { fn(spark, dir).count(); true }
+              catch { case _: Throwable => false }
             try spark.sharedState.cacheManager.clearCache()
             catch { case _: Throwable => () }
-            name -> (System.nanoTime() - t0) / 1e9
+            name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
           }
         }
       } catch { case _: Throwable => Nil }

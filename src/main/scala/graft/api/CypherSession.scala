@@ -76,7 +76,9 @@ final class CypherSession(
   private val AlterLabelRenameRe =
     """(?is)ALTER\s+([VE])LABEL\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)""".r
   private val CreatePropIdxRe =
-    """(?is)CREATE\s+(UNIQUE\s+)?PROPERTY\s+INDEX(\s+CONCURRENTLY)?(\s+IF\s+NOT\s+EXISTS)?(\s+(?!ON\b)[A-Za-z_][A-Za-z0-9_]*)?\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+USING\s+\w+)?\s*\((.*)\)\s*(?:WITH\s*\([^)]*\))?\s*(?:TABLESPACE\s+\w+)?\s*(?:WHERE\s*\(.*\))?""".r
+    // the key capture is LAZY and the option tail anchored, so a
+    // trailing WITH (...)/TABLESPACE/WHERE never leaks into the keys
+    """(?is)CREATE\s+(UNIQUE\s+)?PROPERTY\s+INDEX(\s+CONCURRENTLY)?(\s+IF\s+NOT\s+EXISTS)?(\s+(?!ON\b)[A-Za-z_][A-Za-z0-9_]*)?\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+USING\s+\w+)?\s*\((.*?)\)\s*(?:WITH\s*\([^)]*\))?\s*(?:TABLESPACE\s+\w+)?\s*(?:WHERE\s*\(.*\))?""".r
   private val DropPropIdxRe =
     """(?is)DROP\s+PROPERTY\s+INDEX(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)""".r
   private val CreateConRe =

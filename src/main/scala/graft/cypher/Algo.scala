@@ -716,14 +716,25 @@ object Algo {
     // assumes non-negative weights too).
     val prune = b.spark.conf
       .get("spark.graft.dijkstraTargetPrune", "true") != "false"
-    val nTargets = if (prune) targets.count() else 0L
+    // arming is LAZY (the target snapshot materializes only if a third
+    // round happens) and bounded: with an unselective target set (a
+    // bare (b) pattern = every vertex) the "all (origin,target) k-sets
+    // full" condition essentially never fires, so the per-round bounds
+    // aggregation would be pure overhead — past the cap the search
+    // just runs the plain fixpoint
+    val pruneMaxTargets = b.spark.conf
+      .get("spark.graft.dijkstraPruneMaxTargets", "65536").toLong
+    lazy val nTargets = {
+      val n = targets.count()
+      if (n > pruneMaxTargets) 0L else n
+    }
     // the bounds aggregation (2 shuffles/round + the frontier join) is
     // pure overhead on shallow searches that finish before any prune
     // could fire — measured ~2x on 2-hop graphs — so pruning arms only
     // from the third round on; deep searches (where it is the
     // asymptotic win) keep the early exit
     def pruneFrontier(f: DataFrame, round: Int): DataFrame = {
-      if (!prune || nTargets == 0L || round < 2) return f
+      if (!prune || round < 2 || nTargets == 0L) return f
       val bounds = best
         .join(targets, col("__cur") === col("__target"), "left_semi")
         .groupBy("__start", "__cur")

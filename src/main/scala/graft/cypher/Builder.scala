@@ -266,10 +266,19 @@ final class Builder(
       if (others.isEmpty) FnCall("coalesce",
         Seq(FnCall("sum", Seq(Vbl("__sfx"))), zero))
       else FnCall("sum", Seq(Vbl("__sfx")))
-    val p2 = p.copy(items = p.items.map {
-      case (CountStar, alias) => (sumSfx, alias)
-      case other => other
-    })
+    // substitute EVERY CountStar occurrence — items, ORDER BY, and the
+    // post-projection WHERE — or a structural `ORDER BY count(*)`
+    // would no longer match its rewritten item and fall through to a
+    // bare-CountStar compile error
+    def subst(e: Expr): Expr = e match {
+      case CountStar => sumSfx
+      case other => Compiler.rewriteAggs(other, Map.empty,
+        f => FnCall(f.name, f.args.map(subst), f.distinct), () => sumSfx)
+    }
+    val p2 = p.copy(
+      items = p.items.map { case (e, alias) => (subst(e), alias) },
+      orderBy = p.orderBy.map { case (e, asc) => (subst(e), asc) },
+      where = p.where.map(subst))
     Some(buildProjection(st, p2))
   }
 

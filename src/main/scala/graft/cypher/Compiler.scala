@@ -524,9 +524,13 @@ final class Compiler(
         val lo = greatest(start1, lit(1L))
         if (args.length > 2) {
           // PG's substr errors on a negative length ("negative substring
-          // length not allowed", text.c) — do not clamp it to empty
+          // length not allowed", text.c) — do not clamp it to empty.
+          // substr is STRICT though: any NULL argument yields NULL
+          // without the length ever being checked, so the error fires
+          // only on fully non-null rows.
           val len0 = J.toLong(toJ(compile(args(2))))
-          val len = when(len0 < 0,
+          val len = when(
+            s.isNotNull && start1.isNotNull && len0.isNotNull && len0 < 0,
             raise_error(lit("negative substring length not allowed"))
               .cast("long")).otherwise(len0)
           val clipped = greatest(start1 + len - lo, lit(0L)).cast("int")

@@ -95,8 +95,9 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
   /** ALTER GRAPH ... OWNER TO r (cypher_ddl.out:51-58) — owner is
     * recorded metadata, like AUTHORIZATION at create.
     */
-  def setGraphOwner(name: String, owner: String): Unit =
+  def setGraphOwner(name: String, owner: String): Unit = synchronized {
     writeMeta(name, readMeta(name).copy(owner = Some(owner)))
+  }
 
   /** DROP GRAPH (RemoveGraphById). */
   def dropGraph(name: String, ifExists: Boolean = false): Unit = {
@@ -128,7 +129,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * is stable, so data and edges referencing the label never rewrite.
     * Children's parent lists follow the rename.
     */
-  def renameLabel(graph: String, from: String, to: String): Unit = {
+  def renameLabel(graph: String, from: String, to: String): Unit = synchronized {
     val m = readMeta(graph)
     if (!m.labels.contains(from))
       throw new IllegalStateException(s"label \"$from\" does not exist")
@@ -154,7 +155,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     */
   def createLabel(graph: String, name: String, kind: Char,
       parents: Seq[String] = Nil, ifNotExists: Boolean = false,
-      persistence: Char = 'p', disableIndex: Boolean = false): Unit = {
+      persistence: Char = 'p', disableIndex: Boolean = false): Unit = synchronized {
     val m = readMeta(graph)
     if (m.labels.contains(name)) {
       if (ifNotExists) return
@@ -179,7 +180,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * (cypher_ddl.out:439,505): metadata-only here, like the CREATE
     * modifiers.
     */
-  def setLabelPersistence(graph: String, name: String, p: Char): Unit = {
+  def setLabelPersistence(graph: String, name: String, p: Char): Unit = synchronized {
     val m = readMeta(graph)
     val lm = m.labels.getOrElse(name,
       throw new IllegalStateException(s"label \"$name\" does not exist"))
@@ -187,7 +188,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     writeMeta(graph, m)
   }
 
-  def setLabelIndexDisabled(graph: String, name: String): Unit = {
+  def setLabelIndexDisabled(graph: String, name: String): Unit = synchronized {
     val m = readMeta(graph)
     val lm = m.labels.getOrElse(name,
       throw new IllegalStateException(s"label \"$name\" does not exist"))
@@ -205,7 +206,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     */
   def createPropertyIndex(graph: String, label: String,
       idxName: Option[String], keys: Seq[String], unique: Boolean,
-      ifNotExists: Boolean = false): Unit = {
+      ifNotExists: Boolean = false): Unit = synchronized {
     require(keys.nonEmpty, "property index needs at least one key")
     val m = readMeta(graph)
     val lm = m.labels.getOrElse(label,
@@ -217,16 +218,42 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       if (ifNotExists) return
       throw new IllegalStateException(s"""index "$nm" already exists""")
     }
-    m.labels(label) = lm.copy(indexes = lm.indexes :+
-      PropIndexMeta(nm, keys, unique))
-    writeMeta(graph, m)
+    // enforcement + validation FIRST, metadata LAST: a failure anywhere
+    // (constraint-name collision, existing duplicates) must not leave a
+    // registered index without its enforcement half
     if (unique) {
+      // existing rows must already be unique (the reference's CREATE
+      // UNIQUE INDEX fails with "could not create unique index" on
+      // duplicate keys). Validated for the single-simple-key form (the
+      // common shape); multi-key/expression indexes are enforced from
+      // the next write on.
+      if (keys.length == 1 && ShredKeyRe.findFirstIn(keys.head).isDefined) {
+        val dir = labelDir(graph, label)
+        val any = Files.exists(dir) && { val s = Files.list(dir)
+          try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+          finally s.close() }
+        if (any) {
+          import org.apache.spark.sql.functions._
+          val base = if (lm.kind == 'v') vertexSchema else edgeSchema
+          val k = graft.expr.J.sortKey(
+            graft.expr.J.getKey(col("properties"), keys.head))
+          val dup = spark.read.schema(base).parquet(dir.toString)
+            .select(k.as("__k")).where(col("__k").isNotNull)
+            .groupBy("__k").count().where(col("count") > 1)
+          if (!dup.isEmpty) throw new IllegalStateException(
+            s"""could not create unique index "$nm": """ +
+              s"""label "$label" contains duplicate values of "${keys.head}"""")
+        }
+      }
       // the enforcement half: a unique property index IS a unique
       // constraint over the key tuple (propertyindex.sql piv4/piv5)
       val body = if (keys.length == 1) keys.head
         else keys.mkString("[", ", ", "]")
       addConstraint(graph, label, s"${nm}_uc", "unique", body)
     }
+    m.labels(label) = lm.copy(indexes = lm.indexes :+
+      PropIndexMeta(nm, keys, unique))
+    writeMeta(graph, m)
     reindexLabel(graph, label)
   }
 
@@ -235,7 +262,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * whatever indexes remain.
     */
   def dropPropertyIndex(graph: String, idxName: String,
-      ifExists: Boolean = false): Unit = {
+      ifExists: Boolean = false): Unit = synchronized {
     val m = readMeta(graph)
     val hit = m.labels.values.find(_.indexes.exists(_.name == idxName))
     hit match {
@@ -290,7 +317,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     overwrite(graph, label, df)
   }
 
-  def dropLabel(graph: String, name: String): Unit = {
+  def dropLabel(graph: String, name: String): Unit = synchronized {
     val m = readMeta(graph)
     require(m.labels.contains(name), s"label \"$name\" does not exist")
     require(!m.labels.values.exists(_.parents.contains(name)),
@@ -311,7 +338,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * changes, since scans expand inheritance at plan time.
     */
   def alterInherit(graph: String, name: String, parent: String,
-      add: Boolean): Unit = {
+      add: Boolean): Unit = synchronized {
     if (parent == "ag_vertex" || parent == "ag_edge")
       throw new IllegalStateException("cannot ALTER inheritance with base label")
     val m = readMeta(graph)
@@ -640,14 +667,12 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // future per label) must not lose each other's shred-meta updates
     // through a stale read-modify-write of the shared _graph.json.
     // Same-label appends remain the caller's responsibility to order.
-    if (lm2 != lm) metaLock.synchronized {
+    if (lm2 != lm) synchronized {
       val fresh = readMeta(graph)
       fresh.labels(label) = lm2
       writeMeta(graph, fresh)
     }
   }
-
-  private val metaLock = new Object
 
   /** In-file clustering order. Default: vertices by id, edges by start
     * (id lookups and VLE seed scans prune on row-group min/max). A
@@ -702,8 +727,11 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     }
     rm(dir)
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-    m.labels(label) = lm2
-    writeMeta(graph, m)
+    synchronized {
+      val fresh = readMeta(graph)
+      fresh.labels(label) = lm2
+      writeMeta(graph, fresh)
+    }
   }
 
   /** File-pruned copy-on-write patch for point writes: rewrite ONLY
@@ -791,7 +819,11 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     }
     rm(dir)
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-    if (lm2 != lm) { m.labels(label) = lm2; writeMeta(graph, m) }
+    if (lm2 != lm) synchronized {
+      val fresh = readMeta(graph)
+      fresh.labels(label) = lm2
+      writeMeta(graph, fresh)
+    }
     (rowsBefore, rowsAfter)
   }
 

@@ -88,6 +88,10 @@ class CypherEndToEndSpec extends AnyFunSuite {
     val negLen = intercept[Exception](
       s.cypher("RETURN substring('123', 0, -1) AS r").collect()).getMessage
     assert(negLen.contains("negative substring length not allowed"))
+    // ... but substr is STRICT: a NULL string short-circuits to NULL
+    // before the length check ever runs
+    assert(rows(s.cypher(
+      "WITH null AS x RETURN substring(x, 0, -1) AS r")) == Seq(Seq(null)))
   }
 
   test("EXPLAIN statement returns the plan without executing (cypher_dml.sql:475)") {

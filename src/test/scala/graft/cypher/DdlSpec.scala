@@ -151,10 +151,14 @@ class DdlSpec extends AnyFunSuite {
     assert(s.catalog.label("pidx", "piv").get.indexes.isEmpty)
     intercept[Exception] { s.cypher("DROP PROPERTY INDEX piv_age_idx") }
     s.cypher("DROP PROPERTY INDEX IF EXISTS piv_age_idx")
-    // modifier/expression forms parse as recorded no-ops
+    // modifier/expression forms parse as recorded no-ops — and the
+    // option tail must NOT leak into the recorded keys
     s.cypher("CREATE PROPERTY INDEX CONCURRENTLY ON piv USING hash (age) WITH (fillfactor = 80)")
     s.cypher("CREATE PROPERTY INDEX ON piv ((age + 1))")
-    assert(s.catalog.label("pidx", "piv").get.indexes.size == 2)
+    val ixs = s.catalog.label("pidx", "piv").get.indexes
+    assert(ixs.size == 2)
+    assert(ixs.head.keys == Seq("age"), ixs.head.keys)
+    assert(ixs(1).keys == Seq("(age + 1)"), ixs(1).keys)
   }
 
   test("UNIQUE PROPERTY INDEX enforces uniqueness (propertyindex.sql piv4/piv5)") {
@@ -170,6 +174,13 @@ class DdlSpec extends AnyFunSuite {
     s.cypher("DROP PROPERTY INDEX piv4_id_idx")
     s.cypher("CREATE (:piv4 {id: 100})")
     assert(s.cypher("MATCH (n:piv4) RETURN n").count() == 3)
+    // a UNIQUE index over EXISTING duplicates fails validation (the
+    // reference's "could not create unique index") and records nothing
+    val m = intercept[Exception](
+      s.cypher("CREATE UNIQUE PROPERTY INDEX ON piv4 (id)")).getMessage
+    assert(m.contains("could not create unique index"), m)
+    assert(s.catalog.label("puq", "piv4").get.indexes.isEmpty)
+    assert(!s.catalog.constraints("puq").exists(_.name.contains("piv4_id_idx")))
   }
 
   test("unique constraint rejects duplicates, within batch and across") {

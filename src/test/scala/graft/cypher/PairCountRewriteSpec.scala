@@ -76,6 +76,10 @@ class PairCountRewriteSpec extends AnyFunSuite {
     // ORDER BY + LIMIT over the counted pairs
     """MATCH (a:n)-[:t]->(m:n)<-[:t]-(b:n) WHERE id(a) < id(b)
       |RETURN m.k AS mk, count(*) AS c ORDER BY c DESC, mk LIMIT 3""".stripMargin,
+    // STRUCTURAL ORDER BY count(*): the substitution must reach the
+    // orderBy exprs, not just the projection items
+    """MATCH (a:n)-[:t]->(m:n)<-[:t]-(b:n) WHERE id(a) < id(b)
+      |RETURN m.k AS mk, count(*) AS c ORDER BY count(*) DESC, mk LIMIT 3""".stripMargin,
     // NOT rewritable: b is referenced by an aggregate — pair join stays
     """MATCH (a:n)-[:t]->(m:n)<-[:t]-(b:n) WHERE id(a) < id(b)
       |RETURN m.k AS mk, count(*) AS c, max(b.k) AS mb""".stripMargin,
