@@ -105,13 +105,15 @@ final class CypherSession(
       // front door, cypher_dml.sql:475+): compile without executing
       // and return the optimized/physical plan as rows. The options
       // list is accepted and ignored — Spark's formatted explain is
-      // the native equivalent of VERBOSE/COSTS OFF.
+      // the native equivalent of VERBOSE/COSTS OFF. Two documented
+      // divergences: writes are rejected (they apply at plan-build
+      // time here, the reference plans them unexecuted), and a
+      // path-finder search (shortestpath/dijkstra/VLE) materializes
+      // its iterative frontier during planning — its EXPLAIN costs
+      // close to the query (the loop IS the plan construction).
       case ExplainRe(_, inner) =>
         import spark.implicits._
         import graft.cypher.Ast
-        // writes apply at plan-build time in this engine, so EXPLAIN
-        // is read-only (documented divergence: the reference plans
-        // writes without running them)
         val ast = graft.cypher.Parser.parse(inner)
         val writes = (ast.first +: ast.setOps.map(_._2)).exists(_.clauses.exists {
           case _: Ast.CreateClause | _: Ast.DeleteClause |
@@ -120,17 +122,26 @@ final class CypherSession(
         })
         if (writes) throw new IllegalArgumentException(
           "EXPLAIN supports read-only Cypher here (writes apply at build time)")
-        val df = cypher(inner)
+        val df = runAst(ast) // already parsed — don't parse twice
         val text = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Some(text.linesIterator.toSeq.toDF("plan"))
       // graph_path GUC statement forms (guc.c:4670-4677
       // check_graph_path; cypher_ddl.out:12-19,62-68)
       case SetGraphPathRe(value) =>
-        val v = value.trim.stripPrefix("'").stripSuffix("'")
-        if (v.contains(","))
+        val raw = value.trim
+        if (raw.contains(","))
           throw new IllegalArgumentException(
             "SET graph_path takes only one argument")
+        // quotes strip only as a matched pair; a half-quoted value is
+        // a syntax error, not a silently-normalized identifier
+        val v =
+          if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
+            raw.substring(1, raw.length - 1)
+          else if (raw.startsWith("'") || raw.endsWith("'"))
+            throw new IllegalArgumentException(
+              s"unterminated quoted string in graph_path value: $raw")
+          else raw
         if (!catalog.graphExists(v))
           throw new IllegalArgumentException(
             s"""invalid value for parameter "graph_path": "$v"""" +
@@ -144,6 +155,8 @@ final class CypherSession(
         renameGraph(from, to)
         Some(spark.emptyDataFrame)
       case AlterGraphOwnerRe(name, role) =>
+        if (!catalog.graphExists(name)) throw new IllegalStateException(
+          s"""graph "$name" does not exist""")
         catalog.setGraphOwner(name, role)
         Some(spark.emptyDataFrame)
       case AlterLabelRenameRe(kindS, from, to) =>

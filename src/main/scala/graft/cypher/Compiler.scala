@@ -522,20 +522,26 @@ final class Compiler(
         val s = J.asText(j0)
         val start1 = (J.toLong(toJ(compile(args(1)))) + 1L) // 1-based, may be < 1
         val lo = greatest(start1, lit(1L))
+        // substr is STRICT: any NULL argument yields NULL — guarded
+        // explicitly because greatest()/substring() SKIP nulls rather
+        // than propagate them (a null start would otherwise return the
+        // whole string)
         if (args.length > 2) {
           // PG's substr errors on a negative length ("negative substring
-          // length not allowed", text.c) — do not clamp it to empty.
-          // substr is STRICT though: any NULL argument yields NULL
-          // without the length ever being checked, so the error fires
-          // only on fully non-null rows.
+          // length not allowed", text.c) — do not clamp it to empty;
+          // strictness means the error fires only on fully non-null rows
           val len0 = J.toLong(toJ(compile(args(2))))
           val len = when(
             s.isNotNull && start1.isNotNull && len0.isNotNull && len0 < 0,
             raise_error(lit("negative substring length not allowed"))
               .cast("long")).otherwise(len0)
           val clipped = greatest(start1 + len - lo, lit(0L)).cast("int")
-          CE(J.fromText(substring(s, lo.cast("int"), clipped)), KJ)
-        } else CE(J.fromText(substring(s, lo.cast("int"), lit(Int.MaxValue))), KJ)
+          CE(when(s.isNull || start1.isNull || len0.isNull,
+            lit(null).cast("string"))
+            .otherwise(J.fromText(substring(s, lo.cast("int"), clipped))), KJ)
+        } else CE(when(s.isNull || start1.isNull, lit(null).cast("string"))
+          .otherwise(J.fromText(
+            substring(s, lo.cast("int"), lit(Int.MaxValue)))), KJ)
       case "split" =>
         val s = J.asText(j0)
         val sep = J.asText(toJ(compile(args(1))))

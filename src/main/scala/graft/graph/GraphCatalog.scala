@@ -206,10 +206,13 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     */
   def createPropertyIndex(graph: String, label: String,
       idxName: Option[String], keys: Seq[String], unique: Boolean,
-      ifNotExists: Boolean = false): Unit = synchronized {
+      ifNotExists: Boolean = false): Unit = {
+    // NOT whole-body synchronized: validation and the reindex run
+    // multi-job Spark work — only the meta read-modify-write below
+    // takes the catalog monitor, so concurrent appends never stall
+    // behind an index build
     require(keys.nonEmpty, "property index needs at least one key")
-    val m = readMeta(graph)
-    val lm = m.labels.getOrElse(label,
+    val lm = readMeta(graph).labels.getOrElse(label,
       throw new IllegalStateException(s"""label "$label" does not exist"""))
     val autoKey = keys.head.takeWhile(c => c.isLetterOrDigit || c == '_')
     val nm = idxName.getOrElse(
@@ -228,22 +231,17 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       // common shape); multi-key/expression indexes are enforced from
       // the next write on.
       if (keys.length == 1 && ShredKeyRe.findFirstIn(keys.head).isDefined) {
-        val dir = labelDir(graph, label)
-        val any = Files.exists(dir) && { val s = Files.list(dir)
-          try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
-          finally s.close() }
-        if (any) {
-          import org.apache.spark.sql.functions._
-          val base = if (lm.kind == 'v') vertexSchema else edgeSchema
-          val k = graft.expr.J.sortKey(
-            graft.expr.J.getKey(col("properties"), keys.head))
-          val dup = spark.read.schema(base).parquet(dir.toString)
-            .select(k.as("__k")).where(col("__k").isNotNull)
-            .groupBy("__k").count().where(col("count") > 1)
-          if (!dup.isEmpty) throw new IllegalStateException(
-            s"""could not create unique index "$nm": """ +
-              s"""label "$label" contains duplicate values of "${keys.head}"""")
-        }
+        import org.apache.spark.sql.functions._
+        // scan the inheritance SUBTREE — the installed constraint is
+        // enforced across it, so validation must see the same rows
+        val k = graft.expr.J.sortKey(
+          graft.expr.J.getKey(col("properties"), keys.head))
+        val dup = scan(graph, label)
+          .select(k.as("__k")).where(col("__k").isNotNull)
+          .groupBy("__k").count().where(col("count") > 1)
+        if (!dup.isEmpty) throw new IllegalStateException(
+          s"""could not create unique index "$nm": """ +
+            s"""label "$label" contains duplicate values of "${keys.head}"""")
       }
       // the enforcement half: a unique property index IS a unique
       // constraint over the key tuple (propertyindex.sql piv4/piv5)
@@ -251,10 +249,29 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         else keys.mkString("[", ", ", "]")
       addConstraint(graph, label, s"${nm}_uc", "unique", body)
     }
-    m.labels(label) = lm.copy(indexes = lm.indexes :+
-      PropIndexMeta(nm, keys, unique))
-    writeMeta(graph, m)
-    reindexLabel(graph, label)
+    val committed =
+      try synchronized {
+        val fresh = readMeta(graph)
+        val flm = fresh.labels(label)
+        if (flm.indexes.exists(_.name == nm)) {
+          if (ifNotExists) false
+          else throw new IllegalStateException(
+            s"""index "$nm" already exists""")
+        } else {
+          fresh.labels(label) = flm.copy(indexes = flm.indexes :+
+            PropIndexMeta(nm, keys, unique))
+          writeMeta(graph, fresh)
+          true
+        }
+      } catch { case e: Throwable =>
+        // don't leak the enforcement half if the commit lost a race
+        if (unique) try dropConstraint(graph, s"${nm}_uc")
+        catch { case _: Throwable => () }
+        throw e
+      }
+    // on an ifNotExists race-skip the constraint stays: it carries the
+    // same name and semantics the racing winner installed
+    if (committed) reindexLabel(graph, label)
   }
 
   /** DROP PROPERTY INDEX name (OBJECT_PROPERTY_INDEX drop route). The

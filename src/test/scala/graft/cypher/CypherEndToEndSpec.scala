@@ -88,10 +88,15 @@ class CypherEndToEndSpec extends AnyFunSuite {
     val negLen = intercept[Exception](
       s.cypher("RETURN substring('123', 0, -1) AS r").collect()).getMessage
     assert(negLen.contains("negative substring length not allowed"))
-    // ... but substr is STRICT: a NULL string short-circuits to NULL
-    // before the length check ever runs
+    // ... but substr is STRICT: ANY null argument yields NULL — the
+    // string, the start (greatest() would otherwise skip the null and
+    // return the whole string) and the length
     assert(rows(s.cypher(
       "WITH null AS x RETURN substring(x, 0, -1) AS r")) == Seq(Seq(null)))
+    assert(rows(s.cypher(
+      "WITH null AS p RETURN substring('abc', p) AS r")) == Seq(Seq(null)))
+    assert(rows(s.cypher(
+      "WITH null AS l RETURN substring('abc', 0, l) AS r")) == Seq(Seq(null)))
   }
 
   test("EXPLAIN statement returns the plan without executing (cypher_dml.sql:475)") {

@@ -88,6 +88,12 @@ class DdlSpec extends AnyFunSuite {
     val m2 = intercept[Exception](
       s.cypher("SET graph_path = gp1, gp2")).getMessage
     assert(m2.contains("SET graph_path takes only one argument"))
+    // quoted form works; half-quoted is a syntax error
+    s.cypher("SET graph_path = 'gp1'")
+    assert(s.graphPath == "gp1")
+    intercept[Exception] { s.cypher("SET graph_path = 'gp2") }
+    intercept[Exception] { s.cypher("ALTER GRAPH nope OWNER TO x") }
+    s.cypher("SET graph_path = gp2") // back for the rename assertions
     // ALTER GRAPH statements (cypher_ddl.out:41-58)
     s.cypher("ALTER GRAPH gp2 RENAME TO gpr")
     assert(s.graphPath == "gpr" && s.catalog.graphExists("gpr"))
@@ -181,6 +187,15 @@ class DdlSpec extends AnyFunSuite {
     assert(m.contains("could not create unique index"), m)
     assert(s.catalog.label("puq", "piv4").get.indexes.isEmpty)
     assert(!s.catalog.constraints("puq").exists(_.name.contains("piv4_id_idx")))
+    // validation sees the inheritance SUBTREE (enforcement does too):
+    // duplicates split across parent and child still fail
+    s.cypher("CREATE VLABEL up")
+    s.cypher("CREATE VLABEL uc INHERITS (up)")
+    s.cypher("CREATE (:up {id: 7})")
+    s.cypher("CREATE (:uc {id: 7})")
+    val m2 = intercept[Exception](
+      s.cypher("CREATE UNIQUE PROPERTY INDEX ON up (id)")).getMessage
+    assert(m2.contains("could not create unique index"), m2)
   }
 
   test("unique constraint rejects duplicates, within batch and across") {
