@@ -54,8 +54,14 @@ object WriteOps {
     // SEPARATE passes — every label's constraints validate against the
     // forced frame before the first durable append, so a CHECK/UNIQUE
     // violation on the Nth label cannot leave labels 1..N-1 written.
-    val deferredChecks = scala.collection.mutable.ArrayBuffer
-      .empty[DataFrame => Unit]
+    // The checks pass is STATEMENT-LEVEL: each constraint sees the
+    // union of every pending element whose label it governs, so a
+    // cross-element duplicate (`CREATE (:u {id:3}), (:u {id:3})`)
+    // still violates a unique constraint even though no single
+    // element's batch repeats the key and nothing has been appended
+    // yet.
+    val pendingChecks = scala.collection.mutable.ArrayBuffer
+      .empty[(String, DataFrame => DataFrame)]
     val deferredAppends = scala.collection.mutable.ArrayBuffer
       .empty[DataFrame => Unit]
     paths.foreach { p =>
@@ -137,10 +143,9 @@ object WriteOps {
           df = df.withColumn(nodeName,
             struct(idCol.cast("long").as("id"), propsCol.as("properties")))
           vars = vars :+ (nodeName -> KV)
-          deferredChecks += { fdf =>
-            checkConstraints(b, label,
-              fdf.select(col(Compiler.q(nodeName)).getField("properties").as("properties")))
-          }
+          pendingChecks += (label -> { fdf: DataFrame =>
+            fdf.select(col(Compiler.q(nodeName)).getField("properties").as("properties"))
+          })
           deferredAppends += { fdf =>
             b.catalog.append(b.graph, label,
               fdf.select(col(Compiler.q(nodeName)).getField("id").as("id"),
@@ -171,10 +176,9 @@ object WriteOps {
             struct(idCol.as("id"), startId.as("start"), endId.as("end"),
               propsCol.as("properties")))
           vars = vars :+ (relName -> KE)
-          deferredChecks += { fdf =>
-            checkConstraints(b, tpe,
-              fdf.select(col(Compiler.q(relName)).getField("properties").as("properties")))
-          }
+          pendingChecks += (tpe -> { fdf: DataFrame =>
+            fdf.select(col(Compiler.q(relName)).getField("properties").as("properties"))
+          })
           deferredAppends += { fdf =>
             b.catalog.append(b.graph, tpe,
               fdf.select(col(Compiler.q(relName)).getField("id").as("id"),
@@ -204,7 +208,8 @@ object WriteOps {
     // object-shape raise_error) BEFORE the first append; then ALL
     // constraint checks, then all appends
     val finalDf = df.localCheckpoint(true)
-    deferredChecks.foreach(_(finalDf))
+    checkConstraints(b, pendingChecks.toSeq.map { case (l, fx) =>
+      (l, fx(finalDf)) })
     deferredAppends.foreach(_(finalDf))
     State(finalDf.drop("__cidx"), vars)
   }
@@ -215,14 +220,28 @@ object WriteOps {
     * refer to properties of the inserted element.
     */
   private def checkConstraints(b: Builder, label: String,
-      newRows: DataFrame): Unit = {
-    val applicable = b.catalog.constraints(b.graph).filter(c =>
-      b.catalog.ancestors(b.graph, label).contains(c.label))
+      newRows: DataFrame): Unit =
+    checkConstraints(b, Seq(label -> newRows))
+
+  /** Statement-level form: each constraint validates the UNION of
+    * every pending element whose label it governs, so cross-element
+    * and cross-subtree duplicates within one statement are caught
+    * BEFORE anything appends (the reference sees them because each
+    * row's insert consults the index the previous row just updated).
+    */
+  private def checkConstraints(b: Builder,
+      elems: Seq[(String, DataFrame)]): Unit = {
+    val all = b.catalog.constraints(b.graph)
+    if (all.isEmpty || elems.isEmpty) return
+    val applicable = all.flatMap { c =>
+      val hit = elems.filter { case (l, _) =>
+        b.catalog.ancestors(b.graph, l).contains(c.label) }
+      if (hit.isEmpty) None
+      else Some((c, hit.map(_._2).reduce(_ unionAll _)))
+    }
     if (applicable.isEmpty) return
     // compile the body against a one-var frame (__self holds the props)
     val selfVars: Vector[(String, Kind)] = Vector("__self" -> KV)
-    val frame = newRows.select(struct(lit(0L).as("id"),
-      col("properties").as("properties")).as("__self"))
     def mapChildren(e: Expr): Expr = e match {
       case Vbl(n) => Prop(Vbl("__self"), n)
       case BinOp(op, l, r) => BinOp(op, mapChildren(l), mapChildren(r))
@@ -240,7 +259,9 @@ object WriteOps {
       case other => other
     }
     val comp = new Compiler(selfVars.toMap, Map.empty, Map.empty, Map.empty)
-    applicable.foreach { c =>
+    applicable.foreach { case (c, newRows) =>
+      val frame = newRows.select(struct(lit(0L).as("id"),
+        col("properties").as("properties")).as("__self"))
       val body = Parser.parseExpression(c.expr)
       c.kind match {
         case "check" =>
@@ -250,7 +271,7 @@ object WriteOps {
           val cond = comp.toBool(comp.compile(mapChildren(body)))
           if (!frame.where(!coalesce(cond, lit(true))).isEmpty)
             throw new IllegalStateException(
-              s"""new row for label "$label" violates check constraint "${c.name}"""")
+              s"""new row for label "${c.label}" violates check constraint "${c.name}"""")
         case "unique" =>
           val keyCol = comp.toJ(comp.compile(mapChildren(body)))
           val newKeys = frame.select(keyCol.as("__k")).where(col("__k").isNotNull)
@@ -428,13 +449,16 @@ object WriteOps {
           count(lit(1)).as("__nupd"))
         .localCheckpoint(true)
       if (!multiOk) {
-        updates.where(col("__nupd") > 1).select("id").limit(5).collect()
-          .foreach { r =>
-            val gid = r.getLong(0)
-            System.err.println(
-              s"WARNING:  graph element(${gid >>> 48},${gid & ((1L << 48) - 1)}) " +
-                "has been SET multiple times")
-          }
+        val repeated = updates.where(col("__nupd") > 1)
+        val total = repeated.count()
+        repeated.select("id").limit(5).collect().foreach { r =>
+          val gid = r.getLong(0)
+          System.err.println(
+            s"WARNING:  graph element(${gid >>> 48},${gid & ((1L << 48) - 1)}) " +
+              "has been SET multiple times")
+        }
+        if (total > 5) System.err.println(
+          s"WARNING:  ... and ${total - 5} more elements SET multiple times")
       }
       val nUpd = updates.count()
       b.updatedProperties += nUpd
@@ -490,7 +514,72 @@ object WriteOps {
     * loop — the reference is row-at-a-time here too and the shape is
     * inherently sequential); everything else uses the set-based path.
     */
+  /** Pattern-validity rules of transformCreatePattern as a PURE pass —
+    * the same duplicate-variable / structure guards create() applies
+    * inline while building. MERGE must run them UNCONDITIONALLY at
+    * statement start: its create() branch only executes when rows
+    * miss, and the reference rejects an invalid pattern at parse time
+    * regardless of whether anything would be created.
+    */
+  private[cypher] def validateCreatePaths(vars0: Seq[(String, Kind)],
+      paths: Seq[PathPattern], cmd: String = "CREATE"): Unit = {
+    var vars = vars0
+    val pathVarsSeen = scala.collection.mutable.Set.empty[String]
+    def dup(n: String): Nothing =
+      throw new IllegalArgumentException(s"""duplicate variable "$n"""")
+    paths.foreach { p =>
+      p.variable.foreach { pv =>
+        if (vars.exists(_._1 == pv) || pathVarsSeen(pv)) dup(pv)
+        pathVarsSeen += pv
+      }
+      val nodeVarsInPath =
+        (p.head.variable ++ p.tail.flatMap(_._2.variable)).toSeq
+      val edgeVarsInPath = p.tail.flatMap(_._1.variable)
+      val seenNodesInPath = scala.collection.mutable.Set.empty[String]
+      def vertexRef(nv: String, labeled: Boolean): Unit = {
+        if (pathVarsSeen(nv) || edgeVarsInPath.contains(nv)) dup(nv)
+        val bound = vars.find(_._1 == nv)
+        if (bound.exists(_._2 != KV)) dup(nv)
+        if ((bound.isDefined || seenNodesInPath(nv)) && labeled) dup(nv)
+        seenNodesInPath += nv
+      }
+      p.head.variable.foreach { hv =>
+        vertexRef(hv, p.head.label.nonEmpty || p.head.props.nonEmpty)
+        if (vars.exists(_._1 == hv) && p.tail.isEmpty)
+          throw new IllegalArgumentException(
+            "there must be at least one relationship")
+      }
+      p.tail.foreach { case (r, nd) =>
+        r.variable.foreach { rv =>
+          if (vars.exists(_._1 == rv) || pathVarsSeen(rv) ||
+              nodeVarsInPath.contains(rv) ||
+              edgeVarsInPath.count(_ == rv) > 1) dup(rv)
+        }
+        nd.variable.foreach(nv =>
+          vertexRef(nv, nd.label.nonEmpty || nd.props.nonEmpty))
+        if (r.direction == 0) throw new IllegalArgumentException(
+          s"only directed relationships are allowed in $cmd")
+        if (r.types.size != 1) throw new IllegalArgumentException(
+          s"only one relationship type is allowed for $cmd")
+      }
+      if (p.head.label.contains("ag_vertex") ||
+          p.tail.exists(_._2.label.contains("ag_vertex")))
+        throw new IllegalArgumentException(
+          "specifying default label is not allowed")
+      if (p.tail.exists(_._1.types.contains("ag_edge")))
+        throw new IllegalArgumentException("cannot create edge on default label")
+      // the statement binds the path's new vars for LATER paths
+      nodeVarsInPath.foreach { nv =>
+        if (!vars.exists(_._1 == nv)) vars = vars :+ (nv -> (KV: Kind)) }
+      edgeVarsInPath.foreach(ev => vars = vars :+ (ev -> (KE: Kind)))
+    }
+  }
+
   def merge(b: Builder, st0: State, m: MergeClause): State = {
+    // pattern rules apply whether or not anything misses (see
+    // validateCreatePaths) — run them before the match/create fork
+    // (reference: transformMergeRel, parse_graph.c:4693-4700)
+    validateCreatePaths(st0.vars, Seq(m.path), cmd = "MERGE")
     val mergeVars: Set[String] =
       (m.path.head.variable.toSeq ++
         m.path.tail.flatMap { case (r, nd2) => r.variable.toSeq ++ nd2.variable.toSeq }).toSet

@@ -68,6 +68,49 @@ class DmlValiditySpec extends AnyFunSuite {
     assert(n == "1")
   }
 
+  test("cross-element unique violation within one statement is caught pre-append") {
+    // two pattern ELEMENTS with the same key: no single element's batch
+    // repeats it and nothing has appended yet — the statement-level
+    // check must still see the union (the reference sees it because
+    // each insert consults the index the previous insert updated)
+    val t = fresh()
+    t.createVLabel("ux")
+    t.cypher("CREATE CONSTRAINT ON ux ASSERT id IS UNIQUE")
+    intercept[Exception] {
+      t.cypher("CREATE (:ux {id: 3}), (:ux {id: 3})").collect()
+    }
+    intercept[Exception] {
+      t.cypher("CREATE (:ux {id: 4})-[:lib]->(:ux {id: 4})").collect()
+    }
+    assert(t.cypher("MATCH (n:ux) RETURN count(*) AS n")
+      .collect()(0).getString(0) == "0")
+    // subtree variant: parent + child share the ancestor's constraint
+    t.createVLabel("uxc", parents = Seq("ux"))
+    intercept[Exception] {
+      t.cypher("CREATE (:ux {id: 5}), (:uxc {id: 5})").collect()
+    }
+    assert(t.cypher("MATCH (n:ux) RETURN count(*) AS n")
+      .collect()(0).getString(0) == "0")
+    t.cypher("CREATE (:ux {id: 6}), (:uxc {id: 7})") // distinct keys pass
+    assert(t.cypher("MATCH (n:ux) RETURN count(*) AS n")
+      .collect()(0).getString(0) == "2")
+  }
+
+  test("MERGE pattern rules apply even when every row matches (transformMergeRel)") {
+    val t = fresh()
+    // seed so the invalid pattern WOULD fully match: validation must
+    // fire anyway, not only on the create branch
+    t.cypher("CREATE (a {x: 1})-[:lib]->({y: 2})")
+    def terr(q: String): String =
+      intercept[Exception](t.cypher(q).collect()).getMessage
+    assert(terr("MERGE (a {x:1})-[:lib]->(a {y:2})")
+      .contains("duplicate variable \"a\""))
+    assert(terr("MERGE (a)-[:lib|doc]->(b)")
+      .contains("only one relationship type is allowed for MERGE"))
+    assert(terr("MERGE (a)-[:lib]-(b)")
+      .contains("only directed relationships are allowed in MERGE"))
+  }
+
   test("constraint violation on a later label leaves earlier labels unwritten") {
     // checks run as a separate pass BEFORE any append: a CHECK
     // violation on the second label must not leave the first label's
