@@ -1540,11 +1540,6 @@ object PipelineQueries {
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
         .localCheckpoint(true) // three consumers (deg + both wedge sides)
-      val deg = cp.groupBy("p").agg(count(lit(1)).as("dp"))
-      val wedges = cp.alias("x")
-        .join(cp.alias("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-        .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.p").as("p"))
-        .join(deg, "p")
       // each 1/ln(dp) term rounds to 6 digits, scales to an exact LONG
       // (micro-units), and sums as integers (not a raw double sum,
       // whose accumulation order differs between engines and can flip
@@ -1552,9 +1547,20 @@ object PipelineQueries {
       // float-ordering discipline in its cheapest form: long sums
       // codegen partial-aggregate, unlike a decimal UDAF. The second
       // round() kills the binary error of *1e6 before the cast.
+      // The term is a pure function of dp, so it's computed ONCE per
+      // part here (P rounds) instead of once per wedge row (W ≫ P
+      // rounds — round() on doubles allocates a BigDecimal per call),
+      // and rides the x side of the self-join below, which also
+      // removes the third join (wedges ⋈ deg) entirely.
+      val deg = cp.groupBy("p").agg(count(lit(1)).as("dp"))
+        .withColumn("term", round(round(lit(1.0) / log(col("dp")), 6) * 1e6, 0)
+          .cast("long"))
+      val cpT = cp.join(deg.select("p", "term"), "p") // same key as the self-join
+      val wedges = cpT.alias("x")
+        .join(cp.alias("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.term").as("term"))
       wedges.groupBy("ca", "cb")
-        .agg(round(sum(round(round(lit(1.0) / log(col("dp")), 6) * 1e6, 0)
-            .cast("long")).cast("double") / 1e6, 6).as("aa"),
+        .agg(round(sum(col("term")).cast("double") / 1e6, 6).as("aa"),
           count(lit(1)).as("n_common"))
         .orderBy(col("aa").desc, col("ca"), col("cb"))
         .limit(25)
@@ -1582,17 +1588,19 @@ object PipelineQueries {
         .localCheckpoint(true)
       val deg = cp.groupBy("p").agg(count(lit(1)).as("dp"))
         .where(col("dp") >= 2 && col("dp") <= 28)
+        // per-part micro-unit term (see p107): computed P times, not
+        // once per wedge row, and carried through the self-join
+        .withColumn("term", round(round(lit(1.0) / log(col("dp")), 6) * 1e6, 0)
+          .cast("long"))
       // filter the adjacency BY the capped middle set first: wedges
       // never form through a hub at all (the join, not a post-filter)
-      val cpCapped = cp.join(deg.select("p"), "p")
+      val cpCapped = cp.join(deg.select("p", "term"), "p")
       val wedges = cpCapped.alias("x")
         .join(cpCapped.alias("y"),
           col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-        .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.p").as("p"))
-        .join(deg, "p")
+        .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.term").as("term"))
       wedges.groupBy("ca", "cb")
-        .agg(round(sum(round(round(lit(1.0) / log(col("dp")), 6) * 1e6, 0)
-            .cast("long")).cast("double") / 1e6, 6).as("aa"),
+        .agg(round(sum(col("term")).cast("double") / 1e6, 6).as("aa"),
           count(lit(1)).as("n_common"))
         .orderBy(col("aa").desc, col("ca"), col("cb"))
         .limit(25)
