@@ -178,8 +178,7 @@ final class Builder(
     if (e1.types.sorted != e2.types.sorted || e1.only != e2.only) return None
     if (e1.variable.nonEmpty || e2.variable.nonEmpty) return None
     if (e1.props.nonEmpty || e2.props.nonEmpty) return None
-    if (bN.props.nonEmpty || bN.only != aN.only || bN.label != aN.label)
-      return None
+    if (bN.only != aN.only || bN.label != aN.label) return None
     val aV = aN.variable.getOrElse(return None)
     val bV = bN.variable.getOrElse(return None)
     if (aV == bV || nN.variable.exists(v => v == aV || v == bV)) return None
@@ -199,9 +198,7 @@ final class Builder(
     }
     if (nN.props.exists(pe => refNames(pe).exists(v => v == aV || v == bV)))
       return None
-    if (aN.props.exists(pe => refNames(pe).contains(bV))) return None
-    // WHERE: at least one id(a) < id(b) half-pair conjunct; everything
-    // else may reference a and n but never b
+    // WHERE: at least one id(a) < id(b) half-pair conjunct
     def conjuncts(e: Expr): Seq[Expr] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
@@ -215,32 +212,52 @@ final class Builder(
     }
     val (half, residual) = cs.partition(isHalf)
     if (half.isEmpty) return None
-    if (residual.exists(r => refNames(r).contains(bV))) return None
+    if (p.star) return None
     // projection: at least one aggregate, every aggregate a bare
     // count(*) (any other aggregate sees per-pair multiplicities the
-    // single-scan form cannot reproduce), and no reference to b
-    if (p.star) return None
+    // single-scan form cannot reproduce)
     val aggItems = p.items.filter { case (e, _) => Compiler.hasAgg(e) }
     if (aggItems.isEmpty || !aggItems.forall(_._1 == CountStar)) return None
     val others = p.items.filter { case (e, _) => !Compiler.hasAgg(e) }
-    if (others.exists(i => refNames(i._1).contains(bV))) return None
-    if (p.orderBy.exists(o => refNames(o._1).contains(bV))) return None
-    if (p.where.exists(w => refNames(w).contains(bV))) return None
+    // one endpoint must be an exact bare twin of the other (no props)
+    // whose variable nothing outside the pattern references — that
+    // endpoint disappears into the window count. Anchor on the OTHER
+    // endpoint: anchor = a counts strictly-GREATER-id partners (the
+    // suffix), anchor = b the strictly-SMALLER ones (the prefix,
+    // canonicalized by flipping the window's ordering) — the mirrored
+    // `(a)-…-(b {props})` form rewrites just like the original.
+    def refsVar(v: String): Boolean =
+      residual.exists(r => refNames(r).contains(v)) ||
+        others.exists(i => refNames(i._1).contains(v)) ||
+        p.orderBy.exists(o => refNames(o._1).contains(v)) ||
+        p.where.exists(w => refNames(w).contains(v)) ||
+        aN.props.exists(pe => refNames(pe).contains(v)) ||
+        bN.props.exists(pe => refNames(pe).contains(v))
+    val anchorIsA =
+      if (bN.props.isEmpty && !refsVar(bV)) true
+      else if (aN.props.isEmpty && !refsVar(aV)) false
+      else return None
+    val (anchorN, anchorV) = if (anchorIsA) (aN, aV) else (bN, bV)
 
-    // single unfiltered adjacency scan (x)-[:t]->(n): a's props and
-    // the residual WHERE apply AFTER the window, so the suffix count
-    // ranges over every candidate b
+    // single unfiltered adjacency scan (x)-[:t]->(n) — both hops scan
+    // the SAME adjacency, so the anchor takes either endpoint's seat:
+    // the anchor's props and the residual WHERE apply AFTER the
+    // window, so the partner count ranges over every candidate twin
     val init = State(spark.range(1).select(lit(0L).as("__dummy")), Vector.empty)
     var st = buildMatch(init, Match(
-      Seq(PathPattern(None, aN.copy(props = None), Seq((e1, nN)))),
+      Seq(PathPattern(None, anchorN.copy(props = None), Seq((e1, nN)))),
       optional = false, where = None))
     val nName = st.vars.collectFirst {
-      case (nm, KV) if nm != aV => nm }.getOrElse(return None)
-    val aId = col(Compiler.q(aV)).getField("id")
+      case (nm, KV) if nm != anchorV => nm }.getOrElse(return None)
+    val aId = col(Compiler.q(anchorV)).getField("id")
     val nId = col(Compiler.q(nName)).getField("id")
     import org.apache.spark.sql.expressions.Window
     val wTot = Window.partitionBy(nId)
-    val wLe = Window.partitionBy(nId).orderBy(aId)
+    // RANGE frame to current row counts partners on the anchor's side
+    // of the order INCLUDING same-id rows; tot − that = the strict
+    // other side (ascending ⇒ greater ids, descending ⇒ smaller)
+    val wLe = Window.partitionBy(nId)
+      .orderBy(if (anchorIsA) aId.asc else aId.desc)
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val sfx = count(lit(1)).over(wTot) - count(lit(1)).over(wLe)
     // the suffix filter is applied LAST: the a-side filters (props,
@@ -249,8 +266,8 @@ final class Builder(
     // ColumnPruning drops the Window from the probe branch entirely —
     // filtering here first would pin the window recomputation onto it
     st = State(st.df.withColumn("__sfxl", sfx), st.vars)
-    aN.props.foreach { pe =>
-      st = State(st.df.where(propQual(st, aV, pe)), st.vars) }
+    anchorN.props.foreach { pe =>
+      st = State(st.df.where(propQual(st, anchorV, pe)), st.vars) }
     residual.foreach { w =>
       val (st2, w2) = rewriteExistsPatterns(st, w)
       val comp = compiler(st2)

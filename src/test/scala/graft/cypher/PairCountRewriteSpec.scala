@@ -80,14 +80,28 @@ class PairCountRewriteSpec extends AnyFunSuite {
     // orderBy exprs, not just the projection items
     """MATCH (a:n)-[:t]->(m:n)<-[:t]-(b:n) WHERE id(a) < id(b)
       |RETURN m.k AS mk, count(*) AS c ORDER BY count(*) DESC, mk LIMIT 3""".stripMargin,
+    // symmetric-props canonicalization: the BARE twin is a, the props
+    // ride on b — anchors on b and counts strictly-smaller-id partners
+    """MATCH (a:n)-[:t]->(m:n)<-[:t]-(b:n {grp: 2}) WHERE id(a) < id(b)
+      |RETURN m.k AS mk, count(*) AS c""".stripMargin,
+    // symmetric: residual + grouping reference b, never a
+    """MATCH (a:n)-[:t]->(m:n)<-[:t]-(b:n {grp: 1})
+      |WHERE id(a) < id(b) AND b.k < 8
+      |RETURN b.grp AS g, count(*) AS c""".stripMargin,
     // NOT rewritable: b is referenced by an aggregate — pair join stays
     """MATCH (a:n)-[:t]->(m:n)<-[:t]-(b:n) WHERE id(a) < id(b)
       |RETURN m.k AS mk, count(*) AS c, max(b.k) AS mb""".stripMargin,
     // NOT rewritable: asymmetric edge types
     """MATCH (a:n)-[:t]->(m:n)<-[:u]-(b:n) WHERE id(a) < id(b)
       |RETURN m.k AS mk, count(*) AS c""".stripMargin,
-    // NOT rewritable: b carries a property constraint
-    """MATCH (a:n)-[:t]->(m:n)<-[:t]-(b:n {grp: 2}) WHERE id(a) < id(b)
+    // NOT rewritable: BOTH endpoints carry props — neither is a bare
+    // twin the window can absorb
+    """MATCH (a:n {grp: 0})-[:t]->(m:n)<-[:t]-(b:n {grp: 2})
+      |WHERE id(a) < id(b)
+      |RETURN m.k AS mk, count(*) AS c""".stripMargin,
+    // NOT rewritable: residual references both endpoints
+    """MATCH (a:n)-[:t]->(m:n)<-[:t]-(b:n)
+      |WHERE id(a) < id(b) AND a.grp = b.grp
       |RETURN m.k AS mk, count(*) AS c""".stripMargin)
 
   test("pair-count window ≡ pair join on randomized multigraphs") {
@@ -110,8 +124,13 @@ class PairCountRewriteSpec extends AnyFunSuite {
       s.cypher(q).queryExecution.optimizedPlan.toString
     val canonical = plan(queries.head)
     assert(canonical.contains("Window"), canonical)
+    // the symmetric-props form (a bare, b carries the map) fires too
+    val mirrored = plan(
+      """MATCH (a:n)-[:t]->(m:n)<-[:t]-(b:n {grp: 2}) WHERE id(a) < id(b)
+        |RETURN m.k AS mk, count(*) AS c""".stripMargin)
+    assert(mirrored.contains("Window"), mirrored)
     // excluded shapes keep the written pair join (no window anywhere)
-    for (q <- queries.takeRight(3))
+    for (q <- queries.takeRight(4))
       assert(!plan(q).contains("Window"), q)
   }
 }
