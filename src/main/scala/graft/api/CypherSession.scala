@@ -51,7 +51,7 @@ final class CypherSession(
     * reference's single SQL front door.
     */
   def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame =
-    ddlStatement(query).getOrElse(runAst(Parser.parse(query), params))
+    ddlStatement(query, params).getOrElse(runAst(Parser.parse(query), params))
 
   private val CreateGraphRe =
     """(?is)CREATE\s+GRAPH(\s+IF\s+NOT\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AUTHORIZATION\s+([A-Za-z_][A-Za-z0-9_]*))?""".r
@@ -94,7 +94,8 @@ final class CypherSession(
     * [NO] INHERIT y` (cypher_ddl.sql:163-168). Utility statements
     * return an empty frame.
     */
-  private def ddlStatement(query: String): Option[DataFrame] = {
+  private def ddlStatement(query: String,
+      params: Map[String, Any] = Map.empty): Option[DataFrame] = {
     val q = query.trim.stripSuffix(";").trim
     q match {
       // statement-level graph/label DDL (gram.y:16677-16800). The
@@ -105,12 +106,14 @@ final class CypherSession(
       // front door, cypher_dml.sql:475+): compile without executing
       // and return the optimized/physical plan as rows. The options
       // list is accepted and ignored — Spark's formatted explain is
-      // the native equivalent of VERBOSE/COSTS OFF. Two documented
-      // divergences: writes are rejected (they apply at plan-build
-      // time here, the reference plans them unexecuted), and a
-      // path-finder search (shortestpath/dijkstra/VLE) materializes
-      // its iterative frontier during planning — its EXPLAIN costs
-      // close to the query (the loop IS the plan construction).
+      // the native equivalent of VERBOSE/COSTS OFF. Write statements
+      // mirror the reference's EXPLAIN over ModifyGraph plans: the
+      // read prefix is planned faithfully, the write op is described
+      // (kind, target labels, victim estimate) and NOTHING is applied.
+      // One documented divergence: a path-finder search (shortestpath/
+      // dijkstra/VLE) materializes its iterative frontier during
+      // planning — its EXPLAIN costs close to the query (the loop IS
+      // the plan construction).
       case ExplainRe(_, inner) =>
         import spark.implicits._
         import graft.cypher.Ast
@@ -120,12 +123,18 @@ final class CypherSession(
                _: Ast.SetClause | _: Ast.MergeClause => true
           case _ => false
         })
-        if (writes) throw new IllegalArgumentException(
-          "EXPLAIN supports read-only Cypher here (writes apply at build time)")
-        val df = runAst(ast) // already parsed — don't parse twice
-        val text = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        Some(text.linesIterator.toSeq.toDF("plan"))
+        if (writes) {
+          require(currentGraph != null, "no graph selected (setGraphPath)")
+          val b = new Builder(spark, catalog, currentGraph, params.map {
+            case (k, v) => k -> toJValue(v)
+          }, name => spark.table(name))
+          Some(b.explainWrites(ast).toDF("plan"))
+        } else {
+          val df = runAst(ast, params) // already parsed — don't parse twice
+          val text = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Some(text.linesIterator.toSeq.toDF("plan"))
+        }
       // graph_path GUC statement forms (guc.c:4670-4677
       // check_graph_path; cypher_ddl.out:12-19,62-68)
       case SetGraphPathRe(value) =>

@@ -98,6 +98,95 @@ final class Builder(
 
   def runSingle(sq: SingleQuery): DataFrame = runSingleState(sq).df
 
+  /** EXPLAIN for write statements (the reference EXPLAINs ModifyGraph
+    * plans through PG's front door): plan the statement's READ prefix
+    * faithfully, describe each write clause — op kind, target labels,
+    * victim estimate from planner stats — without applying anything,
+    * then append the input frame's physical plan. Clauses after the
+    * first write cannot be planned without performing the write, so
+    * they are listed descriptively (the reference has the same
+    * asymmetry the other way: its ModifyGraph plan nests, but costs
+    * below the first write are estimates over unwritten state).
+    */
+  def explainWrites(q: Query): Seq[String] =
+    (q.first +: q.setOps.map(_._2)).zipWithIndex.flatMap { case (sq, i) =>
+      (if (i == 0) Seq.empty else Seq(s"-- set-op branch $i --")) ++
+        explainWriteSingle(sq)
+    }
+
+  private def explainWriteSingle(sq: SingleQuery): Seq[String] = {
+    def nodeDesc(n: NodePattern): String =
+      "(" + n.variable.getOrElse("") + n.label.map(":" + _).getOrElse("") +
+        (if (n.props.nonEmpty) " {…}" else "") + ")"
+    def patternDesc(pp: PathPattern): String = {
+      val sb = new StringBuilder(nodeDesc(pp.head))
+      pp.tail.foreach { case (r, n) =>
+        val t = if (r.types.nonEmpty) ":" + r.types.mkString("|") else ""
+        val core = if (r.variable.nonEmpty || t.nonEmpty)
+          s"[${r.variable.getOrElse("")}$t]" else ""
+        sb ++= (r.direction match {
+          case 1 => s"-$core->"
+          case -1 => s"<-$core-"
+          case _ => s"-$core-"
+        })
+        sb ++= nodeDesc(n)
+      }
+      sb.toString
+    }
+    def exprDesc(e: Expr): String = e match {
+      case Vbl(n) => n
+      case Prop(b, k) => s"${exprDesc(b)}.$k"
+      case other => other.toString.take(60)
+    }
+    def itemDesc(it: SetItem): String = it match {
+      case SetProp(t, _) => s"SET ${exprDesc(t)}"
+      case SetMap(v, _, add) => if (add) s"SET $v += {…}" else s"SET $v = {…}"
+      case RemoveProp(t) => s"REMOVE ${exprDesc(t)}"
+    }
+    val init = State(spark.range(1).select(lit(0L).as("__dummy")), Vector.empty)
+    var st = init
+    var planned = true // still inside the faithfully-planned read prefix
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def estRows: String =
+      if (!planned) "unknown (follows a write)"
+      else st.df.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toString).getOrElse("unknown")
+    sq.clauses.foreach {
+      case cc: CreateClause =>
+        val vl = cc.paths.flatMap(p =>
+          (p.head +: p.tail.map(_._2)).flatMap(_.label)).distinct
+        val el = cc.paths.flatMap(_.tail.map(_._1).flatMap(_.types)).distinct
+        out += s"ModifyGraph (op=CREATE, vertex_labels=[${vl.mkString(", ")}]" +
+          s", edge_labels=[${el.mkString(", ")}], input_rows=$estRows)"
+        cc.paths.foreach(p => out += s"  pattern: ${patternDesc(p)}")
+        planned = false
+      case d: DeleteClause =>
+        val op = if (d.detach) "DETACH DELETE" else "DELETE"
+        out += s"ModifyGraph (op=$op, targets=[" +
+          s"${d.exprs.map(exprDesc).mkString(", ")}], estimated_victims=$estRows)"
+        planned = false
+      case sc: SetClause =>
+        out += s"ModifyGraph (op=SET, items=[" +
+          s"${sc.items.map(itemDesc).mkString(", ")}], estimated_victims=$estRows)"
+        planned = false
+      case mg: MergeClause =>
+        out += s"ModifyGraph (op=MERGE, pattern=${patternDesc(mg.path)}" +
+          s", on_create=${mg.onCreate.length}, on_match=${mg.onMatch.length}" +
+          s", input_rows=$estRows)"
+        planned = false
+      case r if planned =>
+        st = applyClause(st, r)
+      case r =>
+        out += s"  post-write clause (planned at execution): " +
+          r.getClass.getSimpleName.stripSuffix("$")
+    }
+    out += ""
+    out += "Input plan:"
+    out ++= st.df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).linesIterator
+    out.toSeq
+  }
+
   private def runSingleState(sq: SingleQuery): State = {
     checkEagerAllowed(sq)
     sq.clauses match {

@@ -1,0 +1,107 @@
+package graft.cypher
+
+import graft.SparkTestBase
+import graft.api.CypherSession
+import graft.graph.GraphCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EXPLAIN over write statements (the reference EXPLAINs ModifyGraph
+  * plans through PG's EXPLAIN front door): the statement must be
+  * described — op kind, target labels, victim estimate, input plan —
+  * and NOT applied. Also covers parameterized EXPLAIN (params must
+  * thread from cypher() into the EXPLAIN path).
+  */
+class ExplainWriteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def freshSession(): CypherSession = {
+    val root = java.nio.file.Files.createTempDirectory("graft_expw").toString
+    val s = new CypherSession(spark, new GraphCatalog(spark, root))
+    s.createGraph("g")
+    s.createVLabel("person"); s.createELabel("knows")
+    for (i <- 0 until 5) s.cypher(s"CREATE (:person {k: $i})")
+    s.cypher("MATCH (a:person {k: 0}), (b:person {k: 1}) CREATE (a)-[:knows]->(b)")
+    s
+  }
+
+  private def planText(s: CypherSession, q: String,
+      params: Map[String, Any] = Map.empty): String =
+    s.cypher(q, params).collect().map(_.getString(0)).mkString("\n")
+
+  private def countV(s: CypherSession): Long =
+    s.cypher("MATCH (n:person) RETURN count(*) AS c")
+      .collect().head.get(0).toString.toLong
+
+  test("EXPLAIN CREATE describes the op and applies nothing") {
+    val s = freshSession()
+    val before = countV(s)
+    val p = planText(s, "EXPLAIN CREATE (:person {k: 99})-[:knows]->(:person {k: 100})")
+    assert(p.contains("ModifyGraph (op=CREATE"), p)
+    assert(p.contains("vertex_labels=[person]"), p)
+    assert(p.contains("edge_labels=[knows]"), p)
+    assert(p.contains("pattern: (:person {…})-[:knows]->(:person {…})"), p)
+    assert(countV(s) == before, "EXPLAIN must not create")
+  }
+
+  test("EXPLAIN MATCH … DETACH DELETE plans the read prefix, estimates victims, deletes nothing") {
+    val s = freshSession()
+    val before = countV(s)
+    val p = planText(s, "EXPLAIN MATCH (n:person) WHERE n.k < 3 DETACH DELETE n")
+    assert(p.contains("ModifyGraph (op=DETACH DELETE"), p)
+    assert(p.contains("targets=[n]"), p)
+    assert(p.contains("estimated_victims="), p)
+    // the read prefix (the MATCH scan) must appear as a real plan
+    assert(p.contains("Input plan:"), p)
+    assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
+    assert(countV(s) == before, "EXPLAIN must not delete")
+  }
+
+  test("EXPLAIN MATCH … SET describes items and applies nothing") {
+    val s = freshSession()
+    val p = planText(s, "EXPLAIN MATCH (n:person {k: 2}) SET n.tag = 'x'")
+    assert(p.contains("ModifyGraph (op=SET"), p)
+    assert(p.contains("SET n.tag"), p)
+    val tagged = s.cypher(
+      "MATCH (n:person) WHERE n.tag IS NOT NULL RETURN count(*) AS c")
+      .collect().head.get(0).toString.toLong
+    assert(tagged == 0L, "EXPLAIN must not set")
+  }
+
+  test("EXPLAIN MERGE describes the pattern and ON CREATE/ON MATCH arms") {
+    val s = freshSession()
+    val before = countV(s)
+    val p = planText(s,
+      "EXPLAIN MERGE (n:person {k: 42}) ON CREATE SET n.fresh = true ON MATCH SET n.seen = true")
+    assert(p.contains("ModifyGraph (op=MERGE"), p)
+    assert(p.contains("pattern=(n:person {…})"), p)
+    assert(p.contains("on_create=1"), p)
+    assert(p.contains("on_match=1"), p)
+    assert(countV(s) == before, "EXPLAIN must not merge")
+  }
+
+  test("post-write clauses are listed descriptively, not planned") {
+    val s = freshSession()
+    val p = planText(s,
+      "EXPLAIN CREATE (n:person {k: 7}) RETURN n.k AS k")
+    assert(p.contains("ModifyGraph (op=CREATE"), p)
+    assert(p.contains("post-write clause"), p)
+  }
+
+  test("EXPLAIN of a parameterized read query threads params") {
+    val s = freshSession()
+    // without threading this raised a missing-parameter error
+    val p = planText(s,
+      "EXPLAIN MATCH (n:person) WHERE n.k = $kk RETURN n.k AS k",
+      Map("kk" -> 2))
+    assert(p.nonEmpty && (p.contains("Scan") || p.contains("Project")), p)
+  }
+
+  test("EXPLAIN of a parameterized write threads params too") {
+    val s = freshSession()
+    val before = countV(s)
+    val p = planText(s,
+      "EXPLAIN MATCH (n:person) WHERE n.k = $kk DELETE n", Map("kk" -> 1))
+    assert(p.contains("ModifyGraph (op=DELETE"), p)
+    assert(countV(s) == before)
+  }
+}
