@@ -806,10 +806,12 @@ final class Builder(
     val pathVertices = Vector.newBuilder[Column]
     val pathEdges = Vector.newBuilder[Column]
     pathVertices += array(col(Compiler.q(prevName)))
+    var prevPat: Option[NodePattern] = Some(p.head)
     p.tail.foreach { case (rel, node) =>
       val (st2, relName, nodeName, relKind) =
-        bindRel(st, prevName, rel, node, p.variable.isDefined)
+        bindRel(st, prevName, rel, node, p.variable.isDefined, prevPat)
       st = st2
+      prevPat = Some(node)
       edgeVars += (relName -> relKind)
       if (relKind == KE) pathEdges += array(col(Compiler.q(relName)))
       else pathEdges += col(Compiler.q(relName))
@@ -950,12 +952,56 @@ final class Builder(
     }
   }
 
+  /** (estimated matched-edge count, prev-side labid set, target-side
+    * labid set in __s/__e orientation) for a fixed-length hop, from
+    * the cached ag_graphmeta matrix. None when graphmeta planning is
+    * toggled off (`spark.graft.graphmetaPlanning=false`) or the graph
+    * has no edge stats. A label set is None when that endpoint is
+    * unconstrained by the pattern. The estimate is an upper bound:
+    * property/residual predicates only shrink the hop further.
+    */
+  private def graphmetaHopEstimate(rel: RelPattern, prevPat: Option[NodePattern],
+      node: NodePattern): Option[(Long, Option[Set[Int]], Option[Set[Int]])] = {
+    if (spark.conf.get("spark.graft.graphmetaPlanning", "true") == "false")
+      return None
+    val counts = try catalog.graphmetaCounts(graph)
+      catch { case _: Throwable => return None }
+    if (counts.isEmpty) return None
+    def vIds(n: Option[NodePattern]): Option[Set[Int]] =
+      n.flatMap(pat => pat.label.map { l =>
+        if (pat.only) catalog.label(graph, l).map(_.labid).toSet
+        else catalog.subtree(graph, l).map(_.labid).toSet
+      })
+    val eIds: Option[Set[Int]] =
+      if (rel.types.isEmpty) None
+      else Some(rel.types.flatMap { t =>
+        if (rel.only) catalog.label(graph, t).map(_.labid).toSeq
+        else catalog.subtree(graph, t).map(_.labid)
+      }.toSet)
+    val prevIds = vIds(prevPat)
+    val tgtIds = vIds(Some(node))
+    def est1(sSet: Option[Set[Int]], tSet: Option[Set[Int]]): Long =
+      counts.iterator.map { case ((s, e, t), c) =>
+        if (eIds.forall(_.contains(e)) && sSet.forall(_.contains(s)) &&
+          tSet.forall(_.contains(t))) c else 0L
+      }.sum
+    // __s is the prev-side endpoint after edgeScan's orientation
+    // normalization; the matrix keys on the PHYSICAL (start, end)
+    val est = rel.direction match {
+      case 1 => est1(prevIds, tgtIds)
+      case -1 => est1(tgtIds, prevIds)
+      case _ => est1(prevIds, tgtIds) + est1(tgtIds, prevIds)
+    }
+    Some((est, prevIds, tgtIds))
+  }
+
   /** Join one relationship hop (+ target node) onto the frame:
     * equi-joins on graphid columns (transformComponents quals
     * parse_graph.c:1579-1784) — Catalyst picks broadcast/shuffle.
     */
   private def bindRel(st0: State, prevName: String, rel: RelPattern,
-      node: NodePattern, needVerts: Boolean = true): (State, String, String, Kind) = {
+      node: NodePattern, needVerts: Boolean = true,
+      prevPat: Option[NodePattern] = None): (State, String, String, Kind) = {
     var st = st0
     val relName = rel.variable.getOrElse(fresh("e"))
     rel.varLength match {
@@ -967,9 +1013,35 @@ final class Builder(
     }
     val prevId = col(Compiler.q(prevName)).getField("id")
     val edgesRaw = edgeScan(rel.types, rel.direction, rel.only)
-    val edges = edgesRaw.select(col("__edge").as(relName) +:
+    var edges = edgesRaw.select(col("__edge").as(relName) +:
       col("__s").as(s"__s_$relName") +: col("__e").as(s"__e_$relName") +:
       shredFrameCols(edgesRaw, relName): _*)
+    // ag_graphmeta-driven hop planning (the analog of the reference
+    // forcing max stats targets on graph labels, graphcmds.c:306): the
+    // (start, edge, end) count matrix gives this TYPED hop's exact
+    // cardinality — a selectivity Spark cannot see from file sizes
+    // when many label combinations share one edge table. A small hop
+    // over a skewed combination gets (a) labid-range filters on the
+    // edge endpoints, which reach parquet as min/max-prunable start/end
+    // predicates, and (b) an explicit broadcast hint, avoiding a
+    // full-table shuffle that the whole-table size estimate would force.
+    graphmetaHopEstimate(rel, prevPat, node).foreach { case (est, sIds, tIds) =>
+      def rangeFilter(c: Column, ids: Set[Int]): Column =
+        ids.toSeq.sorted.map { l =>
+          c.between(l.toLong << 48, ((l.toLong + 1) << 48) - 1)
+        }.reduce(_ || _)
+      // endpoint pruning is orientation-specific; undirected hops scan
+      // both orientations, so the filters would be wrong there
+      if (rel.direction != 0) {
+        sIds.filter(s => s.nonEmpty && s.size <= 16).foreach(ids =>
+          edges = edges.where(rangeFilter(col(s"__s_$relName"), ids)))
+        tIds.filter(t => t.nonEmpty && t.size <= 16).foreach(ids =>
+          edges = edges.where(rangeFilter(col(s"__e_$relName"), ids)))
+      }
+      val cap = spark.conf.get("spark.graft.graphmetaBroadcastRows",
+        "100000").toLong
+      if (est <= cap) edges = broadcast(edges)
+    }
     var df = st.df.join(edges, prevId === col(s"__s_$relName"))
     st = State(df, st.vars :+ (relName -> KE))
     rel.props.foreach { pe => st = State(st.df.where(propQual(st, relName, pe)), st.vars) }

@@ -871,6 +871,53 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         col("edgecount"))
   }
 
+  /** ag_graphmeta as a planning input: the (start labid, edge labid,
+    * end labid) -> count matrix, cached per graph and invalidated by a
+    * cheap file-listing fingerprint over the edge label directories
+    * (the reference keeps these stats fresh on write via
+    * auto_gather_graphmeta, ag_graphmeta.h:30-37 — here a write changes
+    * the files, the fingerprint changes, and the next planning lookup
+    * recomputes). One aggregation job per write-generation, shared by
+    * every MATCH planned against that generation.
+    */
+  def graphmetaCounts(graph: String): Map[(Int, Int, Int), Long] = {
+    val fp = {
+      val sb = new StringBuilder
+      readMeta(graph).labels.values.filter(_.kind == 'e').toSeq
+        .sortBy(_.name).foreach { lm =>
+          val dir = labelDir(graph, lm.name)
+          sb ++= lm.name
+          if (Files.isDirectory(dir)) {
+            val s = Files.list(dir)
+            try s.sorted().forEach { p =>
+              sb ++= p.getFileName.toString
+              sb += ':'
+              sb ++= (try Files.size(p).toString catch { case _: Throwable => "?" })
+              sb += ';'
+            } finally s.close()
+          }
+        }
+      sb.toString.hashCode
+    }
+    metaCountsCache.synchronized(metaCountsCache.get(graph)) match {
+      case Some((`fp`, m)) => m
+      case _ =>
+        import org.apache.spark.sql.functions._
+        val m = scanAll(graph, 'e')
+          .select(shiftrightunsigned(col("start"), 48).cast("int").as("s"),
+            shiftrightunsigned(col("id"), 48).cast("int").as("e"),
+            shiftrightunsigned(col("end"), 48).cast("int").as("t"))
+          .groupBy("s", "e", "t").agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+          .toMap
+        metaCountsCache.synchronized { metaCountsCache(graph) = (fp, m) }
+        m
+    }
+  }
+  private val metaCountsCache =
+    scala.collection.mutable.Map[String, (Int, Map[(Int, Int, Int), Long])]()
+
   // ------------------------------------------------------- constraints
 
   /** Label constraints (reference: CreateConstraintCommand

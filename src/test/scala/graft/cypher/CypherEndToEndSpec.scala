@@ -108,8 +108,10 @@ class CypherEndToEndSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).mkString("\n")
     assert(plan.contains("Physical Plan"), plan)
     assert(plan.contains("Scan parquet"), plan)
-    // EXPLAIN of a write is rejected, not silently executed
-    intercept[Exception] { s.cypher("EXPLAIN CREATE (:ev {k: 2})") }
+    // EXPLAIN of a write describes the ModifyGraph op without applying
+    val wplan = s.cypher("EXPLAIN CREATE (:ev {k: 2})")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(wplan.contains("ModifyGraph (op=CREATE"), wplan)
     assert(s.cypher("MATCH (n:ev) RETURN n").count() == 1)
   }
 

@@ -1,0 +1,136 @@
+package graft.cypher
+
+import graft.SparkTestBase
+import graft.api.CypherSession
+import graft.graph.{GraphCatalog, GraphId}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** ag_graphmeta-driven MATCH planning: the (start, edge, end) count
+  * matrix picks broadcast sides for typed hops over SKEWED label
+  * combinations sharing one edge table — a selectivity Spark's
+  * whole-table size estimate cannot see. Differential: results are
+  * identical with planning on and off; plan-shape: the small combo
+  * broadcasts (with auto-broadcast disabled, so the hint is provably
+  * ours), the big combo does not, and a write that grows the small
+  * combo past the cap invalidates the cached stats and flips the plan.
+  */
+class GraphmetaPlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def buildSkewed(): CypherSession = {
+    val root = java.nio.file.Files.createTempDirectory("graft_gm").toString
+    val s = new CypherSession(spark, new GraphCatalog(spark, root))
+    s.createGraph("g")
+    s.createVLabel("big"); s.createVLabel("small"); s.createVLabel("hub")
+    s.createELabel("t")
+    def labid(l: String) = s.catalog.label("g", l).get.labid
+    val bigId = GraphId.pack(labid("big"), 0L)
+    val smallId = GraphId.pack(labid("small"), 0L)
+    val hubId = GraphId.pack(labid("hub"), 0L)
+    val tId = GraphId.pack(labid("t"), 0L)
+    // vertices: 3000 big, 30 small, 50 hub
+    s.catalog.append("g", "big", spark.range(3000).select(
+      (lit(bigId) + col("id")).as("id"),
+      concat(lit("{\"k\": "), col("id"), lit("}")).as("properties")))
+    s.catalog.append("g", "small", spark.range(30).select(
+      (lit(smallId) + col("id")).as("id"),
+      concat(lit("{\"k\": "), col("id"), lit("}")).as("properties")))
+    s.catalog.append("g", "hub", spark.range(50).select(
+      (lit(hubId) + col("id")).as("id"),
+      concat(lit("{\"k\": "), col("id"), lit("}")).as("properties")))
+    // edges, one shared elabel: 3000 (big)->(hub), 30 (small)->(hub)
+    s.catalog.append("g", "t", spark.range(3000).select(
+      (lit(tId) + col("id")).as("id"),
+      (lit(bigId) + col("id")).as("start"),
+      (lit(hubId) + pmod(col("id"), lit(50))).as("end"),
+      lit("{}").as("properties")))
+    s.catalog.append("g", "t", spark.range(30).select(
+      (lit(tId) + lit(5000) + col("id")).as("id"),
+      (lit(smallId) + col("id")).as("start"),
+      (lit(hubId) + pmod(col("id"), lit(50))).as("end"),
+      lit("{}").as("properties")))
+    s
+  }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("small typed hop broadcasts from graphmeta counts; big hop does not") {
+    val s = buildSkewed()
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.graft.graphmetaBroadcastRows" -> "1000") {
+      val smallQ = "MATCH (c:small)-[:t]->(h:hub) RETURN count(*) AS n"
+      val bigQ = "MATCH (a:big)-[:t]->(h:hub) RETURN count(*) AS n"
+      val pSmall = s.cypher(smallQ).queryExecution.executedPlan.toString
+      assert(pSmall.contains("BroadcastHashJoin"), pSmall)
+      val pBig = s.cypher(bigQ).queryExecution.executedPlan.toString
+      assert(!pBig.contains("BroadcastHashJoin"), pBig)
+      // toggle off: the small hop loses the hint too
+      withConf("spark.graft.graphmetaPlanning" -> "false") {
+        val pOff = s.cypher(smallQ).queryExecution.executedPlan.toString
+        assert(!pOff.contains("BroadcastHashJoin"), pOff)
+      }
+    }
+  }
+
+  test("endpoint labid ranges reach the edge scan as pushed filters") {
+    val s = buildSkewed()
+    val p = s.cypher("MATCH (c:small)-[:t]->(h:hub) RETURN count(*) AS n")
+      .queryExecution.executedPlan.toString
+    // the start-endpoint range lands in PushedFilters of the edge scan
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("start") && pushed.contains("end"), p)
+  }
+
+  test("differential: identical results with planning on and off") {
+    val s = buildSkewed()
+    def run(q: String): Seq[String] =
+      s.cypher(q).collect().toSeq.map(_.toString).sorted
+    val qs = Seq(
+      "MATCH (c:small)-[:t]->(h:hub) RETURN count(*) AS n",
+      "MATCH (a:big)-[:t]->(h:hub) RETURN h.k AS hk, count(*) AS n",
+      "MATCH (c:small)-[:t]->(h:hub)<-[:t]-(a:big) RETURN count(*) AS n",
+      "MATCH (h:hub)<-[:t]-(c:small) RETURN c.k AS ck ORDER BY ck",
+      "MATCH (x)-[:t]->(h:hub) RETURN count(*) AS n")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.graft.graphmetaBroadcastRows" -> "1000") {
+      for (q <- qs) {
+        val on = run(q)
+        withConf("spark.graft.graphmetaPlanning" -> "false") {
+          val off = run(q)
+          assert(on == off, q)
+        }
+      }
+    }
+  }
+
+  test("a write invalidates the cached stats and flips the plan") {
+    val s = buildSkewed()
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.graft.graphmetaBroadcastRows" -> "1000") {
+      val q = "MATCH (c:small)-[:t]->(h:hub) RETURN count(*) AS n"
+      assert(s.cypher(q).queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      // grow the small combo past the cap (append bypasses no caches —
+      // the file fingerprint changes, the matrix recomputes)
+      def labid(l: String) = s.catalog.label("g", l).get.labid
+      val smallId = GraphId.pack(labid("small"), 0L)
+      val hubId = GraphId.pack(labid("hub"), 0L)
+      val tId = GraphId.pack(labid("t"), 0L)
+      s.catalog.append("g", "t", spark.range(2000).select(
+        (lit(tId) + lit(10000) + col("id")).as("id"),
+        (lit(smallId) + pmod(col("id"), lit(30))).as("start"),
+        (lit(hubId) + pmod(col("id"), lit(50))).as("end"),
+        lit("{}").as("properties")))
+      val pAfter = s.cypher(q).queryExecution.executedPlan.toString
+      assert(!pAfter.contains("BroadcastHashJoin"), pAfter)
+    }
+  }
+}
