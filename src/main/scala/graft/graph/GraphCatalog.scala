@@ -55,7 +55,74 @@ final case class LabelMeta(
   * Spark's parquet source (column pruning, predicate pushdown, stats).
   * The catalog itself is tiny driver-side state.
   */
+object GraphCatalog {
+  /** JVM-global lock striping, keyed by normalized path — two catalog
+    * instances on the same warehouse (one per Spark driver in tests,
+    * or one per thread) must share a monitor, because overlapping
+    * java.nio FileLocks acquired from one JVM throw instead of
+    * blocking.
+    */
+  private[graph] val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graph] val heldMeta: ThreadLocal[mutable.Set[String]] =
+    ThreadLocal.withInitial(() => mutable.Set.empty[String])
+  private[graph] val labelLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+}
+
 final class GraphCatalog(val spark: SparkSession, val root: String) {
+
+  // ---------------------------------------------------- cross-driver locks
+
+  /** Run `body` holding the graph's meta mutation lock. Every meta
+    * read-modify-write cycle goes through here: the JVM-global striped
+    * monitor serializes catalog instances within one driver, and an OS
+    * advisory file lock on `<graph>/_meta.lock` serializes DRIVERS —
+    * two Spark processes on one warehouse previously interleaved their
+    * read-modify-rename cycles and could lose updates. flock semantics
+    * mean the lock dies with its process: no stale-lock recovery.
+    * Re-entrant via a thread-local held-set (meta mutations nest, e.g.
+    * index creation committing then re-validating).
+    */
+  private def withMetaLock[T](g: String)(body: => T): T = {
+    val key = graphDir(g).toAbsolutePath.normalize.toString
+    val hs = GraphCatalog.heldMeta.get()
+    if (hs.contains(key)) return body
+    val mon = GraphCatalog.jvmLocks.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      val lockPath = graphDir(g).resolve("_meta.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        hs += key
+        try body finally { hs -= key; fl.release() }
+      } finally ch.close()
+    }
+  }
+
+  /** Per-label readers-writer lock (in-driver): appends take the read
+    * side (different-label AND same-label appends stay concurrent —
+    * parquet append mode only adds files), while whole-table rewrites
+    * (overwrite / reindex / patchFiles' swap) take the write side, so
+    * a re-cluster can never delete files an in-flight append just
+    * wrote. Cross-DRIVER same-label write overlap remains the
+    * operator's responsibility to schedule (documented deviation: the
+    * reference serializes via heavyweight table locks).
+    */
+  private def labelLock(g: String, label: String) =
+    GraphCatalog.labelLocks.computeIfAbsent(
+      graphDir(g).toAbsolutePath.normalize.resolve(label).toString,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+  private def withLabelRead[T](g: String, label: String)(body: => T): T = {
+    val l = labelLock(g, label).readLock(); l.lock()
+    try body finally l.unlock()
+  }
+  private def withLabelWrite[T](g: String, label: String)(body: => T): T = {
+    val l = labelLock(g, label).writeLock(); l.lock()
+    try body finally l.unlock()
+  }
 
   // ------------------------------------------------------------- schemas
 
@@ -95,7 +162,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
   /** ALTER GRAPH ... OWNER TO r (cypher_ddl.out:51-58) — owner is
     * recorded metadata, like AUTHORIZATION at create.
     */
-  def setGraphOwner(name: String, owner: String): Unit = synchronized {
+  def setGraphOwner(name: String, owner: String): Unit = withMetaLock(name) {
     writeMeta(name, readMeta(name).copy(owner = Some(owner)))
   }
 
@@ -129,7 +196,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * is stable, so data and edges referencing the label never rewrite.
     * Children's parent lists follow the rename.
     */
-  def renameLabel(graph: String, from: String, to: String): Unit = synchronized {
+  def renameLabel(graph: String, from: String, to: String): Unit = withMetaLock(graph) {
     val m = readMeta(graph)
     if (!m.labels.contains(from))
       throw new IllegalStateException(s"label \"$from\" does not exist")
@@ -155,7 +222,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     */
   def createLabel(graph: String, name: String, kind: Char,
       parents: Seq[String] = Nil, ifNotExists: Boolean = false,
-      persistence: Char = 'p', disableIndex: Boolean = false): Unit = synchronized {
+      persistence: Char = 'p', disableIndex: Boolean = false): Unit = withMetaLock(graph) {
     val m = readMeta(graph)
     if (m.labels.contains(name)) {
       if (ifNotExists) return
@@ -180,7 +247,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * (cypher_ddl.out:439,505): metadata-only here, like the CREATE
     * modifiers.
     */
-  def setLabelPersistence(graph: String, name: String, p: Char): Unit = synchronized {
+  def setLabelPersistence(graph: String, name: String, p: Char): Unit = withMetaLock(graph) {
     val m = readMeta(graph)
     val lm = m.labels.getOrElse(name,
       throw new IllegalStateException(s"label \"$name\" does not exist"))
@@ -188,7 +255,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     writeMeta(graph, m)
   }
 
-  def setLabelIndexDisabled(graph: String, name: String): Unit = synchronized {
+  def setLabelIndexDisabled(graph: String, name: String): Unit = withMetaLock(graph) {
     val m = readMeta(graph)
     val lm = m.labels.getOrElse(name,
       throw new IllegalStateException(s"label \"$name\" does not exist"))
@@ -207,10 +274,11 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
   def createPropertyIndex(graph: String, label: String,
       idxName: Option[String], keys: Seq[String], unique: Boolean,
       ifNotExists: Boolean = false): Unit = {
-    // NOT whole-body synchronized: validation and the reindex run
-    // multi-job Spark work — only the meta read-modify-write below
-    // takes the catalog monitor, so concurrent appends never stall
-    // behind an index build
+    // NOT whole-body locked: validation and the reindex run multi-job
+    // Spark work — only the meta read-modify-write and the post-commit
+    // re-validation take the meta lock, so concurrent appends to OTHER
+    // labels never stall behind an index build (same-label writes
+    // serialize against the reindex through the per-label write lock)
     require(keys.nonEmpty, "property index needs at least one key")
     val lm = readMeta(graph).labels.getOrElse(label,
       throw new IllegalStateException(s"""label "$label" does not exist"""))
@@ -224,25 +292,33 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // enforcement + validation FIRST, metadata LAST: a failure anywhere
     // (constraint-name collision, existing duplicates) must not leave a
     // registered index without its enforcement half
+    val validatable =
+      keys.length == 1 && ShredKeyRe.findFirstIn(keys.head).isDefined
+    def dupScanFails(): Boolean = {
+      import org.apache.spark.sql.functions._
+      // scan the inheritance SUBTREE — the installed constraint is
+      // enforced across it, so validation must see the same rows
+      val k = graft.expr.J.sortKey(
+        graft.expr.J.getKey(col("properties"), keys.head))
+      !scan(graph, label)
+        .select(k.as("__k")).where(col("__k").isNotNull)
+        .groupBy("__k").count().where(col("count") > 1)
+        .isEmpty
+    }
+    def dupError(): Nothing = throw new IllegalStateException(
+      s"""could not create unique index "$nm": """ +
+        s"""label "$label" contains duplicate values of "${keys.head}"""")
     if (unique) {
       // existing rows must already be unique (the reference's CREATE
       // UNIQUE INDEX fails with "could not create unique index" on
       // duplicate keys). Validated for the single-simple-key form (the
       // common shape); multi-key/expression indexes are enforced from
-      // the next write on.
-      if (keys.length == 1 && ShredKeyRe.findFirstIn(keys.head).isDefined) {
-        import org.apache.spark.sql.functions._
-        // scan the inheritance SUBTREE — the installed constraint is
-        // enforced across it, so validation must see the same rows
-        val k = graft.expr.J.sortKey(
-          graft.expr.J.getKey(col("properties"), keys.head))
-        val dup = scan(graph, label)
-          .select(k.as("__k")).where(col("__k").isNotNull)
-          .groupBy("__k").count().where(col("count") > 1)
-        if (!dup.isEmpty) throw new IllegalStateException(
-          s"""could not create unique index "$nm": """ +
-            s"""label "$label" contains duplicate values of "${keys.head}"""")
-      }
+      // the next write on — say so out loud, like a NOTICE.
+      if (validatable) { if (dupScanFails()) dupError() }
+      else System.err.println(
+        s"""NOTICE:  unique property index "$nm" on "$label" has a """ +
+          "multi-key or expression key; existing rows are not validated " +
+          "— uniqueness is enforced from the next write on")
       // the enforcement half: a unique property index IS a unique
       // constraint over the key tuple (propertyindex.sql piv4/piv5)
       val body = if (keys.length == 1) keys.head
@@ -250,7 +326,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       addConstraint(graph, label, s"${nm}_uc", "unique", body)
     }
     val committed =
-      try synchronized {
+      try withMetaLock(graph) {
         val fresh = readMeta(graph)
         val flm = fresh.labels(label)
         if (flm.indexes.exists(_.name == nm)) {
@@ -258,6 +334,11 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
           else throw new IllegalStateException(
             s"""index "$nm" already exists""")
         } else {
+          // re-validate UNDER the lock: a concurrent CREATE could have
+          // committed a duplicate between the unlocked pre-check and
+          // the constraint install; writers serialize on this lock for
+          // their meta merge, so what this scan sees is what exists
+          if (unique && validatable && dupScanFails()) dupError()
           fresh.labels(label) = flm.copy(indexes = flm.indexes :+
             PropIndexMeta(nm, keys, unique))
           writeMeta(graph, fresh)
@@ -279,7 +360,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * whatever indexes remain.
     */
   def dropPropertyIndex(graph: String, idxName: String,
-      ifExists: Boolean = false): Unit = synchronized {
+      ifExists: Boolean = false): Unit = withMetaLock(graph) {
     val m = readMeta(graph)
     val hit = m.labels.values.find(_.indexes.exists(_.name == idxName))
     hit match {
@@ -304,7 +385,14 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * shredded (metadata-only index, like a btree on a missing column
     * would be empty).
     */
-  private def reindexLabel(graph: String, label: String): Unit = {
+  private def reindexLabel(graph: String, label: String): Unit =
+      withLabelWrite(graph, label) {
+    // the whole read-then-swap runs under the label WRITE lock: the
+    // file listing captured by the scan below must still be the
+    // complete table when overwrite's rm+swap runs — an append landing
+    // between listing and swap would otherwise be deleted without
+    // being in the snapshot (the write lock is reentrant, so the
+    // nested overwrite's own acquisition is free)
     import org.apache.spark.sql.functions._
     val lm = readMeta(graph).labels(label)
     val dir = labelDir(graph, label)
@@ -334,7 +422,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     overwrite(graph, label, df)
   }
 
-  def dropLabel(graph: String, name: String): Unit = synchronized {
+  def dropLabel(graph: String, name: String): Unit = withMetaLock(graph) {
     val m = readMeta(graph)
     require(m.labels.contains(name), s"label \"$name\" does not exist")
     require(!m.labels.values.exists(_.parents.contains(name)),
@@ -355,7 +443,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * changes, since scans expand inheritance at plan time.
     */
   def alterInherit(graph: String, name: String, parent: String,
-      add: Boolean): Unit = synchronized {
+      add: Boolean): Unit = withMetaLock(graph) {
     if (parent == "ag_vertex" || parent == "ag_edge")
       throw new IllegalStateException("cannot ALTER inheritance with base label")
     val m = readMeta(graph)
@@ -453,7 +541,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * sequence; tasks then assign ids per-partition within the range —
     * the distributed-safe analog of the per-label PG sequence).
     */
-  def reserveIds(graph: String, label: String, n: Long): Long = synchronized {
+  def reserveIds(graph: String, label: String, n: Long): Long = withMetaLock(graph) {
     val m = readMeta(graph)
     val cur = m.sequences.getOrElse(label, 1L)
     require(cur + n <= GraphId.LocidMax, "locid budget exhausted")
@@ -654,7 +742,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * the batch (two extra passes: key discovery + type classification —
     * the write-side cost of read-side pushdown).
     */
-  def append(graph: String, label: String, df: DataFrame): Unit = {
+  def append(graph: String, label: String, df: DataFrame): Unit =
+      withLabelRead(graph, label) {
     val m = readMeta(graph)
     val lm = m.labels.getOrElse(label,
       throw new IllegalStateException(s"label \"$label\" does not exist"))
@@ -679,12 +768,14 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // (the layout role the reference's btree/GIN indexes played)
     clusterSorted(out, lm2)
       .write.mode("append").parquet(labelDir(graph, label).toString)
-    // meta update under the catalog lock, against a FRESH read:
+    // meta update under the meta lock, against a FRESH read:
     // concurrent appends to DIFFERENT labels (bulk ingest fans out one
     // future per label) must not lose each other's shred-meta updates
-    // through a stale read-modify-write of the shared _graph.json.
-    // Same-label appends remain the caller's responsibility to order.
-    if (lm2 != lm) synchronized {
+    // through a stale read-modify-write of the shared _graph.json —
+    // in this driver or another one (the lock is an OS file lock).
+    // Same-label appends stay concurrent (read side of the label
+    // lock); they serialize only against whole-table rewrites.
+    if (lm2 != lm) withMetaLock(graph) {
       val fresh = readMeta(graph)
       fresh.labels(label) = lm2
       writeMeta(graph, fresh)
@@ -721,7 +812,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * semantics of the reference's MVCC heap). Shred meta is recomputed
     * from scratch (the new contents are the whole table).
     */
-  def overwrite(graph: String, label: String, df: DataFrame): Unit = {
+  def overwrite(graph: String, label: String, df: DataFrame): Unit =
+      withLabelWrite(graph, label) {
     val m = readMeta(graph)
     val lm = m.labels.getOrElse(label,
       throw new IllegalStateException(s"label \"$label\" does not exist"))
@@ -744,7 +836,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     }
     rm(dir)
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-    synchronized {
+    withMetaLock(graph) {
       val fresh = readMeta(graph)
       fresh.labels(label) = lm2
       writeMeta(graph, fresh)
@@ -771,7 +863,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * removals without scanning untouched files.
     */
   def patchFiles(graph: String, label: String, victimIds: DataFrame)
-      (patch: DataFrame => DataFrame): (Long, Long) = {
+      (patch: DataFrame => DataFrame): (Long, Long) =
+      withLabelWrite(graph, label) {
     import org.apache.spark.sql.functions._
     val m = readMeta(graph)
     val lm = m.labels.getOrElse(label,
@@ -836,7 +929,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     }
     rm(dir)
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-    if (lm2 != lm) synchronized {
+    if (lm2 != lm) withMetaLock(graph) {
       val fresh = readMeta(graph)
       fresh.labels(label) = lm2
       writeMeta(graph, fresh)
@@ -932,7 +1025,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     graphDir(g).resolve("_constraints.json")
 
   def addConstraint(graph: String, label: String, name: String, kind: String,
-      expr: String): Unit = {
+      expr: String): Unit = withMetaLock(graph) {
     require(Seq("unique", "check").contains(kind), s"bad constraint kind $kind")
     require(this.label(graph, label).isDefined, s"label \"$label\" does not exist")
     val cur = constraints(graph)
@@ -940,8 +1033,9 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     writeConstraints(graph, cur :+ ConstraintMeta(label, name, kind, expr))
   }
 
-  def dropConstraint(graph: String, name: String): Unit =
+  def dropConstraint(graph: String, name: String): Unit = withMetaLock(graph) {
     writeConstraints(graph, constraints(graph).filterNot(_.name == name))
+  }
 
   def constraints(graph: String): Seq[ConstraintMeta] = {
     import graft.jsonb._
@@ -963,7 +1057,13 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val doc = JArr(cs.toVector.map(c => Jsonb.mkObj(Seq(
       "label" -> JStr(c.label), "name" -> JStr(c.name),
       "kind" -> JStr(c.kind), "expr" -> JStr(c.expr)))))
-    Files.writeString(constraintsPath(g), doc.render)
+    // temp + atomic rename, like writeMeta: concurrent readers must
+    // never see a torn constraints file
+    val tmp = graphDir(g).resolve(
+      s"_constraints.json.tmp.${Thread.currentThread().getId}")
+    Files.writeString(tmp, doc.render)
+    Files.move(tmp, constraintsPath(g), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   // ----------------------------------------------------- meta (de)ser
