@@ -191,6 +191,22 @@ object Algo {
       }
     }
 
+    // Loud cap (the reference's default bound is INT_MAX,
+    // execGraphVle.c:33, so an unbounded `*..` never truncates there):
+    // when the pattern's upper bound came from the cap rather than the
+    // query AND the expansion can still extend past it, error instead
+    // of silently dropping the deeper paths — the user raises
+    // spark.graft.maxDepth (checkpoint cadence keeps lineage bounded)
+    // or writes an explicit upper bound.
+    if (hiOpt.forall(_ > MaxDepth.toLong) && !exhausted) {
+      val more = ex.join(frontier, col("__cur"),
+        !array_contains(col("__ids"), col("__edge").getField("id")))
+      if (more.head(1).nonEmpty) throw new IllegalStateException(
+        s"variable-length expansion exceeded the depth cap $MaxDepth with " +
+          "paths still extending; raise spark.graft.maxDepth or bound the " +
+          "pattern (reference default is unbounded, execGraphVle.c:33)")
+    }
+
     var vle = if (results == null)
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         StructType(Seq(
@@ -768,9 +784,19 @@ object Algo {
       rounds += 1
       frontier = pruneFrontier(best.where(col("__new") === 1), rounds)
     }
-    b.spark.conf.set("spark.graft.dijkstra.lastRounds", rounds.toString)
+    lastDijkstraRounds.set(rounds)
     attachVerts(b, best.drop("__w", "__dist", "__new"), V)
   }
+
+  /** Test-observability hook: round count of the most recent dijkstra
+    * on THIS thread. The previous session-conf form
+    * (`spark.graft.dijkstra.lastRounds`) leaked a test probe into
+    * shared session state and let concurrent queries clobber each
+    * other's value.
+    */
+  private val lastDijkstraRounds = new ThreadLocal[Integer]
+  def lastDijkstraRoundCount: Option[Int] =
+    Option(lastDijkstraRounds.get()).map(_.intValue)
 
   private def emptyIdPaths(b: Builder): DataFrame =
     b.spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),

@@ -24,7 +24,7 @@ class DijkstraPruneSpec extends AnyFunSuite {
       .sorted
 
   private def lastRounds: Int =
-    spark.conf.get("spark.graft.dijkstra.lastRounds").toInt
+    Algo.lastDijkstraRoundCount.getOrElse(fail("no dijkstra ran on this thread"))
 
   test("deep chain: loop exits at target depth, not graph diameter") {
     val root = Files.createTempDirectory("graft_dij_chain").toString
