@@ -183,29 +183,36 @@ object Bench {
           .withColumn("event_id", col("event_id") + lit(i * E))
           .withColumn("ts", col("ts") +
             expr(s"INTERVAL '${i * evSpan}' SECOND")))
-        // Probe set: the FULL g-suite (writes included — superlinear
-        // stragglers hide outside the heavy-hitter set; r5's worst sf1
-        // ratio was g29's 6.2x, not a pre-picked heavy) plus the
-        // heaviest p/s plans. Deadline-bounded, heavies first within
-        // each family so a timeout cuts the cheap tail, not the signal.
-        val gSuite = SparkEntry.queries.keys.filter(_.startsWith("g")).toSeq.sorted
-        val probes = gSuite ++ Seq(
+        // Probe set: the known heavy hitters FIRST (a deadline expiry
+        // must cut the cheap tail, not the signal), then the FULL
+        // g-suite (writes included — superlinear stragglers hide
+        // outside the heavy-hitter set; r5's worst sf1 ratio was
+        // g29's 6.2x, not a pre-picked heavy).
+        val heavies = Seq(
           "s05_stream_interval_join", "s09_stream_outer_join",
           "p107_adamic_adar", "p110_metapath_walk",
           "p114_aa_degree_capped", "p75_copurchase")
+        val gSuite = SparkEntry.queries.keys.filter(_.startsWith("g")).toSeq.sorted
+        val probes = heavies ++ gSuite
         // graph bulk load at sf1 is one-time ETL, untimed (same rule as
         // the main suite's warmup) — g41's probe number must measure
         // the query, not the 10x ingest
         try pipeline.GraphQueries.session(spark, dir)
         catch { case _: Throwable => () }
         val deadline = System.nanoTime() + 600L * 1000000000L
-        probes.flatMap { name =>
+        val ran = probes.flatMap { name =>
           if (System.nanoTime() > deadline) None
           else SparkEntry.queries.get(name).map { fn =>
             // a failed probe reports -1, never a bogus near-zero time
             name -> runQuery(name, fn, dir)
           }
         }
+        // deadline-dropped probes are recorded, not silently absent —
+        // an omitted entry must be distinguishable from "not probed"
+        if (ran.length < probes.length)
+          sf1Error = s"deadline dropped ${probes.length - ran.length} probes: " +
+            probes.drop(ran.length).take(8).mkString(",")
+        ran
       } catch {
         // a broken probe must be distinguishable from a disabled one:
         // record the failure for the summary line instead of swallowing

@@ -247,6 +247,15 @@ object Algo {
     if (st.has(nodeName)) {
       df = st.df.where(col(s"__ve_$relName") === col(Compiler.q(nodeName)).getField("id"))
       st = State(df, st.vars)
+      // a label on the re-bound target is a constraint, not a scan —
+      // it must filter here exactly like the fresh-bind scan would
+      // (ONLY = exact label, otherwise inheritance subtree)
+      node.label.foreach { l =>
+        val labids = b.labidsOf(l, node.only).toSeq
+        st = State(st.df.where(
+          shiftrightunsigned(col(Compiler.q(nodeName)).getField("id"), 48)
+            .cast("int").isin(labids: _*)), st.vars)
+      }
     } else {
       val scan = b.vertexScan(node.label, node.only)
         .select(struct(col("id"), col("properties")).as(nodeName))

@@ -877,11 +877,15 @@ final class Builder(
   private[cypher] def bindNode(st: State, n: NodePattern): (State, String) = {
     val name = n.variable.getOrElse(fresh("v"))
     if (st.has(name)) {
-      // re-binding an existing var: optional extra label/prop constraint
+      // re-binding an existing var: optional extra label/prop
+      // constraint. ONLY narrows to the exact label here too — the
+      // fresh-bind path scans only that table, so the re-bind filter
+      // must match it (subtree-always here would widen the re-bound
+      // form relative to the scanned form)
       var df = st.df
       n.label.foreach { l =>
         labelOfKind(l, 'v')
-        val labids = catalog.subtree(graph, l).map(_.labid)
+        val labids = labidsOf(l, n.only).toSeq
         df = df.where(shiftrightunsigned(col(Compiler.q(name)).getField("id"), 48)
           .cast("int").isin(labids: _*))
       }
@@ -960,24 +964,31 @@ final class Builder(
     * unconstrained by the pattern. The estimate is an upper bound:
     * property/residual predicates only shrink the hop further.
     */
+  /** Per-STATEMENT caches for planning lookups: one Builder serves one
+    * statement, so the graphmeta fingerprint check (a directory walk)
+    * and the meta-file label lookups run once per statement, not once
+    * per hop of every multi-hop pattern.
+    */
+  private lazy val metaCounts: Map[(Int, Int, Int), Long] =
+    try catalog.graphmetaCounts(graph) catch { case _: Throwable => Map.empty }
+  private val labidsMemo =
+    scala.collection.mutable.Map.empty[(String, Boolean), Set[Int]]
+  private[cypher] def labidsOf(l: String, only: Boolean): Set[Int] =
+    labidsMemo.getOrElseUpdate((l, only),
+      if (only) catalog.label(graph, l).map(_.labid).toSet
+      else catalog.subtree(graph, l).map(_.labid).toSet)
+
   private def graphmetaHopEstimate(rel: RelPattern, prevPat: Option[NodePattern],
       node: NodePattern): Option[(Long, Option[Set[Int]], Option[Set[Int]])] = {
     if (spark.conf.get("spark.graft.graphmetaPlanning", "true") == "false")
       return None
-    val counts = try catalog.graphmetaCounts(graph)
-      catch { case _: Throwable => return None }
+    val counts = metaCounts
     if (counts.isEmpty) return None
     def vIds(n: Option[NodePattern]): Option[Set[Int]] =
-      n.flatMap(pat => pat.label.map { l =>
-        if (pat.only) catalog.label(graph, l).map(_.labid).toSet
-        else catalog.subtree(graph, l).map(_.labid).toSet
-      })
+      n.flatMap(pat => pat.label.map(l => labidsOf(l, pat.only)))
     val eIds: Option[Set[Int]] =
       if (rel.types.isEmpty) None
-      else Some(rel.types.flatMap { t =>
-        if (rel.only) catalog.label(graph, t).map(_.labid).toSeq
-        else catalog.subtree(graph, t).map(_.labid)
-      }.toSet)
+      else Some(rel.types.flatMap(t => labidsOf(t, rel.only)).toSet)
     val prevIds = vIds(prevPat)
     val tgtIds = vIds(Some(node))
     def est1(sSet: Option[Set[Int]], tSet: Option[Set[Int]]): Long =
@@ -1030,17 +1041,24 @@ final class Builder(
         ids.toSeq.sorted.map { l =>
           c.between(l.toLong << 48, ((l.toLong + 1) << 48) - 1)
         }.reduce(_ || _)
-      // endpoint pruning is orientation-specific; undirected hops scan
-      // both orientations, so the filters would be wrong there
-      if (rel.direction != 0) {
-        sIds.filter(s => s.nonEmpty && s.size <= 16).foreach(ids =>
-          edges = edges.where(rangeFilter(col(s"__s_$relName"), ids)))
-        tIds.filter(t => t.nonEmpty && t.size <= 16).foreach(ids =>
-          edges = edges.where(rangeFilter(col(s"__e_$relName"), ids)))
+      // __s/__e are orientation-normalized by edgeScan, so the filters
+      // hold for undirected hops too: each union branch admits exactly
+      // the rows the estimate's corresponding est1 term counted.
+      // Track installation — the broadcast decision below must only
+      // trust `est` when the frame was actually narrowed to what the
+      // estimate counted (a constrained side whose filter was skipped
+      // leaves the frame a superset of the estimate).
+      def install(idsOpt: Option[Set[Int]], c: Column): Boolean = idsOpt match {
+        case None => true // unconstrained: est counted every labid
+        case Some(ids) if ids.nonEmpty && ids.size <= 16 =>
+          edges = edges.where(rangeFilter(c, ids)); true
+        case _ => false
       }
+      val sOk = install(sIds, col(s"__s_$relName"))
+      val tOk = install(tIds, col(s"__e_$relName"))
       val cap = spark.conf.get("spark.graft.graphmetaBroadcastRows",
         "100000").toLong
-      if (est <= cap) edges = broadcast(edges)
+      if (sOk && tOk && est <= cap) edges = broadcast(edges)
     }
     var df = st.df.join(edges, prevId === col(s"__s_$relName"))
     st = State(df, st.vars :+ (relName -> KE))
@@ -1052,7 +1070,10 @@ final class Builder(
       st = State(df, st.vars)
       node.props.foreach { pe => st = State(st.df.where(propQual(st, nodeName, pe)), st.vars) }
       node.label.foreach { l =>
-        val labids = catalog.subtree(graph, l).map(_.labid)
+        // honor ONLY like the fresh-bind scan does (exact label, no
+        // inheritance subtree) — the re-bound form must filter the
+        // same rows the scan form would have produced
+        val labids = labidsOf(l, node.only).toSeq
         st = State(st.df.where(shiftrightunsigned(col(Compiler.q(nodeName)).getField("id"), 48)
           .cast("int").isin(labids: _*)), st.vars)
       }

@@ -325,34 +325,48 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         else keys.mkString("[", ", ", "]")
       addConstraint(graph, label, s"${nm}_uc", "unique", body)
     }
-    val committed =
-      try withMetaLock(graph) {
-        val fresh = readMeta(graph)
-        val flm = fresh.labels(label)
-        if (flm.indexes.exists(_.name == nm)) {
-          if (ifNotExists) false
-          else throw new IllegalStateException(
-            s"""index "$nm" already exists""")
-        } else {
-          // re-validate UNDER the lock: a concurrent CREATE could have
-          // committed a duplicate between the unlocked pre-check and
-          // the constraint install; writers serialize on this lock for
-          // their meta merge, so what this scan sees is what exists
+    // The build runs under the LABEL WRITE lock: it drains in-flight
+    // same-label appends (they hold the read side while their files
+    // land), so the re-validation scan sees every committed row, and
+    // the reindex swap (re-entrant on the same lock) can't race them.
+    // The meta lock is held only for the actual meta commit — a
+    // multi-minute duplicate scan must not stall reserveIds/DDL on
+    // other labels or other drivers. Residual window (documented): a
+    // writer STATEMENT that read the constraint list before the
+    // constraint installed and appends after this lock releases is
+    // enforced from its next statement on — the reference closes that
+    // with a ShareLock held for the whole build, which would serialize
+    // all writes graph-wide.
+    withLabelWrite(graph, label) {
+      val committed =
+        try {
           if (unique && validatable && dupScanFails()) dupError()
-          fresh.labels(label) = flm.copy(indexes = flm.indexes :+
-            PropIndexMeta(nm, keys, unique))
-          writeMeta(graph, fresh)
-          true
+          withMetaLock(graph) {
+            val fresh = readMeta(graph)
+            val flm = fresh.labels(label)
+            if (flm.indexes.exists(_.name == nm)) {
+              if (ifNotExists) false
+              else throw new IllegalStateException(
+                s"""index "$nm" already exists""")
+            } else {
+              fresh.labels(label) = flm.copy(indexes = flm.indexes :+
+                PropIndexMeta(nm, keys, unique))
+              writeMeta(graph, fresh)
+              true
+            }
+          }
+        } catch { case e: Throwable =>
+          // don't leak the enforcement half if the build lost a race —
+          // but only before the commit: a post-commit reindex failure
+          // must keep index AND constraint together
+          if (unique) try dropConstraint(graph, s"${nm}_uc")
+          catch { case _: Throwable => () }
+          throw e
         }
-      } catch { case e: Throwable =>
-        // don't leak the enforcement half if the commit lost a race
-        if (unique) try dropConstraint(graph, s"${nm}_uc")
-        catch { case _: Throwable => () }
-        throw e
-      }
-    // on an ifNotExists race-skip the constraint stays: it carries the
-    // same name and semantics the racing winner installed
-    if (committed) reindexLabel(graph, label)
+      // on an ifNotExists race-skip the constraint stays: it carries
+      // the same name and semantics the racing winner installed
+      if (committed) reindexLabel(graph, label)
+    }
   }
 
   /** DROP PROPERTY INDEX name (OBJECT_PROPERTY_INDEX drop route). The

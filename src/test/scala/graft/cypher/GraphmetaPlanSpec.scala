@@ -77,6 +77,16 @@ class GraphmetaPlanSpec extends AnyFunSuite {
         val pOff = s.cypher(smallQ).queryExecution.executedPlan.toString
         assert(!pOff.contains("BroadcastHashJoin"), pOff)
       }
+      // undirected: filters install per orientation branch, so the
+      // small combo still broadcasts and the big one still must not
+      val pUndirS = s.cypher(
+        "MATCH (c:small)-[:t]-(h:hub) RETURN count(*) AS n")
+        .queryExecution.executedPlan.toString
+      assert(pUndirS.contains("BroadcastHashJoin"), pUndirS)
+      val pUndirB = s.cypher(
+        "MATCH (a:big)-[:t]-(h:hub) RETURN count(*) AS n")
+        .queryExecution.executedPlan.toString
+      assert(!pUndirB.contains("BroadcastHashJoin"), pUndirB)
     }
   }
 
@@ -98,7 +108,8 @@ class GraphmetaPlanSpec extends AnyFunSuite {
       "MATCH (a:big)-[:t]->(h:hub) RETURN h.k AS hk, count(*) AS n",
       "MATCH (c:small)-[:t]->(h:hub)<-[:t]-(a:big) RETURN count(*) AS n",
       "MATCH (h:hub)<-[:t]-(c:small) RETURN c.k AS ck ORDER BY ck",
-      "MATCH (x)-[:t]->(h:hub) RETURN count(*) AS n")
+      "MATCH (x)-[:t]->(h:hub) RETURN count(*) AS n",
+      "MATCH (c:small)-[:t]-(h:hub) RETURN h.k AS hk, count(*) AS n")
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.graft.graphmetaBroadcastRows" -> "1000") {
       for (q <- qs) {
