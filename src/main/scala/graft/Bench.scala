@@ -199,19 +199,27 @@ object Bench {
         // the query, not the 10x ingest
         try pipeline.GraphQueries.session(spark, dir)
         catch { case _: Throwable => () }
+        val resolved = probes.filter(SparkEntry.queries.contains)
+        val unknown = probes.filterNot(SparkEntry.queries.contains)
         val deadline = System.nanoTime() + 600L * 1000000000L
-        val ran = probes.flatMap { name =>
+        val ran = resolved.flatMap { name =>
+          // the deadline check must interleave with the runs (a
+          // takeWhile would evaluate every predicate up front)
           if (System.nanoTime() > deadline) None
-          else SparkEntry.queries.get(name).map { fn =>
-            // a failed probe reports -1, never a bogus near-zero time
-            name -> runQuery(name, fn, dir)
-          }
+          // a failed probe reports -1, never a bogus near-zero time
+          else Some(name -> runQuery(name, SparkEntry.queries(name), dir))
         }
-        // deadline-dropped probes are recorded, not silently absent —
+        // dropped/unknown probes are recorded, not silently absent —
         // an omitted entry must be distinguishable from "not probed"
-        if (ran.length < probes.length)
-          sf1Error = s"deadline dropped ${probes.length - ran.length} probes: " +
-            probes.drop(ran.length).take(8).mkString(",")
+        val dropped = resolved.drop(ran.length)
+        val notes = Seq(
+          if (dropped.nonEmpty)
+            Some(s"deadline dropped ${dropped.length} probes: " +
+              dropped.take(8).mkString(",")) else None,
+          if (unknown.nonEmpty)
+            Some(s"unknown probes: ${unknown.mkString(",")}") else None
+        ).flatten
+        if (notes.nonEmpty) sf1Error = notes.mkString("; ")
         ran
       } catch {
         // a broken probe must be distinguishable from a disabled one:

@@ -249,8 +249,10 @@ object Algo {
       st = State(df, st.vars)
       // a label on the re-bound target is a constraint, not a scan —
       // it must filter here exactly like the fresh-bind scan would
-      // (ONLY = exact label, otherwise inheritance subtree)
+      // (ONLY = exact label, otherwise inheritance subtree), including
+      // the unknown-label / wrong-kind diagnostics
       node.label.foreach { l =>
+        b.labelOfKind(l, 'v')
         val labids = b.labidsOf(l, node.only).toSeq
         st = State(st.df.where(
           shiftrightunsigned(col(Compiler.q(nodeName)).getField("id"), 48)

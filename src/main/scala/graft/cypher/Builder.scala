@@ -115,6 +115,9 @@ final class Builder(
     }
 
   private def explainWriteSingle(sq: SingleQuery): Seq[String] = {
+    // the reference's EXPLAIN runs assign_query_eager during planning,
+    // so a plan execution would reject must error here too
+    checkEagerAllowed(sq)
     def nodeDesc(n: NodePattern): String =
       "(" + n.variable.getOrElse("") + n.label.map(":" + _).getOrElse("") +
         (if (n.props.nonEmpty) " {…}" else "") + ")"

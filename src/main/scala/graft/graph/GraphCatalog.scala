@@ -85,6 +85,10 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * index creation committing then re-validating).
     */
   private def withMetaLock[T](g: String)(body: => T): T = {
+    // the friendly diagnostic must win over a raw NoSuchFileException
+    // from opening the lock file inside a graph dir that never existed
+    if (!Files.exists(graphDir(g)))
+      throw new IllegalStateException(s"graph \"$g\" does not exist")
     val key = graphDir(g).toAbsolutePath.normalize.toString
     val hs = GraphCatalog.heldMeta.get()
     if (hs.contains(key)) return body
@@ -102,23 +106,24 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Per-label readers-writer lock (in-driver): appends take the read
-    * side (different-label AND same-label appends stay concurrent —
-    * parquet append mode only adds files), while whole-table rewrites
-    * (overwrite / reindex / patchFiles' swap) take the write side, so
-    * a re-cluster can never delete files an in-flight append just
-    * wrote. Cross-DRIVER same-label write overlap remains the
-    * operator's responsibility to schedule (documented deviation: the
-    * reference serializes via heavyweight table locks).
+  /** Per-label exclusive lock (in-driver): every mutation of one
+    * label's FILES — append, overwrite/reindex, patchFiles' swap,
+    * drop, rename — serializes on it, so a re-cluster can never delete
+    * files an in-flight append just wrote. Same-label appends
+    * serialize too: Spark's file committer stages every job of a
+    * directory under the same _temporary path, and the shred-meta
+    * merge is a per-label read-modify-write — neither is safe
+    * concurrently (DIFFERENT labels still ingest fully in parallel,
+    * the bulk-load shape). Cross-DRIVER same-label write overlap
+    * remains the operator's responsibility to schedule (documented
+    * deviation: the reference serializes via heavyweight table locks).
+    * The lock keys on the label NAME — renameLabel holds the source
+    * name's lock, and writers racing a rename must re-resolve.
     */
   private def labelLock(g: String, label: String) =
     GraphCatalog.labelLocks.computeIfAbsent(
       graphDir(g).toAbsolutePath.normalize.resolve(label).toString,
       _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
-  private def withLabelRead[T](g: String, label: String)(body: => T): T = {
-    val l = labelLock(g, label).readLock(); l.lock()
-    try body finally l.unlock()
-  }
   private def withLabelWrite[T](g: String, label: String)(body: => T): T = {
     val l = labelLock(g, label).writeLock(); l.lock()
     try body finally l.unlock()
@@ -196,7 +201,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * is stable, so data and edges referencing the label never rewrite.
     * Children's parent lists follow the rename.
     */
-  def renameLabel(graph: String, from: String, to: String): Unit = withMetaLock(graph) {
+  def renameLabel(graph: String, from: String, to: String): Unit =
+      withLabelWrite(graph, from) { withMetaLock(graph) {
     val m = readMeta(graph)
     if (!m.labels.contains(from))
       throw new IllegalStateException(s"label \"$from\" does not exist")
@@ -213,7 +219,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     renamed.foreach { case (n, meta) => m.labels(n) = meta }
     writeMeta(graph, m)
     Files.move(labelDir(graph, from), labelDir(graph, to))
-  }
+  } }
 
   // ------------------------------------------------------ label DDL
 
@@ -311,11 +317,11 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     if (unique) {
       // existing rows must already be unique (the reference's CREATE
       // UNIQUE INDEX fails with "could not create unique index" on
-      // duplicate keys). Validated for the single-simple-key form (the
-      // common shape); multi-key/expression indexes are enforced from
-      // the next write on — say so out loud, like a NOTICE.
-      if (validatable) { if (dupScanFails()) dupError() }
-      else System.err.println(
+      // duplicate keys) — validated ONCE, under the label lock below,
+      // for the single-simple-key form (the common shape).
+      // Multi-key/expression indexes are enforced from the next write
+      // on — say so out loud, like a NOTICE.
+      if (!validatable) System.err.println(
         s"""NOTICE:  unique property index "$nm" on "$label" has a """ +
           "multi-key or expression key; existing rows are not validated " +
           "— uniqueness is enforced from the next write on")
@@ -436,7 +442,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     overwrite(graph, label, df)
   }
 
-  def dropLabel(graph: String, name: String): Unit = withMetaLock(graph) {
+  def dropLabel(graph: String, name: String): Unit =
+      withLabelWrite(graph, name) { withMetaLock(graph) {
     val m = readMeta(graph)
     require(m.labels.contains(name), s"label \"$name\" does not exist")
     require(!m.labels.values.exists(_.parents.contains(name)),
@@ -448,7 +455,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       Files.deleteIfExists(p)
     }
     rm(labelDir(graph, name))
-  }
+  } }
 
   /** ALTER VLABEL/ELABEL ... [NO] INHERIT parent (gram.y ALTER TABLE
     * INHERIT route; inheritance maintenance graphcmds.c:416; tests
@@ -757,7 +764,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * the write-side cost of read-side pushdown).
     */
   def append(graph: String, label: String, df: DataFrame): Unit =
-      withLabelRead(graph, label) {
+      withLabelWrite(graph, label) {
     val m = readMeta(graph)
     val lm = m.labels.getOrElse(label,
       throw new IllegalStateException(s"label \"$label\" does not exist"))
@@ -791,7 +798,14 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // lock); they serialize only against whole-table rewrites.
     if (lm2 != lm) withMetaLock(graph) {
       val fresh = readMeta(graph)
-      fresh.labels(label) = lm2
+      // merge against the FRESH label meta, not the stale pre-append
+      // read: even serialized appends interleave with patch/overwrite
+      // commits on the shared _graph.json
+      val flm = fresh.labels(label)
+      val merged =
+        if (lm2.shredOff || flm.shredOff) flm.copy(shredOff = true)
+        else flm.copy(shred = mergeShred(flm.shred, lm2.shred))
+      fresh.labels(label) = merged
       writeMeta(graph, fresh)
     }
   }

@@ -96,6 +96,20 @@ class ExplainWriteSpec extends AnyFunSuite {
     assert(p.nonEmpty && (p.contains("Scan") || p.contains("Project")), p)
   }
 
+  test("EXPLAIN rejects what execution rejects under enable_eager=off") {
+    val s = freshSession()
+    spark.conf.set("spark.graft.enableEager", "false")
+    try {
+      // a non-final SET is an eager plan — the reference's EXPLAIN
+      // errors during planning (assign_query_eager), so must this
+      val e = intercept[IllegalStateException] {
+        s.cypher("EXPLAIN MATCH (n:person) SET n.x = 1 RETURN n.k AS k")
+          .collect()
+      }
+      assert(e.getMessage.contains("eagerness"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.enableEager")
+  }
+
   test("EXPLAIN of a parameterized write threads params too") {
     val s = freshSession()
     val before = countV(s)
