@@ -268,20 +268,37 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullJson)
     catch { case _: Throwable => () }
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    // The harness captures only a bounded TAIL (~2.4 KB) of stdout —
+    // 241 per-query entries plus 48 probe entries do not fit, and a
+    // front-truncated line parses as null (the fate of the r4/r5
+    // records). The stdout line therefore carries aggregates,
+    // per-family totals, the slowest queries, and the worst sf1
+    // ratios; bench_full.json (now committed, not gitignored) holds
+    // every number.
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
+    val qs = results.sortBy(-_._2).take(60).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val fams = results.groupBy(_._1.head).toSeq.sortBy(_._1).map {
+      case (fam, rs) => "\"" + fam + "\":" + f(rs.map(_._2).sum)
+    }.mkString("{", ",", "}")
     // value = steady-state (min over runs); cold_total_sec = 1st run,
     // which pays one-time codegen/planning per plan shape.
-    val sf1Json = sf1Times.map { case (k, v) =>
+    val ratioOf: ((String, Double)) => Double = { case (n, v) =>
+      results.collectFirst { case (bn, bv) if bn == n && bv > 0.005 && v > 0 =>
+        v / bv }.getOrElse(0.0)
+    }
+    val sf1Json = sf1Times.sortBy(-ratioOf(_)).take(12).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }.mkString("{", ",", "}")
+    val sf1Max = sf1Times.map(ratioOf).foldLeft(0.0)(math.max)
     // stdout stays bounded: the probe error rides as a short flag here,
     // full text is in bench_full.json
     val sf1Flag = if (sf1Error != null) s""","sf1_error":true""" else ""
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-      s""""cold_total_sec":${f(coldTotal)},"sf1_10x":$sf1Json$sf1Flag,""" +
+      s""""families":$fams,"n_queries":${results.length},""" +
+      s""""cold_total_sec":${f(coldTotal)},"sf1_10x":$sf1Json,""" +
+      s""""sf1_probes":${sf1Times.length},"sf1_max_ratio":${f(sf1Max)}$sf1Flag,""" +
       s""""sf":"$sfDir","full":"bench_full.json"}""")
     System.out.flush()
     spark.stop()
