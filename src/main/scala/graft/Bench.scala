@@ -27,6 +27,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the per-query checkpoint unpersist below is deliberate — the
+    // RDDs are dead — so the per-RDD "lineage truncated" WARN is noise
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     // warmup: shuffle, window, higher-order-fn and jsonb codegen paths,
     // plus a first scan of every input table (file listing + footer +
     // page-cache fill are one-time costs, not per-plan costs)

@@ -152,8 +152,13 @@ final class Builder(
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     def estRows: String =
       if (!planned) "unknown (follows a write)"
-      else st.df.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.toString).getOrElse("unknown")
+      else {
+        val stats = st.df.queryExecution.optimizedPlan.stats
+        stats.rowCount.map(_.toString).getOrElse(
+          // without CBO only the size propagates — still a usable
+          // magnitude signal for "how big is this write's input"
+          s"~${stats.sizeInBytes} bytes")
+      }
     sq.clauses.foreach {
       case cc: CreateClause =>
         val vl = cc.paths.flatMap(p =>
