@@ -1020,8 +1020,19 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         }
       sb.toString.hashCode
     }
+    // Staleness tolerance: the counts only steer ADVISORY planning
+    // (broadcast hints; the endpoint filters derive from pattern
+    // labels, never from counts), so a write-invalidated matrix may
+    // serve stale for up to graphmetaRefreshSecs before recomputing —
+    // a write-heavy workload must not pay a full edge aggregation
+    // after every statement. 0 = always fresh (the spec's setting).
+    val ttlNanos = (try spark.conf
+      .get("spark.graft.graphmetaRefreshSecs", "30").toDouble
+      catch { case _: Throwable => 30.0 }) * 1e9
     metaCountsCache.synchronized(metaCountsCache.get(graph)) match {
-      case Some((`fp`, m)) => m
+      case Some((`fp`, m, _)) => m
+      case Some((_, m, at)) if (System.nanoTime() - at).toDouble < ttlNanos =>
+        m
       case _ =>
         import org.apache.spark.sql.functions._
         val m = scanAll(graph, 'e')
@@ -1032,12 +1043,14 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
           .collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
           .toMap
-        metaCountsCache.synchronized { metaCountsCache(graph) = (fp, m) }
+        metaCountsCache.synchronized {
+          metaCountsCache(graph) = (fp, m, System.nanoTime())
+        }
         m
     }
   }
-  private val metaCountsCache =
-    scala.collection.mutable.Map[String, (Int, Map[(Int, Int, Int), Long])]()
+  private val metaCountsCache = scala.collection.mutable
+    .Map[String, (Int, Map[(Int, Int, Int), Long], Long)]()
 
   // ------------------------------------------------------- constraints
 

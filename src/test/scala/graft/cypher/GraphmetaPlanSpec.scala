@@ -125,7 +125,9 @@ class GraphmetaPlanSpec extends AnyFunSuite {
   test("a write invalidates the cached stats and flips the plan") {
     val s = buildSkewed()
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.graft.graphmetaBroadcastRows" -> "1000") {
+      "spark.graft.graphmetaBroadcastRows" -> "1000",
+      // disable the staleness window so the invalidation is immediate
+      "spark.graft.graphmetaRefreshSecs" -> "0") {
       val q = "MATCH (c:small)-[:t]->(h:hub) RETURN count(*) AS n"
       assert(s.cypher(q).queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"))
