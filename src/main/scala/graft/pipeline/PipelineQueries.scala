@@ -1606,6 +1606,47 @@ object PipelineQueries {
         .limit(25)
     },
 
+    "p115_repetition_filter" -> { (s, d) =>
+      // Gopher-style repetition quality filter (Rae et al. 2021 §A1.1:
+      // documents dominated by repeated fragments are low-quality and
+      // poison LM training): per doc, the duplicate-WORD fraction
+      // (1 − distinct/total) and the top-2-gram fraction (share of
+      // tokens inside the single most frequent bigram) gate the doc.
+      // Shape at 100 TB: everything is per-document map-side until the
+      // per-(doc, gram) count — keyed on doc_id, so the shuffle is
+      // corpus-bounded and partial-aggregates; the report is one tiny
+      // per-source rollup of exact integer sums (one final rounded
+      // division, the repo's float discipline).
+      val docs = load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val base = docs
+        .withColumn("w", filter(split(col("text"), "\\s+"),
+          x => x =!= lit("")))
+        .withColumn("nw", size(col("w")))
+        .withColumn("nd", size(array_distinct(col("w"))))
+      val grams = base.where(col("nw") >= 2).select(col("doc_id"),
+        explode(expr("transform(sequence(1, nw - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("g"))
+      val gmax = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("m2"))
+      val scored = base.join(gmax, Seq("doc_id"), "left")
+        .withColumn("m2", coalesce(col("m2"), lit(0L)))
+        .withColumn("dup_frac",
+          round((col("nw") - col("nd")).cast("double") / col("nw"), 6))
+        .withColumn("top2_frac",
+          round(lit(2.0) * col("m2") / col("nw"), 6))
+      scored.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dup_frac") <= 0.55 && col("top2_frac") <= 0.12, 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(col("nw")).as("sum_words"),
+          sum(col("nw") - col("nd")).as("sum_dup"))
+        .withColumn("dup_rate",
+          round(col("sum_dup").cast("double") / col("sum_words"), 6))
+        .orderBy("source")
+    },
+
     "p110_metapath_walk" -> { (s, d) =>
       // Deterministic metapath random walks (metapath2vec corpus
       // generation): walkers alternate customer→part→customer hops
@@ -3575,6 +3616,31 @@ object PipelineQueries {
         |  FROM w JOIN deg USING (p) GROUP BY ca, cb)
         |SELECT ca, cb, aa, n_common FROM aa
         |ORDER BY aa DESC, ca, cb LIMIT 25""".stripMargin,
+    "p115_repetition_filter" ->
+      """WITH words AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, source, len(w) AS nw,
+        |    len(list_distinct(w)) AS nd, w FROM words),
+        |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM base, unnest(generate_series(1, nw - 1)) AS t(i)
+        |  WHERE nw >= 2),
+        |gmax AS (SELECT doc_id, max(c) AS m2 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |scored AS (SELECT b.doc_id, b.source, b.nw, b.nd,
+        |    coalesce(gm.m2, 0) AS m2,
+        |    round((b.nw - b.nd) * 1.0 / b.nw, 6) AS dup_frac,
+        |    round(2.0 * coalesce(gm.m2, 0) / b.nw, 6) AS top2_frac
+        |  FROM base b LEFT JOIN gmax gm USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN dup_frac <= 0.55 AND top2_frac <= 0.12
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(nw) AS BIGINT) AS sum_words,
+        |  CAST(sum(nw - nd) AS BIGINT) AS sum_dup,
+        |  round(CAST(sum(nw - nd) AS DOUBLE) / sum(nw), 6) AS dup_rate
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
     "p110_metapath_walk" ->
       """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
