@@ -114,26 +114,45 @@ final class CypherSession(
       // dijkstra/VLE) materializes its iterative frontier during
       // planning — its EXPLAIN costs close to the query (the loop IS
       // the plan construction).
-      case ExplainRe(_, inner) =>
+      case ExplainRe(opts, inner) =>
         import spark.implicits._
         import graft.cypher.Ast
+        // EXPLAIN (ANALYZE): execute and append runtime totals, like
+        // the reference (a write under ANALYZE is APPLIED — PG
+        // semantics; plain EXPLAIN of a write applies nothing)
+        val analyze = opts != null && opts.toLowerCase.contains("analyze")
         val ast = graft.cypher.Parser.parse(inner)
         val writes = (ast.first +: ast.setOps.map(_._2)).exists(_.clauses.exists {
           case _: Ast.CreateClause | _: Ast.DeleteClause |
                _: Ast.SetClause | _: Ast.MergeClause => true
           case _ => false
         })
-        if (writes) {
+        if (writes && !analyze) {
           require(currentGraph != null, "no graph selected (setGraphPath)")
           val b = new Builder(spark, catalog, currentGraph, params.map {
             case (k, v) => k -> toJValue(v)
           }, name => spark.table(name))
           Some(b.explainWrites(ast).toDF("plan"))
         } else {
+          val t0 = System.nanoTime()
           val df = runAst(ast, params) // already parsed — don't parse twice
           val text = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-          Some(text.linesIterator.toSeq.toDF("plan"))
+          val lines = text.linesIterator.toSeq
+          val out =
+            if (!analyze) lines
+            else {
+              val n = df.count()
+              val ms = (System.nanoTime() - t0) / 1e6
+              val ws = lastWriteStats.filter(_._2 != 0L)
+              lines ++ Seq("",
+                f"Execution: $n rows, $ms%.1f ms") ++
+                (if (ws.nonEmpty)
+                  Seq("Write stats: " + ws.toSeq.sorted.map {
+                    case (k, v) => s"$k=$v" }.mkString(", "))
+                else Nil)
+            }
+          Some(out.toDF("plan"))
         }
       // graph_path GUC statement forms (guc.c:4670-4677
       // check_graph_path; cypher_ddl.out:12-19,62-68)

@@ -96,6 +96,19 @@ class ExplainWriteSpec extends AnyFunSuite {
     assert(p.nonEmpty && (p.contains("Scan") || p.contains("Project")), p)
   }
 
+  test("EXPLAIN (ANALYZE) executes: runtime totals for reads, applied writes with stats") {
+    val s = freshSession()
+    val p = planText(s,
+      "EXPLAIN (ANALYZE) MATCH (n:person) WHERE n.k < 3 RETURN n.k AS k")
+    assert(p.contains("Execution: 3 rows"), p)
+    // ANALYZE of a write APPLIES it (PG semantics) and reports stats
+    val before = countV(s)
+    val wp = planText(s, "EXPLAIN (ANALYZE) CREATE (:person {k: 77})")
+    assert(wp.contains("Execution:"), wp)
+    assert(wp.contains("Write stats:") && wp.contains("insertedvertices=1"), wp)
+    assert(countV(s) == before + 1, "ANALYZE must apply the write")
+  }
+
   test("EXPLAIN rejects what execution rejects under enable_eager=off") {
     val s = freshSession()
     spark.conf.set("spark.graft.enableEager", "false")
