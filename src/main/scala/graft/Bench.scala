@@ -215,10 +215,15 @@ object Bench {
           // a failed probe reports -1, never a bogus near-zero time
           else Some(name -> runQuery(name, SparkEntry.queries(name), dir))
         }
-        // dropped/unknown probes are recorded, not silently absent —
-        // an omitted entry must be distinguishable from "not probed"
+        // dropped/unknown/FAILED probes are recorded, not silently
+        // absent — an omitted or -1 entry must be distinguishable
+        // from "not probed" on the stdout summary too
         val dropped = resolved.drop(ran.length)
+        val failed = ran.collect { case (n, v) if v < 0 => n }
         val notes = Seq(
+          if (failed.nonEmpty)
+            Some(s"${failed.length} probes FAILED: " +
+              failed.take(8).mkString(",")) else None,
           if (dropped.nonEmpty)
             Some(s"deadline dropped ${dropped.length} probes: " +
               dropped.take(8).mkString(",")) else None,

@@ -114,39 +114,56 @@ final class CypherSession(
       // dijkstra/VLE) materializes its iterative frontier during
       // planning — its EXPLAIN costs close to the query (the loop IS
       // the plan construction).
-      case ExplainRe(opts, inner) =>
+      case ExplainRe(opts, inner0) =>
         import spark.implicits._
         import graft.cypher.Ast
         // EXPLAIN (ANALYZE): execute and append runtime totals, like
         // the reference (a write under ANALYZE is APPLIED — PG
-        // semantics; plain EXPLAIN of a write applies nothing)
-        val analyze = opts != null && opts.toLowerCase.contains("analyze")
+        // semantics; plain EXPLAIN of a write applies nothing).
+        // Both spellings work: the bare keyword form `EXPLAIN ANALYZE
+        // <q>` (PG's canonical one) and the options list — where an
+        // explicit ANALYZE OFF/FALSE/0 means plan-only.
+        val BareAnalyzeRe = "(?is)ANALYZE\\s+(.+)".r
+        val OptAnalyzeRe = "(?i)analyze(\\s+(off|false|0))?".r
+        val (analyze, inner) = inner0 match {
+          case BareAnalyzeRe(rest) if opts == null => (true, rest)
+          case _ =>
+            val on = opts != null && OptAnalyzeRe.findFirstMatchIn(opts)
+              .exists(_.group(2) == null)
+            (on, inner0)
+        }
         val ast = graft.cypher.Parser.parse(inner)
         val writes = (ast.first +: ast.setOps.map(_._2)).exists(_.clauses.exists {
           case _: Ast.CreateClause | _: Ast.DeleteClause |
                _: Ast.SetClause | _: Ast.MergeClause => true
           case _ => false
         })
-        if (writes && !analyze) {
+        def describeWrites(): Seq[String] = {
           require(currentGraph != null, "no graph selected (setGraphPath)")
           val b = new Builder(spark, catalog, currentGraph, params.map {
             case (k, v) => k -> toJValue(v)
           }, name => spark.table(name))
-          Some(b.explainWrites(ast).toDF("plan"))
-        } else {
+          b.explainWrites(ast)
+        }
+        if (writes && !analyze) Some(describeWrites().toDF("plan"))
+        else {
+          // ANALYZE of a write keeps the ModifyGraph description (the
+          // reference's EXPLAIN ANALYZE shows the plan tree alongside
+          // runtime) — described first, applied once below
+          val header = if (writes) describeWrites() :+ "" else Nil
           val t0 = System.nanoTime()
           val df = runAst(ast, params) // already parsed — don't parse twice
-          val text = df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
-          val lines = text.linesIterator.toSeq
+          val lines =
+            if (writes) header
+            else header ++ df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode).linesIterator
           val out =
             if (!analyze) lines
             else {
               val n = df.count()
               val ms = (System.nanoTime() - t0) / 1e6
               val ws = lastWriteStats.filter(_._2 != 0L)
-              lines ++ Seq("",
-                f"Execution: $n rows, $ms%.1f ms") ++
+              lines ++ Seq(f"Execution: $n rows, $ms%.1f ms") ++
                 (if (ws.nonEmpty)
                   Seq("Write stats: " + ws.toSeq.sorted.map {
                     case (k, v) => s"$k=$v" }.mkString(", "))

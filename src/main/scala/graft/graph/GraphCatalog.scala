@@ -117,8 +117,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * the bulk-load shape). Cross-DRIVER same-label write overlap
     * remains the operator's responsibility to schedule (documented
     * deviation: the reference serializes via heavyweight table locks).
-    * The lock keys on the label NAME — renameLabel holds the source
-    * name's lock, and writers racing a rename must re-resolve.
+    * The lock keys on the label NAME — renameLabel holds BOTH the
+    * source and target names' locks (canonical order).
     */
   private def labelLock(g: String, label: String) =
     GraphCatalog.labelLocks.computeIfAbsent(
@@ -201,8 +201,13 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * is stable, so data and edges referencing the label never rewrite.
     * Children's parent lists follow the rename.
     */
-  def renameLabel(graph: String, from: String, to: String): Unit =
-      withLabelWrite(graph, from) { withMetaLock(graph) {
+  def renameLabel(graph: String, from: String, to: String): Unit = {
+    // lock BOTH names (canonical order — no deadlock with a reverse
+    // rename): an append racing to the TARGET name could otherwise
+    // create the target dir between the meta commit and the move,
+    // stranding the rows under the old dir
+    val Seq(l1, l2) = Seq(from, to).sorted
+    withLabelWrite(graph, l1) { withLabelWrite(graph, l2) { withMetaLock(graph) {
     val m = readMeta(graph)
     if (!m.labels.contains(from))
       throw new IllegalStateException(s"label \"$from\" does not exist")
@@ -219,7 +224,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     renamed.foreach { case (n, meta) => m.labels(n) = meta }
     writeMeta(graph, m)
     Files.move(labelDir(graph, from), labelDir(graph, to))
-  } }
+  } } }
+  }
 
   // ------------------------------------------------------ label DDL
 
@@ -332,8 +338,9 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       addConstraint(graph, label, s"${nm}_uc", "unique", body)
     }
     // The build runs under the LABEL WRITE lock: it drains in-flight
-    // same-label appends (they hold the read side while their files
-    // land), so the re-validation scan sees every committed row, and
+    // same-label appends (they hold the same exclusive lock while
+    // their files land), so the validation scan sees every committed
+    // row, and
     // the reindex swap (re-entrant on the same lock) can't race them.
     // The meta lock is held only for the actual meta commit — a
     // multi-minute duplicate scan must not stall reserveIds/DDL on
@@ -794,8 +801,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // future per label) must not lose each other's shred-meta updates
     // through a stale read-modify-write of the shared _graph.json —
     // in this driver or another one (the lock is an OS file lock).
-    // Same-label appends stay concurrent (read side of the label
-    // lock); they serialize only against whole-table rewrites.
+    // Same-label appends hold this label's exclusive lock for the
+    // whole method (committer staging + this merge are per-label RMW).
     if (lm2 != lm) withMetaLock(graph) {
       val fresh = readMeta(graph)
       // merge against the FRESH label meta, not the stale pre-append
@@ -866,7 +873,12 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
     withMetaLock(graph) {
       val fresh = readMeta(graph)
-      fresh.labels(label) = lm2
+      // only the shred layout comes from this rewrite (the new
+      // contents ARE the whole table); every other field — indexes,
+      // persistence, parents — must come from the FRESH meta, or a
+      // concurrent DDL committed mid-rewrite would be resurrected
+      fresh.labels(label) = fresh.labels(label)
+        .copy(shred = lm2.shred, shredOff = lm2.shredOff)
       writeMeta(graph, fresh)
     }
   }
@@ -959,7 +971,12 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
     if (lm2 != lm) withMetaLock(graph) {
       val fresh = readMeta(graph)
-      fresh.labels(label) = lm2
+      // merge the batch's shred layout into the FRESH meta (same rule
+      // as append) — never clobber concurrent DDL with the stale copy
+      val flm = fresh.labels(label)
+      fresh.labels(label) =
+        if (lm2.shredOff || flm.shredOff) flm.copy(shredOff = true)
+        else flm.copy(shred = mergeShred(flm.shred, lm2.shred))
       writeMeta(graph, fresh)
     }
     (rowsBefore, rowsAfter)

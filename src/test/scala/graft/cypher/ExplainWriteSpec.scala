@@ -109,6 +109,22 @@ class ExplainWriteSpec extends AnyFunSuite {
     assert(countV(s) == before + 1, "ANALYZE must apply the write")
   }
 
+  test("bare EXPLAIN ANALYZE works; (ANALYZE OFF) stays plan-only") {
+    val s = freshSession()
+    // PG's canonical unparenthesized spelling
+    val p = planText(s, "EXPLAIN ANALYZE MATCH (n:person) RETURN n.k AS k")
+    assert(p.contains("Execution: 5 rows"), p)
+    // explicit ANALYZE OFF means plan-only — a write must NOT apply
+    val before = countV(s)
+    val wp = planText(s, "EXPLAIN (ANALYZE OFF) CREATE (:person {k: 88})")
+    assert(wp.contains("ModifyGraph (op=CREATE"), wp)
+    assert(!wp.contains("Execution:"), wp)
+    assert(countV(s) == before, "ANALYZE OFF must not apply the write")
+    // ANALYZE of a write keeps the ModifyGraph description
+    val ap = planText(s, "EXPLAIN (ANALYZE) MATCH (n:person {k: 3}) SET n.z = 1")
+    assert(ap.contains("ModifyGraph (op=SET") && ap.contains("Execution:"), ap)
+  }
+
   test("EXPLAIN rejects what execution rejects under enable_eager=off") {
     val s = freshSession()
     spark.conf.set("spark.graft.enableEager", "false")
