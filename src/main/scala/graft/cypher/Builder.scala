@@ -801,11 +801,50 @@ final class Builder(
   /** Extend state with one path pattern; returns new edge vars bound
     * (for uniqueness quals).
     */
-  private def addPath(st0: State, p: PathPattern): (State, Vector[(String, Kind)]) = {
-    p.finder match {
-      case PathFinder.None => ()
-      case f => return Algo.findPaths(this, st0, p, f)
+  /** Graphmeta-driven chain ORDER: a fixed-length path builds
+    * left-to-right, so a chain whose RARE end is written last drags
+    * the full first-hop fan-out through every join before the
+    * selective hop finally cuts it. When the stats say the last hop
+    * is ≥4× more selective than the first, traverse the pattern
+    * REVERSED (hop directions flip; a path pattern is symmetric under
+    * reversal and every variable keeps its name, so bindings are
+    * identical). Skipped when a path variable or any VLE hop is
+    * present — those observe traversal order (vertex/edge arrays).
+    */
+  private[cypher] def reorderPath(st0: State, p: PathPattern): PathPattern = {
+    if (p.variable.nonEmpty || p.finder != PathFinder.None) return p
+    if (p.tail.length < 2 || p.tail.exists(_._1.varLength.nonEmpty)) return p
+    // only fully-fresh paths: a pre-bound variable anywhere makes the
+    // left-to-right build anchor on the bound frame — reversal would
+    // trade that anchor for a cross join with the new head's scan
+    if ((p.head.variable ++ p.tail.flatMap(t =>
+      t._1.variable ++ t._2.variable)).exists(st0.has)) return p
+    if (spark.conf.get("spark.graft.graphmetaPlanning", "true") == "false")
+      return p
+    if (metaCounts.isEmpty) return p
+    def hopEst(prev: NodePattern, rel: RelPattern, node: NodePattern) =
+      graphmetaHopEstimate(rel, Some(prev), node).map(_._1)
+    val firstEst = hopEst(p.head, p.tail.head._1, p.tail.head._2)
+    val lastPrev = if (p.tail.length == 1) p.head else p.tail(p.tail.length - 2)._2
+    val lastEst = hopEst(lastPrev, p.tail.last._1, p.tail.last._2)
+    (firstEst, lastEst) match {
+      case (Some(f), Some(l)) if l * 4 <= f =>
+        val nodes = p.head +: p.tail.map(_._2)
+        val rels = p.tail.map(_._1)
+        val newTail = rels.reverse.zip(nodes.reverse.tail).map {
+          case (r, n) => (r.copy(direction = -r.direction), n)
+        }
+        p.copy(head = nodes.last, tail = newTail)
+      case _ => p
     }
+  }
+
+  private def addPath(st0: State, p0: PathPattern): (State, Vector[(String, Kind)]) = {
+    p0.finder match {
+      case PathFinder.None => ()
+      case f => return Algo.findPaths(this, st0, p0, f)
+    }
+    val p = reorderPath(st0, p0)
     var st = st0
     val edgeVars = Vector.newBuilder[(String, Kind)]
     // bind head

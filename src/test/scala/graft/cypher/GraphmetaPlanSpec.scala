@@ -122,6 +122,48 @@ class GraphmetaPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("chain reorder: a rare far end becomes the traversal head") {
+    val s = buildSkewed()
+    // add a tiny second hop off the hubs: (hub)-[:u]->(rare), 5 edges
+    s.cypher("CREATE VLABEL rare"); s.cypher("CREATE ELABEL u")
+    def labid(l: String) = s.catalog.label("g", l).get.labid
+    val rareId = GraphId.pack(labid("rare"), 0L)
+    val hubId = GraphId.pack(labid("hub"), 0L)
+    val uId = GraphId.pack(labid("u"), 0L)
+    s.catalog.append("g", "rare", spark.range(5).select(
+      (lit(rareId) + col("id")).as("id"),
+      concat(lit("{\"k\": "), col("id"), lit("}")).as("properties")))
+    s.catalog.append("g", "u", spark.range(5).select(
+      (lit(uId) + col("id")).as("id"),
+      (lit(hubId) + col("id")).as("start"),
+      (lit(rareId) + col("id")).as("end"),
+      lit("{}").as("properties")))
+    val b = new Builder(spark, s.catalog, "g", Map.empty,
+      nm => spark.table(nm))
+    val q = "MATCH (a:big)-[:t]->(h:hub)-[:u]->(r:rare) RETURN count(*) AS n"
+    val pp = Parser.parse(q).first.clauses.collectFirst {
+      case m: Ast.Match => m.paths.head
+    }.get
+    val init = graft.cypher.State(
+      spark.range(1).toDF("__dummy"), Vector.empty)
+    // 3000-edge first hop, 5-edge last hop -> reversed: rare leads
+    val re = b.reorderPath(init, pp)
+    assert(re.head.label.contains("rare"), re)
+    assert(re.tail.head._1.direction == -1, re) // <-[:u]- after flip
+    // the reversed build returns identical results
+    def run(): Long = s.cypher(q).collect().head.get(0).toString.toLong
+    val on = run()
+    spark.conf.set("spark.graft.graphmetaPlanning", "false")
+    try assert(run() == on)
+    finally spark.conf.unset("spark.graft.graphmetaPlanning")
+    // symmetric shape with the rare end FIRST stays as written
+    val q2 = "MATCH (r:rare)<-[:u]-(h:hub)<-[:t]-(a:big) RETURN count(*) AS n"
+    val pp2 = Parser.parse(q2).first.clauses.collectFirst {
+      case m: Ast.Match => m.paths.head
+    }.get
+    assert(b.reorderPath(init, pp2) eq pp2)
+  }
+
   test("a write invalidates the cached stats and flips the plan") {
     val s = buildSkewed()
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
