@@ -8,7 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Interaction matrix over the engine's plan toggles: keyed
   * correlation, the count-only pair rewrite, Dijkstra target pruning,
-  * and the path-search strategy are each independently differential-
+  * graphmeta-driven hop planning (endpoint filters, broadcast hints,
+  * chain reorder), and the path-search strategy are each independently
+  * differential-
   * tested against their fallbacks — this spec asserts the TOGGLE
   * COMBINATIONS also agree, on a query corpus that exercises several
   * toggles at once (a pair-count pattern whose residual runs through
@@ -53,7 +55,10 @@ class PlanToggleMatrixSpec extends AnyFunSuite {
     """MATCH (a:v) WHERE exists((a)-[:t]->())
       |WITH collect(a.n) AS ns
       |MATCH p = dijkstra((x:v {grp: 1})-[e:t]->(y:v {grp: 2}), e.w)
-      |RETURN x.n AS xn, y.n AS yn, length(p) AS l, size(ns) AS k""".stripMargin)
+      |RETURN x.n AS xn, y.n AS yn, length(p) AS l, size(ns) AS k""".stripMargin,
+    // mixed-type chain: graphmeta hop filters/broadcast + chain reorder
+    """MATCH (a:v)-[:t]->(m:v)-[:u]->(b:v)
+      |RETURN a.n AS an, m.n AS mn, b.n AS bn""".stripMargin)
 
   private def rows(s: CypherSession, q: String): Seq[String] =
     s.cypher(q).collect().toSeq
@@ -67,7 +72,8 @@ class PlanToggleMatrixSpec extends AnyFunSuite {
       "spark.graft.keyedCorrelation" -> "false",
       "spark.graft.pairCountRewrite" -> "false",
       "spark.graft.dijkstraTargetPrune" -> "false",
-      "spark.graft.pathSearch" -> "twosided")
+      "spark.graft.pathSearch" -> "twosided",
+      "spark.graft.graphmetaPlanning" -> "false")
     def setAll(off: Set[Int]): Unit = toggles.zipWithIndex.foreach {
       case ((k, offV), i) =>
         if (off(i)) spark.conf.set(k, offV)
@@ -77,8 +83,8 @@ class PlanToggleMatrixSpec extends AnyFunSuite {
     try {
       setAll(Set.empty)
       val baseline = queries.map(rows(s, _))
-      val combos = Seq(Set(0), Set(1), Set(2), Set(3), Set(0, 1),
-        Set(2, 3), Set(0, 1, 2, 3))
+      val combos = Seq(Set(0), Set(1), Set(2), Set(3), Set(4),
+        Set(0, 1), Set(2, 3), Set(1, 4), Set(0, 1, 2, 3, 4))
       for (combo <- combos) {
         setAll(combo)
         queries.zip(baseline).foreach { case (q, want) =>
