@@ -27,6 +27,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private def binary(op: String): Seq[Expression] => Expression =
     args => JsonbBinary(op, args(0), args(1))
+  // jsonb_path_*(doc, path[, vars[, silent]]) — pad the optional args
+  // like the reference's SQL defaults (vars '{}'/none, silent false)
+  private def pathFn(op: String, tz: Boolean): Seq[Expression] => Expression =
+    args => JsonbPathFunction(op, tz, Seq(
+      args(0), args(1),
+      if (args.length > 2) args(2)
+      else org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.StringType),
+      if (args.length > 3) args(3)
+      else org.apache.spark.sql.catalyst.expressions.Literal(false)))
   private def cmp(op: String): Seq[Expression] => Expression =
     args => JsonbComparison(op, args(0), args(1))
 
@@ -53,6 +63,19 @@ object GraftExtensions {
     "jsonb_exists_any" -> (args => JsonbPredicate("existsany", args(0), args(1))),
     "jsonb_exists_all" -> (args => JsonbPredicate("existsall", args(0), args(1))),
     "jsonb_delete_path" -> (args => JsonbBinary("delpath", args(0), args(1))),
+    // SQL/JSON path (@? is jsonb_path_exists with silent=true; @@ is
+    // jsonb_path_match with silent=true — pass the extra args for the
+    // operator forms). jsonb_path_query is exposed as its _array form
+    // (Spark has no SRF registration surface; explode() the result).
+    "jsonb_path_exists" -> pathFn("exists", tz = false),
+    "jsonb_path_match" -> pathFn("match", tz = false),
+    "jsonb_path_query_array" -> pathFn("query_array", tz = false),
+    "jsonb_path_query_first" -> pathFn("query_first", tz = false),
+    "jsonb_path_query" -> pathFn("query_array", tz = false),
+    "jsonb_path_exists_tz" -> pathFn("exists", tz = true),
+    "jsonb_path_match_tz" -> pathFn("match", tz = true),
+    "jsonb_path_query_array_tz" -> pathFn("query_array", tz = true),
+    "jsonb_path_query_first_tz" -> pathFn("query_first", tz = true),
     "jsonb_length" -> (args => JsonbLength(args(0))),
     "jsonb_typerank" -> (args => JsonbTypeRank(args(0))),
     "jsonb_astext" -> (args => JsonbUnary("astext", args(0))),

@@ -355,6 +355,75 @@ object ops {
         newChildren: IndexedSeq[Expression]): Expression =
       copy(obj = newChildren(0), key = newChildren(1), value = newChildren(2))
   }
+
+  /** SQL/JSON path functions (reference: jsonb_path_exists/match/
+    * query_array/query_first and the `_tz` variants, jsonpath_exec.c).
+    * Children are always (doc, path, vars, silent) — the registration
+    * layer pads optional arguments; `vars` may be SQL NULL (no
+    * variables), `silent` defaults false like the reference's SQL
+    * signatures. exists/match return boolean, the query forms jsonb
+    * text. SQL NULL on doc or path yields NULL.
+    */
+  case class JsonbPathFunction(op: String, tz: Boolean,
+      children: Seq[Expression]) extends Expression {
+    private def boolOut = op == "exists" || op == "match"
+    override def dataType: DataType = if (boolOut) BooleanType else StringType
+    override def nullable: Boolean = true
+    override def prettyName: String =
+      s"jsonb_path_$op" + (if (tz) "_tz" else "")
+    override lazy val deterministic: Boolean = true
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val doc = children(0).eval(input)
+      val path = children(1).eval(input)
+      if (doc == null || path == null) return null
+      val vars = children(2).eval(input).asInstanceOf[UTF8String]
+      val silentAny = children(3).eval(input)
+      val silent = silentAny != null && silentAny.asInstanceOf[Boolean]
+      val d = doc.asInstanceOf[UTF8String]; val p = path.asInstanceOf[UTF8String]
+      op match {
+        case "exists"      => JsonbRT.jsonpathExists(d, p, vars, silent, tz)
+        case "match"       => JsonbRT.jsonpathMatch(d, p, vars, silent, tz)
+        case "query_array" => JsonbRT.jsonpathQueryArray(d, p, vars, silent, tz)
+        case "query_first" => JsonbRT.jsonpathQueryFirst(d, p, vars, silent, tz)
+      }
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val dg = children(0).genCode(ctx); val pg = children(1).genCode(ctx)
+      val vg = children(2).genCode(ctx); val sg = children(3).genCode(ctx)
+      val m = op match {
+        case "exists"      => "jsonpathExists"
+        case "match"       => "jsonpathMatch"
+        case "query_array" => "jsonpathQueryArray"
+        case "query_first" => "jsonpathQueryFirst"
+      }
+      val (jty, dflt) =
+        if (boolOut) ("java.lang.Boolean", "false") else ("UTF8String", "null")
+      val tmp = ctx.freshName("jpRes")
+      val code =
+        s"""${dg.code}
+           |${pg.code}
+           |boolean ${ev.isNull} = true;
+           |${if (boolOut) "boolean" else "UTF8String"} ${ev.value} = $dflt;
+           |if (!${dg.isNull} && !${pg.isNull}) {
+           |  ${vg.code}
+           |  ${sg.code}
+           |  $jty $tmp = $RT.$m(${dg.value}, ${pg.value},
+           |    ${vg.isNull} ? null : ${vg.value},
+           |    ${sg.isNull} ? false : ${sg.value}, $tz);
+           |  ${ev.isNull} = $tmp == null;
+           |  if ($tmp != null) ${ev.value} = $tmp${if (boolOut) ".booleanValue()" else ""};
+           |}
+           |""".stripMargin
+      ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(code)).code())
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(children = newChildren)
+  }
 }
 
 /** Column-level API over the jsonb expressions. */

@@ -294,4 +294,29 @@ object JsonbRT {
     case JBool(b) => out(JStr(if (b) "true" else "false"))
     case _        => null
   }
+
+  // SQL/JSON path (reference: jsonb_path_* / @? / @@, jsonpath_exec.c).
+  // `vars` may be SQL NULL; `silent` suppresses evaluation errors.
+  // Paths are compiled once per distinct text (JsonPath.parse caches).
+
+  private def varsOf(vars: UTF8String): JValue =
+    if (vars == null) null else v(vars)
+
+  def jsonpathExists(doc: UTF8String, path: UTF8String, vars: UTF8String,
+      silent: Boolean, tz: Boolean): java.lang.Boolean =
+    JsonPath.exists(v(doc), path.toString, varsOf(vars), silent, tz)
+
+  def jsonpathMatch(doc: UTF8String, path: UTF8String, vars: UTF8String,
+      silent: Boolean, tz: Boolean): java.lang.Boolean =
+    JsonPath.matches(v(doc), path.toString, varsOf(vars), silent, tz)
+
+  def jsonpathQueryArray(doc: UTF8String, path: UTF8String, vars: UTF8String,
+      silent: Boolean, tz: Boolean): UTF8String =
+    out(JsonPath.queryArray(v(doc), path.toString, varsOf(vars), silent, tz))
+
+  def jsonpathQueryFirst(doc: UTF8String, path: UTF8String, vars: UTF8String,
+      silent: Boolean, tz: Boolean): UTF8String = {
+    val r = JsonPath.queryFirst(v(doc), path.toString, varsOf(vars), silent, tz)
+    if (r == null) null else out(r)
+  }
 }

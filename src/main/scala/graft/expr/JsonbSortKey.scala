@@ -46,6 +46,9 @@ object JsonbSortKeyRT {
     out.write(0x10 + v.typeRank)
     v match {
       case JNull => ()
+      // evaluation-only jsonpath datetimes sort by their text form
+      // (they never appear in stored jsonb; Jsonb.parse can't produce one)
+      case JDateTime(_, text) => writeStr(text, out)
       case JStr(x) => writeStr(x, out)
       case JNum(n) => writeNum(n, out)
       case JBool(b) => out.write(if (b) 1 else 0)

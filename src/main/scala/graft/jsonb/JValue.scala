@@ -25,17 +25,26 @@ import scala.collection.mutable.ArrayBuffer
   */
 sealed trait JValue {
   def typeRank: Int = this match {
-    case JNull      => 0
-    case _: JStr    => 1
-    case _: JNum    => 2
-    case _: JBool   => 3
-    case _: JArr    => 4
-    case _: JObj    => 5
+    case JNull         => 0
+    case _: JStr       => 1
+    case _: JNum       => 2
+    case _: JBool      => 3
+    case _: JArr       => 4
+    case _: JObj       => 5
+    case _: JDateTime  => 6 // evaluation-only; never reaches jsonb storage
   }
   def render: String = { val sb = new StringBuilder; Jsonb.render(this, sb); sb.toString }
 }
 case object JNull extends JValue
 final case class JBool(b: Boolean) extends JValue
+/** jsonpath-internal datetime scalar (the reference's jbvDatetime,
+  * src/include/utils/jsonb.h): produced only by the `.datetime()` item
+  * method during path evaluation, never stored in jsonb — results are
+  * serialized back to their text form. `value` is one of LocalDate,
+  * LocalTime, OffsetTime, LocalDateTime, OffsetDateTime.
+  */
+final case class JDateTime(value: java.time.temporal.Temporal, text: String)
+    extends JValue
 final case class JNum(n: JBigDecimal) extends JValue
 final case class JStr(s: String) extends JValue
 final case class JArr(items: Vector[JValue]) extends JValue
@@ -199,6 +208,7 @@ object Jsonb {
   // --------------------------------------------------------------- render
 
   def render(v: JValue, sb: StringBuilder): Unit = v match {
+    case JDateTime(_, text) => renderString(text, sb)
     case JNull    => sb.append("null")
     case JBool(b) => sb.append(if (b) "true" else "false")
     case JNum(n)  => sb.append(renderNum(n))
@@ -370,9 +380,14 @@ object Jsonb {
   def div(l: JValue, r: JValue): JValue = {
     val (a, b) = num2("/", l, r)
     if (b.signum == 0) throw new ArithmeticException("division by zero")
-    val q = a.divide(b, divScale(a, b), RoundingMode.HALF_UP)
-    JNum(truncIfIntInputs(a, b, q))
+    JNum(truncIfIntInputs(a, b, numericDiv(a, b)))
   }
+
+  /** PG numeric_div (no integer truncation — that rule is Cypher's,
+    * cypher_ops.c jnumber_op; jsonpath divides at full numeric scale).
+    */
+  def numericDiv(a: JBigDecimal, b: JBigDecimal): JBigDecimal =
+    a.divide(b, divScale(a, b), RoundingMode.HALF_UP)
 
   def mod(l: JValue, r: JValue): JValue = {
     val (a, b) = num2("%", l, r)
@@ -438,6 +453,8 @@ object Jsonb {
   /** jsonb -> bool (pg_cast.dat:517; falsy: '' 0 false [] {} null). */
   def toBool(v: JValue): java.lang.Boolean = v match {
     case JNull        => null
+    // evaluation-only jsonpath datetime: truthy like its text form
+    case JDateTime(_, text) => text.nonEmpty
     case JBool(b)     => b
     case JNum(n)      => n.signum != 0
     case JStr(s)      => s.nonEmpty
