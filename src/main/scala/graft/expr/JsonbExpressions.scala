@@ -435,6 +435,25 @@ object J {
   def lit(json: String): Column =
     col(Literal(UTF8String.fromString(graft.jsonb.Jsonb.parse(json).render), StringType))
 
+  // SQL/JSON path over a jsonb column; path/vars are compile-time strings
+  private def pathCall(op: String, doc: Column, path: String,
+      vars: String): Column = {
+    val varsLit =
+      if (vars == null) Literal(null, StringType)
+      else Literal(UTF8String.fromString(graft.jsonb.Jsonb.parse(vars).render), StringType)
+    col(JsonbPathFunction(op, tz = false, Seq(e(doc),
+      Literal(UTF8String.fromString(path), StringType), varsLit,
+      Literal(false))))
+  }
+  def pathExists(doc: Column, path: String, vars: String = null): Column =
+    pathCall("exists", doc, path, vars)
+  def pathMatch(doc: Column, path: String, vars: String = null): Column =
+    pathCall("match", doc, path, vars)
+  def pathQueryArray(doc: Column, path: String, vars: String = null): Column =
+    pathCall("query_array", doc, path, vars)
+  def pathQueryFirst(doc: Column, path: String, vars: String = null): Column =
+    pathCall("query_first", doc, path, vars)
+
   def add(l: Column, r: Column): Column = col(JsonbBinary("add", e(l), e(r)))
   def sub(l: Column, r: Column): Column = col(JsonbBinary("sub", e(l), e(r)))
   def mul(l: Column, r: Column): Column = col(JsonbBinary("mul", e(l), e(r)))

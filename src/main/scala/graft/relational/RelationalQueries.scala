@@ -1000,6 +1000,34 @@ object RelationalQueries {
           col("n_returned"))
     },
 
+    // SQL/JSON path over the events.props jsonb column (§2.8:
+    // jsonb_path_exists / jsonb_path_query_first, the reference's @?
+    // and jsonb_path_* surface, jsonpath_exec.c). The path filter —
+    // `$.k ? (@ >= $min)` with a vars object — and the value
+    // extraction both run inside whole-stage codegen (one static call
+    // per row), and the WHERE pushes the row pruning into the scan
+    // stage like any other predicate.
+    "q74_jsonpath_filter" -> { (s, d) =>
+      import graft.expr.J
+      load(s, d, "events")
+        .where(J.pathExists(col("props"), "$.k ? (@ >= $min)",
+          """{"min": 80}"""))
+        .select(col("event_id"),
+          J.pathQueryFirst(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    },
+
+    // Boolean path expressions (`$.k > 50` — the reference's @@ /
+    // jsonb_path_match) driving an aggregate.
+    "q75_jsonpath_match_agg" -> { (s, d) =>
+      import graft.expr.J
+      load(s, d, "events")
+        .where(J.pathMatch(col("props"), "$.k > 50"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // NOT IN 3VL null semantics (§2.2 NullTest / §2.3 anti variants):
     // a NULL in the subquery poisons NOT IN (never TRUE), while the
     // null-free form is a plain null-aware anti join — both counted
@@ -1291,6 +1319,16 @@ object RelationalQueries {
         |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS grp_sum
         |FROM d ORDER BY user_id, event_id""".stripMargin,
+    "q74_jsonpath_filter" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 80
+        |ORDER BY event_id""".stripMargin,
+    "q75_jsonpath_match_agg" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q31_jsonb_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

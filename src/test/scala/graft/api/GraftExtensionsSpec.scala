@@ -37,6 +37,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(one("SELECT jsonb_delete_path('[1, 2, 3]', '[-1]')") == "[1, 2]")
     assert(one("SELECT jsonb_length('[1, 2, 3]')") == 3L)
     assert(one("SELECT jsonb_to_long('41.9')") == 41L)
+    // SQL/JSON path surface (@? / @@ / jsonb_path_* family)
+    assert(one("""SELECT jsonb_path_exists('{"a": [1, 2, 3]}', '$.a[*] ? (@ > 2)')""") == true)
+    assert(one("""SELECT jsonb_path_exists('{"a": [1, 2, 3]}', '$.a[*] ? (@ > 5)')""") == false)
+    assert(one("""SELECT jsonb_path_match('{"k": 93}', '$.k > 50')""") == true)
+    assert(one("""SELECT jsonb_path_query_array('[1, 2, 3, 4]', '$[*] ? (@ % 2 == 0)')""") == "[2, 4]")
+    assert(one("""SELECT jsonb_path_query_first('[{"a": 1}, {"a": 2}]', '$[*].a ? (@ > $min)', '{"min": 1}')""") == "2")
+    assert(one("""SELECT jsonb_path_query_first('{}', 'strict $.a', '{}', true)""") == null)
+    // strict-mode error surfaces as a real failure when not silent
+    intercept[Exception](one("""SELECT jsonb_path_query_first('{}', 'strict $.a')"""))
     // usable inside real queries over tables
     spark.range(5).selectExpr("concat('{\"v\": ', id, '}') AS j")
       .createOrReplaceTempView("jt")
