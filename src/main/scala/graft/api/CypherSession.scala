@@ -15,6 +15,11 @@ final class CypherSession(
     val catalog: GraphCatalog,
     private var currentGraph: String = null) {
 
+  // the jsonb_* / jsonb_path_* function family is part of the session
+  // surface (callable from hybrid SQL and from Cypher expressions via
+  // the pg_proc-interop door) — register up front, idempotently
+  GraftExtensions.register(spark)
+
   def setGraphPath(g: String): Unit = {
     require(catalog.graphExists(g), s"graph \"$g\" does not exist")
     currentGraph = g

@@ -651,7 +651,11 @@ object Compiler {
   def sessionFnExists(name: String): Boolean =
     try {
       val spark = org.apache.spark.sql.SparkSession.active
-      spark.catalog.functionExists(name)
+      // the registry probe catches session-injected builtins (the
+      // graft jsonb_* family) that catalog.functionExists misses
+      spark.catalog.functionExists(name) ||
+        spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))
     } catch { case scala.util.control.NonFatal(_) => false }
 
   def q(name: String): String = s"`$name`"
