@@ -30,13 +30,19 @@ object GraftExtensions {
   // jsonb_path_*(doc, path[, vars[, silent]]) — pad the optional args
   // like the reference's SQL defaults (vars '{}'/none, silent false)
   private def pathFn(op: String, tz: Boolean): Seq[Expression] => Expression =
-    args => JsonbPathFunction(op, tz, Seq(
-      args(0), args(1),
-      if (args.length > 2) args(2)
-      else org.apache.spark.sql.catalyst.expressions.Literal(null,
-        org.apache.spark.sql.types.StringType),
-      if (args.length > 3) args(3)
-      else org.apache.spark.sql.catalyst.expressions.Literal(false)))
+    args => {
+      if (args.length < 2 || args.length > 4)
+        throw new IllegalArgumentException(
+          s"jsonb_path_$op${if (tz) "_tz" else ""} requires 2 to 4 " +
+            s"arguments (doc, path[, vars[, silent]]), got ${args.length}")
+      JsonbPathFunction(op, tz, Seq(
+        args(0), args(1),
+        if (args.length > 2) args(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.StringType),
+        if (args.length > 3) args(3)
+        else org.apache.spark.sql.catalyst.expressions.Literal(false)))
+    }
   private def cmp(op: String): Seq[Expression] => Expression =
     args => JsonbComparison(op, args(0), args(1))
 

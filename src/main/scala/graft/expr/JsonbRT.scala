@@ -299,8 +299,23 @@ object JsonbRT {
   // `vars` may be SQL NULL; `silent` suppresses evaluation errors.
   // Paths are compiled once per distinct text (JsonPath.parse caches).
 
+  // vars are query constants; routing them through the 2-slot row memo
+  // would evict them on alternating rows (doc occupies a slot per row)
+  private val varsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, JValue]()
   private def varsOf(vars: UTF8String): JValue =
-    if (vars == null) null else v(vars)
+    if (vars == null) null
+    else {
+      val s = vars.toString
+      val hit = varsCache.get(s)
+      if (hit != null) hit
+      else {
+        val parsed = Jsonb.parse(s)
+        if (varsCache.size > 1000) varsCache.clear() // bound the cache
+        varsCache.putIfAbsent(s, parsed)
+        parsed
+      }
+    }
 
   def jsonpathExists(doc: UTF8String, path: UTF8String, vars: UTF8String,
       silent: Boolean, tz: Boolean): java.lang.Boolean =

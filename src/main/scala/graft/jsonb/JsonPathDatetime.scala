@@ -43,8 +43,12 @@ object JsonPathDatetime {
   }
 
   private val dateRe = """(\d{4,7})-(\d{2})-(\d{2})""".r
-  private val timeRe = """(\d{2}):(\d{2}):(\d{2})(\.\d+)?""".r
   private val tzRe = """([+-])(\d{1,2})(?::(\d{1,2}))?""".r
+  // compiled once: datetime() runs per row in table scans
+  private val fullPat = java.util.regex.Pattern.compile(
+    """(\d{4,7})-(\d{2})-(\d{2})([T ])(\d{2}):(\d{2}):(\d{2})(\.\d+)?( ?[+-]\d{1,2}(?::\d{1,2})?)?""")
+  private val timeOnlyPat = java.util.regex.Pattern.compile(
+    """(\d{2}):(\d{2}):(\d{2})(\.\d+)?( ?[+-]\d{1,2}(?::\d{1,2})?)?""")
 
   /** Default-format inference: ISO date / time / timestamp with 'T' or
     * single space, optional trailing offset. A lowercase 't' separator
@@ -68,24 +72,21 @@ object JsonPathDatetime {
         make(date = Some((y.toInt, mo.toInt, d.toInt)), time = None, tz = None,
           onBadField = notRecognized())
       case _ =>
-        val full = s"""(\\d{4,7})-(\\d{2})-(\\d{2})([T ])(\\d{2}):(\\d{2}):(\\d{2})(\\.\\d+)?( ?[+-]\\d{1,2}(?::\\d{1,2})?)?"""
-        val timeOnly = s"""(\\d{2}):(\\d{2}):(\\d{2})(\\.\\d+)?( ?[+-]\\d{1,2}(?::\\d{1,2})?)?"""
-        if (s.matches(full)) {
-          val m = java.util.regex.Pattern.compile(full).matcher(s)
-          m.matches()
-          val ld = checkedDate(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt, notRecognized())
-          val lt = checkedTime(m.group(5).toInt, m.group(6).toInt, m.group(7).toInt,
-            nanos(m.group(8)), notRecognized())
+        val fm = fullPat.matcher(s)
+        val tm = timeOnlyPat.matcher(s)
+        if (fm.matches()) {
+          val ld = checkedDate(fm.group(1).toInt, fm.group(2).toInt,
+            fm.group(3).toInt, notRecognized())
+          val lt = checkedTime(fm.group(5).toInt, fm.group(6).toInt,
+            fm.group(7).toInt, nanos(fm.group(8)), notRecognized())
           val ldt = LocalDateTime.of(ld, lt)
-          if (m.group(9) != null)
-            mk(OffsetDateTime.of(ldt, offset(m.group(9).trim)))
+          if (fm.group(9) != null)
+            mk(OffsetDateTime.of(ldt, offset(fm.group(9).trim)))
           else mk(ldt)
-        } else if (s.matches(timeOnly)) {
-          val m = java.util.regex.Pattern.compile(timeOnly).matcher(s)
-          m.matches()
-          val lt = checkedTime(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt,
-            nanos(m.group(4)), notRecognized())
-          if (m.group(5) != null) mk(OffsetTime.of(lt, offset(m.group(5).trim)))
+        } else if (tm.matches()) {
+          val lt = checkedTime(tm.group(1).toInt, tm.group(2).toInt,
+            tm.group(3).toInt, nanos(tm.group(4)), notRecognized())
+          if (tm.group(5) != null) mk(OffsetTime.of(lt, offset(tm.group(5).trim)))
           else mk(lt)
         } else notRecognized()
     }
@@ -127,7 +128,8 @@ object JsonPathDatetime {
     var ti = 0 // template pos
     var si = 0 // input pos
     var year, mon, day, hour, min, sec = -1
-    var tzh = Integer.MIN_VALUE; var tzm = 0
+    // sign kept separately: -00:30 must not collapse to +00:30
+    var tzh = Integer.MIN_VALUE; var tzm = 0; var tzSign = 1
     def readDigits(n: Int, field: String): Int = {
       if (si + n > input.length)
         err("input string is too short for datetime format")
@@ -183,12 +185,12 @@ object JsonPathDatetime {
               case "TZH" =>
                 if (si >= input.length)
                   err("input string is too short for datetime format")
-                val sign = input.charAt(si) match {
+                tzSign = input.charAt(si) match {
                   case '+' => si += 1; 1
                   case '-' => si += 1; -1
                   case _   => 1
                 }
-                tzh = sign * readDigitsUpTo(2, "TZH")
+                tzh = readDigitsUpTo(2, "TZH")
               case "TZM" => tzm = readDigitsUpTo(2, "TZM")
             }
           case None =>
@@ -212,7 +214,7 @@ object JsonPathDatetime {
     def badValue: Nothing =
       err(s"""datetime format is not recognized: "$input"""")
     val off =
-      if (hasTz) Some((if (tzh < 0) -1 else 1) * (math.abs(tzh) * 3600 + tzm * 60))
+      if (hasTz) Some(tzSign * (tzh * 3600 + tzm * 60))
       else None
     make(
       date = if (hasDate) Some((if (year >= 0) year else 1,
