@@ -64,6 +64,8 @@ final class CypherSession(
     """(?is)DROP\s+GRAPH(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)(\s+CASCADE)?""".r
   private val CreateLabelRe =
     """(?is)CREATE\s+(UNLOGGED\s+)?([VE])LABEL(\s+IF\s+NOT\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)(\s+DISABLE\s+INDEX)?(?:\s+INHERITS\s*\(([^)]*)\))?""".r
+  private val DropLabelRe =
+    """(?is)DROP\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)(\s+CASCADE|\s+RESTRICT)?""".r
   private val AlterPersistRe =
     """(?is)ALTER\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(UNLOGGED|LOGGED)""".r
   private val AlterDisIdxRe =
@@ -237,6 +239,27 @@ final class CypherSession(
           parents, ifNotExists = ine != null,
           persistence = if (unlogged != null) 'u' else 'p',
           disableIndex = disIdx != null)
+        Some(spark.emptyDataFrame)
+      case DropLabelRe(kindS, ife, name, casc) =>
+        // DROP VLABEL/ELABEL [IF EXISTS] name [CASCADE|RESTRICT]
+        // (graphcmds.c drop route; graphmeta.sql:40-50). RESTRICT (the
+        // default) refuses when child labels depend on it.
+        val kind = if (kindS.equalsIgnoreCase("v")) 'v' else 'e'
+        val kindWord = if (kind == 'v') "vlabel" else "elabel"
+        if (name == "ag_vertex" || name == "ag_edge")
+          throw new IllegalStateException(
+            s"""cannot drop base label "$name"""")
+        catalog.label(graphPath, name) match {
+          case None =>
+            if (ife == null) throw new IllegalStateException(
+              s"""$kindWord "$name" does not exist""")
+          case Some(lm) =>
+            if (lm.kind != kind) throw new IllegalStateException(
+              s""""$name" is not a $kindWord""")
+            if (casc != null && casc.trim.equalsIgnoreCase("CASCADE"))
+              catalog.dropLabelCascade(graphPath, name)
+            else catalog.dropLabel(graphPath, name)
+        }
         Some(spark.emptyDataFrame)
       case AlterPersistRe(_, ife, name, mode) =>
         if (catalog.label(graphPath, name).isEmpty && ife != null)

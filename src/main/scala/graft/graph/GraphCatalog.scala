@@ -457,12 +457,31 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       s"label \"$name\" has children")
     m.labels.remove(name)
     writeMeta(graph, m)
+    // table-owned objects die with the table: the label's constraints
+    // (its indexes live inside LabelMeta and are already gone)
+    val cons = constraints(graph)
+    if (cons.exists(_.label == name))
+      writeConstraints(graph, cons.filterNot(_.label == name))
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
       Files.deleteIfExists(p)
     }
     rm(labelDir(graph, name))
   } }
+
+  /** DROP VLABEL/ELABEL ... CASCADE (graphcmds.c drop route, tests
+    * graphmeta.sql:40-50): dependent child labels drop first,
+    * bottom-up. Edges referencing a dropped vertex label's vertices
+    * remain in their own elabel tables (the reference behaves the same
+    * — elabel rows are not foreign-keyed); ag_graphmeta hides rows
+    * whose endpoint labels no longer resolve.
+    */
+  def dropLabelCascade(graph: String, name: String): Unit = {
+    val children = readMeta(graph).labels.values
+      .filter(_.parents.contains(name)).map(_.name).toSeq.sorted
+    children.foreach(dropLabelCascade(graph, _))
+    dropLabel(graph, name)
+  }
 
   /** ALTER VLABEL/ELABEL ... [NO] INHERIT parent (gram.y ALTER TABLE
     * INHERIT route; inheritance maintenance graphcmds.c:416; tests
@@ -1007,6 +1026,11 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         element_at(nameCol, col("edge_labid")).as("edge"),
         element_at(nameCol, col("end_labid")).as("end"),
         col("edgecount"))
+      // rows whose endpoint label was dropped (DROP VLABEL leaves the
+      // edge rows, like the reference) no longer resolve to a name —
+      // ag_graphmeta drops them on label drop (graphmeta.sql:44-50)
+      .where(col("start").isNotNull && col("edge").isNotNull &&
+        col("end").isNotNull)
   }
 
   /** ag_graphmeta as a planning input: the (start labid, edge labid,

@@ -394,4 +394,50 @@ class DdlSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
     assert(m2 == Set(("human", "likes", "dog", 1L)))
   }
+
+  // graphmeta.sql:20-50 — the matrix across repeated multi-edge
+  // chains and the DROP ELABEL / DROP VLABEL CASCADE transitions
+  // (rows of a dropped edge label vanish; rows touching a dropped
+  // vertex label vanish from both endpoints)
+  test("graphmeta matrix over chains, DROP ELABEL/VLABEL CASCADE (graphmeta.sql)") {
+    val s = fresh()
+    s.createGraph("gm2")
+    s.createVLabel("human"); s.createVLabel("dog")
+    Seq("know", "follow", "hate", "love").foreach(s.createELabel(_))
+    def matrix(): Set[(String, String, String, Long)] =
+      s.catalog.graphmeta("gm2").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    (1 to 3).foreach { _ =>
+      s.cypher("CREATE (:human)-[:know]->(:human)-[:follow]->(:human)" +
+        "-[:hate]->(:human)-[:love]->(:human)")
+    }
+    s.cypher("CREATE (:dog)-[:follow]->(:human)")
+    assert(matrix() == Set(
+      ("human", "know", "human", 3L),
+      ("human", "follow", "human", 3L),
+      ("human", "hate", "human", 3L),
+      ("human", "love", "human", 3L),
+      ("dog", "follow", "human", 1L)))
+    s.cypher("DROP ELABEL hate CASCADE")
+    assert(matrix() == Set(
+      ("human", "know", "human", 3L),
+      ("human", "follow", "human", 3L),
+      ("human", "love", "human", 3L),
+      ("dog", "follow", "human", 1L)))
+    s.cypher("DROP VLABEL human CASCADE")
+    assert(matrix() == Set.empty)
+
+    // error paths: RESTRICT refuses children, kind mismatch, base
+    // label, missing name (IF EXISTS downgrades to a no-op)
+    s.createVLabel("animal"); s.createVLabel("cat", parents = Seq("animal"))
+    val e1 = intercept[Exception](s.cypher("DROP VLABEL animal"))
+    assert(e1.getMessage.contains("children"))
+    s.cypher("DROP VLABEL animal CASCADE") // drops cat first
+    assert(s.catalog.label("gm2", "cat").isEmpty)
+    val e2 = intercept[Exception](s.cypher("DROP VLABEL follow"))
+    assert(e2.getMessage.contains("not a vlabel"))
+    intercept[Exception](s.cypher("DROP VLABEL ag_vertex"))
+    intercept[Exception](s.cypher("DROP ELABEL no_such_label"))
+    s.cypher("DROP ELABEL IF EXISTS no_such_label") // no-op
+  }
 }
