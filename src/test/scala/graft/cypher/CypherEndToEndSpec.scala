@@ -1075,4 +1075,50 @@ class CypherEndToEndSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("unknown function"))
   }
+
+  // cypher_dml2.sql:201-220 (#589): a MATCH may follow an update
+  // clause through WITH — MERGE … WITH n MATCH … MERGE chains plan and
+  // the later MERGE sees both the earlier write and the matched row.
+  test("write clause, WITH, then MATCH and a second MERGE (#589)") {
+    val s = freshSession()
+    s.createGraph("dml2")
+    s.createVLabel("main"); s.createVLabel("another")
+    s.createELabel("main2")
+    s.cypher("CREATE (n:another {id: 593})")
+    s.cypher(
+      """MERGE (n:main {id: 593})
+        |ON CREATE SET n.id = 593
+        |WITH n
+        |MATCH (g:another)
+        |WHERE g.id = 593
+        |MERGE (g)-[:main2]->(n)""".stripMargin)
+    // undirected edge pattern returns the edge twice (both directions)
+    assert(s.cypher("MATCH ()-[e:main2]-() RETURN e").count() == 2)
+    assert(s.cypher("MATCH (g:another) RETURN g").count() == 1)
+    assert(s.cypher("MATCH (g:main) RETURN g").count() == 1)
+    // idempotent: re-running the MERGE chain creates nothing new
+    s.cypher(
+      """MERGE (n:main {id: 593})
+        |ON CREATE SET n.id = 593
+        |WITH n
+        |MATCH (g:another)
+        |WHERE g.id = 593
+        |MERGE (g)-[:main2]->(n)""".stripMargin)
+    assert(s.cypher("MATCH ()-[e:main2]->() RETURN e").count() == 1)
+  }
+
+  // cypher_dml2.sql:223-244 (#599): a repeated variable on both
+  // endpoints constrains to self-loops, including through path vars.
+  test("shared endpoint variable means self-loop (#599)") {
+    val s = freshSession()
+    s.createGraph("dml599")
+    s.createELabel("e1")
+    s.cypher("CREATE ({id: 1})-[:e1]->({id: 2})-[:e1]->({id: 3})-[:e1]->({id: 4})")
+    s.cypher("MATCH (a {id: 1}), (b {id: 1}) CREATE (b)-[:e1]->(a)")
+    assert(s.cypher("MATCH (a) RETURN *").count() == 4)
+    // the only self-loop is the (id:1)->(id:1) edge just created; the
+    // undirected pattern reports it twice
+    assert(s.cypher("MATCH (a)-[]-(a) RETURN *").count() == 2)
+    assert(s.cypher("MATCH p=(a)-[]-(a) RETURN *").count() == 2)
+  }
 }
