@@ -1647,6 +1647,32 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    "p116_jsonpath_curation" -> { (s, d) =>
+      // Metadata-rule curation via the SQL/JSON path engine (§2.8
+      // jsonpath): document metadata travels as one JSON column and
+      // the keep policy is a conjunction of jsonpath rules with a
+      // shared vars object — the shape a crawl-curation config takes
+      // (rules are DATA, shipped without redeploying the pipeline).
+      // Each rule is one codegen'd static call per row (no UDF, path
+      // compiled once per executor via the parse cache); the filter is
+      // purely map-side — the only shuffle is the per-(source, lang)
+      // rollup.
+      import graft.expr.J
+      val docs = load(s, d, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("source"),
+          col("n_chars"))))
+      val rules = Seq(
+        """$ ? (@.lang == "en" || @.lang == "de")""",
+        """$ ? (@.n_chars >= $min && @.n_chars < $max)""",
+        """$ ? (@.source starts with "src")""")
+      val vars = """{"min": 120, "max": 400}"""
+      rules.foldLeft(docs)((df, r) =>
+          df.where(J.pathExists(col("meta"), r, vars)))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source", "lang")
+    },
+
     "p110_metapath_walk" -> { (s, d) =>
       // Deterministic metapath random walks (metapath2vec corpus
       // generation): walkers alternate customer→part→customer hops
@@ -3616,6 +3642,15 @@ object PipelineQueries {
         |  FROM w JOIN deg USING (p) GROUP BY ca, cb)
         |SELECT ca, cb, aa, n_common FROM aa
         |ORDER BY aa DESC, ca, cb LIMIT 25""".stripMargin,
+    "p116_jsonpath_curation" ->
+      """SELECT source, lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE (lang = 'en' OR lang = 'de')
+        |  AND n_chars >= 120 AND n_chars < 400
+        |  AND source LIKE 'src%'
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
     "p115_repetition_filter" ->
       """WITH words AS (SELECT doc_id, source,
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
