@@ -69,6 +69,26 @@ object GraftExtensions {
     "jsonb_exists_any" -> (args => JsonbPredicate("existsany", args(0), args(1))),
     "jsonb_exists_all" -> (args => JsonbPredicate("existsall", args(0), args(1))),
     "jsonb_delete_path" -> (args => JsonbBinary("delpath", args(0), args(1))),
+    // jsonb mutation/catalog fns (jsonfuncs.c; jsonb.sql:1116-)
+    "jsonb_set" -> (args => JsonbMutateFunction("set", Seq(
+      args(0), args(1), args(2),
+      if (args.length > 3) args(3)
+      else org.apache.spark.sql.catalyst.expressions.Literal(true)))),
+    "jsonb_insert" -> (args => JsonbMutateFunction("insert", Seq(
+      args(0), args(1), args(2),
+      if (args.length > 3) args(3)
+      else org.apache.spark.sql.catalyst.expressions.Literal(false)))),
+    "jsonb_set_lax" -> (args => JsonbMutateFunction("set_lax", Seq(
+      args(0), args(1), args(2),
+      if (args.length > 3) args(3)
+      else org.apache.spark.sql.catalyst.expressions.Literal(true),
+      if (args.length > 4) args(4)
+      else org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("use_json_null"),
+        org.apache.spark.sql.types.StringType)))),
+    "jsonb_strip_nulls" -> (args => JsonbUnary("strip_nulls", args(0))),
+    "jsonb_pretty" -> (args => JsonbUnary("pretty", args(0))),
+    "jsonb_typeof" -> (args => JsonbUnary("typeof", args(0))),
     // SQL/JSON path (@? is jsonb_path_exists with silent=true; @@ is
     // jsonb_path_match with silent=true — pass the extra args for the
     // operator forms). jsonb_path_query is exposed as its _array form

@@ -148,6 +148,9 @@ object ops {
       case "arravg"    => JsonbRT.arrayAvg
       case "arrmin"    => JsonbRT.arrayMin
       case "arrmax"    => JsonbRT.arrayMax
+      case "strip_nulls" => JsonbRT.stripNullsJ
+      case "pretty"    => JsonbRT.prettyJ
+      case "typeof"    => JsonbRT.typeofJ
     }
 
     override def nullSafeEval(x: Any): Any = fn(x.asInstanceOf[UTF8String])
@@ -159,6 +162,8 @@ object ops {
         case "arrdistinct" => "arrayDistinct"; case "arrsum" => "arraySum"
         case "arravg" => "arrayAvg"; case "arrmin" => "arrayMin"
         case "arrmax" => "arrayMax"
+        case "strip_nulls" => "stripNullsJ"; case "pretty" => "prettyJ"
+        case "typeof" => "typeofJ"
         case o => o
       }
       nullSafeCodeGen(ctx, ev, x =>
@@ -354,6 +359,80 @@ object ops {
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
       copy(obj = newChildren(0), key = newChildren(1), value = newChildren(2))
+  }
+
+  /** jsonb_set / jsonb_insert / jsonb_set_lax (jsonfuncs.c setPath).
+    * Children are normalized to (target, path, new, flag[, treatment])
+    * by the registration layer. set/insert are strict (any SQL NULL
+    * argument -> NULL, like the reference's STRICT functions);
+    * set_lax lets the NEW VALUE be NULL — that is its whole point —
+    * and the treatment argument decides what a null value means.
+    */
+  case class JsonbMutateFunction(op: String, children: Seq[Expression])
+      extends Expression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = s"jsonb_$op"
+    override lazy val deterministic: Boolean = true
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val t = children(0).eval(input)
+      val path = children(1).eval(input)
+      val nv = children(2).eval(input)
+      val flag = children(3).eval(input)
+      if (t == null || path == null || flag == null) return null
+      val tu = t.asInstanceOf[UTF8String]
+      val pu = path.asInstanceOf[UTF8String]
+      val nu = nv.asInstanceOf[UTF8String]
+      val f = flag.asInstanceOf[Boolean]
+      op match {
+        case "set" =>
+          if (nu == null) null else JsonbRT.jsonbSet(tu, pu, nu, f)
+        case "insert" =>
+          if (nu == null) null else JsonbRT.jsonbInsert(tu, pu, nu, f)
+        case "set_lax" =>
+          val tr = children(4).eval(input)
+          JsonbRT.jsonbSetLax(tu, pu, nu, f,
+            if (tr == null) null else tr.asInstanceOf[UTF8String])
+      }
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tg = children(0).genCode(ctx); val pg = children(1).genCode(ctx)
+      val ng = children(2).genCode(ctx); val fg = children(3).genCode(ctx)
+      val lax = op == "set_lax"
+      val trg = if (lax) children(4).genCode(ctx) else null
+      val call =
+        if (lax)
+          s"""$RT.jsonbSetLax(${tg.value}, ${pg.value},
+             |  ${ng.isNull} ? null : ${ng.value}, ${fg.value},
+             |  ${trg.isNull} ? null : ${trg.value})""".stripMargin
+        else
+          s"$RT.jsonb${if (op == "set") "Set" else "Insert"}(" +
+            s"${tg.value}, ${pg.value}, ${ng.value}, ${fg.value})"
+      val nullGuard =
+        if (lax) s"!${tg.isNull} && !${pg.isNull} && !${fg.isNull}"
+        else s"!${tg.isNull} && !${pg.isNull} && !${ng.isNull} && !${fg.isNull}"
+      val code =
+        s"""${tg.code}
+           |${pg.code}
+           |${ng.code}
+           |${fg.code}
+           |${if (lax) trg.code else ""}
+           |boolean ${ev.isNull} = true;
+           |UTF8String ${ev.value} = null;
+           |if ($nullGuard) {
+           |  ${ev.value} = $call;
+           |  ${ev.isNull} = ${ev.value} == null;
+           |}
+           |""".stripMargin
+      ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(code)).code())
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(children = newChildren)
   }
 
   /** SQL/JSON path functions (reference: jsonb_path_exists/match/

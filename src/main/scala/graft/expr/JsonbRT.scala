@@ -295,6 +295,49 @@ object JsonbRT {
     case _        => null
   }
 
+  // jsonb mutation/catalog fns (jsonfuncs.c; tests jsonb.sql:1116-).
+  // Paths are PG text[] literals; null-argument strictness is handled
+  // at the expression layer.
+
+  def jsonbSet(t: UTF8String, path: UTF8String, nv: UTF8String,
+      create: Boolean): UTF8String =
+    out(Jsonb.setPath(v(t), Jsonb.parseTextArray(path.toString), v(nv), create))
+
+  def jsonbInsert(t: UTF8String, path: UTF8String, nv: UTF8String,
+      after: Boolean): UTF8String =
+    out(Jsonb.insertPath(v(t), Jsonb.parseTextArray(path.toString), v(nv), after))
+
+  /** jsonb_set_lax: `nv` may be SQL NULL; treatment decides what that
+    * means (use_json_null default).
+    */
+  def jsonbSetLax(t: UTF8String, path: UTF8String, nv: UTF8String,
+      create: Boolean, treatment: UTF8String): UTF8String = {
+    // an explicit SQL NULL treatment is invalid (the SQL default is
+    // 'use_json_null', supplied by the registration layer)
+    val tr = if (treatment == null) null else treatment.toString
+    if (tr == null || !Set("delete_key", "return_target", "use_json_null",
+        "raise_exception").contains(tr))
+      throw new Jsonb.JsonbFnError(
+        "null_value_treatment must be \"delete_key\", \"return_target\", " +
+          "\"use_json_null\", or \"raise_exception\"")
+    if (nv != null) jsonbSet(t, path, nv, create)
+    else tr match {
+      case "use_json_null" =>
+        out(Jsonb.setPath(v(t), Jsonb.parseTextArray(path.toString), JNull, create))
+      case "return_target" => t
+      case "delete_key" =>
+        out(Jsonb.deleteAtPath(v(t), Jsonb.parseTextArray(path.toString)))
+      case "raise_exception" =>
+        throw new Jsonb.JsonbFnError("JSON value must not be null")
+    }
+  }
+
+  def stripNullsJ(l: UTF8String): UTF8String = out(Jsonb.stripNulls(v(l)))
+  def prettyJ(l: UTF8String): UTF8String =
+    UTF8String.fromString(Jsonb.pretty(v(l)))
+  def typeofJ(l: UTF8String): UTF8String =
+    UTF8String.fromString(Jsonb.typeName(v(l)))
+
   // SQL/JSON path (reference: jsonb_path_* / @? / @@, jsonpath_exec.c).
   // `vars` may be SQL NULL; `silent` suppresses evaluation errors.
   // Paths are compiled once per distinct text (JsonPath.parse caches).

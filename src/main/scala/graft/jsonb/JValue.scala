@@ -462,6 +462,206 @@ object Jsonb {
     case JObj(fields) => fields.nonEmpty
   }
 
+  // ------------------------------------------------- path mutation fns
+  // jsonb_set / jsonb_insert / jsonb_set_lax (jsonfuncs.c setPath;
+  // tests jsonb.sql:1116-1230). Paths are PG text[] literals; a SQL
+  // NULL element raises, array elements must parse as integers,
+  // negative indexes count from the end, out-of-range indexes
+  // prepend/append (create mode), and a missing INTERMEDIATE step
+  // leaves the target unchanged.
+
+  final class JsonbFnError(msg: String) extends RuntimeException(msg) {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def fnErr(msg: String): Nothing = throw new JsonbFnError(msg)
+
+  /** Parse a PG text[] literal: `{a,"quoted elem",NULL,-33}`.
+    * Elements: None = SQL NULL, Some(text) otherwise.
+    */
+  def parseTextArray(s: String): Vector[Option[String]] = {
+    val t = s.trim
+    if (!(t.startsWith("{") && t.endsWith("}")))
+      fnErr(s"""malformed array literal: "$s"""")
+    val body = t.substring(1, t.length - 1)
+    if (body.trim.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[Option[String]]
+    var i = 0
+    while (i < body.length) {
+      // one element per iteration
+      while (i < body.length && body.charAt(i) == ' ') i += 1
+      if (i < body.length && body.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < body.length && body.charAt(i) != '"') {
+          if (body.charAt(i) == '\\' && i + 1 < body.length) i += 1
+          sb += body.charAt(i); i += 1
+        }
+        i += 1 // closing quote
+        out += Some(sb.toString)
+        while (i < body.length && body.charAt(i) != ',') i += 1
+        i += 1
+      } else {
+        val start = i
+        while (i < body.length && body.charAt(i) != ',') i += 1
+        val raw = body.substring(start, i).trim
+        out += (if (raw.equalsIgnoreCase("NULL")) None else Some(raw))
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private sealed trait PathOp
+  private case class SetOp(nv: JValue, create: Boolean) extends PathOp
+  private case class InsertOp(nv: JValue, after: Boolean) extends PathOp
+  private case object DeleteOp extends PathOp
+
+  private def pathElem(path: Vector[Option[String]], i: Int): String =
+    path(i).getOrElse(fnErr(s"path element at position ${i + 1} is null"))
+
+  private def arrayIndex(path: Vector[Option[String]], i: Int): Int = {
+    val e = pathElem(path, i)
+    try e.toInt
+    catch {
+      case _: NumberFormatException =>
+        fnErr(s"""path element at position ${i + 1} is not an integer: "$e"""")
+    }
+  }
+
+  private def mutate(cur: JValue, path: Vector[Option[String]], i: Int,
+      op: PathOp): JValue = {
+    val last = i == path.length - 1
+    cur match {
+      case o @ JObj(fields) =>
+        val k = pathElem(path, i)
+        o.get(k) match {
+          case Some(child) =>
+            if (!last)
+              JObj(fields.map { case (fk, fv) =>
+                if (fk == k) (fk, mutate(fv, path, i + 1, op)) else (fk, fv) })
+            else op match {
+              case SetOp(nv, _) =>
+                JObj(fields.map { case (fk, fv) =>
+                  if (fk == k) (fk, nv) else (fk, fv) })
+              case InsertOp(_, _) => fnErr("cannot replace existing key")
+              case DeleteOp => JObj(fields.filterNot(_._1 == k))
+            }
+          case None =>
+            if (!last) cur // missing intermediate: unchanged
+            else op match {
+              case SetOp(nv, create) =>
+                if (create) mkObj(fields :+ (k -> nv)) else cur
+              case InsertOp(nv, _) => mkObj(fields :+ (k -> nv))
+              case DeleteOp => cur
+            }
+        }
+      case JArr(items) =>
+        val raw = arrayIndex(path, i)
+        val idx = if (raw < 0) items.length + raw else raw
+        if (!last) {
+          if (idx >= 0 && idx < items.length)
+            JArr(items.updated(idx, mutate(items(idx), path, i + 1, op)))
+          else cur
+        } else op match {
+          case SetOp(nv, create) =>
+            if (idx >= 0 && idx < items.length) JArr(items.updated(idx, nv))
+            else if (!create) cur
+            else if (idx < 0) JArr(nv +: items)
+            else JArr(items :+ nv)
+          case InsertOp(nv, after) =>
+            if (idx >= 0 && idx < items.length) {
+              val at = if (after) idx + 1 else idx
+              JArr((items.take(at) :+ nv) ++ items.drop(at))
+            } else if (idx < 0) JArr(nv +: items)
+            else JArr(items :+ nv)
+          case DeleteOp =>
+            if (idx >= 0 && idx < items.length)
+              JArr(items.patch(idx, Nil, 1))
+            else cur
+        }
+      case _ => cur // scalar mid-path: unchanged
+    }
+  }
+
+  private def checkRoot(target: JValue): Unit =
+    if (!target.isInstanceOf[JObj] && !target.isInstanceOf[JArr])
+      fnErr("cannot set path in scalar")
+
+  def setPath(target: JValue, path: Vector[Option[String]], nv: JValue,
+      createMissing: Boolean): JValue = {
+    checkRoot(target)
+    if (path.isEmpty) target
+    else mutate(target, path, 0, SetOp(nv, createMissing))
+  }
+
+  def insertPath(target: JValue, path: Vector[Option[String]], nv: JValue,
+      insertAfter: Boolean): JValue = {
+    checkRoot(target)
+    if (path.isEmpty) target
+    else mutate(target, path, 0, InsertOp(nv, insertAfter))
+  }
+
+  def deleteAtPath(target: JValue, path: Vector[Option[String]]): JValue = {
+    checkRoot(target)
+    if (path.isEmpty) target
+    else mutate(target, path, 0, DeleteOp)
+  }
+
+  /** jsonb_strip_nulls: remove object fields with null values,
+    * recursively; array nulls stay (jsonfuncs.c jsonb_strip_nulls).
+    */
+  def stripNulls(v: JValue): JValue = v match {
+    case JObj(fields) =>
+      JObj(fields.collect {
+        case (k, fv) if fv != JNull => (k, stripNulls(fv))
+      })
+    case JArr(items) => JArr(items.map(stripNulls))
+    case other       => other
+  }
+
+  /** jsonb_pretty: 4-space indent, one item per line, empty containers
+    * inline (jsonfuncs.c jsonb_pretty / JsonbToCStringIndent).
+    */
+  def pretty(v: JValue): String = {
+    val sb = new StringBuilder
+    def indent(n: Int): Unit = { var i = 0; while (i < n) { sb ++= "    "; i += 1 } }
+    def walk(x: JValue, level: Int): Unit = x match {
+      case JObj(fields) if fields.nonEmpty =>
+        sb ++= "{\n"
+        fields.zipWithIndex.foreach { case ((k, fv), i) =>
+          indent(level + 1)
+          renderString(k, sb); sb ++= ": "
+          walk(fv, level + 1)
+          if (i < fields.length - 1) sb += ','
+          sb += '\n'
+        }
+        indent(level); sb += '}'
+      case JArr(items) if items.nonEmpty =>
+        sb ++= "[\n"
+        items.zipWithIndex.foreach { case (it, i) =>
+          indent(level + 1)
+          walk(it, level + 1)
+          if (i < items.length - 1) sb += ','
+          sb += '\n'
+        }
+        indent(level); sb += ']'
+      case other => render(other, sb)
+    }
+    walk(v, 0)
+    sb.toString
+  }
+
+  /** jsonb_typeof (jsonfuncs.c jsonb_typeof). */
+  def typeName(v: JValue): String = v match {
+    case JNull         => "null"
+    case _: JStr       => "string"
+    case _: JNum       => "number"
+    case _: JBool      => "boolean"
+    case _: JArr       => "array"
+    case _: JObj       => "object"
+    case _: JDateTime  => "string" // never stored; text form
+  }
+
   /** Cypher toBoolean(): strings 'true'/'false', bools pass, else null. */
   def cypherToBoolean(v: JValue): JValue = v match {
     case JBool(_)      => v

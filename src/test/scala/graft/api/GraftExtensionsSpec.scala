@@ -37,6 +37,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(one("SELECT jsonb_delete_path('[1, 2, 3]', '[-1]')") == "[1, 2]")
     assert(one("SELECT jsonb_length('[1, 2, 3]')") == 3L)
     assert(one("SELECT jsonb_to_long('41.9')") == 41L)
+    // jsonb mutation/catalog fns (jsonfuncs.c family)
+    assert(one("""SELECT jsonb_set('{"a": 1}', '{b,0}', '9')""") == "{\"a\": 1}")
+    assert(one("""SELECT jsonb_set('{"a": [0,1,2]}', '{a,-1}', '9')""")
+      == "{\"a\": [0, 1, 9]}")
+    assert(one("""SELECT jsonb_insert('{"a": [0,2]}', '{a,1}', '1')""")
+      == "{\"a\": [0, 1, 2]}")
+    assert(one("""SELECT jsonb_set_lax('{"a": 1}', '{a}', NULL, true, 'delete_key')""")
+      == "{}")
+    assert(one("""SELECT jsonb_typeof('[1]')""") == "array")
+    assert(one("""SELECT jsonb_strip_nulls('{"a": null, "b": 1}')""")
+      == "{\"b\": 1}")
     // SQL/JSON path surface (@? / @@ / jsonb_path_* family)
     assert(one("""SELECT jsonb_path_exists('{"a": [1, 2, 3]}', '$.a[*] ? (@ > 2)')""") == true)
     assert(one("""SELECT jsonb_path_exists('{"a": [1, 2, 3]}', '$.a[*] ? (@ > 5)')""") == false)
