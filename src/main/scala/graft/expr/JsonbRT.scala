@@ -312,16 +312,19 @@ object JsonbRT {
     */
   def jsonbSetLax(t: UTF8String, path: UTF8String, nv: UTF8String,
       create: Boolean, treatment: UTF8String): UTF8String = {
-    // an explicit SQL NULL treatment is invalid (the SQL default is
-    // 'use_json_null', supplied by the registration layer)
-    val tr = if (treatment == null) null else treatment.toString
-    if (tr == null || !Set("delete_key", "return_target", "use_json_null",
+    // reference order (jsonfuncs.c jsonb_set_lax): an explicit SQL
+    // NULL treatment always errors; a non-null new value then
+    // delegates to jsonb_set WITHOUT validating the treatment string;
+    // an invalid treatment only surfaces when the null path is taken
+    val treatmentErr = "null_value_treatment must be \"delete_key\", " +
+      "\"return_target\", \"use_json_null\", or \"raise_exception\""
+    if (treatment == null) throw new Jsonb.JsonbFnError(treatmentErr)
+    if (nv != null) return jsonbSet(t, path, nv, create)
+    val tr = treatment.toString
+    if (!Set("delete_key", "return_target", "use_json_null",
         "raise_exception").contains(tr))
-      throw new Jsonb.JsonbFnError(
-        "null_value_treatment must be \"delete_key\", \"return_target\", " +
-          "\"use_json_null\", or \"raise_exception\"")
-    if (nv != null) jsonbSet(t, path, nv, create)
-    else tr match {
+      throw new Jsonb.JsonbFnError(treatmentErr)
+    tr match {
       case "use_json_null" =>
         out(Jsonb.setPath(v(t), Jsonb.parseTextArray(path.toString), JNull, create))
       case "return_target" => t

@@ -64,6 +64,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT sum(jsonb_to_long(jsonb_get(j, '\"v\"'))) FROM jt")
       .collect()(0).getLong(0)
     assert(sum == 10L)
+    // column (non-foldable) inputs drive the codegen path of the
+    // mutation and jsonpath expressions
+    val mutated = spark.sql(
+      "SELECT jsonb_set(j, '{v}', '99') AS r FROM jt LIMIT 1")
+      .collect()(0).getString(0)
+    assert(mutated == "{\"v\": 99}")
+    val nPath = spark.sql(
+      "SELECT count(*) FROM jt WHERE jsonb_path_exists(j, '$.v ? (@ >= 2)')")
+      .collect()(0).getLong(0)
+    assert(nPath == 3L)
     // vector + sort-key kernels from SQL
     assert(one("SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))")
       == 11.0)
