@@ -89,6 +89,13 @@ object GraftExtensions {
     "jsonb_strip_nulls" -> (args => JsonbUnary("strip_nulls", args(0))),
     "jsonb_pretty" -> (args => JsonbUnary("pretty", args(0))),
     "jsonb_typeof" -> (args => JsonbUnary("typeof", args(0))),
+    // SRF analogs: the reference's set-returning jsonb_each /
+    // jsonb_array_elements surface as explode-able arrays of jsonb
+    // element text (Spark has no SRF registration)
+    "jsonb_array_elements" ->
+      (args => graft.expr.JsonbNormalize.SplitArray(args(0))),
+    "jsonb_each" -> (args => graft.expr.JsonbNormalize.SplitArray(
+      JsonbUnary("each", args(0)))),
     // SQL/JSON path (@? is jsonb_path_exists with silent=true; @@ is
     // jsonb_path_match with silent=true — pass the extra args for the
     // operator forms). jsonb_path_query is exposed as its _array form

@@ -151,6 +151,7 @@ object ops {
       case "strip_nulls" => JsonbRT.stripNullsJ
       case "pretty"    => JsonbRT.prettyJ
       case "typeof"    => JsonbRT.typeofJ
+      case "each"      => JsonbRT.eachArray
     }
 
     override def nullSafeEval(x: Any): Any = fn(x.asInstanceOf[UTF8String])
@@ -163,7 +164,7 @@ object ops {
         case "arravg" => "arrayAvg"; case "arrmin" => "arrayMin"
         case "arrmax" => "arrayMax"
         case "strip_nulls" => "stripNullsJ"; case "pretty" => "prettyJ"
-        case "typeof" => "typeofJ"
+        case "typeof" => "typeofJ"; case "each" => "eachArray"
         case o => o
       }
       nullSafeCodeGen(ctx, ev, x =>

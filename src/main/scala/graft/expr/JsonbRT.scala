@@ -335,6 +335,19 @@ object JsonbRT {
     }
   }
 
+  /** jsonb_each as an array: one {"key": k, "value": v} object per
+    * field (the reference's SRF returns (key, value) rows; explode the
+    * array for the row form — Spark has no SRF registration surface).
+    */
+  def eachArray(l: UTF8String): UTF8String = v(l) match {
+    case JObj(fields) =>
+      out(JArr(fields.map { case (k, fv) =>
+        Jsonb.mkObj(Seq("key" -> JStr(k), "value" -> fv))
+      }))
+    case _ =>
+      throw new Jsonb.JsonbFnError("cannot call jsonb_each on a non-object")
+  }
+
   def stripNullsJ(l: UTF8String): UTF8String = out(Jsonb.stripNulls(v(l)))
   def prettyJ(l: UTF8String): UTF8String =
     UTF8String.fromString(Jsonb.pretty(v(l)))

@@ -48,6 +48,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(one("""SELECT jsonb_typeof('[1]')""") == "array")
     assert(one("""SELECT jsonb_strip_nulls('{"a": null, "b": 1}')""")
       == "{\"b\": 1}")
+    // SRF analogs explode into rows
+    assert(spark.sql(
+      """SELECT explode(jsonb_array_elements('[1, "a", {"b": 2}]'))""")
+      .collect().map(_.getString(0)).toSeq == Seq("1", "\"a\"", "{\"b\": 2}"))
+    assert(spark.sql(
+      """SELECT explode(jsonb_each('{"a": 1, "b": [2]}'))""")
+      .collect().map(_.getString(0)).toSeq
+      == Seq("{\"key\": \"a\", \"value\": 1}", "{\"key\": \"b\", \"value\": [2]}"))
     // SQL/JSON path surface (@? / @@ / jsonb_path_* family)
     assert(one("""SELECT jsonb_path_exists('{"a": [1, 2, 3]}', '$.a[*] ? (@ > 2)')""") == true)
     assert(one("""SELECT jsonb_path_exists('{"a": [1, 2, 3]}', '$.a[*] ? (@ > 5)')""") == false)
