@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private def binary(op: String): Seq[Expression] => Expression =
     args => JsonbBinary(op, args(0), args(1))
+  private def arity(fn: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
+    if (args.length < lo || args.length > hi)
+      throw new IllegalArgumentException(
+        s"$fn requires $lo to $hi arguments, got ${args.length}")
   // jsonb_path_*(doc, path[, vars[, silent]]) — pad the optional args
   // like the reference's SQL defaults (vars '{}'/none, silent false)
   private def pathFn(op: String, tz: Boolean): Seq[Expression] => Expression =
@@ -70,32 +74,41 @@ object GraftExtensions {
     "jsonb_exists_all" -> (args => JsonbPredicate("existsall", args(0), args(1))),
     "jsonb_delete_path" -> (args => JsonbBinary("delpath", args(0), args(1))),
     // jsonb mutation/catalog fns (jsonfuncs.c; jsonb.sql:1116-)
-    "jsonb_set" -> (args => JsonbMutateFunction("set", Seq(
-      args(0), args(1), args(2),
-      if (args.length > 3) args(3)
-      else org.apache.spark.sql.catalyst.expressions.Literal(true)))),
-    "jsonb_insert" -> (args => JsonbMutateFunction("insert", Seq(
-      args(0), args(1), args(2),
-      if (args.length > 3) args(3)
-      else org.apache.spark.sql.catalyst.expressions.Literal(false)))),
-    "jsonb_set_lax" -> (args => JsonbMutateFunction("set_lax", Seq(
-      args(0), args(1), args(2),
-      if (args.length > 3) args(3)
-      else org.apache.spark.sql.catalyst.expressions.Literal(true),
-      if (args.length > 4) args(4)
-      else org.apache.spark.sql.catalyst.expressions.Literal(
-        org.apache.spark.unsafe.types.UTF8String.fromString("use_json_null"),
-        org.apache.spark.sql.types.StringType)))),
+    "jsonb_set" -> (args => {
+      arity("jsonb_set", args, 3, 4)
+      JsonbMutateFunction("set", Seq(
+        args(0), args(1), args(2),
+        if (args.length > 3) args(3)
+        else org.apache.spark.sql.catalyst.expressions.Literal(true)))
+    }),
+    "jsonb_insert" -> (args => {
+      arity("jsonb_insert", args, 3, 4)
+      JsonbMutateFunction("insert", Seq(
+        args(0), args(1), args(2),
+        if (args.length > 3) args(3)
+        else org.apache.spark.sql.catalyst.expressions.Literal(false)))
+    }),
+    "jsonb_set_lax" -> (args => {
+      arity("jsonb_set_lax", args, 3, 5)
+      JsonbMutateFunction("set_lax", Seq(
+        args(0), args(1), args(2),
+        if (args.length > 3) args(3)
+        else org.apache.spark.sql.catalyst.expressions.Literal(true),
+        if (args.length > 4) args(4)
+        else org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString("use_json_null"),
+          org.apache.spark.sql.types.StringType)))
+    }),
     "jsonb_strip_nulls" -> (args => JsonbUnary("strip_nulls", args(0))),
     "jsonb_pretty" -> (args => JsonbUnary("pretty", args(0))),
     "jsonb_typeof" -> (args => JsonbUnary("typeof", args(0))),
     // SRF analogs: the reference's set-returning jsonb_each /
     // jsonb_array_elements surface as explode-able arrays of jsonb
-    // element text (Spark has no SRF registration)
-    "jsonb_array_elements" ->
-      (args => graft.expr.JsonbNormalize.SplitArray(args(0))),
-    "jsonb_each" -> (args => graft.expr.JsonbNormalize.SplitArray(
-      JsonbUnary("each", args(0)))),
+    // element text (Spark has no SRF registration); non-array /
+    // non-object inputs error with the reference's texts
+    "jsonb_array_elements" -> (args => graft.expr.JsonbNormalize
+      .SplitArray(JsonbUnary("assert_elements_array", args(0)))),
+    "jsonb_each" -> (args => JsonbEach(args(0))),
     // SQL/JSON path (@? is jsonb_path_exists with silent=true; @@ is
     // jsonb_path_match with silent=true — pass the extra args for the
     // operator forms). jsonb_path_query is exposed as its _array form

@@ -151,7 +151,7 @@ object ops {
       case "strip_nulls" => JsonbRT.stripNullsJ
       case "pretty"    => JsonbRT.prettyJ
       case "typeof"    => JsonbRT.typeofJ
-      case "each"      => JsonbRT.eachArray
+      case "assert_elements_array" => JsonbRT.assertElementsArray
     }
 
     override def nullSafeEval(x: Any): Any = fn(x.asInstanceOf[UTF8String])
@@ -164,7 +164,8 @@ object ops {
         case "arravg" => "arrayAvg"; case "arrmin" => "arrayMin"
         case "arrmax" => "arrayMax"
         case "strip_nulls" => "stripNullsJ"; case "pretty" => "prettyJ"
-        case "typeof" => "typeofJ"; case "each" => "eachArray"
+        case "typeof" => "typeofJ"
+        case "assert_elements_array" => "assertElementsArray"
         case o => o
       }
       nullSafeCodeGen(ctx, ev, x =>
@@ -360,6 +361,25 @@ object ops {
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
       copy(obj = newChildren(0), key = newChildren(1), value = newChildren(2))
+  }
+
+  /** jsonb_each as an explode-able array of {"key", "value"} objects
+    * (the reference's SRF, jsonfuncs.c each_worker_jsonb; ArrayData is
+    * built directly — no intermediate jsonb array round-trip).
+    */
+  case class JsonbEach(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "jsonb_each"
+    override def nullSafeEval(x: Any): Any =
+      JsonbRT.eachRows(x.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x =>
+        s"""${ev.value} = $RT.eachRows($x);
+           |${ev.isNull} = ${ev.value} == null;
+           |""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
   }
 
   /** jsonb_set / jsonb_insert / jsonb_set_lax (jsonfuncs.c setPath).

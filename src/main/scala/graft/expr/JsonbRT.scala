@@ -327,7 +327,9 @@ object JsonbRT {
     tr match {
       case "use_json_null" =>
         out(Jsonb.setPath(v(t), Jsonb.parseTextArray(path.toString), JNull, create))
-      case "return_target" => t
+      // canonical render, not the verbatim input text — every jsonb
+      // column in this engine carries canonical strings
+      case "return_target" => out(v(t))
       case "delete_key" =>
         out(Jsonb.deleteAtPath(v(t), Jsonb.parseTextArray(path.toString)))
       case "raise_exception" =>
@@ -338,14 +340,29 @@ object JsonbRT {
   /** jsonb_each as an array: one {"key": k, "value": v} object per
     * field (the reference's SRF returns (key, value) rows; explode the
     * array for the row form — Spark has no SRF registration surface).
+    * Returns ArrayData directly: no intermediate array render+reparse.
     */
-  def eachArray(l: UTF8String): UTF8String = v(l) match {
-    case JObj(fields) =>
-      out(JArr(fields.map { case (k, fv) =>
-        Jsonb.mkObj(Seq("key" -> JStr(k), "value" -> fv))
-      }))
+  def eachRows(l: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    v(l) match {
+      case JObj(fields) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          fields.map { case (k, fv) =>
+            UTF8String.fromString(
+              Jsonb.mkObj(Seq("key" -> JStr(k), "value" -> fv)).render)
+          }.toArray[Any])
+      case _ =>
+        throw new Jsonb.JsonbFnError("cannot call jsonb_each on a non-object")
+    }
+
+  /** jsonb_array_elements input guard: the reference errors on
+    * non-array inputs rather than returning NULL.
+    */
+  def assertElementsArray(l: UTF8String): UTF8String = v(l) match {
+    case _: JArr => l
+    case _: JObj =>
+      throw new Jsonb.JsonbFnError("cannot extract elements from an object")
     case _ =>
-      throw new Jsonb.JsonbFnError("cannot call jsonb_each on a non-object")
+      throw new Jsonb.JsonbFnError("cannot extract elements from a scalar")
   }
 
   def stripNullsJ(l: UTF8String): UTF8String = out(Jsonb.stripNulls(v(l)))

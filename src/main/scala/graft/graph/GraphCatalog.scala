@@ -477,10 +477,14 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * whose endpoint labels no longer resolve.
     */
   def dropLabelCascade(graph: String, name: String): Unit = {
+    // multi-parent DAGs: a grandchild reachable through two paths is
+    // dropped by the first recursion — re-check existence before each
+    // step instead of trusting a stale child list
+    if (!readMeta(graph).labels.contains(name)) return
     val children = readMeta(graph).labels.values
       .filter(_.parents.contains(name)).map(_.name).toSeq.sorted
     children.foreach(dropLabelCascade(graph, _))
-    dropLabel(graph, name)
+    if (readMeta(graph).labels.contains(name)) dropLabel(graph, name)
   }
 
   /** ALTER VLABEL/ELABEL ... [NO] INHERIT parent (gram.y ALTER TABLE

@@ -484,29 +484,43 @@ object Jsonb {
       fnErr(s"""malformed array literal: "$s"""")
     val body = t.substring(1, t.length - 1)
     if (body.trim.isEmpty) return Vector.empty
+    def malformed(): Nothing = fnErr(s"""malformed array literal: "$s"""")
     val out = Vector.newBuilder[Option[String]]
     var i = 0
-    while (i < body.length) {
-      // one element per iteration
+    def skipSp(): Unit =
       while (i < body.length && body.charAt(i) == ' ') i += 1
+    var done = false
+    while (!done) {
+      skipSp()
       if (i < body.length && body.charAt(i) == '"') {
         val sb = new StringBuilder
         i += 1
-        while (i < body.length && body.charAt(i) != '"') {
-          if (body.charAt(i) == '\\' && i + 1 < body.length) i += 1
-          sb += body.charAt(i); i += 1
+        var closed = false
+        while (!closed) {
+          if (i >= body.length) malformed()
+          body.charAt(i) match {
+            case '"' => closed = true
+            case '\\' =>
+              if (i + 1 >= body.length) malformed()
+              sb += body.charAt(i + 1); i += 1
+            case c => sb += c
+          }
+          i += 1
         }
-        i += 1 // closing quote
         out += Some(sb.toString)
-        while (i < body.length && body.charAt(i) != ',') i += 1
-        i += 1
       } else {
         val start = i
         while (i < body.length && body.charAt(i) != ',') i += 1
         val raw = body.substring(start, i).trim
+        // empty unquoted elements (trailing/double commas) are
+        // malformed, like the reference's array_in
+        if (raw.isEmpty) malformed()
         out += (if (raw.equalsIgnoreCase("NULL")) None else Some(raw))
-        i += 1
       }
+      skipSp()
+      if (i >= body.length) done = true
+      else if (body.charAt(i) == ',') i += 1 // next element must follow
+      else malformed()
     }
     out.result()
   }

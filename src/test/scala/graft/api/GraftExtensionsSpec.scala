@@ -48,10 +48,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(one("""SELECT jsonb_typeof('[1]')""") == "array")
     assert(one("""SELECT jsonb_strip_nulls('{"a": null, "b": 1}')""")
       == "{\"b\": 1}")
-    // SRF analogs explode into rows
+    // SRF analogs explode into rows; non-array/object inputs error
+    // with the reference's texts instead of silently dropping rows
     assert(spark.sql(
       """SELECT explode(jsonb_array_elements('[1, "a", {"b": 2}]'))""")
       .collect().map(_.getString(0)).toSeq == Seq("1", "\"a\"", "{\"b\": 2}"))
+    intercept[Exception](one("""SELECT jsonb_array_elements('1')"""))
+    intercept[Exception](one("""SELECT jsonb_each('[1]')"""))
     assert(spark.sql(
       """SELECT explode(jsonb_each('{"a": 1, "b": [2]}'))""")
       .collect().map(_.getString(0)).toSeq

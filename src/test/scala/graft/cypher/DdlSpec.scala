@@ -439,5 +439,15 @@ class DdlSpec extends AnyFunSuite {
     intercept[Exception](s.cypher("DROP VLABEL ag_vertex"))
     intercept[Exception](s.cypher("DROP ELABEL no_such_label"))
     s.cypher("DROP ELABEL IF EXISTS no_such_label") // no-op
+
+    // diamond inheritance: c reachable from a via two paths — the
+    // cascade must not double-drop it
+    s.createVLabel("da")
+    s.createVLabel("db", parents = Seq("da"))
+    s.createVLabel("dc", parents = Seq("da", "db"))
+    s.cypher("DROP VLABEL da CASCADE")
+    assert(s.catalog.label("gm2", "da").isEmpty)
+    assert(s.catalog.label("gm2", "db").isEmpty)
+    assert(s.catalog.label("gm2", "dc").isEmpty)
   }
 }
