@@ -108,7 +108,23 @@ object GraftExtensions {
     // non-object inputs error with the reference's texts
     "jsonb_array_elements" -> (args => graft.expr.JsonbNormalize
       .SplitArray(JsonbUnary("assert_elements_array", args(0)))),
-    "jsonb_each" -> (args => JsonbEach(args(0))),
+    "jsonb_each" -> (args => JsonbSrfArray("each", args(0))),
+    "jsonb_object_keys" -> (args => JsonbSrfArray("object_keys", args(0))),
+    "jsonb_array_elements_text" ->
+      (args => JsonbSrfArray("array_elements_text", args(0))),
+    // `#>` / `#>>` (path as a PG text[] literal) and the variadic
+    // jsonb_extract_path(_text) forms (jsonfuncs.c get_jsonb_path_all)
+    "jsonb_get_path" -> binary("getpath"),
+    "jsonb_get_path_text" -> binary("getpathtext"),
+    "jsonb_extract_path" -> (args => {
+      arity("jsonb_extract_path", args, 2, 32)
+      JsonbExtractPath(text = false, args)
+    }),
+    "jsonb_extract_path_text" -> (args => {
+      arity("jsonb_extract_path_text", args, 2, 32)
+      JsonbExtractPath(text = true, args)
+    }),
+    "jsonb_array_length" -> (args => JsonbArrayLength(args(0))),
     // SQL/JSON path (@? is jsonb_path_exists with silent=true; @@ is
     // jsonb_path_match with silent=true — pass the extra args for the
     // operator forms). jsonb_path_query is exposed as its _array form

@@ -35,6 +35,8 @@ object ops {
         case "get"    => JsonbRT.get
         case "delete" => JsonbRT.deleteKey
         case "delpath" => JsonbRT.deletePath
+        case "getpath" => JsonbRT.getPathJ
+        case "getpathtext" => JsonbRT.getPathText
       }
 
     override def nullSafeEval(l: Any, r: Any): Any =
@@ -44,6 +46,8 @@ object ops {
       val m = op match {
         case "delete"  => "deleteKey"
         case "delpath" => "deletePath"
+        case "getpath" => "getPathJ"
+        case "getpathtext" => "getPathText"
         case o         => o
       }
       // result may be SQL NULL (e.g. `get` on a missing key) — a plain
@@ -363,23 +367,97 @@ object ops {
       copy(obj = newChildren(0), key = newChildren(1), value = newChildren(2))
   }
 
-  /** jsonb_each as an explode-able array of {"key", "value"} objects
-    * (the reference's SRF, jsonfuncs.c each_worker_jsonb; ArrayData is
-    * built directly — no intermediate jsonb array round-trip).
+  /** SRF analogs returning explode-able arrays directly as ArrayData
+    * (no intermediate jsonb array round-trip): jsonb_each ({"key",
+    * "value"} objects), jsonb_object_keys (text keys),
+    * jsonb_array_elements_text (text elements, JSON null -> SQL NULL
+    * element). Reference: jsonfuncs.c each_worker_jsonb /
+    * jsonb_object_keys / elements_worker_jsonb.
     */
-  case class JsonbEach(child: Expression) extends UnaryExpression {
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  case class JsonbSrfArray(op: String, child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = op == "array_elements_text")
     override def nullable: Boolean = true
-    override def prettyName: String = "jsonb_each"
-    override def nullSafeEval(x: Any): Any =
-      JsonbRT.eachRows(x.asInstanceOf[UTF8String])
+    override def prettyName: String = s"jsonb_$op"
+    private def method: String = op match {
+      case "each"                => "eachRows"
+      case "object_keys"         => "objectKeysRows"
+      case "array_elements_text" => "arrayElementsText"
+    }
+    override def nullSafeEval(x: Any): Any = op match {
+      case "each"        => JsonbRT.eachRows(x.asInstanceOf[UTF8String])
+      case "object_keys" => JsonbRT.objectKeysRows(x.asInstanceOf[UTF8String])
+      case "array_elements_text" =>
+        JsonbRT.arrayElementsText(x.asInstanceOf[UTF8String])
+    }
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, x =>
-        s"""${ev.value} = $RT.eachRows($x);
+        s"""${ev.value} = $RT.$method($x);
            |${ev.isNull} = ${ev.value} == null;
            |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** jsonb_array_length (jsonfuncs.c; errors on non-arrays). */
+  case class JsonbArrayLength(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jsonb_array_length"
+    override def nullSafeEval(x: Any): Any =
+      JsonbRT.arrayLengthJ(x.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x => s"$RT.arrayLengthJ($x)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** jsonb_extract_path(_text): variadic key form of `#>`; STRICT on
+    * the document, a SQL NULL key yields NULL (the reference's strict
+    * call convention gives the same observable result).
+    */
+  case class JsonbExtractPath(text: Boolean, children: Seq[Expression])
+      extends Expression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String =
+      if (text) "jsonb_extract_path_text" else "jsonb_extract_path"
+    override lazy val deterministic: Boolean = true
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val doc = children.head.eval(input)
+      if (doc == null) return null
+      val keys = children.tail.map(_.eval(input).asInstanceOf[UTF8String]).toArray
+      JsonbRT.extractPath(doc.asInstanceOf[UTF8String], keys, text)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val dg = children.head.genCode(ctx)
+      val kgs = children.tail.map(_.genCode(ctx))
+      val arr = ctx.freshName("jpKeys")
+      val fill = kgs.zipWithIndex.map { case (kg, i) =>
+        s"""${kg.code}
+           |$arr[$i] = ${kg.isNull} ? null : ${kg.value};""".stripMargin
+      }.mkString("\n")
+      val code =
+        s"""${dg.code}
+           |boolean ${ev.isNull} = true;
+           |UTF8String ${ev.value} = null;
+           |if (!${dg.isNull}) {
+           |  UTF8String[] $arr = new UTF8String[${kgs.length}];
+           |  $fill
+           |  ${ev.value} = $RT.extractPath(${dg.value}, $arr, $text);
+           |  ${ev.isNull} = ${ev.value} == null;
+           |}
+           |""".stripMargin
+      ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(code)).code())
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(children = newChildren)
   }
 
   /** jsonb_set / jsonb_insert / jsonb_set_lax (jsonfuncs.c setPath).

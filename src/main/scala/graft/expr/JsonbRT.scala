@@ -365,6 +365,77 @@ object JsonbRT {
       throw new Jsonb.JsonbFnError("cannot extract elements from a scalar")
   }
 
+  /** `#>` / `#>>` — path as a PG text[] literal (same convention as
+    * jsonb_set); the text form unquotes strings and maps JSON null to
+    * SQL NULL.
+    */
+  def getPathJ(l: UTF8String, path: UTF8String): UTF8String = {
+    val r = Jsonb.getPath(v(l), Jsonb.parseTextArray(path.toString))
+    if (r == null) null else out(r)
+  }
+  def getPathText(l: UTF8String, path: UTF8String): UTF8String = {
+    Jsonb.getPath(v(l), Jsonb.parseTextArray(path.toString)) match {
+      case null    => null
+      case JNull   => null
+      case JStr(s) => UTF8String.fromString(s)
+      case other   => out(other)
+    }
+  }
+
+  /** jsonb_extract_path(_text): variadic key form of `#>`. */
+  def extractPath(l: UTF8String, keys: Array[UTF8String],
+      text: Boolean): UTF8String = {
+    val path = keys.iterator.map(k =>
+      if (k == null) None else Some(k.toString)).toVector
+    Jsonb.getPath(v(l), path) match {
+      case null  => null
+      case JNull => if (text) null else out(JNull)
+      case JStr(s) if text => UTF8String.fromString(s)
+      case other => out(other)
+    }
+  }
+
+  /** jsonb_array_length (errors on non-arrays, jsonfuncs.c). */
+  def arrayLengthJ(l: UTF8String): Int = v(l) match {
+    case JArr(items) => items.length
+    case _: JObj =>
+      throw new Jsonb.JsonbFnError("cannot get array length of a non-array")
+    case _ =>
+      throw new Jsonb.JsonbFnError("cannot get array length of a scalar")
+  }
+
+  /** jsonb_object_keys as an array of TEXT keys (SRF analog). */
+  def objectKeysRows(l: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    v(l) match {
+      case JObj(fields) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          fields.map(f => UTF8String.fromString(f._1)).toArray[Any])
+      case _: JArr =>
+        throw new Jsonb.JsonbFnError(
+          "cannot call jsonb_object_keys on an array")
+      case _ =>
+        throw new Jsonb.JsonbFnError(
+          "cannot call jsonb_object_keys on a scalar")
+    }
+
+  /** jsonb_array_elements_text: array of TEXT elements (JSON null
+    * becomes a SQL NULL element).
+    */
+  def arrayElementsText(l: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    v(l) match {
+      case JArr(items) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          items.map {
+            case JNull   => null
+            case JStr(s) => UTF8String.fromString(s)
+            case other   => UTF8String.fromString(other.render)
+          }.toArray[Any])
+      case _: JObj =>
+        throw new Jsonb.JsonbFnError("cannot extract elements from an object")
+      case _ =>
+        throw new Jsonb.JsonbFnError("cannot extract elements from a scalar")
+    }
+
   def stripNullsJ(l: UTF8String): UTF8String = out(Jsonb.stripNulls(v(l)))
   def prettyJ(l: UTF8String): UTF8String =
     UTF8String.fromString(Jsonb.pretty(v(l)))

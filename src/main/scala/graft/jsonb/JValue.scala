@@ -621,6 +621,39 @@ object Jsonb {
     else mutate(target, path, 0, DeleteOp)
   }
 
+  /** `#>` path extraction (jsonfuncs.c get_jsonb_path_all): objects by
+    * key, arrays by integer index (negative counts from the end), no
+    * auto-wrap, any miss / NULL element / non-integer array step
+    * yields SQL NULL (returned as Scala null), never an error.
+    */
+  def getPath(target: JValue, path: Vector[Option[String]]): JValue = {
+    var cur = target
+    var i = 0
+    while (i < path.length) {
+      path(i) match {
+        case None => return null
+        case Some(k) =>
+          cur match {
+            case o: JObj =>
+              o.get(k) match {
+                case Some(x) => cur = x
+                case None    => return null
+              }
+            case JArr(items) =>
+              val raw =
+                try k.trim.toInt
+                catch { case _: NumberFormatException => return null }
+              val idx = if (raw < 0) items.length + raw else raw
+              if (idx < 0 || idx >= items.length) return null
+              cur = items(idx)
+            case _ => return null
+          }
+      }
+      i += 1
+    }
+    cur
+  }
+
   /** jsonb_strip_nulls: remove object fields with null values,
     * recursively; array nulls stay (jsonfuncs.c jsonb_strip_nulls).
     */

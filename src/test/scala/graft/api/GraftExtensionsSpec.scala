@@ -55,6 +55,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("1", "\"a\"", "{\"b\": 2}"))
     intercept[Exception](one("""SELECT jsonb_array_elements('1')"""))
     intercept[Exception](one("""SELECT jsonb_each('[1]')"""))
+    assert(spark.sql("""SELECT explode(jsonb_object_keys('{"a": 1, "bb": 2}'))""")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "bb"))
+    assert(spark.sql("""SELECT explode(jsonb_array_elements_text('["x", 1, null]'))""")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+      == Seq("x", "1", null))
+    // #> / #>> and the variadic extract forms
+    assert(one("""SELECT jsonb_get_path('{"a": {"b": [1, 2]}}', '{a,b,-1}')""") == "2")
+    assert(one("""SELECT jsonb_get_path_text('{"a": {"b": "x"}}', '{a,b}')""") == "x")
+    assert(one("""SELECT jsonb_get_path('{"a": 1}', '{z}')""") == null)
+    assert(one("""SELECT jsonb_extract_path('{"a": {"b": 7}}', 'a', 'b')""") == "7")
+    assert(one("""SELECT jsonb_extract_path_text('{"a": {"b": "s"}}', 'a', 'b')""") == "s")
+    assert(one("""SELECT jsonb_array_length('[1, 2, 3]')""") == 3)
+    intercept[Exception](one("""SELECT jsonb_array_length('{}')"""))
     assert(spark.sql(
       """SELECT explode(jsonb_each('{"a": 1, "b": [2]}'))""")
       .collect().map(_.getString(0)).toSeq
