@@ -162,11 +162,18 @@ object GraftExtensions {
   /** Register into an already-built session (tests, REPLs): the
     * extensions path only applies at session construction.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo("graft.expr.ops", name),
         builder)
     }
+    // aggregates go through the UDAF door (the expression-injection
+    // path has no Aggregator surface): the reference's jsonb_agg /
+    // jsonb_object_agg, sharing the Cypher collect machinery
+    spark.udf.register("jsonb_agg", graft.cypher.JsonbAggregates.jsonbAggUdf)
+    spark.udf.register("jsonb_object_agg",
+      graft.cypher.JsonbAggregates.jsonbObjectAggUdf)
+  }
 }

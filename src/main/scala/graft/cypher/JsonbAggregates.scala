@@ -108,9 +108,43 @@ object JsonbAggregates {
     def outputEncoder: Encoder[String] = enc
   }
 
+  /** jsonb_object_agg(key text, value jsonb) — null keys error like
+    * the reference ("field name must not be null"), SQL-NULL values
+    * become jsonb nulls, duplicate keys last-wins (input order, like
+    * any unordered aggregate), canonical key order on output.
+    */
+  private object ObjectAgg extends Aggregator[(String, String),
+      scala.collection.mutable.ArrayBuffer[(String, String)], String] {
+    def zero: scala.collection.mutable.ArrayBuffer[(String, String)] =
+      scala.collection.mutable.ArrayBuffer.empty
+    def reduce(b: scala.collection.mutable.ArrayBuffer[(String, String)],
+        a: (String, String)) = {
+      if (a._1 == null)
+        throw new IllegalArgumentException("field name must not be null")
+      b += a; b
+    }
+    def merge(x: scala.collection.mutable.ArrayBuffer[(String, String)],
+        y: scala.collection.mutable.ArrayBuffer[(String, String)]) = { x ++= y; x }
+    def finish(r: scala.collection.mutable.ArrayBuffer[(String, String)]): String =
+      if (r.isEmpty) null
+      else Jsonb.mkObj(r.iterator.map { case (k, v) =>
+        k -> (if (v == null) (JNull: JValue) else Jsonb.parse(v))
+      }.toSeq).render
+    def bufferEncoder =
+      Encoders.kryo[scala.collection.mutable.ArrayBuffer[(String, String)]]
+    def outputEncoder: Encoder[String] = enc
+  }
+
   def sum(c: Column): Column = udaf(SumAgg, enc).apply(c)
   def avg(c: Column): Column = udaf(AvgAgg, enc).apply(c)
   def min(c: Column): Column = udaf(new ExtremeAgg(true), enc).apply(c)
   def max(c: Column): Column = udaf(new ExtremeAgg(false), enc).apply(c)
   def collect(c: Column): Column = udaf(CollectAgg, enc).apply(c)
+
+  // SQL-registry handles (GraftExtensions.register): collect IS the
+  // reference's jsonb_agg (keeps SQL NULLs, empty group -> NULL)
+  def jsonbAggUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(CollectAgg, enc)
+  def jsonbObjectAggUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(ObjectAgg, Encoders.tuple(Encoders.STRING, Encoders.STRING))
 }

@@ -68,6 +68,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(one("""SELECT jsonb_extract_path_text('{"a": {"b": "s"}}', 'a', 'b')""") == "s")
     assert(one("""SELECT jsonb_array_length('[1, 2, 3]')""") == 3)
     intercept[Exception](one("""SELECT jsonb_array_length('{}')"""))
+    // aggregates: jsonb_agg keeps SQL NULLs as jsonb nulls,
+    // jsonb_object_agg sorts keys canonically
+    spark.sql("SELECT * FROM VALUES ('a', '1'), ('b', NULL), ('c', '[2]') t(k, v)")
+      .createOrReplaceTempView("aggt")
+    assert(one("SELECT jsonb_agg(v) FROM aggt") == "[1, null, [2]]")
+    assert(one("SELECT jsonb_object_agg(k, v) FROM aggt")
+      == "{\"a\": 1, \"b\": null, \"c\": [2]}")
     assert(spark.sql(
       """SELECT explode(jsonb_each('{"a": 1, "b": [2]}'))""")
       .collect().map(_.getString(0)).toSeq
