@@ -16,6 +16,55 @@ object Bench {
     java.nio.file.Files.deleteIfExists(p)
   }
 
+  /** Builds the 10x key-shifted replica of sfDir used by the sf1 scale
+    * probe (dims stay 1x, facts get consistently shifted entity keys).
+    * Shared with graft.Dev so probe anomalies can be reproduced in
+    * isolation. Caller owns deletion of the returned directory.
+    */
+  def makeSf1Replica(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    val K = 10
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sf1_probe").toString
+    def ld(t: String) = relational.Tables.load(spark, sfDir, t)
+    def keySpan(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1L
+    val C = keySpan(ld("customer"), "c_custkey")
+    val O = keySpan(ld("orders"), "o_orderkey")
+    val S = keySpan(ld("supplier"), "s_suppkey")
+    val P = keySpan(ld("part"), "p_partkey")
+    def rep(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
+      (0 until K).map(i => shift(ld(t), i)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    // dims stay 1x; documents/embeddings ride along unscaled so
+    // Tables.registerAll (the hybrid-SQL probe) finds every table
+    Seq("region", "nation", "documents", "embeddings").foreach(t =>
+      ld(t).write.mode("overwrite").parquet(s"$dir/$t.parquet"))
+    rep("customer")((d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * C)))
+    rep("orders")((d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * O))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * C)))
+    rep("lineitem")((d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * O))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * S))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * P)))
+    rep("supplier")((d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * S)))
+    rep("part")((d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * P)))
+    val ev = ld("events")
+    val evSpan = ev.agg((max(col("ts")).cast("long") -
+      min(col("ts")).cast("long")) + 3600L).head.getLong(0)
+    val E = keySpan(ev, "event_id")
+    rep("events")((d, i) => d
+      .withColumn("event_id", col("event_id") + lit(i * E))
+      .withColumn("ts", col("ts") +
+        expr(s"INTERVAL '${i * evSpan}' SECOND")))
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -25,6 +74,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Even with the UI off, the SQL status store retains execution
+      // details (incl. rendered plan graphs) for the last 1000 query
+      // executions and the app status store the last 1000 jobs/stages.
+      // 245 queries x 3 passes x multiple executions each = thousands
+      // of retained plans -> old-gen bloat -> GC tax that lands on the
+      // allocation-heavy queries late in the run. Keep a small window.
+      .config("spark.sql.ui.retainedExecutions", "24")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the per-query checkpoint unpersist below is deliberate — the
@@ -103,13 +162,24 @@ object Bench {
     // diff-unpersist is safe because no query reuses another query's
     // checkpoint — cross-query state lives in parquet; RDDs persisted
     // before the query (the one-time graph fixture) are left alone.
+    // per-query GC attribution: when a pass-3 number balloons, the
+    // gc_ms column says whether the engine's plan got slower or the
+    // JVM charged collection tax to an innocent query
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val lastGcMs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, dir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      lastGcMs.put(name, gcMillis() - gc0)
       try spark.sharedState.cacheManager.clearCache()
       catch { case _: Throwable => () }
       try spark.sparkContext.getPersistentRDDs
@@ -118,21 +188,24 @@ object Bench {
       catch { case _: Throwable => () }
       if (ok) dt else -1.0
     }
-    def runAll(): Seq[(String, Double)] = {
+    def runAll(): (Seq[(String, Double)], Map[String, Long]) = {
       val out = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> runQuery(name, fn, benchDir)
       }
+      import scala.jdk.CollectionConverters._
+      val gc = lastGcMs.asScala.toMap
+      lastGcMs.clear()
       // between passes: a forced GC lets ContextCleaner reclaim shuffle
       // files and broadcast blocks of dead plans, so pass N+1 starts
       // from the same JVM state as pass N (the variance killer)
       System.gc(); Thread.sleep(200)
-      out
+      (out, gc)
     }
-    val cold = runAll()
+    val (cold, _) = runAll()
     // steady-state = min of two post-codegen runs per query (one run
     // is hostage to GC/host noise; min-of-n is the standard estimator)
-    val s1 = runAll()
-    val s2 = runAll()
+    val (s1, gc1) = runAll()
+    val (s2, gc2) = runAll()
     val results = s1.zip(s2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // -------------------------------------------------- sf1 scale probe
@@ -148,47 +221,8 @@ object Bench {
     val sf1Times: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
       else try {
-        import org.apache.spark.sql.functions._
-        import org.apache.spark.sql.DataFrame
-        val K = 10
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_sf1_probe").toString
+        val dir = makeSf1Replica(spark, sfDir)
         sf1Dir = dir
-        def ld(t: String) = relational.Tables.load(spark, sfDir, t)
-        def keySpan(df: DataFrame, c: String): Long =
-          df.agg(max(col(c))).head.getLong(0) + 1L
-        val C = keySpan(ld("customer"), "c_custkey")
-        val O = keySpan(ld("orders"), "o_orderkey")
-        val S = keySpan(ld("supplier"), "s_suppkey")
-        val P = keySpan(ld("part"), "p_partkey")
-        def rep(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
-          (0 until K).map(i => shift(ld(t), i)).reduce(_ unionAll _)
-            .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-        // dims stay 1x; documents/embeddings ride along unscaled so
-        // Tables.registerAll (the hybrid-SQL probe) finds every table
-        Seq("region", "nation", "documents", "embeddings").foreach(t =>
-          ld(t).write.mode("overwrite").parquet(s"$dir/$t.parquet"))
-        rep("customer")((d, i) =>
-          d.withColumn("c_custkey", col("c_custkey") + lit(i * C)))
-        rep("orders")((d, i) => d
-          .withColumn("o_orderkey", col("o_orderkey") + lit(i * O))
-          .withColumn("o_custkey", col("o_custkey") + lit(i * C)))
-        rep("lineitem")((d, i) => d
-          .withColumn("l_orderkey", col("l_orderkey") + lit(i * O))
-          .withColumn("l_suppkey", col("l_suppkey") + lit(i * S))
-          .withColumn("l_partkey", col("l_partkey") + lit(i * P)))
-        rep("supplier")((d, i) =>
-          d.withColumn("s_suppkey", col("s_suppkey") + lit(i * S)))
-        rep("part")((d, i) =>
-          d.withColumn("p_partkey", col("p_partkey") + lit(i * P)))
-        val ev = ld("events")
-        val evSpan = ev.agg((max(col("ts")).cast("long") -
-          min(col("ts")).cast("long")) + 3600L).head.getLong(0)
-        val E = keySpan(ev, "event_id")
-        rep("events")((d, i) => d
-          .withColumn("event_id", col("event_id") + lit(i * E))
-          .withColumn("ts", col("ts") +
-            expr(s"INTERVAL '${i * evSpan}' SECOND")))
         // Probe set: the known heavy hitters FIRST (a deadline expiry
         // must cut the cheap tail, not the signal), then the FULL
         // g-suite (writes included — superlinear stragglers hide
@@ -271,7 +305,8 @@ object Bench {
       val rows = results.indices.map { i =>
         val name = results(i)._1
         s"""    "$name": {"cold":${f(cold(i)._2)},"steady1":${f(s1(i)._2)},""" +
-          s""""steady2":${f(s2(i)._2)},"min":${f(results(i)._2)}}"""
+          s""""steady2":${f(s2(i)._2)},"min":${f(results(i)._2)},""" +
+          s""""gc1_ms":${gc1.getOrElse(name, -1L)},"gc2_ms":${gc2.getOrElse(name, -1L)}}"""
       }
       val sf1Rows = sf1Times.map { case (n, v) =>
         // per-query sf1/sf0.1 ratio alongside the raw time so scale

@@ -69,6 +69,64 @@ object Dev {
       }
       spark.stop(); return
     }
+    if (name == "pollute") {
+      // isolate the steady2 inflation: run victim queries, then the
+      // suspected polluter family once or twice, then the victims again
+      def t[A](lbl: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $lbl: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      def rss(): Long = {
+        val s = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/self/status"))
+        s.stream.filter(_.startsWith("VmRSS")).findFirst.get
+          .split("\\s+")(1).toLong / 1024
+      }
+      val victims = args(1).split(",").toSeq
+      val polluters = args(2).split(",").toSeq
+      println(s"RSS ${rss()} MB")
+      for (r <- 1 to 3; v <- victims)
+        t(s"$v pre-$r")(SparkEntry.queries(v)(spark, d).count())
+      println(s"RSS ${rss()} MB")
+      for (rep <- 1 to 2; p <- polluters)
+        t(s"$p pollute-$rep")(SparkEntry.queries(p)(spark, d).count())
+      println(s"RSS ${rss()} MB")
+      System.gc(); Thread.sleep(200)
+      for (r <- 1 to 3; v <- victims)
+        t(s"$v post-$r")(SparkEntry.queries(v)(spark, d).count())
+      println(s"RSS ${rss()} MB")
+      spark.stop(); return
+    }
+    if (name == "sf1") {
+      // reproduce the bench's sf1 probe for a set of queries, in
+      // isolation: args(1) = comma-separated query names
+      def t[A](lbl: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $lbl: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val dir = t("replica build")(Bench.makeSf1Replica(spark, d))
+      try {
+        t("graph fixture")(pipeline.GraphQueries.session(spark, dir))
+        val names = args(1).split(",").toSeq
+        for (round <- 1 to 3; n <- names) {
+          t(s"$n (round $round)")(SparkEntry.queries(n)(spark, dir).count())
+        }
+        if (args.length > 2 && args(2) == "explain") names.foreach { n =>
+          println(s"=== $n ===")
+          SparkEntry.queries(n)(spark, dir).explain("formatted")
+        }
+      } finally {
+        def del(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.list(p)
+            try s.forEach(del(_)) finally s.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        del(java.nio.file.Paths.get(dir))
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     // warm
     fn(spark, d).count()

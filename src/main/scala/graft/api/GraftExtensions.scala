@@ -109,6 +109,7 @@ object GraftExtensions {
     "jsonb_array_elements" -> (args => graft.expr.JsonbNormalize
       .SplitArray(JsonbUnary("assert_elements_array", args(0)))),
     "jsonb_each" -> (args => JsonbSrfArray("each", args(0))),
+    "jsonb_each_text" -> (args => JsonbSrfArray("each_text", args(0))),
     "jsonb_object_keys" -> (args => JsonbSrfArray("object_keys", args(0))),
     "jsonb_array_elements_text" ->
       (args => JsonbSrfArray("array_elements_text", args(0))),
@@ -127,17 +128,19 @@ object GraftExtensions {
     "jsonb_array_length" -> (args => JsonbArrayLength(args(0))),
     // SQL/JSON path (@? is jsonb_path_exists with silent=true; @@ is
     // jsonb_path_match with silent=true — pass the extra args for the
-    // operator forms). jsonb_path_query is exposed as its _array form
-    // (Spark has no SRF registration surface; explode() the result).
+    // operator forms). jsonb_path_query is the SRF row form: an array
+    // of per-item jsonb text for explode() (the reference's setof
+    // jsonb); _array/_first are the scalar aggregated forms.
     "jsonb_path_exists" -> pathFn("exists", tz = false),
     "jsonb_path_match" -> pathFn("match", tz = false),
     "jsonb_path_query_array" -> pathFn("query_array", tz = false),
     "jsonb_path_query_first" -> pathFn("query_first", tz = false),
-    "jsonb_path_query" -> pathFn("query_array", tz = false),
+    "jsonb_path_query" -> pathFn("query_rows", tz = false),
     "jsonb_path_exists_tz" -> pathFn("exists", tz = true),
     "jsonb_path_match_tz" -> pathFn("match", tz = true),
     "jsonb_path_query_array_tz" -> pathFn("query_array", tz = true),
     "jsonb_path_query_first_tz" -> pathFn("query_first", tz = true),
+    "jsonb_path_query_tz" -> pathFn("query_rows", tz = true),
     "jsonb_length" -> (args => JsonbLength(args(0))),
     "jsonb_typerank" -> (args => JsonbTypeRank(args(0))),
     "jsonb_astext" -> (args => JsonbUnary("astext", args(0))),

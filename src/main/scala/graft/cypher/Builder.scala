@@ -811,24 +811,37 @@ final class Builder(
     * identical). Skipped when a path variable or any VLE hop is
     * present — those observe traversal order (vertex/edge arrays).
     */
-  private[cypher] def reorderPath(st0: State, p: PathPattern): PathPattern = {
-    if (p.variable.nonEmpty || p.finder != PathFinder.None) return p
-    if (p.tail.length < 2 || p.tail.exists(_._1.varLength.nonEmpty)) return p
-    // only fully-fresh paths: a pre-bound variable anywhere makes the
-    // left-to-right build anchor on the bound frame — reversal would
-    // trade that anchor for a cross join with the new head's scan
+  /** Common preconditions for any stats-driven chain re-traversal:
+    * no path variable (observes traversal order), no VLE hop, every
+    * variable fresh (a pre-bound var is the anchor the left-to-right
+    * build exploits), graphmeta planning on and populated.
+    */
+  private def chainReplannable(st0: State, p: PathPattern): Boolean = {
+    if (p.variable.nonEmpty || p.finder != PathFinder.None) return false
+    if (p.tail.length < 2 || p.tail.exists(_._1.varLength.nonEmpty)) return false
     if ((p.head.variable ++ p.tail.flatMap(t =>
-      t._1.variable ++ t._2.variable)).exists(st0.has)) return p
+      t._1.variable ++ t._2.variable)).exists(st0.has)) return false
     if (spark.conf.get("spark.graft.graphmetaPlanning", "true") == "false")
-      return p
-    if (metaCounts.isEmpty) return p
-    def hopEst(prev: NodePattern, rel: RelPattern, node: NodePattern) =
-      graphmetaHopEstimate(rel, Some(prev), node).map(_._1)
-    val firstEst = hopEst(p.head, p.tail.head._1, p.tail.head._2)
-    val lastPrev = if (p.tail.length == 1) p.head else p.tail(p.tail.length - 2)._2
-    val lastEst = hopEst(lastPrev, p.tail.last._1, p.tail.last._2)
-    (firstEst, lastEst) match {
-      case (Some(f), Some(l)) if l * 4 <= f =>
+      return false
+    metaCounts.nonEmpty
+  }
+
+  /** Per-hop graphmeta cardinalities for a chain, in pattern order
+    * (None when any hop has no estimate — partial stats would compare
+    * apples to unknowns).
+    */
+  private def chainHopEstimates(p: PathPattern): Option[Vector[Long]] = {
+    val nodes = p.head +: p.tail.map(_._2)
+    val ests = p.tail.zipWithIndex.map { case ((rel, node), i) =>
+      graphmetaHopEstimate(rel, Some(nodes(i)), node).map(_._1)
+    }
+    if (ests.forall(_.isDefined)) Some(ests.map(_.get).toVector) else None
+  }
+
+  private[cypher] def reorderPath(st0: State, p: PathPattern): PathPattern = {
+    if (!chainReplannable(st0, p)) return p
+    chainHopEstimates(p) match {
+      case Some(ests) if ests.last * 4 <= ests.head =>
         val nodes = p.head +: p.tail.map(_._2)
         val rels = p.tail.map(_._1)
         val newTail = rels.reverse.zip(nodes.reverse.tail).map {
@@ -839,12 +852,69 @@ final class Builder(
     }
   }
 
+  /** Globally cheapest anchor: when a MIDDLE hop is ≥4× more selective
+    * than both ends, neither forward nor reversed traversal starts
+    * small — the first frame carries an end hop's full fan-out through
+    * every join until the selective hop finally cuts it. Returns the
+    * anchor hop index k (0 < k < n-1) to start the build from; the
+    * chain then extends rightward (hops k..n-1 forward) and leftward
+    * (hops k-1..0 with directions flipped). A path pattern is
+    * symmetric under per-hop reversal, and every variable keeps its
+    * name, so bindings are identical to the left-to-right build.
+    * Called AFTER reorderPath, whose end-for-end flip handles the
+    * 2-hop and cheap-last-hop cases.
+    */
+  private[cypher] def chooseAnchor(st0: State, p: PathPattern): Option[Int] = {
+    if (p.tail.length < 3) return None
+    if (!chainReplannable(st0, p)) return None
+    chainHopEstimates(p).flatMap { ests =>
+      val k = ests.indices.minBy(ests)
+      if (k > 0 && k < ests.length - 1 &&
+          ests(k) * 4 <= ests.head && ests(k) * 4 <= ests.last) Some(k)
+      else None
+    }
+  }
+
   private def addPath(st0: State, p0: PathPattern): (State, Vector[(String, Kind)]) = {
     p0.finder match {
       case PathFinder.None => ()
       case f => return Algo.findPaths(this, st0, p0, f)
     }
     val p = reorderPath(st0, p0)
+    chooseAnchor(st0, p) match { case Some(k) =>
+      // middle-anchor build: start at the cheapest hop, extend right
+      // then left. Guards in chooseAnchor rule out path vars and VLE,
+      // so the vertex/edge path arrays are never needed here.
+      val nodes = p.head +: p.tail.map(_._2)
+      val rels = p.tail.map(_._1)
+      val anchoredEdgeVars = Vector.newBuilder[(String, Kind)]
+      val (stA, anchorName) = bindNode(st0, nodes(k))
+      var stS = stA
+      var prevName2 = anchorName
+      var prevPat2: Option[NodePattern] = Some(nodes(k))
+      for (i <- k until rels.length) {
+        val (st2, relName, nodeName, relKind) =
+          bindRel(stS, prevName2, rels(i), nodes(i + 1), needVerts = false,
+            prevPat2)
+        stS = st2
+        anchoredEdgeVars += (relName -> relKind)
+        prevName2 = nodeName
+        prevPat2 = Some(nodes(i + 1))
+      }
+      prevName2 = anchorName
+      prevPat2 = Some(nodes(k))
+      for (i <- (k - 1) to 0 by -1) {
+        val (st2, relName, nodeName, relKind) =
+          bindRel(stS, prevName2, rels(i).copy(direction = -rels(i).direction),
+            nodes(i), needVerts = false, prevPat2)
+        stS = st2
+        anchoredEdgeVars += (relName -> relKind)
+        prevName2 = nodeName
+        prevPat2 = Some(nodes(i))
+      }
+      return (stS, anchoredEdgeVars.result())
+    case None => ()
+    }
     var st = st0
     val edgeVars = Vector.newBuilder[(String, Kind)]
     // bind head

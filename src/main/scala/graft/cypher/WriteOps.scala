@@ -642,6 +642,11 @@ object WriteOps {
     //    (MERGE uniqueness: identical bindings create one instance)
     val createdIdsHolder = new scala.collection.mutable.ArrayBuffer[DataFrame]()
     val anyMissing = !missing.isEmpty
+    // the created bindings keyed by pattern identity, for step 3's
+    // join-back (None when the optimized re-match can't apply)
+    var createdSide: Option[(DataFrame, Int)] = None
+    var missingKeyed: DataFrame = missing
+    val matchNewVars = firstTry.vars.drop(base.vars.length)
     if (anyMissing) {
       // distinct by the pattern's evaluated identity: rendered prop maps
       // + ids of any pre-bound endpoint vars
@@ -656,18 +661,33 @@ object WriteOps {
       m.path.tail.map(_._1).foreach { rl =>
         rl.props.foreach(pe => keyCols += comp.toJ(comp.compile(pe)))
       }
+      missingKeyed = keyCols.toSeq.zipWithIndex.foldLeft(missing) {
+        case (d, (c, i)) => d.withColumn(s"__mk_$i", c)
+      }
       val dedup =
-        if (keyCols.isEmpty) missing.limit(1)
-        else keyCols.toSeq.zipWithIndex.foldLeft(missing) { case (d, (c, i)) =>
-            d.withColumn(s"__mk_$i", c)
-          }.dropDuplicates(keyCols.indices.map(i => s"__mk_$i").toSeq)
-          .drop(keyCols.indices.map(i => s"__mk_$i"): _*)
+        if (keyCols.isEmpty) missingKeyed.limit(1)
+        else missingKeyed.dropDuplicates(
+          keyCols.indices.map(i => s"__mk_$i").toSeq)
       val created = create(b, State(dedup, st0.vars), Seq(m.path))
       // collect created ids for ON CREATE routing
-      created.vars.drop(st0.vars.length).foreach { case (v, k) =>
+      val createdNewVars = created.vars.drop(st0.vars.length)
+      createdNewVars.foreach { case (v, k) =>
         if (k == KV || k == KE)
           createdIdsHolder += created.df.select(
             col(Compiler.q(v)).getField("id").as("id"))
+      }
+      // created bindings keyed by identity, aligned positionally to the
+      // match side's variable names (anonymous elements get fresh names
+      // per build, but both builds bind in pattern order)
+      if (createdNewVars.length == matchNewVars.length &&
+          createdNewVars.map(_._2) == matchNewVars.map(_._2)) {
+        val sel = keyCols.indices.map(i => col(s"__mk_$i").as(s"__ck_$i")) ++
+          createdNewVars.zip(matchNewVars).map { case ((cn, _), (mn, _)) =>
+            col(Compiler.q(cn)).as(mn) }
+        // materialized: the created bindings are already on disk, and
+        // checkpointing breaks the self-lineage with missingKeyed
+        createdSide = Some((created.df.select(sel: _*).localCheckpoint(true),
+          keyCols.length))
       }
     }
     val createdIds =
@@ -678,11 +698,44 @@ object WriteOps {
               org.apache.spark.sql.types.LongType, false))))
       else createdIdsHolder.reduce(_ unionAll _).distinct().localCheckpoint(true)
 
-    // 3. re-match: now every row binds (created elements included).
-    //    When nothing was missing the label tables are unchanged and
-    //    the first match already bound every row — reuse it (the
-    //    idempotent re-MERGE steady state skips a whole pattern match).
-    val finalMatch = if (anyMissing) matchOnce(base) else firstTry
+    // 3. re-match. A row that matched in step 1 keeps exactly its
+    //    original matches: every element created in step 2 carries some
+    //    missing row's full binding identity, and a matched row with
+    //    that identity would have matched pre-create (contradiction) —
+    //    so created elements can never extend a matched row's match
+    //    set. A missing row's post-create matches are exactly the
+    //    instance created for its own identity key. Both facts together
+    //    replace the second full pattern match (and its label scans)
+    //    with a key-join of the missing rows onto the created bindings.
+    //    When nothing was missing the first match already bound every
+    //    row — reuse it outright.
+    val finalMatch =
+      if (!anyMissing) firstTry
+      else createdSide match {
+        case Some((cs, nKeys)) =>
+          val rematched =
+            if (nKeys == 0) missingKeyed.crossJoin(broadcast(cs))
+            else {
+              val cond = (0 until nKeys).map(i =>
+                col(s"__mk_$i") <=> col(s"__ck_$i")).reduce(_ && _)
+              missingKeyed.join(cs, cond)
+            }
+          val dropCols = (0 until nKeys)
+            .flatMap(i => Seq(s"__mk_$i", s"__ck_$i"))
+          // the match side carries shredded sidecar columns from the
+          // label scans that the created side has no counterpart for:
+          // project BOTH sides to the shared frame (input columns +
+          // pattern vars) — downstream prop access falls back to the
+          // properties document, same as the row-sequential path
+          val shared = tagged.columns.toSeq ++ matchNewVars.map(_._1)
+          val sharedCols = shared.map(c => col(Compiler.q(c)))
+          State(firstTry.df.select(sharedCols: _*)
+            .unionByName(rematched.drop(dropCols: _*).select(sharedCols: _*)),
+            firstTry.vars)
+        // alignment failed (shape drift between the two builds):
+        // fall back to the full re-match
+        case None => matchOnce(base)
+      }
     var out = State(finalMatch.df.drop("__mrow"), finalMatch.vars)
 
     // 4. ON CREATE / ON MATCH SET branches routed by created-ness of the

@@ -309,8 +309,8 @@ object ops {
            |  ${fg.code}
            |  ${tg.code}
            |  ${ev.value} = $RT.slice(${lg.value},
-           |    ${fg.isNull} ? null : ${fg.value},
-           |    ${tg.isNull} ? null : ${tg.value});
+           |    ${fg.isNull} ? (UTF8String) null : ${fg.value},
+           |    ${tg.isNull} ? (UTF8String) null : ${tg.value});
            |  ${ev.isNull} = ${ev.value} == null;
            |}
            |""".stripMargin
@@ -353,7 +353,7 @@ object ops {
            |  else {
            |    ${vg.code}
            |    ${ev.value} = $RT.setKey(${og.value}, ${kg.value},
-           |      ${vg.isNull} ? null : ${vg.value});
+           |      ${vg.isNull} ? (UTF8String) null : ${vg.value});
            |    ${ev.isNull} = false;
            |  }
            |}
@@ -382,11 +382,13 @@ object ops {
     override def prettyName: String = s"jsonb_$op"
     private def method: String = op match {
       case "each"                => "eachRows"
+      case "each_text"           => "eachTextRows"
       case "object_keys"         => "objectKeysRows"
       case "array_elements_text" => "arrayElementsText"
     }
     override def nullSafeEval(x: Any): Any = op match {
       case "each"        => JsonbRT.eachRows(x.asInstanceOf[UTF8String])
+      case "each_text"   => JsonbRT.eachTextRows(x.asInstanceOf[UTF8String])
       case "object_keys" => JsonbRT.objectKeysRows(x.asInstanceOf[UTF8String])
       case "array_elements_text" =>
         JsonbRT.arrayElementsText(x.asInstanceOf[UTF8String])
@@ -503,9 +505,14 @@ object ops {
       val trg = if (lax) children(4).genCode(ctx) else null
       val call =
         if (lax)
+          // the explicit casts matter: when an argument is a NULL
+          // literal its ExprCode value is the Java literal `null`, and
+          // an uncast `cond ? null : null` ternary types as Object —
+          // janino then finds no applicable method and the WHOLE
+          // projection silently falls back to interpreter mode
           s"""$RT.jsonbSetLax(${tg.value}, ${pg.value},
-             |  ${ng.isNull} ? null : ${ng.value}, ${fg.value},
-             |  ${trg.isNull} ? null : ${trg.value})""".stripMargin
+             |  ${ng.isNull} ? (UTF8String) null : ${ng.value}, ${fg.value},
+             |  ${trg.isNull} ? (UTF8String) null : ${trg.value})""".stripMargin
         else
           s"$RT.jsonb${if (op == "set") "Set" else "Insert"}(" +
             s"${tg.value}, ${pg.value}, ${ng.value}, ${fg.value})"
@@ -545,10 +552,18 @@ object ops {
   case class JsonbPathFunction(op: String, tz: Boolean,
       children: Seq[Expression]) extends Expression {
     private def boolOut = op == "exists" || op == "match"
-    override def dataType: DataType = if (boolOut) BooleanType else StringType
+    // query_rows is the SRF row form: one jsonb text per result item,
+    // ready for explode() (a result item is never a SQL NULL — JSON
+    // null renders as "null")
+    private def rowsOut = op == "query_rows"
+    override def dataType: DataType =
+      if (boolOut) BooleanType
+      else if (rowsOut) ArrayType(StringType, containsNull = false)
+      else StringType
     override def nullable: Boolean = true
     override def prettyName: String =
-      s"jsonb_path_$op" + (if (tz) "_tz" else "")
+      (if (rowsOut) "jsonb_path_query" else s"jsonb_path_$op") +
+        (if (tz) "_tz" else "")
     override lazy val deterministic: Boolean = true
 
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -564,6 +579,7 @@ object ops {
         case "match"       => JsonbRT.jsonpathMatch(d, p, vars, silent, tz)
         case "query_array" => JsonbRT.jsonpathQueryArray(d, p, vars, silent, tz)
         case "query_first" => JsonbRT.jsonpathQueryFirst(d, p, vars, silent, tz)
+        case "query_rows"  => JsonbRT.jsonpathQueryRows(d, p, vars, silent, tz)
       }
     }
 
@@ -575,20 +591,25 @@ object ops {
         case "match"       => "jsonpathMatch"
         case "query_array" => "jsonpathQueryArray"
         case "query_first" => "jsonpathQueryFirst"
+        case "query_rows"  => "jsonpathQueryRows"
       }
+      val vty =
+        if (boolOut) "boolean"
+        else if (rowsOut) "org.apache.spark.sql.catalyst.util.ArrayData"
+        else "UTF8String"
       val (jty, dflt) =
-        if (boolOut) ("java.lang.Boolean", "false") else ("UTF8String", "null")
+        if (boolOut) ("java.lang.Boolean", "false") else (vty, "null")
       val tmp = ctx.freshName("jpRes")
       val code =
         s"""${dg.code}
            |${pg.code}
            |boolean ${ev.isNull} = true;
-           |${if (boolOut) "boolean" else "UTF8String"} ${ev.value} = $dflt;
+           |$vty ${ev.value} = $dflt;
            |if (!${dg.isNull} && !${pg.isNull}) {
            |  ${vg.code}
            |  ${sg.code}
            |  $jty $tmp = $RT.$m(${dg.value}, ${pg.value},
-           |    ${vg.isNull} ? null : ${vg.value},
+           |    ${vg.isNull} ? (UTF8String) null : ${vg.value},
            |    ${sg.isNull} ? false : ${sg.value}, $tz);
            |  ${ev.isNull} = $tmp == null;
            |  if ($tmp != null) ${ev.value} = $tmp${if (boolOut) ".booleanValue()" else ""};

@@ -395,6 +395,28 @@ object JsonbRT {
     }
   }
 
+  /** jsonb_each_text as an array of {"key": k, "value": v} objects
+    * where v is the TEXT rendering (strings unquoted, JSON null ->
+    * JSON null so `->> 'value'` reads SQL NULL, containers/numbers
+    * canonical). Reference: jsonfuncs.c each_worker_jsonb(as_text).
+    */
+  def eachTextRows(l: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    v(l) match {
+      case JObj(fields) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          fields.map { case (k, fv) =>
+            val tv = fv match {
+              case JNull   => JNull
+              case JStr(s) => JStr(s)
+              case other   => JStr(other.render)
+            }
+            UTF8String.fromString(
+              Jsonb.mkObj(Seq("key" -> JStr(k), "value" -> tv)).render)
+          }.toArray[Any])
+      case _ =>
+        throw new Jsonb.JsonbFnError("cannot call jsonb_each_text on a non-object")
+    }
+
   /** jsonb_array_length (errors on non-arrays, jsonfuncs.c). */
   def arrayLengthJ(l: UTF8String): Int = v(l) match {
     case JArr(items) => items.length
@@ -481,4 +503,14 @@ object JsonbRT {
     val r = JsonPath.queryFirst(v(doc), path.toString, varsOf(vars), silent, tz)
     if (r == null) null else out(r)
   }
+
+  /** jsonb_path_query as a set: one jsonb text per result item, for
+    * explode() — the reference's SRF row form (jsonb_path_query in
+    * jsonpath_exec.c streams into a tuplestore).
+    */
+  def jsonpathQueryRows(doc: UTF8String, path: UTF8String, vars: UTF8String,
+      silent: Boolean, tz: Boolean): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      JsonPath.queryStrings(v(doc), path.toString, varsOf(vars), silent, tz)
+        .map(UTF8String.fromString).toArray[Any])
 }

@@ -79,6 +79,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       """SELECT explode(jsonb_each('{"a": 1, "b": [2]}'))""")
       .collect().map(_.getString(0)).toSeq
       == Seq("{\"key\": \"a\", \"value\": 1}", "{\"key\": \"b\", \"value\": [2]}"))
+    // jsonb_each_text: value is TEXT (strings unquoted, JSON null ->
+    // SQL NULL through ->>, containers canonical) — jsonb.out:1068-1076
+    assert(spark.sql(
+      """SELECT jsonb_astext(jsonb_get(e, '"key"')) AS k,
+        |       jsonb_astext(jsonb_get(e, '"value"')) AS v
+        |FROM (SELECT explode(jsonb_each_text(
+        |  '{"f1":[1,2,3],"f2":{"f3":1},"f4":null,"f5":99,"f6":"stringy"}')) AS e)"""
+        .stripMargin)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      == Seq("f1" -> "[1, 2, 3]", "f2" -> "{\"f3\": 1}", "f4" -> null,
+        "f5" -> "99", "f6" -> "stringy"))
+    intercept[Exception](one("""SELECT jsonb_each_text('[1]')"""))
     // SQL/JSON path surface (@? / @@ / jsonb_path_* family)
     assert(one("""SELECT jsonb_path_exists('{"a": [1, 2, 3]}', '$.a[*] ? (@ > 2)')""") == true)
     assert(one("""SELECT jsonb_path_exists('{"a": [1, 2, 3]}', '$.a[*] ? (@ > 5)')""") == false)
@@ -88,6 +101,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(one("""SELECT jsonb_path_query_first('{}', 'strict $.a', '{}', true)""") == null)
     // strict-mode error surfaces as a real failure when not silent
     intercept[Exception](one("""SELECT jsonb_path_query_first('{}', 'strict $.a')"""))
+    // jsonb_path_query is the SRF row form: explode() reproduces the
+    // reference's setof rows (jsonb_jsonpath.out:331-336 "$.*" -> two
+    // rows; :121-124 strict error when not silent, empty when silent)
+    assert(spark.sql(
+      """SELECT explode(jsonb_path_query('{"a": 12, "b": {"a": 13}}', '$.*'))""")
+      .collect().map(_.getString(0)).toSeq == Seq("12", "{\"a\": 13}"))
+    intercept[Exception](spark.sql(
+      """SELECT explode(jsonb_path_query('[1]', 'strict $[1]'))""").collect())
+    assert(spark.sql(
+      """SELECT explode(jsonb_path_query('[1]', 'strict $[1]', NULL, true))""")
+      .collect().isEmpty)
+    // vars + filter over rows (jsonb_jsonpath.out:2235 row-form of the
+    // _array case: [2, 3] as two rows)
+    assert(spark.sql(
+      """SELECT explode(jsonb_path_query('[{"a": 1}, {"a": 2}, {"a": 3}, {"a": 5}]',
+        |  '$[*].a ? (@ > $min && @ < $max)', '{"min": 1, "max": 4}'))""".stripMargin)
+      .collect().map(_.getString(0)).toSeq == Seq("2", "3"))
     // usable inside real queries over tables
     spark.range(5).selectExpr("concat('{\"v\": ', id, '}') AS j")
       .createOrReplaceTempView("jt")

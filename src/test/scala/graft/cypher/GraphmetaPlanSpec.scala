@@ -164,6 +164,70 @@ class GraphmetaPlanSpec extends AnyFunSuite {
     assert(b.reorderPath(init, pp2) eq pp2)
   }
 
+  test("chain anchor: a selective MIDDLE hop anchors the build") {
+    val s = buildSkewed()
+    // 3-hop chain with a tiny middle hop: (big)-[:t 3000]->(hub)
+    // -[:m 3]->(mid)-[:w 1000]->(tl). Neither end-for-end orientation
+    // starts small; the anchored build must start at hop m.
+    s.cypher("CREATE VLABEL mid"); s.cypher("CREATE VLABEL tl")
+    s.cypher("CREATE ELABEL m"); s.cypher("CREATE ELABEL w")
+    def labid(l: String) = s.catalog.label("g", l).get.labid
+    val hubId = GraphId.pack(labid("hub"), 0L)
+    val midId = GraphId.pack(labid("mid"), 0L)
+    val tlId = GraphId.pack(labid("tl"), 0L)
+    val mId = GraphId.pack(labid("m"), 0L)
+    val wId = GraphId.pack(labid("w"), 0L)
+    s.catalog.append("g", "mid", spark.range(10).select(
+      (lit(midId) + col("id")).as("id"),
+      concat(lit("{\"k\": "), col("id"), lit("}")).as("properties")))
+    s.catalog.append("g", "tl", spark.range(100).select(
+      (lit(tlId) + col("id")).as("id"),
+      concat(lit("{\"k\": "), col("id"), lit("}")).as("properties")))
+    s.catalog.append("g", "m", spark.range(3).select(
+      (lit(mId) + col("id")).as("id"),
+      (lit(hubId) + col("id")).as("start"),
+      (lit(midId) + col("id")).as("end"),
+      lit("{}").as("properties")))
+    s.catalog.append("g", "w", spark.range(1000).select(
+      (lit(wId) + col("id")).as("id"),
+      (lit(midId) + pmod(col("id"), lit(10))).as("start"),
+      (lit(tlId) + pmod(col("id"), lit(100))).as("end"),
+      lit("{}").as("properties")))
+    val b = new Builder(spark, s.catalog, "g", Map.empty,
+      nm => spark.table(nm))
+    val q = "MATCH (a:big)-[:t]->(h:hub)-[:m]->(x:mid)-[:w]->(z:tl) " +
+      "RETURN count(*) AS n"
+    val pp = Parser.parse(q).first.clauses.collectFirst {
+      case m2: Ast.Match => m2.paths.head
+    }.get
+    val init = graft.cypher.State(
+      spark.range(1).toDF("__dummy"), Vector.empty)
+    // end hops 3000 / 1000, middle hop 3: anchor at hop index 1
+    assert(b.reorderPath(init, pp) eq pp) // no end is 4x the other way
+    assert(b.chooseAnchor(init, pp) == Some(1), b.chooseAnchor(init, pp))
+    // grouped projection + WHERE downstream of the anchored build
+    def run(query: String): Seq[String] =
+      s.cypher(query).collect().toSeq.map(_.toString).sorted
+    val qs = Seq(q,
+      "MATCH (a:big)-[:t]->(h:hub)-[:m]->(x:mid)-[:w]->(z:tl) " +
+        "RETURN x.k AS xk, count(*) AS n",
+      "MATCH (a:big)-[:t]->(h:hub)-[:m]->(x:mid)-[:w]->(z:tl) " +
+        "WHERE z.k < 50 RETURN count(*) AS n")
+    for (query <- qs) {
+      val on = run(query)
+      spark.conf.set("spark.graft.graphmetaPlanning", "false")
+      try assert(on == run(query), query)
+      finally spark.conf.unset("spark.graft.graphmetaPlanning")
+    }
+    // a selective FIRST hop keeps the forward build (anchor == end)
+    val qFirst = "MATCH (h:hub)-[:m]->(x:mid)-[:w]->(z:tl)<-[:w]-(x2:mid) " +
+      "RETURN count(*) AS n"
+    val ppF = Parser.parse(qFirst).first.clauses.collectFirst {
+      case m2: Ast.Match => m2.paths.head
+    }.get
+    assert(b.chooseAnchor(init, ppF).isEmpty)
+  }
+
   test("a write invalidates the cached stats and flips the plan") {
     val s = buildSkewed()
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
