@@ -555,6 +555,44 @@ final class Compiler(
         CE(J.fromLong((unix_millis(current_timestamp()))), KJ)
       case "startnode" | "endnode" =>
         throw new IllegalArgumentException(s"$name() requires builder support (join)")
+      case pfn @ ("jsonb_path_exists" | "jsonb_path_exists_tz")
+          if args.length >= 2 && args.length <= 4 &&
+            stringLit(args(1)).isDefined =>
+        // Literal-path jsonb_path_exists compiles to the native
+        // expression directly (no astext round trip), and — when the
+        // document is properties(v) of a scanned element and the path
+        // is a lax non-predicate `$.k ...` — gains a shredded-sidecar
+        // `__pj_k IS NOT NULL` prefix conjunct. The conjunct is exact
+        // (lax `$.k` on a missing key is empty, so exists is false
+        // precisely when the sidecar is NULL), evaluates before the
+        // path engine, and reaches the parquet scan as a pushed filter
+        // (row-group null-count pruning). Reference: `@?` /
+        // jsonb_path_exists (jsonpath_exec.c) + the shredding design
+        // in GraphCatalog.
+        val path = stringLit(args(1)).get
+        import org.apache.spark.sql.graft.ColumnBridge
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.StringType
+        import org.apache.spark.unsafe.types.UTF8String
+        val docE = ColumnBridge.expression(toJ(compile(args(0))))
+        val varsE =
+          if (args.length > 2) ColumnBridge.expression(toJ(compile(args(2))))
+          else Literal(null, StringType)
+        val silentE =
+          if (args.length > 3) ColumnBridge.expression(toBool(compile(args(3))))
+          else Literal(false)
+        val base = ColumnBridge.column(graft.expr.ops.JsonbPathFunction(
+          "exists", tz = pfn.endsWith("_tz"),
+          Seq(docE, Literal(UTF8String.fromString(path), StringType),
+            varsE, silentE)))
+        val guard = args(0) match {
+          case FnCall("properties", Seq(v @ Vbl(_)), _) =>
+            graft.jsonb.JsonPath.leadingLaxKey(path)
+              .flatMap(k => shredded("j", v, k)).map(_.isNotNull)
+          case _ => None
+        }
+        CE(guard.map(g => g && base).getOrElse(base), KB)
+
       case other if Compiler.sessionFnExists(other) =>
         // SQL/user-function interop (§2.11; reference: any pg_proc
         // function is callable from a Cypher expression — the plpgsql

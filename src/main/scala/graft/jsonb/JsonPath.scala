@@ -1084,4 +1084,24 @@ object JsonPath {
     case _ =>
       err(""""vars" argument is not an object""")
   }
+
+  /** The leading member key of a LAX, NON-PREDICATE path (`$.k ...`):
+    * any document with a non-empty result must contain top-level key k
+    * (lax `$.k` on a missing key yields empty without error), so an
+    * `exists` filter on such a path implies a plain `key IS NOT NULL`
+    * predicate over a shredded property sidecar — parquet-prunable.
+    * Returns None for strict paths (the missing-key ERROR must
+    * surface), predicate paths (`$.k == 1` emits one item ALWAYS,
+    * even unknown), and unparsable paths (the runtime error must
+    * surface at evaluation, not planning).
+    */
+  def leadingLaxKey(path: String): Option[String] =
+    try {
+      val p = parse(path)
+      if (!p.lax) None
+      else p.expr match {
+        case Chain(Root, Key(k) :: _) => Some(k)
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
 }

@@ -15,6 +15,47 @@ class ExplainSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("jsonpath filter: lax leading key compiles to a pushed sidecar filter") {
+    val s = pipeline.GraphQueries.session(spark, sf)
+    // lax non-predicate path with a leading member step: the shredded
+    // __pj_acctbal sidecar's IS NOT NULL is exact (lax $.k on a missing
+    // key is empty -> exists false) and reaches the parquet scan
+    val q = "MATCH (c:customer) " +
+      "WHERE jsonb_path_exists(properties(c), '$.acctbal ? (@ > 9000)') " +
+      "RETURN count(*) AS n"
+    val df = s.cypher(q)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("IsNotNull(__pj_acctbal)"), p)
+    // result parity with the plain property predicate
+    val viaPath = df.collect().head.get(0).toString.toLong
+    val viaProp = s.cypher(
+      "MATCH (c:customer) WHERE c.acctbal > 9000 RETURN count(*) AS n")
+      .collect().head.get(0).toString.toLong
+    assert(viaPath == viaProp && viaPath > 0, s"$viaPath vs $viaProp")
+    // strict paths must NOT gain the guard (missing-key ERROR surfaces)
+    val pStrict = s.cypher(
+      "MATCH (c:customer) " +
+        "WHERE jsonb_path_exists(properties(c), 'strict $.acctbal ? (@ > 9000)') " +
+        "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(!pStrict.contains("IsNotNull(__pj_acctbal)"), pStrict)
+    // predicate paths always emit one item — no guard either
+    val pPred = s.cypher(
+      "MATCH (c:customer) " +
+        "WHERE jsonb_path_exists(properties(c), '$.acctbal > 9000') " +
+        "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(!pPred.contains("IsNotNull(__pj_acctbal)"), pPred)
+    // and the predicate-path form is `exists`-true for every row
+    // (one boolean/null item per doc), matching the reference
+    val nAll = s.cypher(
+      "MATCH (c:customer) RETURN count(*) AS n").collect().head.get(0)
+      .toString.toLong
+    val nPredPath = s.cypher(
+      "MATCH (c:customer) " +
+        "WHERE jsonb_path_exists(properties(c), '$.acctbal > 9000') " +
+        "RETURN count(*) AS n").collect().head.get(0).toString.toLong
+    assert(nPredPath == nAll, s"$nPredPath vs $nAll")
+  }
+
   test("q01: filter + projection push into the parquet scan") {
     val p = planOf("q01_filter_project")
     assert(p.contains("PushedFilters: ["), p)

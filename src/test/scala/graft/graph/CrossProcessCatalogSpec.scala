@@ -98,4 +98,47 @@ class CrossProcessCatalogSpec extends AnyFunSuite {
     val got = cat.scan("g", "v").count()
     assert(got == 50L + nBatches * 50L, s"lost rows: $got")
   }
+
+  test("forked JVMs contending on _meta.lock lose no updates") {
+    // The in-process tests above share the JVM-global striped monitor,
+    // which MASKS the OS advisory lock (overlapping nio FileLocks from
+    // one JVM throw, so same-JVM "drivers" never actually exercise it).
+    // Genuinely separate processes do: only `_meta.lock` serializes
+    // their read-modify-rename cycles here.
+    val root = Files.createTempDirectory("graft_xpf").toString
+    val boot = new GraphCatalog(spark, root)
+    boot.createGraph("g")
+    boot.createLabel("g", "v", 'v')
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val perChild = 60
+    val outs = Seq.tabulate(2)(i => s"$root/child$i.txt")
+    val procs = outs.map { o =>
+      new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.graph.MetaLockContender", root, o, perChild.toString)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectErrorStream(false)
+        .start()
+    }
+    // the parent contends too, through its own catalog instance
+    val mine = (0 until perChild).map(_ => boot.reserveIds("g", "v", 10))
+    procs.foreach { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "contender timed out")
+      assert(p.exitValue == 0, s"contender failed: ${new String(
+        p.getErrorStream.readAllBytes()).takeRight(500)}")
+    }
+    val theirs = outs.flatMap { o =>
+      Files.readAllLines(java.nio.file.Paths.get(o))
+        .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map(_.toLong)
+    }
+    assert(theirs.length == 2 * perChild, s"children wrote ${theirs.length}")
+    val all = (mine ++ theirs).sorted
+    assert(all.distinct.length == all.length, "duplicate range starts")
+    all.sliding(2).foreach {
+      case Seq(a, b) => assert(a + 10 <= b, s"overlap: $a..${a + 9} vs $b")
+      case _ => ()
+    }
+    assert(all.length == 3 * perChild)
+  }
 }
