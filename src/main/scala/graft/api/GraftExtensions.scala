@@ -100,6 +100,29 @@ object GraftExtensions {
           org.apache.spark.sql.types.StringType)))
     }),
     "jsonb_strip_nulls" -> (args => JsonbUnary("strip_nulls", args(0))),
+    // constructor fns (jsonfuncs.c jsonb_build_object/array, to_jsonb,
+    // jsonb_object; jsonb.sql:1376-1640). Deviation: STRING args embed
+    // as jsonb when they parse, quote as text otherwise (Spark has no
+    // anyelement polymorphism to distinguish text from jsonb)
+    "to_jsonb" -> (args => {
+      arity("to_jsonb", args, 1, 1)
+      ToJsonbValue(args(0))
+    }),
+    "jsonb_build_array" -> (args => JsonbBuild(obj = false,
+      args.map(ToJsonbValue))),
+    "jsonb_build_object" -> (args => {
+      if (args.length % 2 != 0)
+        throw new graft.jsonb.Jsonb.JsonbFnError(
+          "argument list must have even number of elements")
+      JsonbBuild(obj = true, args.zipWithIndex.map { case (a, i) =>
+        if (i % 2 == 0) JsonbKeyText(a, i + 1) else ToJsonbValue(a)
+      })
+    }),
+    "jsonb_object" -> (args => {
+      arity("jsonb_object", args, 1, 2)
+      if (args.length == 1) JsonbUnary("object1", args(0))
+      else JsonbBinary("objectkv", args(0), args(1))
+    }),
     "jsonb_pretty" -> (args => JsonbUnary("pretty", args(0))),
     "jsonb_typeof" -> (args => JsonbUnary("typeof", args(0))),
     // SRF analogs: the reference's set-returning jsonb_each /

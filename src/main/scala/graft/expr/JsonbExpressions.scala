@@ -37,6 +37,7 @@ object ops {
         case "delpath" => JsonbRT.deletePath
         case "getpath" => JsonbRT.getPathJ
         case "getpathtext" => JsonbRT.getPathText
+        case "objectkv" => JsonbRT.jsonbObject2
       }
 
     override def nullSafeEval(l: Any, r: Any): Any =
@@ -48,6 +49,7 @@ object ops {
         case "delpath" => "deletePath"
         case "getpath" => "getPathJ"
         case "getpathtext" => "getPathText"
+        case "objectkv" => "jsonbObject2"
         case o         => o
       }
       // result may be SQL NULL (e.g. `get` on a missing key) — a plain
@@ -156,6 +158,7 @@ object ops {
       case "pretty"    => JsonbRT.prettyJ
       case "typeof"    => JsonbRT.typeofJ
       case "assert_elements_array" => JsonbRT.assertElementsArray
+      case "object1"   => JsonbRT.jsonbObject1
     }
 
     override def nullSafeEval(x: Any): Any = fn(x.asInstanceOf[UTF8String])
@@ -170,6 +173,7 @@ object ops {
         case "strip_nulls" => "stripNullsJ"; case "pretty" => "prettyJ"
         case "typeof" => "typeofJ"
         case "assert_elements_array" => "assertElementsArray"
+        case "object1" => "jsonbObject1"
         case o => o
       }
       nullSafeCodeGen(ctx, ev, x =>
@@ -457,6 +461,97 @@ object ops {
         .BlockHelper(new StringContext(code)).code())
     }
 
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(children = newChildren)
+  }
+
+  /** to_jsonb(anyelement) and the value half of jsonb_build_*: any
+    * Spark value -> jsonb text. STRICT (SQL NULL -> NULL). The child's
+    * DataType rides into codegen as a reference object.
+    */
+  case class ToJsonbValue(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "to_jsonb"
+    override def nullSafeEval(x: Any): Any =
+      JsonbRT.toJsonbValue(x, child.dataType)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val dtRef = ctx.addReferenceObj("toJsonbDt", child.dataType,
+        "org.apache.spark.sql.types.DataType")
+      nullSafeCodeGen(ctx, ev, x =>
+        s"""${ev.value} = $RT.toJsonbValue($x, $dtRef);
+           |${ev.isNull} = ${ev.value} == null;
+           |""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** The key half of jsonb_build_object: NOT null-safe on purpose —
+    * a SQL NULL key must raise the reference's error, not propagate.
+    */
+  case class JsonbKeyText(child: Expression, argPos: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String = "jsonb_key_text"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      JsonbRT.keyText(child.eval(input), child.dataType, argPos)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val dtRef = ctx.addReferenceObj("keyDt", child.dataType,
+        "org.apache.spark.sql.types.DataType")
+      val cg = child.genCode(ctx)
+      val code =
+        s"""${cg.code}
+           |UTF8String ${ev.value} = $RT.keyText(
+           |  ${cg.isNull} ? null : (Object) ${cg.value}, $dtRef, $argPos);
+           |""".stripMargin
+      ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(code)).code(),
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** jsonb_build_object / jsonb_build_array over pre-converted parts
+    * (keys via JsonbKeyText, values via ToJsonbValue — the
+    * registration layer wraps them). A SQL NULL value becomes jsonb
+    * null; the result itself is never NULL.
+    */
+  case class JsonbBuild(obj: Boolean, children: Seq[Expression])
+      extends Expression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String =
+      if (obj) "jsonb_build_object" else "jsonb_build_array"
+    override lazy val deterministic: Boolean = children.forall(_.deterministic)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val parts = new Array[UTF8String](children.length)
+      var i = 0
+      while (i < children.length) {
+        parts(i) = children(i).eval(input).asInstanceOf[UTF8String]
+        i += 1
+      }
+      JsonbRT.buildFromParts(obj, parts)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cgs = children.map(_.genCode(ctx))
+      val arr = ctx.freshName("jbParts")
+      val fill = cgs.zipWithIndex.map { case (cg, i) =>
+        s"""${cg.code}
+           |$arr[$i] = ${cg.isNull} ? (UTF8String) null : ${cg.value};""".stripMargin
+      }.mkString("\n")
+      val code =
+        s"""UTF8String[] $arr = new UTF8String[${cgs.length}];
+           |$fill
+           |UTF8String ${ev.value} = $RT.buildFromParts($obj, $arr);
+           |""".stripMargin
+      ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(code)).code(),
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
       copy(children = newChildren)

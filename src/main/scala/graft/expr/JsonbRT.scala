@@ -458,6 +458,144 @@ object JsonbRT {
         throw new Jsonb.JsonbFnError("cannot extract elements from a scalar")
     }
 
+  // ------------------------------------------- jsonb constructor fns
+  // jsonb_object / jsonb_build_object / jsonb_build_array / to_jsonb
+  // (jsonfuncs.c jsonb_object, jsonb_build_object/array, to_jsonb;
+  // jsonb.sql:1376-1640). Documented deviation: Spark has no
+  // anyelement polymorphism and this engine carries jsonb as string
+  // columns, so STRING arguments of the build fns and to_jsonb are
+  // embedded as jsonb when they parse as json and quoted as text
+  // otherwise (PG distinguishes by argument type); everything else
+  // follows the reference's conversions and error texts.
+
+  private def fnErr(msg: String): Nothing = throw new Jsonb.JsonbFnError(msg)
+
+  private def objPairs(pairs: Seq[(Option[String], Option[String])]): UTF8String =
+    out(Jsonb.mkObj(pairs.map { case (k, vv) =>
+      (k.getOrElse(fnErr("null value not allowed for object key")),
+        vv.map(s => JStr(s): JValue).getOrElse(JNull))
+    }))
+
+  /** jsonb_object(text[]): 1-D alternating pairs or 2-D pair rows. */
+  def jsonbObject1(arr: UTF8String): UTF8String =
+    Jsonb.parseTextArrayNd(arr.toString) match {
+      case Left(elems) =>
+        if (elems.length % 2 != 0)
+          fnErr("array must have even number of elements")
+        objPairs(elems.grouped(2).map(g => (g(0), g(1))).toSeq)
+      case Right(rows) =>
+        objPairs(rows.map { r =>
+          if (r.length != 2) fnErr("array must have two columns")
+          (r(0), r(1))
+        })
+    }
+
+  /** jsonb_object(text[], text[]): parallel keys/values. */
+  def jsonbObject2(keys: UTF8String, values: UTF8String): UTF8String = {
+    def oneD(u: UTF8String): Vector[Option[String]] =
+      Jsonb.parseTextArrayNd(u.toString) match {
+        case Left(e)  => e
+        case Right(_) => fnErr("wrong number of array subscripts")
+      }
+    val ks = oneD(keys)
+    val vs = oneD(values)
+    if (ks.length != vs.length) fnErr("mismatched array dimensions")
+    objPairs(ks.zip(vs))
+  }
+
+  /** Spark value -> jsonb text (the to_jsonb conversion and the value
+    * half of jsonb_build_*). Datetimes render ISO-8601 like PG's
+    * datum_to_jsonb; non-finite doubles render as strings (PG errors —
+    * kept total here since parquet data can carry them).
+    */
+  def toJsonbValue(x: Any, dt: org.apache.spark.sql.types.DataType): UTF8String =
+    if (x == null) null else out(toJValue(x, dt))
+
+  private def toJValue(x: Any, dt: org.apache.spark.sql.types.DataType): JValue = {
+    import org.apache.spark.sql.types._
+    if (x == null) return JNull
+    dt match {
+      case StringType =>
+        val s = x.asInstanceOf[UTF8String].toString
+        try Jsonb.parse(s) catch { case _: Throwable => JStr(s) }
+      case BooleanType => JBool(x.asInstanceOf[Boolean])
+      case ByteType    => JNum(java.math.BigDecimal.valueOf(x.asInstanceOf[Byte].toLong))
+      case ShortType   => JNum(java.math.BigDecimal.valueOf(x.asInstanceOf[Short].toLong))
+      case IntegerType => JNum(java.math.BigDecimal.valueOf(x.asInstanceOf[Int].toLong))
+      case LongType    => JNum(java.math.BigDecimal.valueOf(x.asInstanceOf[Long]))
+      case FloatType =>
+        val f = x.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) JStr(f.toString)
+        else JNum(new java.math.BigDecimal(f.toString))
+      case DoubleType =>
+        val d = x.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) JStr(d.toString)
+        else JNum(java.math.BigDecimal.valueOf(d))
+      case _: DecimalType =>
+        JNum(x.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+      case DateType =>
+        JStr(java.time.LocalDate.ofEpochDay(x.asInstanceOf[Int].toLong).toString)
+      case TimestampType | TimestampNTZType =>
+        val micros = x.asInstanceOf[Long]
+        JStr(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME))
+      case ArrayType(et, _) =>
+        val a = x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        JArr((0 until a.numElements()).toVector.map { i =>
+          if (a.isNullAt(i)) JNull else toJValue(a.get(i, et), et)
+        })
+      case st: StructType =>
+        val r = x.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        Jsonb.mkObj(st.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          f.name -> (if (r.isNullAt(i)) JNull
+            else toJValue(r.get(i, f.dataType), f.dataType))
+        })
+      case MapType(StringType, vt, _) =>
+        val m = x.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ka = m.keyArray(); val va = m.valueArray()
+        Jsonb.mkObj((0 until m.numElements()).map { i =>
+          ka.getUTF8String(i).toString -> (if (va.isNullAt(i)) JNull
+            else toJValue(va.get(i, vt), vt))
+        })
+      case other =>
+        fnErr(s"cannot convert ${other.simpleString} to jsonb")
+    }
+  }
+
+  /** The key half of jsonb_build_object: scalars render as text, SQL
+    * NULL and container keys raise the reference's errors.
+    */
+  def keyText(x: Any, dt: org.apache.spark.sql.types.DataType,
+      argPos: Int): UTF8String = {
+    import org.apache.spark.sql.types._
+    if (x == null) fnErr(s"argument $argPos: key must not be null")
+    dt match {
+      case StringType => x.asInstanceOf[UTF8String]
+      case _: ArrayType | _: StructType | _: MapType =>
+        fnErr("key value must be scalar, not array, composite, or json")
+      case _ => toJValue(x, dt) match {
+        case JStr(s) => UTF8String.fromString(s)
+        case other   => UTF8String.fromString(other.render)
+      }
+    }
+  }
+
+  /** Assemble jsonb_build_object/array from pre-converted parts
+    * (object: alternating key text / value jsonb; null value = jsonb
+    * null).
+    */
+  def buildFromParts(obj: Boolean, parts: Array[UTF8String]): UTF8String =
+    if (obj)
+      out(Jsonb.mkObj(parts.grouped(2).map { g =>
+        g(0).toString -> (if (g(1) == null) JNull else Jsonb.parse(g(1).toString))
+      }.toSeq))
+    else
+      out(JArr(parts.toVector.map(p =>
+        if (p == null) JNull else Jsonb.parse(p.toString))))
+
   def stripNullsJ(l: UTF8String): UTF8String = out(Jsonb.stripNulls(v(l)))
   def prettyJ(l: UTF8String): UTF8String =
     UTF8String.fromString(Jsonb.pretty(v(l)))

@@ -525,6 +525,51 @@ object Jsonb {
     out.result()
   }
 
+  /** jsonb_object's array argument (jsonfuncs.c jsonb_object /
+    * jsonb_object_two_arg): a 1-D alternating-pairs literal or a 2-D
+    * pair-per-row literal. Left = 1-D elements, Right = 2-D rows.
+    * Three or more dimensions raise the reference's "wrong number of
+    * array subscripts".
+    */
+  def parseTextArrayNd(s: String): Either[Vector[Option[String]], Vector[Vector[Option[String]]]] = {
+    val t = s.trim
+    if (!(t.startsWith("{") && t.endsWith("}")))
+      fnErr(s"""malformed array literal: "$s"""")
+    val inner = t.substring(1, t.length - 1).trim
+    if (!inner.startsWith("{")) return Left(parseTextArray(t))
+    val rows = Vector.newBuilder[Vector[Option[String]]]
+    var i = 0
+    while (i < inner.length) {
+      while (i < inner.length &&
+        (inner.charAt(i) == ' ' || inner.charAt(i) == ',')) i += 1
+      if (i < inner.length) {
+        if (inner.charAt(i) != '{') fnErr(s"""malformed array literal: "$s"""")
+        val start = i
+        var depth = 0
+        var inq = false
+        var end = -1
+        while (end < 0) {
+          if (i >= inner.length) fnErr(s"""malformed array literal: "$s"""")
+          val c = inner.charAt(i)
+          if (inq) {
+            if (c == '\\') i += 1 else if (c == '"') inq = false
+          } else c match {
+            case '"' => inq = true
+            case '{' =>
+              depth += 1
+              // a brace inside a row is a third dimension
+              if (depth > 1) fnErr("wrong number of array subscripts")
+            case '}' => depth -= 1; if (depth == 0) end = i
+            case _ => ()
+          }
+          i += 1
+        }
+        rows += parseTextArray(inner.substring(start, end + 1))
+      }
+    }
+    Right(rows.result())
+  }
+
   private sealed trait PathOp
   private case class SetOp(nv: JValue, create: Boolean) extends PathOp
   private case class InsertOp(nv: JValue, after: Boolean) extends PathOp

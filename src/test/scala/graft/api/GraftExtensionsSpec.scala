@@ -68,6 +68,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(one("""SELECT jsonb_extract_path_text('{"a": {"b": "s"}}', 'a', 'b')""") == "s")
     assert(one("""SELECT jsonb_array_length('[1, 2, 3]')""") == 3)
     intercept[Exception](one("""SELECT jsonb_array_length('{}')"""))
+    // constructor fns (jsonb.out:1376-1461). String args embed when
+    // they parse as json, quote as text otherwise (documented
+    // deviation — Spark has no anyelement polymorphism); typed args
+    // follow the reference exactly
+    assert(one("""SELECT jsonb_build_array('a', 1, 'b', 1.2, 'c', true, 'd', NULL)""")
+      == """["a", 1, "b", 1.2, "c", true, "d", null]""")
+    assert(one("""SELECT jsonb_build_array()""") == "[]")
+    assert(one("""SELECT jsonb_build_object('a', 1, 'b', 1.2, 'c', true, 'd', NULL)""")
+      == """{"a": 1, "b": 1.2, "c": true, "d": null}""")
+    // nesting embeds (the jsonb.out:1437 shape)
+    assert(one(
+      """SELECT jsonb_build_object('a', jsonb_build_object('b', false, 'c', 99),
+        |                          'd', jsonb_build_object('e', array(9, 8, 7)))""".stripMargin)
+      == """{"a": {"b": false, "c": 99}, "d": {"e": [9, 8, 7]}}""")
+    assert(one("""SELECT jsonb_build_object()""") == "{}")
+    intercept[Exception](one("""SELECT jsonb_build_object('a', 'b', 'c')"""))
+    intercept[Exception](one("""SELECT jsonb_build_object(NULL, 'a')"""))
+    assert(one("""SELECT jsonb_build_object('a', NULL)""") == """{"a": null}""")
+    // numeric keys render as text; array keys error
+    assert(one("""SELECT jsonb_build_object(1, 'a')""") == """{"1": "a"}""")
+    intercept[Exception](one("""SELECT jsonb_build_object(array(1), 'a')"""))
+    // to_jsonb: typed conversions + strictness
+    assert(one("""SELECT to_jsonb(42)""") == "42")
+    assert(one("""SELECT to_jsonb('abc')""") == "\"abc\"")
+    assert(one("""SELECT to_jsonb(true)""") == "true")
+    assert(one("""SELECT to_jsonb(CAST(NULL AS STRING))""") == null)
+    assert(one("""SELECT to_jsonb(array(1, 2, 3))""") == "[1, 2, 3]")
+    assert(one("""SELECT to_jsonb(named_struct('b', 2, 'a', 1))""")
+      == """{"a": 1, "b": 2}""")
+    assert(one("""SELECT to_jsonb(map('k', 5))""") == """{"k": 5}""")
+    assert(one("""SELECT to_jsonb(DATE'2024-03-01')""") == "\"2024-03-01\"")
+    // jsonb_object via SQL
+    assert(one("""SELECT jsonb_object('{a,1,b,2}')""")
+      == """{"a": "1", "b": "2"}""")
+    assert(one("""SELECT jsonb_object('{a,b}', '{1,2}')""")
+      == """{"a": "1", "b": "2"}""")
     // aggregates: jsonb_agg keeps SQL NULLs as jsonb nulls,
     // jsonb_object_agg sorts keys canonically
     spark.sql("SELECT * FROM VALUES ('a', '1'), ('b', NULL), ('c', '[2]') t(k, v)")
