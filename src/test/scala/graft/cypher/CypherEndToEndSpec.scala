@@ -1054,15 +1054,16 @@ class CypherEndToEndSpec extends AnyFunSuite {
     // NULL result stays SQL NULL (no 'null'::jsonb)
     spark.udf.register("maybe", (x: String) => if (x == "no") x else null)
     assert(rows(s.cypher("RETURN maybe('yes') AS m")) == Seq(Seq(null)))
-    // the jsonb_path_* registry functions ride the same door: a
-    // Cypher map argument keeps its JSON text form (asText of a
-    // container is its render), a Cypher string arg arrives unquoted
-    // as the path text — the reference's @?/jsonb_path_exists over
-    // properties, callable in Cypher (jsonpath_exec.c surface)
+    // jsonb_path_exists with a literal path compiles to the native
+    // boolean expression (not the astext UDF door): like the
+    // reference, where it returns a PG boolean — same kind as a
+    // comparison — and unlike door-folded results it never becomes
+    // jsonb text. (The sidecar-pushdown interception in compileFn owns
+    // this spelling; see ExplainSpec.)
     assert(rows(s.cypher(
       """MATCH (g:repo {name: 'agens-graph'})
         |RETURN jsonb_path_exists(properties(g), '$.year ? (@ >= 2016)') AS p""".stripMargin))
-      == Seq(Seq("true")))
+      == Seq(Seq(true)))
     // a query_first result is jsonb TEXT from the function's SQL type
     // (string), so the fold-back quotes it — same rule as shout above
     assert(rows(s.cypher(
