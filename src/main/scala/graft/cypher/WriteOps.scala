@@ -679,8 +679,16 @@ object WriteOps {
       // created bindings keyed by identity, aligned positionally to the
       // match side's variable names (anonymous elements get fresh names
       // per build, but both builds bind in pattern order)
-      if (createdNewVars.length == matchNewVars.length &&
-          createdNewVars.map(_._2) == matchNewVars.map(_._2)) {
+      // alignment: same count, same kind sequence, and NAMED vars must
+      // agree positionally (anonymous elements get fresh "__" names
+      // per build — only those may differ)
+      def aligned: Boolean =
+        createdNewVars.length == matchNewVars.length &&
+          createdNewVars.zip(matchNewVars).forall { case ((cn, ck), (mn, mk)) =>
+            ck == mk && (cn == mn ||
+              (cn.startsWith("__") && mn.startsWith("__")))
+          }
+      if (aligned) {
         val sel = keyCols.indices.map(i => col(s"__mk_$i").as(s"__ck_$i")) ++
           createdNewVars.zip(matchNewVars).map { case ((cn, _), (mn, _)) =>
             col(Compiler.q(cn)).as(mn) }
