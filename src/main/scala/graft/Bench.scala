@@ -17,16 +17,17 @@ object Bench {
   }
 
   /** Builds the 10x key-shifted replica of sfDir used by the sf1 scale
-    * probe (dims stay 1x, facts get consistently shifted entity keys).
-    * Shared with graft.Dev so probe anomalies can be reproduced in
-    * isolation. Caller owns deletion of the returned directory.
+    * probe (dims stay 1x, facts get consistently shifted entity keys)
+    * into a caller-created `dir`. Shared with graft.Dev so probe
+    * anomalies can be reproduced in isolation. The caller creates the
+    * directory FIRST and owns its deletion — so a mid-build failure
+    * (the replica is ~10x sf0.1 on disk) can never leak a partial
+    * copy outside the caller's cleanup.
     */
-  def makeSf1Replica(spark: SparkSession, sfDir: String): String = {
+  def makeSf1Replica(spark: SparkSession, sfDir: String, dir: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.DataFrame
     val K = 10
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_sf1_probe").toString
     def ld(t: String) = relational.Tables.load(spark, sfDir, t)
     def keySpan(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1L
@@ -62,7 +63,6 @@ object Bench {
       .withColumn("event_id", col("event_id") + lit(i * E))
       .withColumn("ts", col("ts") +
         expr(s"INTERVAL '${i * evSpan}' SECOND")))
-    dir
   }
 
   def main(args: Array[String]): Unit = {
@@ -221,8 +221,10 @@ object Bench {
     val sf1Times: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
       else try {
-        val dir = makeSf1Replica(spark, sfDir)
-        sf1Dir = dir
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_sf1_probe").toString
+        sf1Dir = dir // assigned BEFORE the build so a failure cleans up
+        makeSf1Replica(spark, sfDir, dir)
         // Probe set: the known heavy hitters FIRST (a deadline expiry
         // must cut the cheap tail, not the signal), then the FULL
         // g-suite (writes included — superlinear stragglers hide

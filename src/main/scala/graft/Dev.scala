@@ -104,8 +104,10 @@ object Dev {
         val t0 = System.nanoTime(); val r = f
         println(f"  $lbl: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
       }
-      val dir = t("replica build")(Bench.makeSf1Replica(spark, d))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sf1_probe").toString
       try {
+        t("replica build")(Bench.makeSf1Replica(spark, d, dir))
         t("graph fixture")(pipeline.GraphQueries.session(spark, dir))
         val names = args(1).split(",").toSeq
         for (round <- 1 to 3; n <- names) {

@@ -35,10 +35,15 @@ object GraftExtensions {
   // like the reference's SQL defaults (vars '{}'/none, silent false)
   private def pathFn(op: String, tz: Boolean): Seq[Expression] => Expression =
     args => {
-      if (args.length < 2 || args.length > 4)
+      if (args.length < 2 || args.length > 4) {
+        // error with the REGISTERED name (query_rows is the internal
+        // op of the plain jsonb_path_query spelling)
+        val sqlName = (if (op == "query_rows") "jsonb_path_query"
+          else s"jsonb_path_$op") + (if (tz) "_tz" else "")
         throw new IllegalArgumentException(
-          s"jsonb_path_$op${if (tz) "_tz" else ""} requires 2 to 4 " +
+          s"$sqlName requires 2 to 4 " +
             s"arguments (doc, path[, vars[, silent]]), got ${args.length}")
+      }
       JsonbPathFunction(op, tz, Seq(
         args(0), args(1),
         if (args.length > 2) args(2)

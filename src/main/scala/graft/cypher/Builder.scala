@@ -881,14 +881,21 @@ final class Builder(
       case f => return Algo.findPaths(this, st0, p0, f)
     }
     val p = reorderPath(st0, p0)
+    // Stats-driven builds must not leak their traversal order into the
+    // VISIBLE variable order (RETURN * / WITH * project st.vars in
+    // order, and MERGE aligns its create against the match's new-var
+    // sequence): both special builds below re-emit the new vars in
+    // PATTERN order, so the schema is stable whatever the stats say.
     chooseAnchor(st0, p) match { case Some(k) =>
       // middle-anchor build: start at the cheapest hop, extend right
       // then left. Guards in chooseAnchor rule out path vars and VLE,
       // so the vertex/edge path arrays are never needed here.
       val nodes = p.head +: p.tail.map(_._2)
       val rels = p.tail.map(_._1)
-      val anchoredEdgeVars = Vector.newBuilder[(String, Kind)]
+      val nodeNames = new Array[String](nodes.length)
+      val relNames = new Array[(String, Kind)](rels.length)
       val (stA, anchorName) = bindNode(st0, nodes(k))
+      nodeNames(k) = anchorName
       var stS = stA
       var prevName2 = anchorName
       var prevPat2: Option[NodePattern] = Some(nodes(k))
@@ -897,7 +904,8 @@ final class Builder(
           bindRel(stS, prevName2, rels(i), nodes(i + 1), needVerts = false,
             prevPat2)
         stS = st2
-        anchoredEdgeVars += (relName -> relKind)
+        relNames(i) = (relName, relKind)
+        nodeNames(i + 1) = nodeName
         prevName2 = nodeName
         prevPat2 = Some(nodes(i + 1))
       }
@@ -908,11 +916,25 @@ final class Builder(
           bindRel(stS, prevName2, rels(i).copy(direction = -rels(i).direction),
             nodes(i), needVerts = false, prevPat2)
         stS = st2
-        anchoredEdgeVars += (relName -> relKind)
+        relNames(i) = (relName, relKind)
+        nodeNames(i) = nodeName
         prevName2 = nodeName
         prevPat2 = Some(nodes(i))
       }
-      return (stS, anchoredEdgeVars.result())
+      // re-emit new vars in pattern order (n0, e1, n1, e2, n2, ...),
+      // first occurrence wins for a variable repeated in the pattern
+      val kindOf = stS.vars.toMap
+      val seen = scala.collection.mutable.Set.empty[String]
+      val ordered = Vector.newBuilder[(String, Kind)]
+      def emit(n2: String, k2: Kind): Unit =
+        if (seen.add(n2)) ordered += (n2 -> k2)
+      emit(nodeNames(0), kindOf(nodeNames(0)))
+      for (i <- rels.indices) {
+        emit(relNames(i)._1, relNames(i)._2)
+        emit(nodeNames(i + 1), kindOf(nodeNames(i + 1)))
+      }
+      return (State(stS.df, st0.vars ++ ordered.result()),
+        relNames.toVector)
     case None => ()
     }
     var st = st0
@@ -922,6 +944,8 @@ final class Builder(
     st = st1
     val pathVertices = Vector.newBuilder[Column]
     val pathEdges = Vector.newBuilder[Column]
+    val boundNodeNames = Vector.newBuilder[String]
+    boundNodeNames += prevName
     pathVertices += array(col(Compiler.q(prevName)))
     var prevPat: Option[NodePattern] = Some(p.head)
     p.tail.foreach { case (rel, node) =>
@@ -930,6 +954,7 @@ final class Builder(
       st = st2
       prevPat = Some(node)
       edgeVars += (relName -> relKind)
+      boundNodeNames += nodeName
       if (relKind == KE) pathEdges += array(col(Compiler.q(relName)))
       else pathEdges += col(Compiler.q(relName))
       if (relKind == KEL) {
@@ -950,6 +975,25 @@ final class Builder(
         else concat(es: _*)
       st = State(st.df.withColumn(pv, struct(vcol.as("vertices"), ecol.as("edges"))),
         st.vars :+ (pv -> KP))
+    }
+    if (p ne p0) {
+      // reorderPath flipped the chain: re-emit the new vars in the
+      // ORIGINAL pattern's order so the visible schema is independent
+      // of the stats (reorder excludes path vars and VLE, so the
+      // segment is exactly nodes and edges)
+      val bn = boundNodeNames.result().reverse // original n0..nN
+      val ev = edgeVars.result().reverse       // original e1..eN
+      val kindOf = st.vars.toMap
+      val seen = scala.collection.mutable.Set.empty[String]
+      val ordered = Vector.newBuilder[(String, Kind)]
+      def emit(n2: String, k2: Kind): Unit =
+        if (seen.add(n2)) ordered += (n2 -> k2)
+      emit(bn(0), kindOf(bn(0)))
+      for (i <- ev.indices) {
+        emit(ev(i)._1, ev(i)._2)
+        emit(bn(i + 1), kindOf(bn(i + 1)))
+      }
+      return (State(st.df, st0.vars ++ ordered.result()), ev)
     }
     (st, edgeVars.result())
   }

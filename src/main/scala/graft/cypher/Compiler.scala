@@ -556,8 +556,7 @@ final class Compiler(
       case "startnode" | "endnode" =>
         throw new IllegalArgumentException(s"$name() requires builder support (join)")
       case pfn @ ("jsonb_path_exists" | "jsonb_path_exists_tz")
-          if args.length >= 2 && args.length <= 4 &&
-            stringLit(args(1)).isDefined =>
+          if args.length >= 2 && args.length <= 4 =>
         // Literal-path jsonb_path_exists compiles to the native
         // expression directly (no astext round trip), and — when the
         // document is properties(v) of a scanned element and the path
@@ -569,12 +568,19 @@ final class Compiler(
         // (row-group null-count pruning). Reference: `@?` /
         // jsonb_path_exists (jsonpath_exec.c) + the shredding design
         // in GraphCatalog.
-        val path = stringLit(args(1)).get
         import org.apache.spark.sql.graft.ColumnBridge
         import org.apache.spark.sql.catalyst.expressions.Literal
         import org.apache.spark.sql.types.StringType
         import org.apache.spark.unsafe.types.UTF8String
+        val pathLit = stringLit(args(1))
         val docE = ColumnBridge.expression(toJ(compile(args(0))))
+        // a literal path rides as a plain string literal; a computed
+        // one takes its text form (jsonb string -> unquoted) so both
+        // spellings reach the same native expression and return kind
+        val pathE = pathLit match {
+          case Some(pth) => Literal(UTF8String.fromString(pth), StringType)
+          case None => ColumnBridge.expression(J.asText(toJ(compile(args(1)))))
+        }
         val varsE =
           if (args.length > 2) ColumnBridge.expression(toJ(compile(args(2))))
           else Literal(null, StringType)
@@ -583,11 +589,12 @@ final class Compiler(
           else Literal(false)
         val base = ColumnBridge.column(graft.expr.ops.JsonbPathFunction(
           "exists", tz = pfn.endsWith("_tz"),
-          Seq(docE, Literal(UTF8String.fromString(path), StringType),
-            varsE, silentE)))
-        val guard = args(0) match {
-          case FnCall("properties", Seq(v @ Vbl(_)), _) =>
-            graft.jsonb.JsonPath.leadingLaxKey(path)
+          Seq(docE, pathE, varsE, silentE)))
+        // sidecar guard: literal paths only (the shape must be known
+        // at plan time to prove the conjunct exact)
+        val guard = (args(0), pathLit) match {
+          case (FnCall("properties", Seq(v @ Vbl(_)), _), Some(pth)) =>
+            graft.jsonb.JsonPath.leadingLaxKey(pth)
               .flatMap(k => shredded("j", v, k)).map(_.isNotNull)
           case _ => None
         }

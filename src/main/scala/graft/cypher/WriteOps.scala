@@ -634,7 +634,6 @@ object WriteOps {
 
     // 1. try to match the whole pattern
     val firstTry = matchOnce(base)
-    val newVars = firstTry.vars.drop(base.vars.length)
     val matchedRows = firstTry.df.select(col("__mrow")).distinct()
     val missing = tagged.join(matchedRows, Seq("__mrow"), "left_anti")
 
@@ -740,8 +739,13 @@ object WriteOps {
           State(firstTry.df.select(sharedCols: _*)
             .unionByName(rematched.drop(dropCols: _*).select(sharedCols: _*)),
             firstTry.vars)
-        // alignment failed (shape drift between the two builds):
-        // fall back to the full re-match
+        // Alignment failed (shape drift between the two builds) —
+        // defensive only: both builds emit pattern-order vars, so this
+        // should be unreachable. The full re-match here can diverge
+        // from the join-back on self-symmetric patterns (it finds all
+        // post-create bindings where the reference binds only the
+        // created instance), so reaching it is a bug to fix, not a
+        // supported mode.
         case None => matchOnce(base)
       }
     var out = State(finalMatch.df.drop("__mrow"), finalMatch.vars)

@@ -537,11 +537,17 @@ object JsonbRT {
         JStr(java.time.LocalDate.ofEpochDay(x.asInstanceOf[Int].toLong).toString)
       case TimestampType | TimestampNTZType =>
         val micros = x.asInstanceOf[Long]
-        JStr(java.time.LocalDateTime.ofEpochSecond(
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
           Math.floorDiv(micros, 1000000L),
           (Math.floorMod(micros, 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC)
-          .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME))
+        val local = ldt.format(
+          java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+        // TimestampType is an instant: mark the rendered wall time's
+        // zone explicitly (UTC, like PG's timestamptz-with-offset
+        // rendering) so it can't be misread as session-local time.
+        // NTZ has no zone by definition and stays bare.
+        JStr(if (dt == TimestampNTZType) local else local + "+00:00")
       case ArrayType(et, _) =>
         val a = x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         JArr((0 until a.numElements()).toVector.map { i =>

@@ -113,20 +113,26 @@ class CrossProcessCatalogSpec extends AnyFunSuite {
     val cp = System.getProperty("java.class.path")
     val perChild = 60
     val outs = Seq.tabulate(2)(i => s"$root/child$i.txt")
-    val procs = outs.map { o =>
+    // stderr goes to a FILE, not a pipe: a pipe the parent only reads
+    // after waitFor deadlocks the child once it emits > the OS pipe
+    // buffer (JVM warnings, a long stack trace), turning a real
+    // failure into a spurious timeout
+    val errs = Seq.tabulate(2)(i => s"$root/child$i.err")
+    val procs = outs.zip(errs).map { case (o, e) =>
       new ProcessBuilder(javaBin, "-cp", cp,
         "graft.graph.MetaLockContender", root, o, perChild.toString)
         .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-        .redirectErrorStream(false)
+        .redirectError(new java.io.File(e))
         .start()
     }
     // the parent contends too, through its own catalog instance
     val mine = (0 until perChild).map(_ => boot.reserveIds("g", "v", 10))
-    procs.foreach { p =>
+    procs.zip(errs).foreach { case (p, e) =>
       assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
         "contender timed out")
       assert(p.exitValue == 0, s"contender failed: ${new String(
-        p.getErrorStream.readAllBytes()).takeRight(500)}")
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(e)))
+        .takeRight(500)}")
     }
     val theirs = outs.flatMap { o =>
       Files.readAllLines(java.nio.file.Paths.get(o))
