@@ -64,7 +64,20 @@ object GraftExtensions {
     "jsonb_pow" -> binary("pow"),
     "jsonb_concat" -> binary("concat"),
     "jsonb_get" -> binary("get"),
-    "jsonb_delete" -> binary("delete"),
+    // jsonb_delete's three reference overloads, dispatched by the
+    // second argument's Spark type / arity: (jsonb, text) single key,
+    // (jsonb, int) array index, (jsonb, text...) variadic keys
+    "jsonb_delete" -> (args => {
+      arity("jsonb_delete", args, 2, 32)
+      import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType}
+      args(1).dataType match {
+        case IntegerType | LongType | ShortType | ByteType =>
+          arity("jsonb_delete", args, 2, 2)
+          JsonbDeleteIdx(args(0), args(1))
+        case _ =>
+          args.tail.foldLeft(args(0))((acc, k) => JsonbBinary("delete", acc, k))
+      }
+    }),
     "jsonb_eq" -> cmp("eq"),
     "jsonb_ne" -> cmp("ne"),
     "jsonb_lt" -> cmp("lt"),

@@ -65,6 +65,27 @@ object ops {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `jsonb - int`: array element delete by index (the reference's
+    * jsonb_delete_idx overload).
+    */
+  case class JsonbDeleteIdx(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jsonb_delete"
+    override def nullSafeEval(l: Any, r: Any): Any =
+      JsonbRT.deleteIdx(l.asInstanceOf[UTF8String],
+        r.asInstanceOf[Number].intValue)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"""${ev.value} = $RT.deleteIdx($l, (int) $r);
+           |${ev.isNull} = ${ev.value} == null;
+           |""".stripMargin)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** jsonb btree comparison returning SQL bool with 3VL nulls. */
   case class JsonbComparison(op: String, left: Expression, right: Expression)
       extends BinaryExpression {

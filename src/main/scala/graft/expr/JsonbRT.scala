@@ -111,7 +111,23 @@ object JsonbRT {
       case JStr(s) => s == k.toString
       case _ => false
     }))
-    case other => out(other)
+    // the reference errors rather than no-ops (jsonb.out:4445-4446)
+    case _ => throw new Jsonb.JsonbFnError("cannot delete from scalar")
+  }
+
+  /** `jsonb - int`: delete the array element at index (negative wraps,
+    * out-of-range no-op). Reference: jsonb_delete_idx, jsonfuncs.c;
+    * jsonb.out:4289-4333,4459-4462.
+    */
+  def deleteIdx(l: UTF8String, idx: Int): UTF8String = v(l) match {
+    case JArr(items) =>
+      val i = if (idx < 0) items.length + idx else idx
+      if (i < 0 || i >= items.length) out(JArr(items))
+      else out(JArr(items.patch(i, Nil, 1)))
+    case _: JObj =>
+      throw new Jsonb.JsonbFnError(
+        "cannot delete from object using integer index")
+    case _ => throw new Jsonb.JsonbFnError("cannot delete from scalar")
   }
 
   /** jsonb ?| — any of the keys (jsonb array of strings) present. */

@@ -99,6 +99,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       == """{"a": 1, "b": 2}""")
     assert(one("""SELECT to_jsonb(map('k', 5))""") == """{"k": 5}""")
     assert(one("""SELECT to_jsonb(DATE'2024-03-01')""") == "\"2024-03-01\"")
+    // jsonb_delete overloads: text key, int index, variadic keys
+    assert(one("""SELECT jsonb_delete('{"a":1, "b":2, "c":3}', 'b')""")
+      == """{"a": 1, "c": 3}""")
+    assert(one("""SELECT jsonb_delete('["a","b","c"]', 1)""")
+      == """["a", "c"]""")
+    assert(one("""SELECT jsonb_delete('{"a":1, "b":2, "c":3}', 'c', 'b')""")
+      == """{"a": 1}""")
+    intercept[Exception](one("""SELECT jsonb_delete('"a"', 'a')"""))
     // jsonb_object via SQL
     assert(one("""SELECT jsonb_object('{a,1,b,2}')""")
       == """{"a": "1", "b": "2"}""")
