@@ -768,6 +768,22 @@ object J {
     pathCall("query_array", doc, path, vars)
   def pathQueryFirst(doc: Column, path: String, vars: String = null): Column =
     pathCall("query_first", doc, path, vars)
+  /** jsonb_path_query's SRF row form: array of per-item jsonb text,
+    * ready for explode().
+    */
+  def pathQueryRows(doc: Column, path: String, vars: String = null): Column =
+    pathCall("query_rows", doc, path, vars)
+  /** jsonb_each_text's SRF analog: array of {"key","value"} objects
+    * with TEXT values (JSON null -> SQL NULL through ->>).
+    */
+  def eachText(x: Column): Column = col(JsonbSrfArray("each_text", e(x)))
+  /** jsonb_build_object over (literal key, any-typed value) pairs. */
+  def buildObject(pairs: (String, Column)*): Column =
+    col(JsonbBuild(obj = true, pairs.toSeq.flatMap { case (k, v) =>
+      Seq(
+        JsonbKeyText(Literal(UTF8String.fromString(k), StringType), 1),
+        ToJsonbValue(e(v)))
+    }))
 
   def add(l: Column, r: Column): Column = col(JsonbBinary("add", e(l), e(r)))
   def sub(l: Column, r: Column): Column = col(JsonbBinary("sub", e(l), e(r)))

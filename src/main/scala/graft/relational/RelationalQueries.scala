@@ -1028,6 +1028,34 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // Constructor + SRF round trip (jsonb_build_object → jsonb_each_text
+    // exploded, the reference's setof (key, value text) rows;
+    // jsonfuncs.c each_worker_jsonb(as_text)). The oracle rebuilds the
+    // same rows from first principles, so key naming, value-to-text
+    // rules and row multiplicity are all pinned.
+    "q76_each_text_srf" -> { (s, d) =>
+      import graft.expr.J
+      load(s, d, "orders")
+        .select(explode(J.eachText(J.buildObject(
+          "st" -> col("o_orderstatus"),
+          "cust" -> col("o_custkey")))).as("e"))
+        .select(J.asText(J.getKey(col("e"), "key")).as("k"),
+          J.asText(J.getKey(col("e"), "value")).as("v"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), countDistinct("v").as("nv"))
+        .orderBy("k")
+    },
+
+    // jsonb_path_query as a set: per-item rows via explode (the
+    // reference streams items into a tuplestore; jsonpath_exec.c).
+    "q77_jsonpath_srf" -> { (s, d) =>
+      import graft.expr.J
+      load(s, d, "events")
+        .select(explode(J.pathQueryRows(col("props"),
+          "$.k ? (@ % 2 == 0)")).as("kj"))
+        .agg(count(lit(1)).as("n"), sum(J.toLong(col("kj"))).as("s"))
+    },
+
     // NOT IN 3VL null semantics (§2.2 NullTest / §2.3 anti variants):
     // a NULL in the subquery poisons NOT IN (never TRUE), while the
     // null-free form is a plain null-aware anti join — both counted
@@ -1329,6 +1357,16 @@ object RelationalQueries {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q76_each_text_srf" ->
+      """SELECT k, count(*) AS n, count(DISTINCT v) AS nv FROM (
+        |  SELECT 'st' AS k, o_orderstatus AS v FROM orders
+        |  UNION ALL SELECT 'cust', CAST(o_custkey AS VARCHAR) FROM orders) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q77_jsonpath_srf" ->
+      """SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS s FROM (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events) t
+        |WHERE k % 2 = 0""".stripMargin,
     "q31_jsonb_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events
