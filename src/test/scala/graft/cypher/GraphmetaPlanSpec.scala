@@ -226,6 +226,31 @@ class GraphmetaPlanSpec extends AnyFunSuite {
       case m2: Ast.Match => m2.paths.head
     }.get
     assert(b.chooseAnchor(init, ppF).isEmpty)
+    // RETURN * schema must be IDENTICAL with planning on and off: the
+    // anchored build re-emits vars in pattern order (a stats refresh
+    // must never change a query's visible column order)
+    val qStar = "MATCH (a:big)-[:t]->(h:hub)-[:m]->(x:mid)-[:w]->(z:tl) " +
+      "RETURN * LIMIT 1"
+    val colsOn = s.cypher(qStar).columns.toSeq
+    spark.conf.set("spark.graft.graphmetaPlanning", "false")
+    val colsOff = try s.cypher(qStar).columns.toSeq
+      finally spark.conf.unset("spark.graft.graphmetaPlanning")
+    assert(colsOn == colsOff, s"$colsOn vs $colsOff")
+    assert(colsOn == Seq("a", "h", "x", "z"), colsOn)
+    // differential with an undirected middle hop and a prop constraint
+    // on a leftward-walked node (the anchored build flips directions
+    // and must keep per-node quals)
+    val qs2 = Seq(
+      "MATCH (a:big)-[:t]->(h:hub)-[:m]-(x:mid)-[:w]->(z:tl) " +
+        "RETURN count(*) AS n",
+      "MATCH (a:big {k: 5})-[:t]->(h:hub)-[:m]->(x:mid)-[:w]->(z:tl) " +
+        "RETURN z.k AS zk, count(*) AS c")
+    for (query <- qs2) {
+      val on = run(query)
+      spark.conf.set("spark.graft.graphmetaPlanning", "false")
+      try assert(on == run(query), query)
+      finally spark.conf.unset("spark.graft.graphmetaPlanning")
+    }
   }
 
   test("a write invalidates the cached stats and flips the plan") {
