@@ -75,6 +75,15 @@ object GraftExtensions {
           arity("jsonb_delete", args, 2, 2)
           JsonbDeleteIdx(args(0), args(1))
         case _ =>
+          // variadic key form: every key must be text — fail at
+          // resolution with a clear message rather than a runtime
+          // ClassCastException from a mixed-type later argument
+          args.tail.foreach { k =>
+            if (k.dataType != org.apache.spark.sql.types.StringType)
+              throw new IllegalArgumentException(
+                "jsonb_delete: variadic keys must be text " +
+                  s"(got ${k.dataType.simpleString})")
+          }
           args.tail.foldLeft(args(0))((acc, k) => JsonbBinary("delete", acc, k))
       }
     }),

@@ -875,6 +875,29 @@ final class Builder(
     }
   }
 
+  /** Emit a chain's new vars in the ORIGINAL pattern's order (n0, e1,
+    * n1, e2, ...), first occurrence winning for a variable repeated in
+    * the pattern. `flipped` = the name arrays were collected against
+    * the reorderPath-REVERSED pattern and must be walked backwards to
+    * recover the original order. Shared by the anchored and reversed
+    * builds so the two can never diverge on ordering again.
+    */
+  private def patternOrderVars(nodeNames0: IndexedSeq[String],
+      relNames0: IndexedSeq[(String, Kind)], kindOf: Map[String, Kind],
+      flipped: Boolean): Vector[(String, Kind)] = {
+    val nn = if (flipped) nodeNames0.reverse else nodeNames0
+    val rr = if (flipped) relNames0.reverse else relNames0
+    val seen = scala.collection.mutable.Set.empty[String]
+    val out = Vector.newBuilder[(String, Kind)]
+    def emit(n: String, k: Kind): Unit = if (seen.add(n)) out += (n -> k)
+    emit(nn(0), kindOf(nn(0)))
+    for (i <- rr.indices) {
+      emit(rr(i)._1, rr(i)._2)
+      emit(nn(i + 1), kindOf(nn(i + 1)))
+    }
+    out.result()
+  }
+
   private def addPath(st0: State, p0: PathPattern): (State, Vector[(String, Kind)]) = {
     p0.finder match {
       case PathFinder.None => ()
@@ -921,20 +944,15 @@ final class Builder(
         prevName2 = nodeName
         prevPat2 = Some(nodes(i))
       }
-      // re-emit new vars in pattern order (n0, e1, n1, e2, n2, ...),
-      // first occurrence wins for a variable repeated in the pattern
-      val kindOf = stS.vars.toMap
-      val seen = scala.collection.mutable.Set.empty[String]
-      val ordered = Vector.newBuilder[(String, Kind)]
-      def emit(n2: String, k2: Kind): Unit =
-        if (seen.add(n2)) ordered += (n2 -> k2)
-      emit(nodeNames(0), kindOf(nodeNames(0)))
-      for (i <- rels.indices) {
-        emit(relNames(i)._1, relNames(i)._2)
-        emit(nodeNames(i + 1), kindOf(nodeNames(i + 1)))
-      }
-      return (State(stS.df, st0.vars ++ ordered.result()),
-        relNames.toVector)
+      // re-emit new vars in the ORIGINAL pattern's order — when
+      // reorderPath flipped the chain before the anchor fired, the
+      // nodes/rels arrays are against the FLIPPED pattern and must be
+      // walked backwards (flip + anchor CAN co-fire: estimates
+      // [400, 2, 100] flip to [100, 2, 400], then anchor the middle)
+      val ordered = patternOrderVars(
+        nodeNames.toIndexedSeq, relNames.toIndexedSeq,
+        stS.vars.toMap, flipped = p ne p0)
+      return (State(stS.df, st0.vars ++ ordered), relNames.toVector)
     case None => ()
     }
     var st = st0
@@ -981,19 +999,11 @@ final class Builder(
       // ORIGINAL pattern's order so the visible schema is independent
       // of the stats (reorder excludes path vars and VLE, so the
       // segment is exactly nodes and edges)
-      val bn = boundNodeNames.result().reverse // original n0..nN
-      val ev = edgeVars.result().reverse       // original e1..eN
-      val kindOf = st.vars.toMap
-      val seen = scala.collection.mutable.Set.empty[String]
-      val ordered = Vector.newBuilder[(String, Kind)]
-      def emit(n2: String, k2: Kind): Unit =
-        if (seen.add(n2)) ordered += (n2 -> k2)
-      emit(bn(0), kindOf(bn(0)))
-      for (i <- ev.indices) {
-        emit(ev(i)._1, ev(i)._2)
-        emit(bn(i + 1), kindOf(bn(i + 1)))
-      }
-      return (State(st.df, st0.vars ++ ordered.result()), ev)
+      val ordered = patternOrderVars(
+        boundNodeNames.result(), edgeVars.result(),
+        st.vars.toMap, flipped = true)
+      return (State(st.df, st0.vars ++ ordered),
+        edgeVars.result().reverse)
     }
     (st, edgeVars.result())
   }

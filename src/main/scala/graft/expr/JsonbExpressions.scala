@@ -75,10 +75,10 @@ object ops {
     override def prettyName: String = "jsonb_delete"
     override def nullSafeEval(l: Any, r: Any): Any =
       JsonbRT.deleteIdx(l.asInstanceOf[UTF8String],
-        r.asInstanceOf[Number].intValue)
+        r.asInstanceOf[Number].longValue)
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (l, r) =>
-        s"""${ev.value} = $RT.deleteIdx($l, (int) $r);
+        s"""${ev.value} = $RT.deleteIdx($l, (long) $r);
            |${ev.isNull} = ${ev.value} == null;
            |""".stripMargin)
     override protected def withNewChildrenInternal(

@@ -119,11 +119,13 @@ object JsonbRT {
     * out-of-range no-op). Reference: jsonb_delete_idx, jsonfuncs.c;
     * jsonb.out:4289-4333,4459-4462.
     */
-  def deleteIdx(l: UTF8String, idx: Int): UTF8String = v(l) match {
+  def deleteIdx(l: UTF8String, idx: Long): UTF8String = v(l) match {
     case JArr(items) =>
+      // long arithmetic end-to-end: a bigint index beyond int range is
+      // simply out of range (no-op), never a truncated in-range delete
       val i = if (idx < 0) items.length + idx else idx
       if (i < 0 || i >= items.length) out(JArr(items))
-      else out(JArr(items.patch(i, Nil, 1)))
+      else out(JArr(items.patch(i.toInt, Nil, 1)))
     case _: JObj =>
       throw new Jsonb.JsonbFnError(
         "cannot delete from object using integer index")

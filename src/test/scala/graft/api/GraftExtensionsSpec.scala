@@ -107,6 +107,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(one("""SELECT jsonb_delete('{"a":1, "b":2, "c":3}', 'c', 'b')""")
       == """{"a": 1}""")
     intercept[Exception](one("""SELECT jsonb_delete('"a"', 'a')"""))
+    // bigint index beyond int range: out-of-range no-op, never a
+    // truncated in-range delete
+    assert(one("""SELECT jsonb_delete('["a","b"]', CAST(4294967296 AS BIGINT))""")
+      == """["a", "b"]""")
+    // mixed-type variadic keys fail at resolution with a clear message
+    intercept[Exception](one("""SELECT jsonb_delete('{"a":1}', 'a', 1)"""))
     // jsonb_object via SQL
     assert(one("""SELECT jsonb_object('{a,1,b,2}')""")
       == """{"a": "1", "b": "2"}""")

@@ -253,6 +253,60 @@ class GraphmetaPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("flip + anchor co-fire keeps pattern-order schema") {
+    // estimates [400, 2, 100]: reorderPath flips (100*4 <= 400), then
+    // the flipped estimates [100, 2, 400] anchor the middle hop —
+    // both stats rewrites fire on one chain, and RETURN * must still
+    // come out in the WRITTEN pattern's order
+    val root = java.nio.file.Files.createTempDirectory("graft_gmfa").toString
+    val s = new CypherSession(spark, new GraphCatalog(spark, root))
+    s.createGraph("g")
+    Seq("q1", "q2", "q3", "q4").foreach(s.createVLabel(_))
+    Seq("r1", "r2", "r3").foreach(s.createELabel(_))
+    def labid(l: String) = s.catalog.label("g", l).get.labid
+    def addV(l: String, n: Int): Unit =
+      s.catalog.append("g", l, spark.range(n).select(
+        (lit(GraphId.pack(labid(l), 0L)) + col("id")).as("id"),
+        concat(lit("{\"k\": "), col("id"), lit("}")).as("properties")))
+    def addE(l: String, n: Int, from: String, nf: Int, to: String, nt: Int): Unit =
+      s.catalog.append("g", l, spark.range(n).select(
+        (lit(GraphId.pack(labid(l), 0L)) + col("id")).as("id"),
+        (lit(GraphId.pack(labid(from), 0L)) + pmod(col("id"), lit(nf))).as("start"),
+        (lit(GraphId.pack(labid(to), 0L)) + pmod(col("id"), lit(nt))).as("end"),
+        lit("{}").as("properties")))
+    addV("q1", 100); addV("q2", 20); addV("q3", 10); addV("q4", 50)
+    addE("r1", 400, "q1", 100, "q2", 20)
+    addE("r2", 2, "q2", 20, "q3", 10)
+    addE("r3", 100, "q3", 10, "q4", 50)
+    val q = "MATCH (a:q1)-[:r1]->(b:q2)-[:r2]->(c:q3)-[:r3]->(d:q4) " +
+      "RETURN * LIMIT 1"
+    val b = new Builder(spark, s.catalog, "g", Map.empty,
+      nm => spark.table(nm))
+    val pp = Parser.parse(
+      q.replace("RETURN * LIMIT 1", "RETURN count(*) AS n"))
+      .first.clauses.collectFirst { case m2: Ast.Match => m2.paths.head }.get
+    val init = graft.cypher.State(
+      spark.range(1).toDF("__dummy"), Vector.empty)
+    val flipped = b.reorderPath(init, pp)
+    assert(!(flipped eq pp), "flip must fire")          // 100*4 <= 400
+    assert(b.chooseAnchor(init, flipped) == Some(1))    // then anchor
+    val colsOn = s.cypher(q).columns.toSeq
+    spark.conf.set("spark.graft.graphmetaPlanning", "false")
+    val colsOff = try s.cypher(q).columns.toSeq
+      finally spark.conf.unset("spark.graft.graphmetaPlanning")
+    assert(colsOn == Seq("a", "b", "c", "d"), colsOn)
+    assert(colsOn == colsOff, s"$colsOn vs $colsOff")
+    // and the results agree
+    val cq = "MATCH (a:q1)-[:r1]->(b:q2)-[:r2]->(c:q3)-[:r3]->(d:q4) " +
+      "RETURN b.k AS bk, count(*) AS n"
+    val on = s.cypher(cq).collect().toSeq.map(_.toString).sorted
+    spark.conf.set("spark.graft.graphmetaPlanning", "false")
+    val off = try s.cypher(cq).collect().toSeq.map(_.toString).sorted
+      finally spark.conf.unset("spark.graft.graphmetaPlanning")
+    assert(on == off)
+    assert(on.nonEmpty)
+  }
+
   test("a write invalidates the cached stats and flips the plan") {
     val s = buildSkewed()
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
