@@ -555,7 +555,8 @@ final class Compiler(
         CE(J.fromLong((unix_millis(current_timestamp()))), KJ)
       case "startnode" | "endnode" =>
         throw new IllegalArgumentException(s"$name() requires builder support (join)")
-      case pfn @ ("jsonb_path_exists" | "jsonb_path_exists_tz")
+      case pfn @ ("jsonb_path_exists" | "jsonb_path_exists_tz" |
+                  "jsonb_path_match" | "jsonb_path_match_tz")
           if args.length >= 2 && args.length <= 4 =>
         // Literal-path jsonb_path_exists compiles to the native
         // expression directly (no astext round trip), and — when the
@@ -587,14 +588,18 @@ final class Compiler(
         val silentE =
           if (args.length > 3) ColumnBridge.expression(toBool(compile(args(3))))
           else Literal(false)
+        val isMatch = pfn.startsWith("jsonb_path_match")
         val base = ColumnBridge.column(graft.expr.ops.JsonbPathFunction(
-          "exists", tz = pfn.endsWith("_tz"),
+          if (isMatch) "match" else "exists", tz = pfn.endsWith("_tz"),
           Seq(docE, pathE, varsE, silentE)))
         // sidecar guard: literal paths only (the shape must be known
-        // at plan time to prove the conjunct exact)
+        // at plan time to prove the conjunct exact). exists: lax
+        // non-predicate `$.k ...`; match: lax top-level predicate
+        // whose truth requires `$.k` (see leadingLaxPredKey)
         val guard = (args(0), pathLit) match {
           case (FnCall("properties", Seq(v @ Vbl(_)), _), Some(pth)) =>
-            graft.jsonb.JsonPath.leadingLaxKey(pth)
+            (if (isMatch) graft.jsonb.JsonPath.leadingLaxPredKey(pth)
+             else graft.jsonb.JsonPath.leadingLaxKey(pth))
               .flatMap(k => shredded("j", v, k)).map(_.isNotNull)
           case _ => None
         }

@@ -1104,4 +1104,35 @@ object JsonPath {
         case _ => None
       }
     } catch { case _: Throwable => None }
+
+  /** The leading member key of a LAX top-level PREDICATE path whose
+    * truth requires the key: for `$.k == v` / `$.k starts with s` /
+    * `$.k like_regex r` / `exists($.k ...)`, a missing key makes the
+    * operand sequence empty, the predicate false-or-unknown, and
+    * jsonb_path_match never true — so a match FILTER implies
+    * `properties->k IS NOT NULL` exactly. OR at the top is excluded
+    * (the other branch can be true without k); AND is conservatively
+    * excluded too (keep the proof one-step). Strict paths excluded
+    * (missing-key error must surface), non-predicate paths excluded
+    * (their missing-key "single boolean result" error must surface
+    * when not silent).
+    */
+  def leadingLaxPredKey(path: String): Option[String] =
+    try {
+      val p = parse(path)
+      if (!p.lax) None
+      else {
+        def rootKey(e: Expr): Option[String] = e match {
+          case Chain(Root, Key(k) :: _) => Some(k)
+          case _ => None
+        }
+        p.expr match {
+          case Cmp(_, l, r)       => rootKey(l).orElse(rootKey(r))
+          case StartsWith(e, _)   => rootKey(e)
+          case lr: LikeRegex      => rootKey(lr.e)
+          case ExistsP(e)         => rootKey(e)
+          case _                  => None
+        }
+      }
+    } catch { case _: Throwable => None }
 }

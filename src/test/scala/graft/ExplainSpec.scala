@@ -54,6 +54,29 @@ class ExplainSpec extends AnyFunSuite {
         "WHERE jsonb_path_exists(properties(c), '$.acctbal > 9000') " +
         "RETURN count(*) AS n").collect().head.get(0).toString.toLong
     assert(nPredPath == nAll, s"$nPredPath vs $nAll")
+    // jsonb_path_match (the @@ form): a top-level `$.k ...` PREDICATE
+    // requires the key, so the match filter gets the same guard
+    val qm = "MATCH (c:customer) " +
+      "WHERE jsonb_path_match(properties(c), '$.acctbal > 9000') " +
+      "RETURN count(*) AS n"
+    val dfm = s.cypher(qm)
+    assert(dfm.queryExecution.executedPlan.toString
+      .contains("IsNotNull(__pj_acctbal)"), qm)
+    assert(dfm.collect().head.get(0).toString.toLong == viaProp)
+    // OR at the top must NOT gain the guard (the other branch can be
+    // true without the key)
+    val pOr = s.cypher(
+      "MATCH (c:customer) " +
+        "WHERE jsonb_path_match(properties(c), " +
+        "'$.acctbal > 9000 || $.name starts with \"Cust\"') " +
+        "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(!pOr.contains("IsNotNull(__pj_"), pOr)
+    // non-predicate match paths keep their missing-key error semantics
+    val pNp = s.cypher(
+      "MATCH (c:customer) " +
+        "WHERE jsonb_path_match(properties(c), '$.acctbal', NULL, true) " +
+        "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(!pNp.contains("IsNotNull(__pj_acctbal)"), pNp)
   }
 
   test("q01: filter + projection push into the parquet scan") {
