@@ -307,6 +307,55 @@ class GraphmetaPlanSpec extends AnyFunSuite {
     assert(on.nonEmpty)
   }
 
+  test("seeded differential fuzz: random densities, random chains, on == off") {
+    // random edge densities make reorderPath/chooseAnchor decisions
+    // vary per seed; every decision must be invisible in the results
+    for (seed <- Seq(11, 47, 83)) {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_gmfz$seed").toString
+      val s = new CypherSession(spark, new GraphCatalog(spark, root))
+      s.createGraph("g")
+      val vls = Seq("f1", "f2", "f3", "f4")
+      vls.foreach(s.createVLabel(_))
+      val els = Seq("e1", "e2", "e3")
+      els.foreach(s.createELabel(_))
+      def labid(l: String) = s.catalog.label("g", l).get.labid
+      val sizes = vls.map(_ => 5 + rnd.nextInt(60))
+      vls.zip(sizes).foreach { case (l, n) =>
+        s.catalog.append("g", l, spark.range(n).select(
+          (lit(GraphId.pack(labid(l), 0L)) + col("id")).as("id"),
+          concat(lit("{\"k\": "), col("id") % 7, lit("}")).as("properties")))
+      }
+      els.zipWithIndex.foreach { case (l, i) =>
+        val n = 1 + rnd.nextInt(300) // densities spanning the 4x bars
+        s.catalog.append("g", l, spark.range(n).select(
+          (lit(GraphId.pack(labid(l), 0L)) + col("id")).as("id"),
+          (lit(GraphId.pack(labid(vls(i)), 0L)) +
+            pmod(col("id"), lit(sizes(i)))).as("start"),
+          (lit(GraphId.pack(labid(vls(i + 1)), 0L)) +
+            pmod(col("id") * 7 + 3, lit(sizes(i + 1)))).as("end"),
+          lit("{}").as("properties")))
+      }
+      val qs = Seq(
+        "MATCH (a:f1)-[:e1]->(b:f2)-[:e2]->(c:f3)-[:e3]->(d:f4) " +
+          "RETURN count(*) AS n",
+        "MATCH (a:f1)-[:e1]->(b:f2)-[:e2]->(c:f3)-[:e3]->(d:f4) " +
+          "WHERE d.k > 2 RETURN b.k AS bk, count(*) AS n",
+        "MATCH (a:f1)-[:e1]->(b:f2)-[:e2]-(c:f3)-[:e3]->(d:f4) " +
+          "RETURN a.k AS ak, d.k AS dk, count(*) AS n",
+        "MATCH (a:f1 {k: 1})-[:e1]->(b:f2)-[:e2]->(c:f3)-[:e3]->(d:f4) " +
+          "RETURN count(*) AS n")
+      for (q <- qs) {
+        val on = s.cypher(q).collect().toSeq.map(_.toString).sorted
+        spark.conf.set("spark.graft.graphmetaPlanning", "false")
+        val off = try s.cypher(q).collect().toSeq.map(_.toString).sorted
+          finally spark.conf.unset("spark.graft.graphmetaPlanning")
+        assert(on == off, s"seed=$seed $q")
+      }
+    }
+  }
+
   test("a write invalidates the cached stats and flips the plan") {
     val s = buildSkewed()
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
