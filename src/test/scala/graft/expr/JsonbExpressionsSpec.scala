@@ -50,6 +50,15 @@ class JsonbExpressionsSpec extends AnyFunSuite {
     assert(one(J.setKey(m, lit("b"), J.lit("2"))) == """{"a": 1, "b": 2}""")
     assert(one(J.setKey(m, lit("a"), lit(null).cast("string"))) == "{}")
     assert(one(J.concat(m, J.lit("""{"b": 2, "a": 9}"""))) == """{"a": 9, "b": 2}""")
+    // `||` wrap rules (jsonb.out:4078-4177): non-array operands wrap
+    // when the other side is an array; two non-arrays pair into one
+    assert(one(J.concat(J.lit("""["a", "b"]"""), J.lit("""["c"]""")))
+      == """["a", "b", "c"]""")
+    assert(one(J.concat(J.lit("""{"a": "b"}"""), J.lit("[]")))
+      == """[{"a": "b"}]""")
+    assert(one(J.concat(J.lit("3"), J.lit("[]"))) == "[3]")
+    assert(one(J.concat(J.lit("3"), J.lit("4"))) == "[3, 4]")
+    assert(one(J.concat(J.lit("3"), J.lit("{}"))) == "[3, {}]")
     assert(one(J.deleteKey(J.lit("""{"a": 1, "b": 2}"""), lit("a"))) == """{"b": 2}""")
   }
 
