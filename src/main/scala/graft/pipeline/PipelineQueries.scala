@@ -1679,54 +1679,47 @@ object PipelineQueries {
       // over the purchase bipartite graph, picking neighbor
       // idx = (walk·1103515245 + step·12345) mod deg — a pure-integer
       // LCG both engines evaluate exactly, so the corpus is
-      // reproducible anywhere. The scale shape: adjacency is indexed
-      // ONCE per direction (row_number per source key — per-key
-      // bounded), each hop is one equi-join on (node, idx); walker
-      // state is (walk, step, node) ids only — no vectors, no text,
-      // nothing wide ever shuffles.
+      // reproducible anywhere. The scale shape is FRONTIER-FIRST:
+      // adjacency is built once (the one O(E) shuffle), then each hop
+      // broadcast-semi-joins it down to the current frontier's nodes
+      // BEFORE any per-key indexing, so the row_number/degree window
+      // runs over ≈ Σ(frontier degree) rows — O(walkers·deg) per hop,
+      // never O(E). Nothing full-graph is ever sorted or windowed;
+      // walker state is (walk, step, node) ids only. The per-key
+      // neighbor set and degree of a frontier node are identical to a
+      // full-graph index, so the LCG pick (and the output corpus) is
+      // byte-identical to the global-index formulation.
       val cp = load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(load(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint(true) // four consumers (two indexes + two degs)
-      val wOut = org.apache.spark.sql.expressions.Window
-        .partitionBy("c").orderBy("p")
-      // each index/degree frame feeds two of the four hops — pin them
-      // so hops probe instead of recomputing the window per use
-      val cpIdx = cp.select(col("c").as("cc"), col("p"),
-        (row_number().over(wOut) - 1).as("aidx")).localCheckpoint(true)
-      val cDeg = cp.groupBy("c").agg(count(lit(1)).as("cd"))
-        .localCheckpoint(true)
-      val wIn = org.apache.spark.sql.expressions.Window
-        .partitionBy("p").orderBy("c")
-      val pcIdx = cp.select(col("p").as("pp"), col("c"),
-        (row_number().over(wIn) - 1).as("aidx")).localCheckpoint(true)
-      val pDeg = cp.groupBy("p").agg(count(lit(1)).as("pd"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // probed map-side by all four hops
       def pick(step: Int): org.apache.spark.sql.Column =
         pmod(col("walk") * 1103515245L + lit(step) * 12345L, col("deg"))
       // step 0: walkers start at customers 1..50 that have purchases
-      var cur = cDeg.where(col("c") <= 50)
+      var cur = cp.where(col("c") <= 50).select(col("c")).distinct()
         .select(col("c").as("walk"), col("c").as("cur"))
+        .localCheckpoint(true)
       val hops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (step <- 0 until 4) {
-        cur =
-          if (step % 2 == 0) // customer → part
-            cur.join(cDeg.withColumnRenamed("cd", "deg"),
-                col("cur") === col("c"))
-              .withColumn("idx", pick(step))
-              .join(cpIdx,
-                col("cc") === col("cur") && col("aidx") === col("idx"))
-              .select(col("walk"), col("p").as("cur"))
-          else // part → customer
-            cur.join(pDeg.withColumnRenamed("pd", "deg"),
-                col("cur") === col("p"))
-              .withColumn("idx", pick(step))
-              .join(pcIdx,
-                col("pp") === col("cur") && col("aidx") === col("idx"))
-              .select(col("walk"), col("c").as("cur"))
+        val (src, dst) = if (step % 2 == 0) ("c", "p") else ("p", "c")
+        // frontier slice: ≤ |walkers| distinct nodes, broadcast into a
+        // map-side semi-join against the checkpointed adjacency — the
+        // only shuffle below is the window over the tiny slice
+        val fn = broadcast(cur.select(col("cur").as(src)).distinct())
+        val adj = cp.join(fn, src)
+        val wk = org.apache.spark.sql.expressions.Window.partitionBy(src)
+        val idx = adj.select(col(src).as("nn"), col(dst),
+          (row_number().over(wk.orderBy(dst)) - 1).as("aidx"),
+          count(lit(1)).over(wk).as("deg"))
+        cur = cur.join(idx, col("nn") === col("cur"))
+          .where(col("aidx") === pick(step))
+          .select(col("walk"), col(dst).as("cur"))
+          // eager pin of ≤|walkers| rows: keeps each hop's frontier
+          // probe from replaying the prior hops' lineage
+          .localCheckpoint(true)
         hops += cur.select(col("walk"), lit(step + 1).as("step"),
           lit(if (step % 2 == 0) "part" else "cust").as("kind"),
           col("cur").as("node"))
