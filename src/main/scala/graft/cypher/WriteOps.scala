@@ -624,6 +624,34 @@ object WriteOps {
     } else mergeBatch(b, st0, m)
   }
 
+  /** MERGE join-back precondition: the created build's new vars must
+   *  align positionally with the match build's — same count, same kind
+   *  sequence, and named vars equal (anonymous elements get fresh "__"
+   *  names per build; only those may differ). Both builds emit vars in
+   *  pattern order, so this holds for every reachable plan; it is the
+   *  guard that licenses replacing the second full pattern match with
+   *  the key-join-back (execCypherMerge.c:35). Package-private so the
+   *  spec can pin the predicate and the failure behavior. */
+  private[cypher] def mergeVarsAligned(
+      created: Seq[(String, Kind)], matched: Seq[(String, Kind)]): Boolean =
+    created.length == matched.length &&
+      created.zip(matched).forall { case ((cn, ck), (mn, mk)) =>
+        ck == mk && (cn == mn ||
+          (cn.startsWith("__") && mn.startsWith("__")))
+      }
+
+  /** A reached misalignment must fail, never fall back: the old full
+   *  re-match diverges from the reference on self-symmetric patterns
+   *  (it finds all post-create bindings where the reference binds only
+   *  the created instance). */
+  private[cypher] def mergeMisalignmentError(
+      created: Seq[String], matched: Seq[String]): Nothing =
+    throw new IllegalStateException(
+      "internal error: MERGE created/matched binding misalignment " +
+        s"(created=${created.mkString(",")} " +
+        s"matched=${matched.mkString(",")}); " +
+        "please report — the join-back precondition was violated")
+
   private def mergeBatch(b: Builder, st0: State, m: MergeClause): State = {
     val tagged = st0.df.withColumn("__mrow", monotonically_increasing_id())
       .localCheckpoint(true)
@@ -644,6 +672,7 @@ object WriteOps {
     // the created bindings keyed by pattern identity, for step 3's
     // join-back (None when the optimized re-match can't apply)
     var createdSide: Option[(DataFrame, Int)] = None
+    var createdSideVarsForError: Seq[String] = Nil
     var missingKeyed: DataFrame = missing
     val matchNewVars = firstTry.vars.drop(base.vars.length)
     if (anyMissing) {
@@ -670,6 +699,7 @@ object WriteOps {
       val created = create(b, State(dedup, st0.vars), Seq(m.path))
       // collect created ids for ON CREATE routing
       val createdNewVars = created.vars.drop(st0.vars.length)
+      createdSideVarsForError = createdNewVars.map(_._1)
       createdNewVars.foreach { case (v, k) =>
         if (k == KV || k == KE)
           createdIdsHolder += created.df.select(
@@ -678,16 +708,7 @@ object WriteOps {
       // created bindings keyed by identity, aligned positionally to the
       // match side's variable names (anonymous elements get fresh names
       // per build, but both builds bind in pattern order)
-      // alignment: same count, same kind sequence, and NAMED vars must
-      // agree positionally (anonymous elements get fresh "__" names
-      // per build — only those may differ)
-      def aligned: Boolean =
-        createdNewVars.length == matchNewVars.length &&
-          createdNewVars.zip(matchNewVars).forall { case ((cn, ck), (mn, mk)) =>
-            ck == mk && (cn == mn ||
-              (cn.startsWith("__") && mn.startsWith("__")))
-          }
-      if (aligned) {
+      if (mergeVarsAligned(createdNewVars, matchNewVars)) {
         val sel = keyCols.indices.map(i => col(s"__mk_$i").as(s"__ck_$i")) ++
           createdNewVars.zip(matchNewVars).map { case ((cn, _), (mn, _)) =>
             col(Compiler.q(cn)).as(mn) }
@@ -739,14 +760,16 @@ object WriteOps {
           State(firstTry.df.select(sharedCols: _*)
             .unionByName(rematched.drop(dropCols: _*).select(sharedCols: _*)),
             firstTry.vars)
-        // Alignment failed (shape drift between the two builds) —
-        // defensive only: both builds emit pattern-order vars, so this
-        // should be unreachable. The full re-match here can diverge
-        // from the join-back on self-symmetric patterns (it finds all
+        // Alignment failed (shape drift between the two builds). Both
+        // builds emit pattern-order vars, so this is unreachable; a
+        // full re-match fallback would silently diverge from the
+        // reference on self-symmetric patterns (it finds all
         // post-create bindings where the reference binds only the
-        // created instance), so reaching it is a bug to fix, not a
-        // supported mode.
-        case None => matchOnce(base)
+        // created instance — execCypherMerge.c:35), so a reached
+        // misalignment must FAIL, never proceed with different
+        // semantics.
+        case None => mergeMisalignmentError(
+          createdSideVarsForError, matchNewVars.map(_._1))
       }
     var out = State(finalMatch.df.drop("__mrow"), finalMatch.vars)
 
