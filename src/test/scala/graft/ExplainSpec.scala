@@ -79,6 +79,40 @@ class ExplainSpec extends AnyFunSuite {
     assert(!pNp.contains("IsNotNull(__pj_acctbal)"), pNp)
   }
 
+  test("jsonpath filter: chained member path pushes the LEADING key guard") {
+    // `$.a.b…` — lax evaluation of any chain rooted at member a yields
+    // empty when top-level a is missing, so `__pj_a IS NOT NULL` is a
+    // sound (necessary) conjunct for exists AND for a top-level
+    // predicate comparing the chain; the full jsonpath evaluation
+    // stays in the filter, so the guard only prunes, never decides
+    val root = java.nio.file.Files.createTempDirectory("graft_llk").toString
+    val s = new graft.api.CypherSession(spark,
+      new graft.graph.GraphCatalog(spark, root))
+    s.createGraph("g"); s.createVLabel("doc")
+    s.cypher("CREATE (:doc {a: {b: 1}}), (:doc {a: {c: 2}}), (:doc {x: 3})")
+    val dfc = s.cypher("MATCH (n:doc) " +
+      "WHERE jsonb_path_exists(properties(n), '$.a.b') RETURN count(*) AS n")
+    val pc = dfc.queryExecution.executedPlan.toString
+    assert(pc.contains("IsNotNull(__pj_a)"), pc)
+    assert(dfc.collect().head.get(0).toString.toLong == 1L)
+    // match form: predicate over a chained operand requires the root key
+    val dfm = s.cypher("MATCH (n:doc) " +
+      "WHERE jsonb_path_match(properties(n), '$.a.b == 1') RETURN count(*) AS n")
+    val pm = dfm.queryExecution.executedPlan.toString
+    assert(pm.contains("IsNotNull(__pj_a)"), pm)
+    assert(dfm.collect().head.get(0).toString.toLong == 1L)
+    // array-step chain keeps the leading-member guard too
+    val dfa = s.cypher("MATCH (n:doc) " +
+      "WHERE jsonb_path_exists(properties(n), '$.a[0].b') RETURN count(*) AS n")
+    assert(dfa.queryExecution.executedPlan.toString
+      .contains("IsNotNull(__pj_a)"), "array-step chain")
+    // wildcard leading step must NOT gain any guard (no single key)
+    val pw = s.cypher("MATCH (n:doc) " +
+      "WHERE jsonb_path_exists(properties(n), '$.*.b') RETURN count(*) AS n")
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("IsNotNull(__pj_"), pw)
+  }
+
   test("q01: filter + projection push into the parquet scan") {
     val p = planOf("q01_filter_project")
     assert(p.contains("PushedFilters: ["), p)
