@@ -84,6 +84,16 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
+      // The codegen class cache defaults to 100 entries; this suite
+      // compiles ~250 distinct plans per pass, so every pass missed the
+      // cache and re-Janino'd + re-loaded every generated class — a
+      // steady bleed of metaspace and JIT code cache (classes unload
+      // only when their loader is GC'd), which taxes late queries at
+      // gc_ms≈0 (the JIT slows/disables, nothing "collects"). Size the
+      // cache to hold the whole suite so passes 2/3 re-EXECUTE pass 1's
+      // classes instead of re-creating them. Static conf: must be set
+      // at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "2048")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the per-query checkpoint unpersist below is deliberate — the
@@ -170,6 +180,33 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // Per-pass JVM health snapshot for the variance hunt: the gc_ms
+    // columns clear the heap, so a pass that balloons with gc≈0 needs
+    // the OTHER exhaustion axes on record — JIT code cache (hot loops
+    // go interpreted when it saturates), metaspace/class count
+    // (generated-class churn), storage blocks (checkpoint leak would
+    // show here). Written to bench_full.json's "jvm" section.
+    def jvmSnap(): String = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.asScala
+      def mb(f: java.lang.management.MemoryPoolMXBean => Boolean): Long =
+        pools.filter(f).map(_.getUsage.getUsed).sum / (1024 * 1024)
+      val cc = mb(_.getName.startsWith("CodeHeap"))
+      val ms = mb(_.getName.contains("Metaspace"))
+      val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / (1024 * 1024)
+      val classes = java.lang.management.ManagementFactory
+        .getClassLoadingMXBean.getLoadedClassCount
+      val storage = try {
+        val bm = org.apache.spark.SparkEnv.get.blockManager
+        val st = bm.master.getStorageStatus
+        st.map(s => s.maxMem - s.memRemaining).sum / (1024 * 1024)
+      } catch { case _: Throwable => -1L }
+      s"""{"code_cache_mb":$cc,"metaspace_mb":$ms,"heap_mb":$heap,""" +
+        s""""classes":$classes,"storage_mb":$storage,"gc_total_ms":${gcMillis()}}"""
+    }
+    val jvmMarks = new scala.collection.mutable.LinkedHashMap[String, String]()
     val lastGcMs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -201,11 +238,15 @@ object Bench {
       System.gc(); Thread.sleep(200)
       (out, gc)
     }
+    jvmMarks("before_cold") = jvmSnap()
     val (cold, _) = runAll()
+    jvmMarks("after_cold") = jvmSnap()
     // steady-state = min of two post-codegen runs per query (one run
     // is hostage to GC/host noise; min-of-n is the standard estimator)
     val (s1, gc1) = runAll()
+    jvmMarks("after_steady1") = jvmSnap()
     val (s2, gc2) = runAll()
+    jvmMarks("after_steady2") = jvmSnap()
     val results = s1.zip(s2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // -------------------------------------------------- sf1 scale probe
@@ -226,16 +267,18 @@ object Bench {
         sf1Dir = dir // assigned BEFORE the build so a failure cleans up
         makeSf1Replica(spark, sfDir, dir)
         // Probe set: the known heavy hitters FIRST (a deadline expiry
-        // must cut the cheap tail, not the signal), then the FULL
-        // g-suite (writes included — superlinear stragglers hide
-        // outside the heavy-hitter set; r5's worst sf1 ratio was
-        // g29's 6.2x, not a pre-picked heavy).
+        // must cut the cheap tail, not the signal), then the ENTIRE
+        // suite (writes and streams included — superlinear stragglers
+        // hide outside any pre-picked set; r5's worst sf1 ratio was
+        // g29's 6.2x, r7's was p110's 16.3x, neither a known heavy
+        // when first flagged).
         val heavies = Seq(
           "s05_stream_interval_join", "s09_stream_outer_join",
           "p107_adamic_adar", "p110_metapath_walk",
           "p114_aa_degree_capped", "p75_copurchase")
-        val gSuite = SparkEntry.queries.keys.filter(_.startsWith("g")).toSeq.sorted
-        val probes = heavies ++ gSuite
+        val rest = SparkEntry.queries.keys
+          .filterNot(heavies.contains).toSeq.sorted
+        val probes = heavies ++ rest
         // graph bulk load at sf1 is one-time ETL, untimed (same rule as
         // the main suite's warmup) — g41's probe number must measure
         // the query, not the 10x ingest
@@ -243,7 +286,7 @@ object Bench {
         catch { case _: Throwable => () }
         val resolved = probes.filter(SparkEntry.queries.contains)
         val unknown = probes.filterNot(SparkEntry.queries.contains)
-        val deadline = System.nanoTime() + 600L * 1000000000L
+        val deadline = System.nanoTime() + 1800L * 1000000000L
         val ran = resolved.flatMap { name =>
           // the deadline check must interleave with the runs (a
           // takeWhile would evaluate every predicate up front)
@@ -251,17 +294,12 @@ object Bench {
           // a failed probe reports -1, never a bogus near-zero time
           else {
             val t1 = runQuery(name, SparkEntry.queries(name), dir)
-            // The sf0.1 comparator is a steady-state MIN where write
-            // queries (MERGE/SET fixtures) are no-ops on re-run; a
-            // single sf1 run charges them their one-time edge creation
-            // and misreports it as super-linear scaling (r6: g30 first
-            // run 9.6x, steady 2x). When the single-run ratio looks
-            // super-linear, re-run once and take the min — apples to
-            // apples with the denominator.
-            val base = results.collectFirst {
-              case (bn, bv) if bn == name && bv > 0.005 => bv }
-            val t = if (t1 > 0 && base.exists(b => t1 / b > 3.0) &&
-                System.nanoTime() < deadline)
+            // min-of-2, same estimator as the sf0.1 denominator: a
+            // single run charges write queries their one-time fixture
+            // creation (r6: g30 first run 9.6x, steady 2x) and hands
+            // any probe to host noise. The second run is skipped only
+            // past the deadline (first-run time still reported).
+            val t = if (t1 > 0 && System.nanoTime() < deadline)
               math.min(t1, runQuery(name, SparkEntry.queries(name), dir)
                 match { case v if v > 0 => v; case _ => t1 })
             else t1
@@ -297,6 +335,7 @@ object Bench {
         if (sf1Dir != null) try deleteRec(java.nio.file.Paths.get(sf1Dir))
         catch { case _: Throwable => () }
       }
+    jvmMarks("after_sf1") = jvmSnap()
     // Full per-query detail (long names, cold + both steady runs) goes
     // to a FILE — the harness captures only a bounded tail (~2.4 KB) of
     // stdout, which a 150+-entry long-name line no longer fits (round
@@ -327,8 +366,11 @@ object Bench {
         }
         s""",\n  "sf1_error": "$esc""""
       } else ""
+      val jvmSection = jvmMarks.map { case (k, v) => s"""    "$k": $v""" }
+        .mkString(",\n")
       s"""{\n  "sf": "$sfDir",\n  "queries": {\n${rows.mkString(",\n")}\n  },\n""" +
-        s"""  "sf1_probe_10x": {\n${sf1Rows.mkString(",\n")}\n  }$errField\n}\n"""
+        s"""  "sf1_probe_10x": {\n${sf1Rows.mkString(",\n")}\n  },\n""" +
+        s"""  "jvm": {\n$jvmSection\n  }$errField\n}\n"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullJson)
