@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Compare two bench_full.json files: per-query steady-min drift, sf1
+ratio regressions, steady2/steady1 inflation, and the jvm section.
+
+Usage: bench_compare.py OLD.json NEW.json [drift_threshold=0.25]
+"""
+import json
+import sys
+
+
+def main():
+    old = json.load(open(sys.argv[1]))
+    new = json.load(open(sys.argv[2]))
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
+
+    oq, nq = old["queries"], new["queries"]
+    print("== totals ==")
+    for name, d in (("old", oq), ("new", nq)):
+        tot = sum(v["min"] for v in d.values() if v["min"] > 0)
+        cold = sum(v["cold"] for v in d.values() if v["cold"] > 0)
+        print(f"  {name}: steady(min) {tot:7.1f}s  cold {cold:7.1f}s  n={len(d)}")
+
+    print(f"\n== per-query steady-min drift > {thr:.0%} (and > 0.3s) ==")
+    drifts = []
+    for k in sorted(nq):
+        if k in oq and oq[k]["min"] > 0.05 and nq[k]["min"] > 0:
+            r = nq[k]["min"] / oq[k]["min"]
+            if r > 1 + thr and nq[k]["min"] - oq[k]["min"] > 0.3:
+                drifts.append((r, k, oq[k]["min"], nq[k]["min"]))
+    for r, k, a, b in sorted(drifts, reverse=True):
+        print(f"  {k:36s} {a:6.2f} -> {b:6.2f}  ({r:4.2f}x)")
+    if not drifts:
+        print("  none")
+
+    print("\n== steady2/steady1 inflation (>2x, s2 > 0.5s) ==")
+    infl = []
+    for k, v in nq.items():
+        if v["steady1"] > 0.05 and v["steady2"] > 0.5:
+            r = v["steady2"] / v["steady1"]
+            if r > 2:
+                infl.append((r, k, v["steady1"], v["steady2"],
+                             v.get("gc2_ms", -1)))
+    for r, k, a, b, gc in sorted(infl, reverse=True):
+        print(f"  {k:36s} {a:6.2f} -> {b:6.2f}  ({r:4.2f}x)  gc2={gc}ms")
+    if not infl:
+        print("  none")
+    if infl:
+        worst = max(infl)[0]
+        print(f"  worst steady2/steady1: {worst:.2f}")
+
+    print("\n== sf1 ratios > 6x (bar is 10x) ==")
+    ns = new.get("sf1_probe_10x", {})
+    flags = [(v.get("ratio", 0), k, v["sec"]) for k, v in ns.items()
+             if isinstance(v, dict) and v.get("ratio", 0) > 6]
+    for r, k, s in sorted(flags, reverse=True):
+        bar = "BREACH" if r > 10 else "watch"
+        print(f"  {k:36s} sf1={s:6.2f}s  ratio {r:5.2f}x  [{bar}]")
+    if not flags:
+        print("  none")
+    print(f"  probes: {len(ns)}  (old: {len(old.get('sf1_probe_10x', {}))})")
+
+    if "jvm" in new:
+        print("\n== jvm section ==")
+        for mark, snap in new["jvm"].items():
+            print(f"  {mark:15s} " + " ".join(
+                f"{k}={v}" for k, v in snap.items()))
+
+    for err_src, err_d in (("old", old), ("new", new)):
+        if err_d.get("sf1_error"):
+            print(f"\n  {err_src} sf1_error: {err_d['sf1_error']}")
+
+
+if __name__ == "__main__":
+    main()
