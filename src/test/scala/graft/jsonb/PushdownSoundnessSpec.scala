@@ -1,0 +1,124 @@
+package graft.jsonb
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the sidecar-pushdown soundness invariant the planner relies on
+  * (Compiler "sidecar guard", JsonPath.leadingLaxKey /
+  * leadingLaxPredKey): for an OBJECT-rooted document — the only shape
+  * `properties(v)` can take — whenever the analyzer derives a leading
+  * key k from a LAX path, a non-empty exists (or a TRUE match) implies
+  * top-level key k is present, so conjoining `__pj_k IS NOT NULL` can
+  * never drop a qualifying row. Fuzzed over random object documents ×
+  * random generated paths (member/index/filter/wildcard chains for
+  * exists; Cmp/starts with/exists() predicates for match), far beyond
+  * the golden corpus.
+  *
+  * The object-rooted restriction is LOAD-BEARING, not a convenience:
+  * lax mode auto-unwraps a top-level ARRAY under a member accessor
+  * (`$.k` on `[{"k":1}]` yields 1 with no top-level key anywhere), so
+  * the implication is FALSE for general jsonb — which is exactly why
+  * the Compiler attaches the guard only to `properties(v)` (always an
+  * object by construction) and never to arbitrary jsonb expressions.
+  * The counterexample is pinned below.
+  */
+class PushdownSoundnessSpec extends AnyFunSuite {
+
+  private def hasTopKey(doc: JValue, k: String): Boolean = doc match {
+    case o: JObj => o.get(k).isDefined
+    case _       => false
+  }
+
+  private val rnd = new scala.util.Random(20260815L)
+
+  /** Random OBJECT-rooted document — the properties(v) shape. */
+  private def genObj(depth: Int): JValue =
+    Jsonb.mkObj(Seq.tabulate(rnd.nextInt(5))(i =>
+      s"k${rnd.nextInt(4)}" -> gen(depth - 1)))
+
+  private def gen(depth: Int): JValue =
+    if (depth == 0) rnd.nextInt(4) match {
+      case 0 => JNull
+      case 1 => JNum(new java.math.BigDecimal(rnd.nextInt(100)))
+      case 2 => JStr(("abc" + rnd.nextInt(10)).take(1 + rnd.nextInt(4)))
+      case 3 => JBool(rnd.nextBoolean())
+    }
+    else rnd.nextInt(3) match {
+      case 0 => JArr(Vector.fill(rnd.nextInt(4))(gen(depth - 1)))
+      case 1 => Jsonb.mkObj(Seq.tabulate(rnd.nextInt(4))(i =>
+        s"k${rnd.nextInt(4)}" -> gen(depth - 1)))
+      case 2 => gen(0)
+    }
+
+  private def genSuffix(): String = {
+    val steps = Vector.fill(rnd.nextInt(3))(rnd.nextInt(4) match {
+      case 0 => s".k${rnd.nextInt(4)}"
+      case 1 => s"[${rnd.nextInt(3)}]"
+      case 2 => ".*"
+      case 3 => s" ? (@.k${rnd.nextInt(4)} == ${rnd.nextInt(5)})"
+    })
+    steps.mkString
+  }
+
+  test("exists guard: non-empty lax result implies the leading key is present") {
+    var guarded = 0
+    for (_ <- 1 to 1500) {
+      val doc = genObj(3)
+      val mode = if (rnd.nextInt(4) == 0) "strict " else ""
+      val path = mode + s"$$.k${rnd.nextInt(4)}" + genSuffix()
+      JsonPath.leadingLaxKey(path).foreach { k =>
+        guarded += 1
+        assert(!mode.startsWith("strict"),
+          s"guard must never fire for strict paths: $path")
+        val ex = try JsonPath.exists(doc, path, null, silent = true,
+          useTz = false) catch { case _: Throwable => null }
+        if (ex == java.lang.Boolean.TRUE)
+          assert(hasTopKey(doc, k),
+            s"exists=$ex but key $k absent: doc=${doc.render} path=$path")
+      }
+    }
+    assert(guarded > 500, s"fuzz generated too few guarded paths: $guarded")
+  }
+
+  test("match guard: TRUE lax predicate implies the required key is present") {
+    var guarded = 0
+    val preds = Vector[() => String](
+      () => s"$$.k${rnd.nextInt(4)}${genSuffix()} == ${rnd.nextInt(5)}",
+      () => s"${rnd.nextInt(5)} < $$.k${rnd.nextInt(4)}",
+      () => s"""$$.k${rnd.nextInt(4)} starts with "a"""",
+      () => s"exists($$.k${rnd.nextInt(4)}${genSuffix()})",
+      // OR / negation forms: the analyzer must return None (the other
+      // branch can be true without the key) — checked via `guarded`
+      // only counting Some cases; a wrong Some here would fail the
+      // implication on the k-absent branch
+      () => s"$$.k${rnd.nextInt(4)} == 1 || $$.k${rnd.nextInt(4)} == 2",
+      () => s"!(exists($$.k${rnd.nextInt(4)}))")
+    for (_ <- 1 to 1500) {
+      val doc = genObj(3)
+      val path = preds(rnd.nextInt(preds.length))()
+      JsonPath.leadingLaxPredKey(path).foreach { k =>
+        guarded += 1
+        val m = try JsonPath.matches(doc, path, null, silent = true,
+          useTz = false) catch { case _: Throwable => null }
+        if (m == java.lang.Boolean.TRUE)
+          assert(hasTopKey(doc, k),
+            s"match=true but key $k absent: doc=${doc.render} path=$path")
+      }
+    }
+    assert(guarded > 400, s"fuzz generated too few guarded paths: $guarded")
+  }
+
+  test("OR and negated predicates never yield a guard key") {
+    assert(JsonPath.leadingLaxPredKey("$.a == 1 || $.b == 2").isEmpty)
+    assert(JsonPath.leadingLaxPredKey("!(exists($.a))").isEmpty)
+    assert(JsonPath.leadingLaxPredKey("strict $.a == 1").isEmpty)
+  }
+
+  test("pinned counterexample: lax array auto-unwrap breaks the implication " +
+      "for non-object roots (why the guard is properties(v)-only)") {
+    val doc = Jsonb.parse("""[{"k0": 1}]""")
+    assert(JsonPath.leadingLaxKey("$.k0").contains("k0"))
+    assert(JsonPath.exists(doc, "$.k0", null, silent = false,
+      useTz = false) == java.lang.Boolean.TRUE)
+    assert(!hasTopKey(doc, "k0")) // exists=true yet no top-level key
+  }
+}
