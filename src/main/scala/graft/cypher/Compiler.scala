@@ -595,12 +595,45 @@ final class Compiler(
         // sidecar guard: literal paths only (the shape must be known
         // at plan time to prove the conjunct exact). exists: lax
         // non-predicate `$.k ...`; match: lax top-level predicate
-        // whose truth requires `$.k` (see leadingLaxPredKey)
+        // whose truth requires `$.k` (see leadingLaxPredKey). A match
+        // of the exact form `$.k OP literal` upgrades from the
+        // presence guard to a TYPED VALUE comparison against the
+        // numeric/string shred column — jsonpath numeric compare is
+        // BigDecimal order and the sidecar exists only for uniformly
+        // ShredNumRe-exact keys (JSON nulls/strings/containers degrade
+        // it), so `__pn_k OP lit` is a sound conjunct that parquet
+        // prunes by row-group min/max, same as the native `n.k OP lit`
+        // path (shredCmp). The jsonpath predicate always stays in the
+        // filter — the guard only prunes.
         val guard = (args(0), pathLit) match {
           case (FnCall("properties", Seq(v @ Vbl(_)), _), Some(pth)) =>
-            (if (isMatch) graft.jsonb.JsonPath.leadingLaxPredKey(pth)
-             else graft.jsonb.JsonPath.leadingLaxKey(pth))
-              .flatMap(k => shredded("j", v, k)).map(_.isNotNull)
+            val typed = if (!isMatch) None
+              else graft.jsonb.JsonPath.leadingLaxPredCmp(pth).flatMap {
+                case (k, op, Left(num))
+                    if num.scale <= 18 && num.precision - num.scale <= 20 =>
+                  shredded("n", v, k).map { nc =>
+                    val lv = lit(num)
+                    op match {
+                      case "==" => nc === lv
+                      case "!=" => nc =!= lv
+                      case "<"  => nc < lv
+                      case ">"  => nc > lv
+                      case "<=" => nc <= lv
+                      case ">=" => nc >= lv
+                    }
+                  }
+                case (k, "==", Right(s)) =>
+                  shredded("s", v, k).map(_ === lit(s))
+                case (k, "!=", Right(s)) =>
+                  shredded("s", v, k).map(_ =!= lit(s))
+                case (k, "startswith", Right(s)) =>
+                  shredded("s", v, k).map(_.startsWith(lit(s)))
+                case _ => None
+              }
+            typed.orElse(
+              (if (isMatch) graft.jsonb.JsonPath.leadingLaxPredKey(pth)
+               else graft.jsonb.JsonPath.leadingLaxKey(pth))
+                .flatMap(k => shredded("j", v, k)).map(_.isNotNull))
           case _ => None
         }
         CE(guard.map(g => g && base).getOrElse(base), KB)

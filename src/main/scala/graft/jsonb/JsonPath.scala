@@ -1135,4 +1135,54 @@ object JsonPath {
         }
       }
     } catch { case _: Throwable => None }
+
+  /** A LAX top-level predicate comparing the SINGLE-STEP member `$.k`
+    * against a scalar literal: `(key, op, Left(number) | Right(string))`
+    * with op ∈ {== != < <= > >=, startswith}. The basis for the EXACT
+    * typed-shred pushdown (stronger than the presence guard): when key
+    * k shreds numerically — uniformly ShredNumRe-matching values, so
+    * JSON nulls, strings, containers and unrepresentable numbers all
+    * degrade the key and the sidecar is absent — a TRUE
+    * jsonb_path_match requires value(k) op literal under numeric
+    * compare, which IS BigDecimal order, i.e. `__pn_k op lit`. Dually
+    * for uniformly-string keys with == / != / starts with (decoded
+    * raw-string equality/prefix — collation-free by jsonpath
+    * definition). Only the exact shape qualifies: a chained path
+    * (`$.k.b == 1`) compares a NESTED value, `$.k[0]` an element, so
+    * both return None (they still get the presence guard via
+    * leadingLaxPredKey); flipped literal-first spellings normalize by
+    * flipping the operator.
+    */
+  def leadingLaxPredCmp(path: String)
+      : Option[(String, String, Either[java.math.BigDecimal, String])] =
+    try {
+      val p = parse(path)
+      if (!p.lax) None
+      else {
+        def singleKey(e: Expr): Option[String] = e match {
+          case Chain(Root, Key(k) :: Nil) => Some(k)
+          case _ => None
+        }
+        def litOf(e: Expr): Option[Either[java.math.BigDecimal, String]] =
+          e match {
+            case Lit(JNum(n)) => Some(Left(n))
+            case Lit(JStr(s)) => Some(Right(s))
+            case _ => None
+          }
+        def flip(op: String): String = op match {
+          case "<" => ">"; case ">" => "<"
+          case "<=" => ">="; case ">=" => "<="
+          case other => other
+        }
+        p.expr match {
+          case Cmp(op, l, r) =>
+            singleKey(l).flatMap(k => litOf(r).map(v => (k, op, v)))
+              .orElse(
+                singleKey(r).flatMap(k => litOf(l).map(v => (k, flip(op), v))))
+          case StartsWith(e, Lit(JStr(s))) =>
+            singleKey(e).map(k => (k, "startswith", Right(s)))
+          case _ => None
+        }
+      }
+    } catch { case _: Throwable => None }
 }

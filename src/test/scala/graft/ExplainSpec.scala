@@ -55,13 +55,14 @@ class ExplainSpec extends AnyFunSuite {
         "RETURN count(*) AS n").collect().head.get(0).toString.toLong
     assert(nPredPath == nAll, s"$nPredPath vs $nAll")
     // jsonb_path_match (the @@ form): a top-level `$.k ...` PREDICATE
-    // requires the key, so the match filter gets the same guard
+    // requires the key — and the exact `$.k OP lit` shape upgrades all
+    // the way to the typed __pn_ comparison (see the dedicated test)
     val qm = "MATCH (c:customer) " +
       "WHERE jsonb_path_match(properties(c), '$.acctbal > 9000') " +
       "RETURN count(*) AS n"
     val dfm = s.cypher(qm)
     assert(dfm.queryExecution.executedPlan.toString
-      .contains("IsNotNull(__pj_acctbal)"), qm)
+      .contains("GreaterThan(__pn_acctbal"), qm)
     assert(dfm.collect().head.get(0).toString.toLong == viaProp)
     // OR at the top must NOT gain the guard (the other branch can be
     // true without the key)
@@ -77,6 +78,50 @@ class ExplainSpec extends AnyFunSuite {
         "WHERE jsonb_path_match(properties(c), '$.acctbal', NULL, true) " +
         "RETURN count(*) AS n").queryExecution.executedPlan.toString
     assert(!pNp.contains("IsNotNull(__pj_acctbal)"), pNp)
+  }
+
+  test("jsonpath match `$.k OP literal` upgrades to a typed value pushdown") {
+    val s = pipeline.GraphQueries.session(spark, sf)
+    // the exact single-step form gains a __pn_ comparison that reaches
+    // parquet (row-group min/max pruning) — not just key presence
+    val q = "MATCH (c:customer) " +
+      "WHERE jsonb_path_match(properties(c), '$.acctbal > 9000') " +
+      "RETURN count(*) AS n"
+    val df = s.cypher(q)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThan(__pn_acctbal"), p)
+    val viaProp = s.cypher(
+      "MATCH (c:customer) WHERE c.acctbal > 9000 RETURN count(*) AS n")
+      .collect().head.get(0).toString.toLong
+    assert(df.collect().head.get(0).toString.toLong == viaProp && viaProp > 0)
+    // flipped literal-first spelling flips the operator
+    val pf = s.cypher("MATCH (c:customer) " +
+      "WHERE jsonb_path_match(properties(c), '9000 < $.acctbal') " +
+      "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(pf.contains("GreaterThan(__pn_acctbal"), pf)
+    // string equality pushes the raw-string shred comparison
+    val ps = s.cypher("MATCH (c:customer) " +
+      """WHERE jsonb_path_match(properties(c), '$.mktsegment == "BUILDING"') """ +
+      "RETURN count(*) AS n")
+    val psPlan = ps.queryExecution.executedPlan.toString
+    assert(psPlan.contains("EqualTo(__ps_mktsegment,BUILDING)"), psPlan)
+    val viaSeg = s.cypher("MATCH (c:customer) " +
+      "WHERE c.mktsegment = 'BUILDING' RETURN count(*) AS n")
+      .collect().head.get(0).toString.toLong
+    assert(ps.collect().head.get(0).toString.toLong == viaSeg && viaSeg > 0)
+    // chained operand (`$.k.b OP lit`) must NOT get the typed guard
+    // (it compares a NESTED value) — it keeps the presence guard only
+    val pc = s.cypher("MATCH (c:customer) " +
+      "WHERE jsonb_path_match(properties(c), '$.acctbal.x > 9000') " +
+      "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(!pc.contains("GreaterThan(__pn_acctbal"), pc)
+    assert(pc.contains("IsNotNull(__pj_acctbal)"), pc)
+    // strict stays fully unguarded
+    val pstr = s.cypher("MATCH (c:customer) " +
+      "WHERE jsonb_path_match(properties(c), 'strict $.acctbal > 9000') " +
+      "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(!pstr.contains("__pn_acctbal") && !pstr.contains("IsNotNull(__pj_acctbal)"),
+      pstr)
   }
 
   test("jsonpath filter: chained member path pushes the LEADING key guard") {

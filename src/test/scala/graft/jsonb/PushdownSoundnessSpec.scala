@@ -113,6 +113,60 @@ class PushdownSoundnessSpec extends AnyFunSuite {
     assert(JsonPath.leadingLaxPredKey("strict $.a == 1").isEmpty)
   }
 
+  test("typed guard: TRUE `$.k OP lit` match implies the value satisfies " +
+      "OP under BigDecimal/raw-string order (the __pn_/__ps_ pushdown)") {
+    // models a uniformly-shredded key: the doc's k value is always a
+    // plain number (or always a string) — the only shapes under which
+    // the planner attaches the typed comparison
+    val ops = Vector("==", "!=", "<", "<=", ">", ">=")
+    var numChecked = 0
+    for (_ <- 1 to 2000) {
+      val hasKey = rnd.nextInt(5) > 0
+      val v = new java.math.BigDecimal(rnd.nextInt(2001) - 1000)
+        .movePointLeft(rnd.nextInt(3))
+      val doc = if (hasKey) Jsonb.mkObj(Seq("k" -> JNum(v)))
+        else Jsonb.mkObj(Seq("other" -> JNum(v)))
+      val lit = new java.math.BigDecimal(rnd.nextInt(2001) - 1000)
+        .movePointLeft(rnd.nextInt(3))
+      val op = ops(rnd.nextInt(ops.length))
+      val path = if (rnd.nextBoolean()) s"$$.k $op $lit"
+        else s"$lit ${Vector("==", "!=", ">", ">=", "<", "<=")(ops.indexOf(op))} $$.k"
+      val parsed = JsonPath.leadingLaxPredCmp(path)
+      assert(parsed.exists(t => t._1 == "k" && t._2 == op),
+        s"$path parsed as $parsed")
+      val m = JsonPath.matches(doc, path, null, silent = true, useTz = false)
+      val c = v.compareTo(lit)
+      val want = op match {
+        case "==" => c == 0; case "!=" => c != 0
+        case "<" => c < 0; case "<=" => c <= 0
+        case ">" => c > 0; case ">=" => c >= 0
+      }
+      if (m == java.lang.Boolean.TRUE) {
+        numChecked += 1
+        assert(hasKey && want,
+          s"match true but pushdown filter would drop: doc=${doc.render} $path")
+      } else assert(!(hasKey && want),
+        s"match $m but value satisfies $op: doc=${doc.render} $path")
+    }
+    assert(numChecked > 300, s"fuzz exercised too few TRUE matches: $numChecked")
+    // string forms: == / != / starts with over decoded raw strings
+    for (_ <- 1 to 500) {
+      val pool = Vector("", "a", "ab", "abc", "b\\\"q", "日本", "Ab")
+      val v = pool(rnd.nextInt(pool.length))
+      val litS = pool(rnd.nextInt(pool.length))
+      val doc = Jsonb.mkObj(Seq("k" -> JStr(v)))
+      val (path, want) = rnd.nextInt(3) match {
+        case 0 => (s"""$$.k == ${JStr(litS).render}""", v == litS)
+        case 1 => (s"""$$.k != ${JStr(litS).render}""", v != litS)
+        case 2 => (s"""$$.k starts with ${JStr(litS).render}""",
+          v.startsWith(litS))
+      }
+      val m = JsonPath.matches(doc, path, null, silent = true, useTz = false)
+      assert((m == java.lang.Boolean.TRUE) == want,
+        s"doc=${doc.render} $path -> $m want $want")
+    }
+  }
+
   test("pinned counterexample: lax array auto-unwrap breaks the implication " +
       "for non-object roots (why the guard is properties(v)-only)") {
     val doc = Jsonb.parse("""[{"k0": 1}]""")
