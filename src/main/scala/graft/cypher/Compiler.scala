@@ -607,29 +607,33 @@ final class Compiler(
         // filter — the guard only prunes.
         val guard = (args(0), pathLit) match {
           case (FnCall("properties", Seq(v @ Vbl(_)), _), Some(pth)) =>
-            val typed = if (!isMatch) None
-              else graft.jsonb.JsonPath.leadingLaxPredCmp(pth).flatMap {
-                case (k, op, Left(num))
-                    if num.scale <= 18 && num.precision - num.scale <= 20 =>
-                  shredded("n", v, k).map { nc =>
-                    val lv = lit(num)
-                    op match {
-                      case "==" => nc === lv
-                      case "!=" => nc =!= lv
-                      case "<"  => nc < lv
-                      case ">"  => nc > lv
-                      case "<=" => nc <= lv
-                      case ">=" => nc >= lv
-                    }
+            // the typed form: match `$.k OP lit`, exists `$.k ? (@ OP
+            // lit) …` — same conjunct builder, same soundness argument
+            val typedCmp =
+              if (isMatch) graft.jsonb.JsonPath.leadingLaxPredCmp(pth)
+              else graft.jsonb.JsonPath.leadingLaxFilterCmp(pth)
+            val typed = typedCmp.flatMap {
+              case (k, op, Left(num))
+                  if num.scale <= 18 && num.precision - num.scale <= 20 =>
+                shredded("n", v, k).map { nc =>
+                  val lv = lit(num)
+                  op match {
+                    case "==" => nc === lv
+                    case "!=" => nc =!= lv
+                    case "<"  => nc < lv
+                    case ">"  => nc > lv
+                    case "<=" => nc <= lv
+                    case ">=" => nc >= lv
                   }
-                case (k, "==", Right(s)) =>
-                  shredded("s", v, k).map(_ === lit(s))
-                case (k, "!=", Right(s)) =>
-                  shredded("s", v, k).map(_ =!= lit(s))
-                case (k, "startswith", Right(s)) =>
-                  shredded("s", v, k).map(_.startsWith(lit(s)))
-                case _ => None
-              }
+                }
+              case (k, "==", Right(s)) =>
+                shredded("s", v, k).map(_ === lit(s))
+              case (k, "!=", Right(s)) =>
+                shredded("s", v, k).map(_ =!= lit(s))
+              case (k, "startswith", Right(s)) =>
+                shredded("s", v, k).map(_.startsWith(lit(s)))
+              case _ => None
+            }
             typed.orElse(
               (if (isMatch) graft.jsonb.JsonPath.leadingLaxPredKey(pth)
                else graft.jsonb.JsonPath.leadingLaxKey(pth))

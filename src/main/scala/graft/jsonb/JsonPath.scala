@@ -1185,4 +1185,54 @@ object JsonPath {
         }
       }
     } catch { case _: Throwable => None }
+
+  /** The EXISTS twin of leadingLaxPredCmp: a LAX non-predicate path of
+    * the shape `$.k ? (@ OP literal) …` — leading member step, then a
+    * filter whose predicate compares the BARE current item against a
+    * scalar literal (either operand order; `starts with` included).
+    * Any remaining steps after the filter only shrink the result, so
+    * for a non-empty `jsonb_path_exists` the filter must have passed —
+    * under a uniformly-shredded key that is exactly `__pn_k OP lit`
+    * (resp. `__ps_k`): the typed conjunct stays necessary and strictly
+    * subsumes the presence guard (NULL fails every comparison).
+    * Predicates on `@.b` (a member under the item) return None — the
+    * item is then an object and the typed sidecar cannot exist, but
+    * the proof is cleaner stated at the shape level.
+    */
+  def leadingLaxFilterCmp(path: String)
+      : Option[(String, String, Either[java.math.BigDecimal, String])] =
+    try {
+      val p = parse(path)
+      if (!p.lax) None
+      else {
+        def isBareCur(e: Expr): Boolean = e match {
+          case Current => true
+          case Chain(Current, Nil) => true
+          case _ => false
+        }
+        def litOf(e: Expr): Option[Either[java.math.BigDecimal, String]] =
+          e match {
+            case Lit(JNum(n)) => Some(Left(n))
+            case Lit(JStr(s)) => Some(Right(s))
+            case _ => None
+          }
+        def flip(op: String): String = op match {
+          case "<" => ">"; case ">" => "<"
+          case "<=" => ">="; case ">=" => "<="
+          case other => other
+        }
+        p.expr match {
+          case Chain(Root, Key(k) :: Filter(pred) :: _) => pred match {
+            case Cmp(op, l, r) if isBareCur(l) =>
+              litOf(r).map(v => (k, op, v))
+            case Cmp(op, l, r) if isBareCur(r) =>
+              litOf(l).map(v => (k, flip(op), v))
+            case StartsWith(e, Lit(JStr(s))) if isBareCur(e) =>
+              Some((k, "startswith", Right(s)))
+            case _ => None
+          }
+          case _ => None
+        }
+      }
+    } catch { case _: Throwable => None }
 }

@@ -25,7 +25,14 @@ class ExplainSpec extends AnyFunSuite {
       "RETURN count(*) AS n"
     val df = s.cypher(q)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("IsNotNull(__pj_acctbal)"), p)
+    // the bare-item filter shape upgrades to the typed __pn_ pushdown;
+    // a shape outside it (the wildcard chain below) shows the plain
+    // presence guard
+    assert(p.contains("GreaterThan(__pn_acctbal"), p)
+    val pWild = s.cypher("MATCH (c:customer) " +
+      "WHERE jsonb_path_exists(properties(c), '$.acctbal.type()') " +
+      "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(pWild.contains("IsNotNull(__pj_acctbal)"), pWild)
     // result parity with the plain property predicate
     val viaPath = df.collect().head.get(0).toString.toLong
     val viaProp = s.cypher(
@@ -122,6 +129,31 @@ class ExplainSpec extends AnyFunSuite {
       "RETURN count(*) AS n").queryExecution.executedPlan.toString
     assert(!pstr.contains("__pn_acctbal") && !pstr.contains("IsNotNull(__pj_acctbal)"),
       pstr)
+    // exists twin: the filter-step spelling `$.k ? (@ OP lit)` gets the
+    // SAME typed comparison (a non-empty result requires the filter to
+    // have passed) — the q74 shape now prunes by row-group min/max
+    val dfe = s.cypher("MATCH (c:customer) " +
+      "WHERE jsonb_path_exists(properties(c), '$.acctbal ? (@ > 9000)') " +
+      "RETURN count(*) AS n")
+    val pe = dfe.queryExecution.executedPlan.toString
+    assert(pe.contains("GreaterThan(__pn_acctbal"), pe)
+    assert(dfe.collect().head.get(0).toString.toLong == viaProp)
+    // flipped operand inside the filter
+    val pef = s.cypher("MATCH (c:customer) " +
+      "WHERE jsonb_path_exists(properties(c), '$.acctbal ? (9000 < @)') " +
+      "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(pef.contains("GreaterThan(__pn_acctbal"), pef)
+    // trailing steps after the filter keep the (still-necessary) guard
+    val pet = s.cypher("MATCH (c:customer) " +
+      "WHERE jsonb_path_exists(properties(c), '$.acctbal ? (@ > 9000).x') " +
+      "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(pet.contains("GreaterThan(__pn_acctbal"), pet)
+    // a predicate over @.b is NOT the bare item — presence guard only
+    val pem = s.cypher("MATCH (c:customer) " +
+      "WHERE jsonb_path_exists(properties(c), '$.acctbal ? (@.b > 9000)') " +
+      "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(!pem.contains("GreaterThan(__pn_acctbal"), pem)
+    assert(pem.contains("IsNotNull(__pj_acctbal)"), pem)
   }
 
   test("jsonpath filter: chained member path pushes the LEADING key guard") {

@@ -167,6 +167,41 @@ class PushdownSoundnessSpec extends AnyFunSuite {
     }
   }
 
+  test("typed guard, exists twin: non-empty `$.k ? (@ OP lit)` implies the " +
+      "value satisfies OP (incl. trailing steps)") {
+    val ops = Vector("==", "!=", "<", "<=", ">", ">=")
+    for (_ <- 1 to 1500) {
+      val hasKey = rnd.nextInt(5) > 0
+      val v = new java.math.BigDecimal(rnd.nextInt(201) - 100)
+        .movePointLeft(rnd.nextInt(3))
+      val doc = if (hasKey) Jsonb.mkObj(Seq("k" -> JNum(v)))
+        else Jsonb.mkObj(Seq("o" -> JNum(v)))
+      val lit = new java.math.BigDecimal(rnd.nextInt(201) - 100)
+        .movePointLeft(rnd.nextInt(3))
+      val op = ops(rnd.nextInt(ops.length))
+      val trail = if (rnd.nextInt(4) == 0) ".type()" else ""
+      val path = s"$$.k ? (@ $op $lit)$trail"
+      assert(JsonPath.leadingLaxFilterCmp(path)
+        .exists(t => t._1 == "k" && t._2 == op), path)
+      val ex = JsonPath.exists(doc, path, null, silent = true, useTz = false)
+      val c = v.compareTo(lit)
+      val want = op match {
+        case "==" => c == 0; case "!=" => c != 0
+        case "<" => c < 0; case "<=" => c <= 0
+        case ">" => c > 0; case ">=" => c >= 0
+      }
+      if (ex == java.lang.Boolean.TRUE)
+        assert(hasKey && want,
+          s"exists true but typed filter would drop: doc=${doc.render} $path")
+    }
+    // flipped operand normalizes; @.b predicates and plain chains don't fire
+    assert(JsonPath.leadingLaxFilterCmp("$.k ? (5 < @)")
+      .contains(("k", ">", Left(new java.math.BigDecimal(5)))))
+    assert(JsonPath.leadingLaxFilterCmp("$.k ? (@.b > 5)").isEmpty)
+    assert(JsonPath.leadingLaxFilterCmp("$.k.b").isEmpty)
+    assert(JsonPath.leadingLaxFilterCmp("strict $.k ? (@ > 5)").isEmpty)
+  }
+
   test("pinned counterexample: lax array auto-unwrap breaks the implication " +
       "for non-object roots (why the guard is properties(v)-only)") {
     val doc = Jsonb.parse("""[{"k0": 1}]""")
