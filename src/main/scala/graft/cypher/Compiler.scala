@@ -607,12 +607,14 @@ final class Compiler(
         // filter — the guard only prunes.
         val guard = (args(0), pathLit) match {
           case (FnCall("properties", Seq(v @ Vbl(_)), _), Some(pth)) =>
-            // the typed form: match `$.k OP lit`, exists `$.k ? (@ OP
-            // lit) …` — same conjunct builder, same soundness argument
-            val typedCmp =
+            // the typed form: match `$.k OP lit [&& …]`, exists
+            // `$.k ? (@ OP lit [&& …]) …` — every qualifying AND-spine
+            // leaf becomes one conjunct (a range filter pushes BOTH
+            // bounds), same soundness argument per leaf
+            val typedCmps =
               if (isMatch) graft.jsonb.JsonPath.leadingLaxPredCmp(pth)
               else graft.jsonb.JsonPath.leadingLaxFilterCmp(pth)
-            val typed = typedCmp.flatMap {
+            val typed = typedCmps.flatMap {
               case (k, op, Left(num))
                   if num.scale <= 18 && num.precision - num.scale <= 20 =>
                 shredded("n", v, k).map { nc =>
@@ -634,7 +636,7 @@ final class Compiler(
                 shredded("s", v, k).map(_.startsWith(lit(s)))
               case _ => None
             }
-            typed.orElse(
+            typed.reduceOption(_ && _).orElse(
               (if (isMatch) graft.jsonb.JsonPath.leadingLaxPredKey(pth)
                else graft.jsonb.JsonPath.leadingLaxKey(pth))
                 .flatMap(k => shredded("j", v, k)).map(_.isNotNull))

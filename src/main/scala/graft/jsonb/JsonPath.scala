@@ -1136,103 +1136,121 @@ object JsonPath {
       }
     } catch { case _: Throwable => None }
 
-  /** A LAX top-level predicate comparing the SINGLE-STEP member `$.k`
-    * against a scalar literal: `(key, op, Left(number) | Right(string))`
-    * with op ∈ {== != < <= > >=, startswith}. The basis for the EXACT
-    * typed-shred pushdown (stronger than the presence guard): when key
-    * k shreds numerically — uniformly ShredNumRe-matching values, so
-    * JSON nulls, strings, containers and unrepresentable numbers all
-    * degrade the key and the sidecar is absent — a TRUE
-    * jsonb_path_match requires value(k) op literal under numeric
-    * compare, which IS BigDecimal order, i.e. `__pn_k op lit`. Dually
-    * for uniformly-string keys with == / != / starts with (decoded
-    * raw-string equality/prefix — collation-free by jsonpath
-    * definition). Only the exact shape qualifies: a chained path
-    * (`$.k.b == 1`) compares a NESTED value, `$.k[0]` an element, so
-    * both return None (they still get the presence guard via
-    * leadingLaxPredKey); flipped literal-first spellings normalize by
-    * flipping the operator.
+  private def cmpLitOf(e: Expr): Option[Either[java.math.BigDecimal, String]] =
+    e match {
+      case Lit(JNum(n)) => Some(Left(n))
+      case Lit(JStr(s)) => Some(Right(s))
+      case _ => None
+    }
+
+  private def cmpFlip(op: String): String = op match {
+    case "<" => ">"; case ">" => "<"
+    case "<=" => ">="; case ">=" => "<="
+    case other => other
+  }
+
+  /** Qualifying comparison leaves on the AND-SPINE of a predicate:
+    * jsonpath `&&` is 3VL — the conjunction is TRUE only when BOTH
+    * sides are TRUE — so every spine leaf is independently necessary.
+    * Leaves under `||` or `!` are never visited (the other OR branch
+    * can be true without them; negation inverts). `leaf` extracts a
+    * (key, op, literal) triple from one Cmp/StartsWith, or None.
+    */
+  private def andSpine(p: Pred,
+      leaf: Pred => Option[(String, String, Either[java.math.BigDecimal, String])])
+      : Seq[(String, String, Either[java.math.BigDecimal, String])] =
+    p match {
+      case And(l, r) => andSpine(l, leaf) ++ andSpine(r, leaf)
+      case other     => leaf(other).toSeq
+    }
+
+  /** LAX top-level predicate comparisons of the SINGLE-STEP member
+    * `$.k` against scalar literals, one per qualifying AND-spine leaf:
+    * `(key, op, Left(number) | Right(string))` with op ∈ {== != < <= >
+    * >=, startswith}. The basis for the EXACT typed-shred pushdown
+    * (stronger than the presence guard): when key k shreds numerically
+    * — uniformly ShredNumRe-matching values, so JSON nulls, strings,
+    * containers and unrepresentable numbers all degrade the key and
+    * the sidecar is absent — a TRUE jsonb_path_match requires value(k)
+    * op literal under numeric compare, which IS BigDecimal order, i.e.
+    * `__pn_k op lit`. Dually for uniformly-string keys with == / != /
+    * starts with (decoded raw-string equality/prefix — collation-free
+    * by jsonpath definition). An AND pushes every qualifying leaf
+    * (`$.a > 5 && $.b == 1` → both; the range form's min AND max prune
+    * row-groups together); different keys may mix. Only the exact leaf
+    * shape qualifies: a chained operand (`$.k.b == 1`) compares a
+    * NESTED value, `$.k[0]` an element, so those leaves contribute
+    * nothing (the path still gets the presence guard via
+    * leadingLaxPredKey where its own rules allow); flipped
+    * literal-first spellings normalize by flipping the operator.
     */
   def leadingLaxPredCmp(path: String)
-      : Option[(String, String, Either[java.math.BigDecimal, String])] =
+      : Seq[(String, String, Either[java.math.BigDecimal, String])] =
     try {
       val p = parse(path)
-      if (!p.lax) None
+      if (!p.lax) Nil
       else {
         def singleKey(e: Expr): Option[String] = e match {
           case Chain(Root, Key(k) :: Nil) => Some(k)
           case _ => None
         }
-        def litOf(e: Expr): Option[Either[java.math.BigDecimal, String]] =
-          e match {
-            case Lit(JNum(n)) => Some(Left(n))
-            case Lit(JStr(s)) => Some(Right(s))
-            case _ => None
-          }
-        def flip(op: String): String = op match {
-          case "<" => ">"; case ">" => "<"
-          case "<=" => ">="; case ">=" => "<="
-          case other => other
-        }
-        p.expr match {
+        def leaf(pr: Pred) = pr match {
           case Cmp(op, l, r) =>
-            singleKey(l).flatMap(k => litOf(r).map(v => (k, op, v)))
-              .orElse(
-                singleKey(r).flatMap(k => litOf(l).map(v => (k, flip(op), v))))
+            singleKey(l).flatMap(k => cmpLitOf(r).map(v => (k, op, v)))
+              .orElse(singleKey(r).flatMap(k =>
+                cmpLitOf(l).map(v => (k, cmpFlip(op), v))))
           case StartsWith(e, Lit(JStr(s))) =>
-            singleKey(e).map(k => (k, "startswith", Right(s)))
+            singleKey(e).map(k => (k, "startswith",
+              Right(s): Either[java.math.BigDecimal, String]))
           case _ => None
         }
+        p.expr match {
+          case pr: Pred => andSpine(pr, leaf)
+          case _ => Nil
+        }
       }
-    } catch { case _: Throwable => None }
+    } catch { case _: Throwable => Nil }
 
   /** The EXISTS twin of leadingLaxPredCmp: a LAX non-predicate path of
-    * the shape `$.k ? (@ OP literal) …` — leading member step, then a
-    * filter whose predicate compares the BARE current item against a
-    * scalar literal (either operand order; `starts with` included).
+    * the shape `$.k ? (pred) …` — leading member step, then a filter
+    * whose AND-spine leaves compare the BARE current item against
+    * scalar literals (either operand order; `starts with` included).
     * Any remaining steps after the filter only shrink the result, so
     * for a non-empty `jsonb_path_exists` the filter must have passed —
-    * under a uniformly-shredded key that is exactly `__pn_k OP lit`
-    * (resp. `__ps_k`): the typed conjunct stays necessary and strictly
-    * subsumes the presence guard (NULL fails every comparison).
-    * Predicates on `@.b` (a member under the item) return None — the
-    * item is then an object and the typed sidecar cannot exist, but
-    * the proof is cleaner stated at the shape level.
+    * under a uniformly-shredded key each leaf is exactly `__pn_k OP
+    * lit` (resp. `__ps_k`): necessary, and strictly subsuming the
+    * presence guard (NULL fails every comparison). `@ > 5 && @ < 10`
+    * pushes BOTH bounds — parquet prunes the row-group range.
+    * Predicates on `@.b` (a member under the item) contribute nothing
+    * — the item is then an object and the typed sidecar cannot exist,
+    * but the proof is cleaner stated at the shape level.
     */
   def leadingLaxFilterCmp(path: String)
-      : Option[(String, String, Either[java.math.BigDecimal, String])] =
+      : Seq[(String, String, Either[java.math.BigDecimal, String])] =
     try {
       val p = parse(path)
-      if (!p.lax) None
+      if (!p.lax) Nil
       else {
         def isBareCur(e: Expr): Boolean = e match {
           case Current => true
           case Chain(Current, Nil) => true
           case _ => false
         }
-        def litOf(e: Expr): Option[Either[java.math.BigDecimal, String]] =
-          e match {
-            case Lit(JNum(n)) => Some(Left(n))
-            case Lit(JStr(s)) => Some(Right(s))
-            case _ => None
-          }
-        def flip(op: String): String = op match {
-          case "<" => ">"; case ">" => "<"
-          case "<=" => ">="; case ">=" => "<="
-          case other => other
-        }
         p.expr match {
-          case Chain(Root, Key(k) :: Filter(pred) :: _) => pred match {
-            case Cmp(op, l, r) if isBareCur(l) =>
-              litOf(r).map(v => (k, op, v))
-            case Cmp(op, l, r) if isBareCur(r) =>
-              litOf(l).map(v => (k, flip(op), v))
-            case StartsWith(e, Lit(JStr(s))) if isBareCur(e) =>
-              Some((k, "startswith", Right(s)))
-            case _ => None
-          }
-          case _ => None
+          case Chain(Root, Key(k) :: Filter(pred) :: _) =>
+            def leaf(pr: Pred) = pr match {
+              case Cmp(op, l, r) if isBareCur(l) =>
+                cmpLitOf(r).map(v => (k, op, v))
+              case Cmp(op, l, r) if isBareCur(r) =>
+                cmpLitOf(l).map(v => (k, cmpFlip(op), v))
+              case StartsWith(e, Lit(JStr(s))) if isBareCur(e) =>
+                Some((k, "startswith",
+                  Right(s): Either[java.math.BigDecimal, String]))
+              case _ => None
+            }
+            andSpine(pred, leaf)
+          case _ => Nil
         }
       }
-    } catch { case _: Throwable => None }
+    } catch { case _: Throwable => Nil }
 }

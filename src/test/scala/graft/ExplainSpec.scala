@@ -154,6 +154,28 @@ class ExplainSpec extends AnyFunSuite {
       "RETURN count(*) AS n").queryExecution.executedPlan.toString
     assert(!pem.contains("GreaterThan(__pn_acctbal"), pem)
     assert(pem.contains("IsNotNull(__pj_acctbal)"), pem)
+    // AND-spine: the range filter pushes BOTH bounds (row-group range
+    // pruning); result parity with the native double predicate
+    val dfr = s.cypher("MATCH (c:customer) " +
+      "WHERE jsonb_path_exists(properties(c), " +
+      "'$.acctbal ? (@ > 1000 && @ < 2000)') RETURN count(*) AS n")
+    val pr = dfr.queryExecution.executedPlan.toString
+    // the PushedFilters list renders truncated ("LessThan(__pn_acctba…")
+    // — assert on the untruncated Filter node's two bound comparisons
+    assert(pr.contains("GreaterThan(__pn_acctbal"), pr)
+    assert(pr.contains("> 1000.0") && pr.contains("< 2000.0"), pr)
+    val viaRange = s.cypher("MATCH (c:customer) " +
+      "WHERE c.acctbal > 1000 AND c.acctbal < 2000 RETURN count(*) AS n")
+      .collect().head.get(0).toString.toLong
+    assert(dfr.collect().head.get(0).toString.toLong == viaRange && viaRange > 0)
+    // an OR branch under the AND contributes nothing; the AND's other
+    // leaf still pushes
+    val por = s.cypher("MATCH (c:customer) " +
+      "WHERE jsonb_path_match(properties(c), " +
+      "'$.acctbal > 1000 && ($.acctbal < 2000 || $.name == \"x\")') " +
+      "RETURN count(*) AS n").queryExecution.executedPlan.toString
+    assert(por.contains("> 1000.0"), por)
+    assert(!por.contains("< 2000.0"), por)
   }
 
   test("jsonpath filter: chained member path pushes the LEADING key guard") {

@@ -200,6 +200,24 @@ class PushdownSoundnessSpec extends AnyFunSuite {
     assert(JsonPath.leadingLaxFilterCmp("$.k ? (@.b > 5)").isEmpty)
     assert(JsonPath.leadingLaxFilterCmp("$.k.b").isEmpty)
     assert(JsonPath.leadingLaxFilterCmp("strict $.k ? (@ > 5)").isEmpty)
+    // AND-spine: both bounds collected, each independently necessary
+    // (jsonpath && is 3VL — TRUE requires both sides TRUE); leaves
+    // under || or inside a non-qualifying shape contribute nothing
+    assert(JsonPath.leadingLaxFilterCmp("$.k ? (@ > 1 && @ < 9)").length == 2)
+    assert(JsonPath.leadingLaxFilterCmp(
+      "$.k ? (@ > 1 && (@ < 9 || @ == 0))")
+      .map(_._2) == Seq(">"))
+    assert(JsonPath.leadingLaxPredCmp("$.a > 1 && $.b == 2").length == 2)
+    for (_ <- 1 to 800) {
+      val v = new java.math.BigDecimal(rnd.nextInt(101) - 50)
+      val doc = Jsonb.mkObj(Seq("k" -> JNum(v)))
+      val lo = rnd.nextInt(101) - 50; val hi = rnd.nextInt(101) - 50
+      val path = s"$$.k ? (@ > $lo && @ < $hi)"
+      val ex = JsonPath.exists(doc, path, null, silent = true, useTz = false)
+      val want = v.intValue > lo && v.intValue < hi
+      assert((ex == java.lang.Boolean.TRUE) == want,
+        s"doc=${doc.render} $path -> $ex")
+    }
   }
 
   test("pinned counterexample: lax array auto-unwrap breaks the implication " +
