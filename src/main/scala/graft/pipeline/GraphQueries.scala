@@ -843,6 +843,26 @@ object GraphQueries {
         .select(J.asText(col("nation")).as("nation"),
           J.toLong(col("n_heavy")).as("n_heavy"))
         .orderBy("nation")
+    },
+
+    // SQL/JSON path predicates in Cypher WHERE with the typed shred
+    // pushdown (§2.2/§2.8): the exists range filter pushes BOTH
+    // `__pn_acctbal` bounds and the match pushes a `__ps_mktsegment`
+    // prefix — all three reach the parquet scan as row-group-prunable
+    // comparisons (ExplainSpec pins the plan shape; this row pins the
+    // VALUES against the oracle's plain-column recomputation).
+    "g43_jsonpath_pushdown" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE jsonb_path_exists(properties(c),
+          |    '$.acctbal ? (@ > 9000 && @ <= 9900)')
+          |  AND jsonb_path_match(properties(c),
+          |    '$.mktsegment starts with "B"')
+          |RETURN n.name AS nation, count(*) AS n_match""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n_match")).as("n_match"))
+        .orderBy("nation")
     }
   )
 
@@ -943,6 +963,12 @@ object GraphQueries {
         |WHERE (SELECT count(*) FROM orders
         |       WHERE o_custkey = c_custkey) >= 15
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g43_jsonpath_pushdown" ->
+      """SELECT n_name AS nation, count(*) AS n_match
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9000 AND c_acctbal <= 9900
+        |  AND c_mktsegment LIKE 'B%'
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
     "g40_udf_interop" ->
       """SELECT c_name AS name,
         |  CASE WHEN c_acctbal >= 9950 THEN lower(c_name)
