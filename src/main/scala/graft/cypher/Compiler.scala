@@ -74,11 +74,19 @@ final class Compiler(
   }
 
   /** Native comparison against a typed shred column: jsonb number
-    * order IS BigDecimal order and jsonb string equality IS raw string
-    * equality, so these compile to plain Catalyst predicates that reach
-    * the parquet scan (row-group stats / bloom pruning at scale).
-    * String inequalities stay on the jsonb path (PG compares strings
-    * with collation rules; equality is collation-free).
+    * order IS BigDecimal order and the engine's jsonb string order IS
+    * codepoint order (`Jsonb.codepointCmp` — per-byte UTF-8, i.e.
+    * exactly the order of Spark's UTF8String comparisons and parquet's
+    * binary min/max stats), so ALL six comparisons compile to plain
+    * Catalyst predicates that reach the parquet scan (row-group stats /
+    * bloom pruning at scale). Exactness for strings: `__ps_k` exists
+    * only for uniformly-string keys (GraphCatalog batchKeyTypes; JSON
+    * nulls degrade the key), so every present value is a string — the
+    * jsonb rank-first compare never takes the cross-rank branch — and
+    * a missing key is SQL NULL on both the jsonb path and the sidecar
+    * (both comparisons yield not-true). Range ops on MIXED-type keys
+    * have no "s" sidecar and correctly stay on the jsonb rank-order
+    * path.
     */
   private def shredCmp(op: String, l: Expr, r: Expr): Option[Column] = (l, r) match {
     case (Prop(b, k), rhs) =>
@@ -96,11 +104,15 @@ final class Compiler(
         }
       }.orElse {
         shredded("s", b, k).flatMap { sc =>
-          stringLit(rhs).flatMap { s =>
+          stringLit(rhs).map { s =>
+            val lv = lit(s)
             op match {
-              case "=" => Some(sc === lit(s))
-              case "<>" => Some(sc =!= lit(s))
-              case _ => None
+              case "=" => sc === lv
+              case "<>" => sc =!= lv
+              case "<" => sc < lv
+              case ">" => sc > lv
+              case "<=" => sc <= lv
+              case ">=" => sc >= lv
             }
           }
         }
@@ -628,12 +640,24 @@ final class Compiler(
                     case ">=" => nc >= lv
                   }
                 }
-              case (k, "==", Right(s)) =>
-                shredded("s", v, k).map(_ === lit(s))
-              case (k, "!=", Right(s)) =>
-                shredded("s", v, k).map(_ =!= lit(s))
-              case (k, "startswith", Right(s)) =>
-                shredded("s", v, k).map(_.startsWith(lit(s)))
+              case (k, op, Right(s)) =>
+                // jsonpath string compare is codepoint collation
+                // (compareStrings, jsonpath_exec.c:2201) == UTF8String
+                // binary order, so the four range ops push like the
+                // numeric ones (parquet binary min/max prunes)
+                shredded("s", v, k).flatMap { sc =>
+                  val lv = lit(s)
+                  op match {
+                    case "==" => Some(sc === lv)
+                    case "!=" => Some(sc =!= lv)
+                    case "<"  => Some(sc < lv)
+                    case ">"  => Some(sc > lv)
+                    case "<=" => Some(sc <= lv)
+                    case ">=" => Some(sc >= lv)
+                    case "startswith" => Some(sc.startsWith(lv))
+                    case _ => None
+                  }
+                }
               case _ => None
             }
             typed.reduceOption(_ && _).orElse(

@@ -21,9 +21,9 @@ import graft.jsonb._
   * Encoding (all order-preserving under unsigned byte compare):
   *  - type byte 0x10 + rank (null < string < number < bool < array <
   *    object);
-  *  - string: UTF-16 code units big-endian (mirrors
-  *    String.compareTo), 0x00 escaped as 0x00 0xFF, terminated by
-  *    0x00 0x00;
+  *  - string: UTF-8 bytes (per-byte order == codepoint order, the
+  *    engine's string collation — Jsonb.codepointCmp), 0x00 escaped
+  *    as 0x00 0xFF, terminated by 0x00 0x00;
   *  - number: sign byte (0x01 neg / 0x02 zero / 0x03 pos); magnitude
   *    as big-endian (decimal exponent ^ Int.MinValue) then digits
   *    (0x01 + d) with 0x00 terminator; negative = positive-magnitude
@@ -67,16 +67,15 @@ object JsonbSortKeyRT {
   }
 
   private def writeStr(s: String, out: java.io.ByteArrayOutputStream): Unit = {
-    // UTF-16 code units big-endian, each 0x00 byte escaped to
-    // 0x00 0xFF so the 0x00 0x00 terminator sorts before any
+    // UTF-8 bytes (per-byte order == codepoint order == Jsonb
+    // .codepointCmp), the single possible 0x00 byte (U+0000) escaped
+    // to 0x00 0xFF so the 0x00 0x00 terminator sorts before any
     // continuation (prefix < extension)
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      val hi = (c >>> 8) & 0xff
-      val lo = c & 0xff
-      if (hi == 0) { out.write(0x00); out.write(0xff) } else out.write(hi)
-      if (lo == 0) { out.write(0x00); out.write(0xff) } else out.write(lo)
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b == 0) { out.write(0x00); out.write(0xff) } else out.write(b)
       i += 1
     }
     out.write(0x00); out.write(0x00)

@@ -305,8 +305,32 @@ object Jsonb {
     }
   }
 
-  /** String compare for VALUES (varstr_cmp under C-ish collation). */
-  private def strCmp(a: String, b: String): Int = a.compareTo(b)
+  /** String compare for VALUES: Unicode CODEPOINT order — the order of
+    * a per-byte comparison of the UTF-8 encodings (varstr_cmp under C
+    * collation with a UTF-8 server encoding; jsonpath's compareStrings
+    * is defined this way outright, jsonpath_exec.c:2201). NOT
+    * `String.compareTo`: UTF-16 code units sort supplementary
+    * characters (U+10000+, surrogate pairs starting 0xD800) BELOW the
+    * U+E000–U+FFFF range, codepoint order sorts them above. Parquet
+    * min/max stats and Spark's UTF8String comparisons are UTF-8 binary
+    * — i.e. THIS order — which is what makes the `__ps_` string-shred
+    * range pushdown exact (Compiler.shredCmp / the jsonpath typed
+    * guard).
+    */
+  def codepointCmp(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private def strCmp(a: String, b: String): Int = codepointCmp(a, b)
 
   // ------------------------------------------------------------ contains
 

@@ -978,7 +978,9 @@ object JsonPath {
         case (JNull, JNull)       => 0
         case (JBool(x), JBool(y)) => java.lang.Boolean.compare(x, y)
         case (JNum(x), JNum(y))   => x.compareTo(y)
-        case (JStr(x), JStr(y))   => x.compareTo(y)
+        // codepoint collation (jsonpath_exec.c:2201 compareStrings:
+        // per-byte UTF-8 == codepoint order)
+        case (JStr(x), JStr(y))   => Jsonb.codepointCmp(x, y)
         case _                    => return UNKNOWN // containers
       }
       val res = op match {
@@ -1173,9 +1175,12 @@ object JsonPath {
     * containers and unrepresentable numbers all degrade the key and
     * the sidecar is absent — a TRUE jsonb_path_match requires value(k)
     * op literal under numeric compare, which IS BigDecimal order, i.e.
-    * `__pn_k op lit`. Dually for uniformly-string keys with == / != /
-    * starts with (decoded raw-string equality/prefix — collation-free
-    * by jsonpath definition). An AND pushes every qualifying leaf
+    * `__pn_k op lit`. Dually for uniformly-string keys with ALL of
+    * == / != / < / <= / > / >= / starts with on the decoded raw
+    * string: jsonpath string compare is codepoint collation
+    * (compareStrings, jsonpath_exec.c:2201 — per-byte UTF-8), which
+    * is exactly UTF8String/parquet binary order, so string ranges
+    * prune row-groups like numeric ones. An AND pushes every qualifying leaf
     * (`$.a > 5 && $.b == 1` → both; the range form's min AND max prune
     * row-groups together); different keys may mix. Only the exact leaf
     * shape qualifies: a chained operand (`$.k.b == 1`) compares a

@@ -863,6 +863,29 @@ object GraphQueries {
         .select(J.asText(col("nation")).as("nation"),
           J.toLong(col("n_match")).as("n_match"))
         .orderBy("nation")
+    },
+
+    // String RANGE comparisons on the raw-string shred (§2.2/§2.8):
+    // jsonpath string compare is codepoint collation (jsonpath_exec.c
+    // compareStrings — per-byte UTF-8), which equals the parquet
+    // binary min/max order of `__ps_<key>`, so the exists range pushes
+    // BOTH `__ps_mktsegment` bounds and the native `c.name >=` pushes
+    // a `__ps_name` bound (the engine's jsonb string order is the same
+    // codepoint order — Jsonb.codepointCmp). ExplainSpec pins the plan
+    // shape; this row pins the VALUES against plain-column SQL.
+    "g44_string_range_pushdown" -> { (sp, d) =>
+      val s = session(sp, d)
+      s.cypher(
+        """MATCH (c:customer)-[:in]->(n:nation)
+          |WHERE jsonb_path_exists(properties(c),
+          |    '$.mktsegment ? (@ >= "B" && @ < "H")')
+          |  AND c.name >= 'Customer#000000100'
+          |  AND jsonb_path_match(properties(c),
+          |    '$.name < "Customer#000000900"')
+          |RETURN n.name AS nation, count(*) AS n_match""".stripMargin)
+        .select(J.asText(col("nation")).as("nation"),
+          J.toLong(col("n_match")).as("n_match"))
+        .orderBy("nation")
     }
   )
 
@@ -968,6 +991,13 @@ object GraphQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 9000 AND c_acctbal <= 9900
         |  AND c_mktsegment LIKE 'B%'
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "g44_string_range_pushdown" ->
+      """SELECT n_name AS nation, count(*) AS n_match
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment >= 'B' AND c_mktsegment < 'H'
+        |  AND c_name >= 'Customer#000000100'
+        |  AND c_name < 'Customer#000000900'
         |GROUP BY 1 ORDER BY nation""".stripMargin,
     "g40_udf_interop" ->
       """SELECT c_name AS name,

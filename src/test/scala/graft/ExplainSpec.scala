@@ -178,6 +178,37 @@ class ExplainSpec extends AnyFunSuite {
     assert(!por.contains("< 2000.0"), por)
   }
 
+  test("string RANGE comparisons push the raw-string shred — jsonpath " +
+      "codepoint order == parquet binary min/max order") {
+    val s = pipeline.GraphQueries.session(spark, sf)
+    // match form `$.k < "lit"`
+    val dm = s.cypher("MATCH (c:customer) " +
+      """WHERE jsonb_path_match(properties(c), '$.mktsegment < "F"') """ +
+      "RETURN count(*) AS n")
+    val pm = dm.queryExecution.executedPlan.toString
+    assert(pm.contains("LessThan(__ps_mktsegment"), pm)
+    // native Cypher string range now pushes too (engine string order is
+    // codepoint order — Jsonb.codepointCmp — which IS the binary order
+    // of the shred column's parquet stats)
+    val dn = s.cypher(
+      "MATCH (c:customer) WHERE c.mktsegment < 'F' RETURN count(*) AS n")
+    val pn = dn.queryExecution.executedPlan.toString
+    assert(pn.contains("LessThan(__ps_mktsegment"), pn)
+    val a = dm.collect().head.get(0).toString.toLong
+    assert(a == dn.collect().head.get(0).toString.toLong && a > 0)
+    // exists twin with BOTH range bounds on the AND-spine
+    val de = s.cypher("MATCH (c:customer) WHERE jsonb_path_exists(" +
+      """properties(c), '$.mktsegment ? (@ >= "B" && @ < "H")') """ +
+      "RETURN count(*) AS n")
+    val pe = de.queryExecution.executedPlan.toString
+    assert(pe.contains(">= B") && pe.contains("< H"), pe)
+    val viaNative = s.cypher("MATCH (c:customer) " +
+      "WHERE c.mktsegment >= 'B' AND c.mktsegment < 'H' " +
+      "RETURN count(*) AS n").collect().head.get(0).toString.toLong
+    assert(de.collect().head.get(0).toString.toLong == viaNative &&
+      viaNative > 0)
+  }
+
   test("jsonpath filter: chained member path pushes the LEADING key guard") {
     // `$.a.b…` — lax evaluation of any chain rooted at member a yields
     // empty when top-level a is missing, so `__pj_a IS NOT NULL` is a

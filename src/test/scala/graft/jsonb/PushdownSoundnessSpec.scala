@@ -220,6 +220,72 @@ class PushdownSoundnessSpec extends AnyFunSuite {
     }
   }
 
+  test("typed guard, string RANGES: jsonpath codepoint order equals the " +
+      "UTF8String binary order Spark evaluates `__ps_k OP lit` with") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // edge pool: empty, prefixes, multi-byte UTF-8, private-use U+E000,
+    // U+FFFF, and supplementary chars (surrogate pairs) — the exact
+    // range where UTF-16 code-unit order and codepoint order DISAGREE
+    val pool = Vector("", "a", "ab", "abc", "b", "m", "mz", "Ab", "日本",
+      "é", "", "￿", "𐀀", "😀", "a￿",
+      "a𐀀", "a😀b")
+    val ops = Vector("==", "!=", "<", "<=", ">", ">=")
+    var trues = 0
+    for (_ <- 1 to 3000) {
+      val hasKey = rnd.nextInt(5) > 0
+      val v = pool(rnd.nextInt(pool.length))
+      val litS = pool(rnd.nextInt(pool.length))
+      val doc = if (hasKey) Jsonb.mkObj(Seq("k" -> JStr(v)))
+        else Jsonb.mkObj(Seq("o" -> JStr(v)))
+      val op = ops(rnd.nextInt(ops.length))
+      val renderedLit = JStr(litS).render
+      val existsForm = rnd.nextBoolean()
+      val path = if (existsForm) s"$$.k ? (@ $op $renderedLit)"
+        else s"$$.k $op $renderedLit"
+      val extracted = if (existsForm) JsonPath.leadingLaxFilterCmp(path)
+        else JsonPath.leadingLaxPredCmp(path)
+      assert(extracted.exists(t =>
+        t._1 == "k" && t._2 == op && t._3 == Right(litS)),
+        s"$path parsed as $extracted")
+      val m = if (existsForm)
+        JsonPath.exists(doc, path, null, silent = true, useTz = false)
+      else JsonPath.matches(doc, path, null, silent = true, useTz = false)
+      // the filter Spark actually evaluates on the shred column:
+      // UTF8String compare = per-byte UTF-8 = codepoint order
+      val c = UTF8String.fromString(v).compareTo(UTF8String.fromString(litS))
+      val want = op match {
+        case "==" => c == 0; case "!=" => c != 0
+        case "<" => c < 0; case "<=" => c <= 0
+        case ">" => c > 0; case ">=" => c >= 0
+      }
+      // EXACT for a uniformly-string key: missing key -> empty lax seq
+      // -> not-true on both sides; present -> same comparator
+      assert((m == java.lang.Boolean.TRUE) == (hasKey && want),
+        s"doc=${doc.render} $path -> $m, spark-side ${hasKey && want}")
+      if (m == java.lang.Boolean.TRUE) trues += 1
+    }
+    assert(trues > 300, s"fuzz exercised too few TRUE matches: $trues")
+  }
+
+  test("pinned: codepoint order diverges from String.compareTo on " +
+      "supplementary chars, and sort key / Jsonb.compare follow codepoints") {
+    val bmp = "￿"
+    val supp = new String(Character.toChars(0x10000)) // surrogate pair
+    assert(bmp.compareTo(supp) > 0,   "UTF-16 units put U+FFFF above")
+    assert(Jsonb.codepointCmp(bmp, supp) < 0, "codepoints put U+FFFF below")
+    assert(Jsonb.compare(JStr(bmp), JStr(supp)) < 0)
+    // jsonpath compare takes the same order (compareStrings,
+    // jsonpath_exec.c:2201)
+    val doc = Jsonb.mkObj(Seq("k" -> JStr(bmp)))
+    assert(JsonPath.matches(doc, s"""$$.k < ${JStr(supp).render}""",
+      null, silent = true, useTz = false) == java.lang.Boolean.TRUE)
+    // memcomparable key agrees (unsigned byte order)
+    def key(s: String) = graft.expr.JsonbSortKeyRT.sortKey(
+      org.apache.spark.unsafe.types.UTF8String.fromString(JStr(s).render))
+    val c = java.util.Arrays.compareUnsigned(key(bmp), key(supp))
+    assert(c < 0, s"sort key order $c")
+  }
+
   test("pinned counterexample: lax array auto-unwrap breaks the implication " +
       "for non-object roots (why the guard is properties(v)-only)") {
     val doc = Jsonb.parse("""[{"k0": 1}]""")
