@@ -16,18 +16,21 @@ object Bench {
     java.nio.file.Files.deleteIfExists(p)
   }
 
-  /** Builds the 10x key-shifted replica of sfDir used by the sf1 scale
-    * probe (dims stay 1x, facts get consistently shifted entity keys)
-    * into a caller-created `dir`. Shared with graft.Dev so probe
-    * anomalies can be reproduced in isolation. The caller creates the
-    * directory FIRST and owns its deletion — so a mid-build failure
-    * (the replica is ~10x sf0.1 on disk) can never leak a partial
-    * copy outside the caller's cleanup.
+  /** Builds a Kx key-shifted replica of sfDir (K=10 is the sf1 scale
+    * probe, K=100 the sf10 spot probe; dims stay 1x, facts get
+    * consistently shifted entity keys) into a caller-created `dir`.
+    * Shared with graft.Dev so probe anomalies can be reproduced in
+    * isolation. The caller creates the directory FIRST and owns its
+    * deletion — so a mid-build failure (the replica is ~Kx sf0.1 on
+    * disk) can never leak a partial copy outside the caller's cleanup.
     */
-  def makeSf1Replica(spark: SparkSession, sfDir: String, dir: String): Unit = {
+  def makeSf1Replica(spark: SparkSession, sfDir: String, dir: String): Unit =
+    makeReplica(spark, sfDir, dir, 10)
+
+  def makeReplica(spark: SparkSession, sfDir: String, dir: String,
+      K: Int): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.DataFrame
-    val K = 10
     def ld(t: String) = relational.Tables.load(spark, sfDir, t)
     def keySpan(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1L
@@ -86,31 +89,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    val spark = SparkSession.builder()
+    // GraftSession carries the static production confs (codegen class
+    // cache sized for a >100-plan workload — the r8 variance root
+    // cause — and a bounded SQL status store); the bench tightens the
+    // status-store windows further on top (headless, measurement JVM).
+    val spark = api.GraftSession.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Even with the UI off, the SQL status store retains execution
-      // details (incl. rendered plan graphs) for the last 1000 query
-      // executions and the app status store the last 1000 jobs/stages.
-      // 245 queries x 3 passes x multiple executions each = thousands
-      // of retained plans -> old-gen bloat -> GC tax that lands on the
-      // allocation-heavy queries late in the run. Keep a small window.
+      // Even with the UI off, the app status store retains the last
+      // 1000 jobs/stages; 245 queries x 3 passes -> old-gen bloat ->
+      // GC tax on the allocation-heavy queries late in the run.
       .config("spark.sql.ui.retainedExecutions", "24")
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
-      // The codegen class cache defaults to 100 entries; this suite
-      // compiles ~250 distinct plans per pass, so every pass missed the
-      // cache and re-Janino'd + re-loaded every generated class — a
-      // steady bleed of metaspace and JIT code cache (classes unload
-      // only when their loader is GC'd), which taxes late queries at
-      // gc_ms≈0 (the JIT slows/disables, nothing "collects"). Size the
-      // cache to hold the whole suite so passes 2/3 re-EXECUTE pass 1's
-      // classes instead of re-creating them. Static conf: must be set
-      // at session build.
-      .config("spark.sql.codegen.cache.maxEntries", "2048")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the per-query checkpoint unpersist below is deliberate — the
@@ -224,6 +218,13 @@ object Bench {
         s""""classes":$classes,"storage_mb":$storage,"gc_total_ms":${gcMillis()}}"""
     }
     val jvmMarks = new scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query attribution for the steady2 variance hunt (r8: driver
+    // box showed q28 5.1s / p112 8.9s pass-2 spikes at gc=0 that the
+    // per-PASS snapshots could not attribute): any pass-2 query > 3x
+    // its pass-1 time gets an immediate post-query snapshot, so the
+    // next cross-environment disagreement names its axis in-run.
+    val steady2Outliers =
+      new scala.collection.mutable.LinkedHashMap[String, String]()
     val lastGcMs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -242,9 +243,19 @@ object Bench {
       catch { case _: Throwable => () }
       if (ok) dt else -1.0
     }
-    def runAll(): (Seq[(String, Double)], Map[String, Long]) = {
+    def runAll(baseline: Map[String, Double] = Map.empty)
+        : (Seq[(String, Double)], Map[String, Long]) = {
       val out = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> runQuery(name, fn, benchDir)
+        val t = runQuery(name, fn, benchDir)
+        baseline.get(name).foreach { b =>
+          if (b > 0 && t > 3 * b && t > 1.0)
+            steady2Outliers(name) =
+              s"""{"steady1":${"%.2f".formatLocal(java.util.Locale.ROOT, b)},""" +
+                s""""steady2":${"%.2f".formatLocal(java.util.Locale.ROOT, t)},""" +
+                s""""gc_ms":${lastGcMs.getOrDefault(name, -1L)},""" +
+                s""""snap":${jvmSnap()}}"""
+        }
+        name -> t
       }
       import scala.jdk.CollectionConverters._
       val gc = lastGcMs.asScala.toMap
@@ -262,7 +273,7 @@ object Bench {
     // is hostage to GC/host noise; min-of-n is the standard estimator)
     val (s1, gc1) = runAll()
     jvmMarks("after_steady1") = jvmSnap()
-    val (s2, gc2) = runAll()
+    val (s2, gc2) = runAll(baseline = s1.toMap)
     jvmMarks("after_steady2") = jvmSnap()
     val results = s1.zip(s2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
@@ -276,6 +287,11 @@ object Bench {
     // that would not survive 100 TB. Disable with SPARK_GRAFT_SF1=0.
     var sf1Error: String = null
     var sf1Dir: String = null
+    // every raw probe sample (sec, gc_ms) in run order — the evidence
+    // trail that lets a second machine adjudicate an outlier without
+    // re-running (r8's driver/builder disagreement had no per-probe
+    // record to argue from)
+    var sf1Samples: Map[String, List[(Double, Long)]] = Map.empty
     val sf1Times: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
       else try {
@@ -293,8 +309,16 @@ object Bench {
           "s05_stream_interval_join", "s09_stream_outer_join",
           "p107_adamic_adar", "p110_metapath_walk",
           "p114_aa_degree_capped", "p75_copurchase")
-        val rest = SparkEntry.queries.keys
-          .filterNot(heavies.contains).toSeq.sorted
+        // the tail is SHUFFLED (fixed seed — runs stay comparable):
+        // alphabetical order clusters each family into one contiguous
+        // wall-clock window, so a single contended window on a noisy
+        // host flags a whole family at once (r8: the driver board's 21
+        // "breaches" were all q-family, all in one stretch, and its
+        // own steady passes contradicted them). Decorrelating family
+        // from position makes that failure mode read as scattered
+        // noise instead of a fake design signal.
+        val rest = new scala.util.Random(42L).shuffle(
+          SparkEntry.queries.keys.filterNot(heavies.contains).toSeq.sorted)
         val probes = heavies ++ rest
         // graph bulk load at sf1 is one-time ETL, untimed (same rule as
         // the main suite's warmup) — g41's probe number must measure
@@ -304,29 +328,55 @@ object Bench {
         val resolved = probes.filter(SparkEntry.queries.contains)
         val unknown = probes.filterNot(SparkEntry.queries.contains)
         val deadline = System.nanoTime() + 1800L * 1000000000L
-        val ran = resolved.flatMap { name =>
-          // the deadline check must interleave with the runs (a
-          // takeWhile would evaluate every predicate up front)
-          if (System.nanoTime() > deadline) None
-          // a failed probe reports -1, never a bogus near-zero time
-          else {
-            val t1 = runQuery(name, SparkEntry.queries(name), dir)
-            // min-of-2, same estimator as the sf0.1 denominator: a
-            // single run charges write queries their one-time fixture
-            // creation (r6: g30 first run 9.6x, steady 2x) and hands
-            // any probe to host noise. The second run is skipped only
-            // past the deadline (first-run time still reported).
-            val t = if (t1 > 0 && System.nanoTime() < deadline)
-              math.min(t1, runQuery(name, SparkEntry.queries(name), dir)
-                match { case v if v > 0 => v; case _ => t1 })
-            else t1
-            Some(name -> t)
+        // each probe's samples: (sec, gc_ms) per run, in run order
+        val samples = new scala.collection.mutable.LinkedHashMap[
+          String, List[(Double, Long)]]()
+        def probeOnce(name: String): Unit = {
+          val t = runQuery(name, SparkEntry.queries(name), dir)
+          val gc = lastGcMs.getOrDefault(name, -1L)
+          samples(name) = samples.getOrElse(name, Nil) :+ ((t, gc))
+        }
+        def bestOf(name: String): Double = {
+          val ok = samples.getOrElse(name, Nil).map(_._1).filter(_ > 0)
+          if (ok.isEmpty) -1.0 else ok.min
+        }
+        def probeRatio(name: String): Double = {
+          val v = bestOf(name)
+          results.collectFirst {
+            case (bn, bv) if bn == name && bv > 0.005 && v > 0 => v / bv
+          }.getOrElse(0.0)
+        }
+        // Two time-DECORRELATED passes (was: both samples back-to-back,
+        // so one contended window polluted both). A GC settle between
+        // passes puts pass B on the same JVM footing. min-of-2 stays
+        // the estimator: write queries pay one-time fixture creation on
+        // their first sample (r6: g30 9.6x first, 2x steady).
+        for (n <- resolved if System.nanoTime() < deadline) probeOnce(n)
+        System.gc(); Thread.sleep(200)
+        for (n <- resolved
+             if System.nanoTime() < deadline && samples.contains(n))
+          probeOnce(n)
+        // Outlier auto-retry: a probe still >8x after min-of-2 gets up
+        // to two more ISOLATED samples behind a GC settle before being
+        // reported — a real superlinear plan reproduces (p110's r7
+        // 16.3x did, every retry); a contended window does not (the
+        // driver board's 21 phantom breaches would have cleared here).
+        for (n <- resolved if samples.contains(n)) {
+          var retries = 0
+          while (retries < 2 && System.nanoTime() < deadline &&
+              probeRatio(n) > 8.0) {
+            System.gc(); Thread.sleep(200)
+            probeOnce(n)
+            retries += 1
           }
         }
+        val ran = resolved.filter(samples.contains)
+          .map(n => n -> bestOf(n))
+        sf1Samples = samples.toMap
         // dropped/unknown/FAILED probes are recorded, not silently
         // absent — an omitted or -1 entry must be distinguishable
         // from "not probed" on the stdout summary too
-        val dropped = resolved.drop(ran.length)
+        val dropped = resolved.filterNot(samples.contains)
         val failed = ran.collect { case (n, v) if v < 0 => n }
         val notes = Seq(
           if (failed.nonEmpty)
@@ -353,6 +403,69 @@ object Bench {
         catch { case _: Throwable => () }
       }
     jvmMarks("after_sf1") = jvmSnap()
+    // ------------------------------------------- sf10 spot probe (100x)
+    // Second decade of scale for the quadratic-family heavy hitters:
+    // sf1 is one decade above bench; the wedge/co-occurrence operators'
+    // 100-TB claims deserve a second. 100x key-shifted replica (~2 GB
+    // at the default sf0.1 input), same layout-parity rules, min-of-2
+    // over two decorrelated passes. OPT-IN (SPARK_GRAFT_SF10=1): the
+    // probe block adds ~10-25 min; the committed bench_full.json
+    // carries the section so every round's numbers stay on record
+    // without taxing the per-round driver run.
+    var sf10Error: String = null
+    var sf10Dir: String = null
+    var sf10Samples: Map[String, List[(Double, Long)]] = Map.empty
+    val sf10Times: Seq[(String, Double)] =
+      if (!sys.env.get("SPARK_GRAFT_SF10").contains("1")) Nil
+      else try {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_sf10_probe").toString
+        sf10Dir = dir
+        makeReplica(spark, sfDir, dir, 100)
+        // the heavy family from the sf1 board: exact wedge quadratics
+        // (p107/p75 — expected superlinear, the documented crossover),
+        // their capped 100-TB form (p114 — must stay near-linear),
+        // multi-source BFS (p57), the frontier walk (p110), and the
+        // heaviest Cypher pattern joins (g41, g29)
+        val probes = Seq("p114_aa_degree_capped", "p110_metapath_walk",
+          "p57_closeness", "g41_foaf_pattern", "g29_sql_exists_correlated",
+          "p107_adamic_adar", "p75_copurchase")
+          .filter(SparkEntry.queries.contains)
+        try pipeline.GraphQueries.session(spark, dir)
+        catch { case _: Throwable => () }
+        val budget = sys.env.getOrElse("SPARK_GRAFT_SF10_SEC", "1500").toLong
+        val deadline = System.nanoTime() + budget * 1000000000L
+        val samples = new scala.collection.mutable.LinkedHashMap[
+          String, List[(Double, Long)]]()
+        def probeOnce(name: String): Unit = {
+          val t = runQuery(name, SparkEntry.queries(name), dir)
+          samples(name) = samples.getOrElse(name, Nil) :+
+            ((t, lastGcMs.getOrDefault(name, -1L)))
+        }
+        for (n <- probes if System.nanoTime() < deadline) probeOnce(n)
+        System.gc(); Thread.sleep(200)
+        for (n <- probes
+             if System.nanoTime() < deadline && samples.contains(n))
+          probeOnce(n)
+        sf10Samples = samples.toMap
+        val dropped = probes.filterNot(samples.contains)
+        if (dropped.nonEmpty)
+          sf10Error = s"deadline dropped ${dropped.length} probes: " +
+            dropped.mkString(",")
+        samples.toSeq.map { case (n, runs) =>
+          val ok = runs.map(_._1).filter(_ > 0)
+          n -> (if (ok.isEmpty) -1.0 else ok.min)
+        }
+      } catch {
+        case e: Throwable =>
+          sf10Error = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(200)
+          Nil
+      } finally {
+        if (sf10Dir != null) try deleteRec(java.nio.file.Paths.get(sf10Dir))
+        catch { case _: Throwable => () }
+      }
+    jvmMarks("after_sf10") = jvmSnap()
     // Full per-query detail (long names, cold + both steady runs) goes
     // to a FILE — the harness captures only a bounded tail (~2.4 KB) of
     // stdout, which a 150+-entry long-name line no longer fits (round
@@ -368,25 +481,49 @@ object Bench {
       }
       val sf1Rows = sf1Times.map { case (n, v) =>
         // per-query sf1/sf0.1 ratio alongside the raw time so scale
-        // regressions read directly off the file
+        // regressions read directly off the file; every raw sample +
+        // its gc delta rides along so an outlier row carries its own
+        // adjudication evidence (retried samples are the tail entries)
         val base = results.collectFirst { case (bn, bv) if bn == n => bv }
         val ratio = base.filter(b => b > 0.005 && v > 0)
           .map(b => s""","ratio":${f(v / b)}""").getOrElse("")
-        s"""    "$n": {"sec":${f(v)}$ratio}"""
+        val runs = sf1Samples.getOrElse(n, Nil)
+        val detail = if (runs.isEmpty) "" else
+          s""","runs":[${runs.map(r => f(r._1)).mkString(",")}]""" +
+            s""","gc_ms":[${runs.map(_._2).mkString(",")}]"""
+        s"""    "$n": {"sec":${f(v)}$ratio$detail}"""
       }
-      val errField = if (sf1Error != null) {
-        val esc = sf1Error.flatMap {
-          case '"' => "\\\""
-          case '\\' => "\\\\"
-          case c if c < ' ' => " "
-          case c => c.toString
-        }
-        s""",\n  "sf1_error": "$esc""""
-      } else ""
+      val sf10Rows = sf10Times.map { case (n, v) =>
+        val base = results.collectFirst { case (bn, bv) if bn == n => bv }
+        val ratio = base.filter(b => b > 0.005 && v > 0)
+          .map(b => s""","ratio":${f(v / b)}""").getOrElse("")
+        val runs = sf10Samples.getOrElse(n, Nil)
+        val detail = if (runs.isEmpty) "" else
+          s""","runs":[${runs.map(r => f(r._1)).mkString(",")}]""" +
+            s""","gc_ms":[${runs.map(_._2).mkString(",")}]"""
+        s"""    "$n": {"sec":${f(v)}$ratio$detail}"""
+      }
+      def escErr(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }
+      val errField =
+        (if (sf1Error != null) s""",\n  "sf1_error": "${escErr(sf1Error)}""""
+         else "") +
+          (if (sf10Error != null)
+            s""",\n  "sf10_error": "${escErr(sf10Error)}"""" else "")
       val jvmSection = jvmMarks.map { case (k, v) => s"""    "$k": $v""" }
         .mkString(",\n")
+      val outlierSection = steady2Outliers
+        .map { case (k, v) => s"""    "$k": $v""" }.mkString(",\n")
+      val sf10Section = if (sf10Rows.isEmpty) "" else
+        s"""  "sf10_probe_100x": {\n${sf10Rows.mkString(",\n")}\n  },\n"""
       s"""{\n  "sf": "$sfDir",\n  "queries": {\n${rows.mkString(",\n")}\n  },\n""" +
         s"""  "sf1_probe_10x": {\n${sf1Rows.mkString(",\n")}\n  },\n""" +
+        sf10Section +
+        s"""  "steady2_outliers": {\n$outlierSection\n  },\n""" +
         s"""  "jvm": {\n$jvmSection\n  }$errField\n}\n"""
     }
     try java.nio.file.Files.writeString(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 // temporary profiling scratch — not part of the library surface
 object Dev {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = api.GraftSession.configure(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -116,6 +116,101 @@ object Dev {
         if (args.length > 2 && args(2) == "explain") names.foreach { n =>
           println(s"=== $n ===")
           SparkEntry.queries(n)(spark, dir).explain("formatted")
+        }
+      } finally {
+        def del(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.list(p)
+            try s.forEach(del(_)) finally s.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        del(java.nio.file.Paths.get(dir))
+      }
+      spark.stop(); return
+    }
+    if (name == "variantspike") {
+      // SURVEY §1.3 deferred decision: would a Spark 4 VariantType-
+      // backed properties column beat the canonical-JSON string the
+      // engine stores today? Measure the ACCESS tax head-to-head on a
+      // 10x replica of the richest table (lineitem -> a 16-key props
+      // document), same parquet layout, three access shapes per path:
+      //   A numeric single-key extract + aggregate (the q28/q31 shape)
+      //   B string-key filter + count (the g05-family predicate shape)
+      //   C multi-key extract + group-by (the jsonb-agg render shape)
+      // The decision bar (SURVEY §1.3): jsonb equality/containment
+      // semantics must stay EXACT — variant has no containment or
+      // jsonb btree order, so those ops would still need the string
+      // round-trip regardless of what this measures.
+      import org.apache.spark.sql.functions._
+      def t3(lbl: String)(f: => Long): Unit = {
+        f // warm (codegen + page cache)
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"  $lbl: min ${ts.min}%.3f s  runs ${ts.map(x => f"$x%.3f").mkString(" ")}")
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_variant_spike").toString
+      try {
+        val li = relational.Tables.load(spark, d, "lineitem")
+        val props = to_json(struct(li.columns.map(col): _*))
+        val base = (0 until 10).map(i =>
+            li.withColumn("props", props)
+              .withColumn("id", col("l_orderkey") * 100 + i)
+              .select("id", "props"))
+          .reduce(_ unionAll _)
+        base.repartitionByRange(16, col("id")).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(s"$dir/props_str.parquet")
+        base.select(col("id"), parse_json(col("props")).as("props"))
+          .repartitionByRange(16, col("id")).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(s"$dir/props_var.parquet")
+        val str = spark.read.parquet(s"$dir/props_str.parquet")
+        val vnt = spark.read.parquet(s"$dir/props_var.parquet")
+        println(s"rows: ${str.count()}  (string vs variant parquet)")
+        import graft.expr.J
+        t3("A string: J.getKey numeric agg")(
+          str.select(J.toLong(J.getKey(col("props"), "l_quantity")).as("q"))
+            .groupBy("q").count().count())
+        t3("A variant: variant_get numeric agg")(
+          vnt.select(expr("variant_get(props, '$.l_quantity', 'long')").as("q"))
+            .groupBy("q").count().count())
+        t3("B string: J.getKey string filter")(
+          str.where(J.asText(J.getKey(col("props"), "l_returnflag")) === "R")
+            .count())
+        t3("B variant: variant_get string filter")(
+          vnt.where(expr("variant_get(props, '$.l_returnflag', 'string')") === "R")
+            .count())
+        t3("C string: 3-key extract group-by")(
+          str.select(
+              J.asText(J.getKey(col("props"), "l_returnflag")).as("rf"),
+              J.asText(J.getKey(col("props"), "l_linestatus")).as("ls"),
+              J.toLong(J.getKey(col("props"), "l_quantity")).as("q"))
+            .groupBy("rf", "ls").agg(sum("q")).count())
+        t3("C variant: 3-key extract group-by")(
+          vnt.select(
+              expr("variant_get(props, '$.l_returnflag', 'string')").as("rf"),
+              expr("variant_get(props, '$.l_linestatus', 'string')").as("ls"),
+              expr("variant_get(props, '$.l_quantity', 'long')").as("q"))
+            .groupBy("rf", "ls").agg(sum("q")).count())
+        // the engine's own sidecar answer to the same tax, for context:
+        // a shredded typed column reads with NO parse on either path
+        val shred = base
+          .withColumn("__pn_l_quantity",
+            get_json_object(col("props"), "$.l_quantity").cast("decimal(38,18)"))
+        shred.repartitionByRange(16, col("id")).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(s"$dir/props_shred.parquet")
+        val sh = spark.read.parquet(s"$dir/props_shred.parquet")
+        t3("A shred: typed sidecar agg")(
+          sh.select(col("__pn_l_quantity").cast("long").as("q"))
+            .groupBy("q").count().count())
+        println("sizes on disk (MB):")
+        for (n <- Seq("props_str", "props_var", "props_shred")) {
+          val p = java.nio.file.Paths.get(s"$dir/$n.parquet")
+          val sz = java.nio.file.Files.walk(p).filter(
+            java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum / (1024 * 1024)
+          println(s"  $n: $sz")
         }
       } finally {
         def del(p: java.nio.file.Path): Unit = {
