@@ -266,16 +266,50 @@ object Bench {
       System.gc(); Thread.sleep(200)
       (out, gc)
     }
+    // SF10-ONLY mode: the 100x probe needs a much larger driver heap
+    // than the default bench JVM (the first attempt OOM'd — Spark exit
+    // 52 — at sf10 p114 under the ~8 GB sbt heap), so it runs as a
+    // separate invocation under SBT_OPTS="-Xmx80g
+    // -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+    // (the GCLocker flag because JDK17 G1 GCLocker starvation under
+    // 32 JNI-critical compressed-stream threads masquerades as heap
+    // OOM) without re-paying the 20-min main suite. The ratio
+    // denominators are re-measured min-of-2 on the same benchDir in
+    // the same JVM (identical estimator), and the output goes to
+    // bench_full_sf10.json for a manual merge — never clobbering the
+    // main board.
+    val sf10Only = sys.env.get("SPARK_GRAFT_SF10_ONLY").contains("1")
+    // SPARK_GRAFT_SF10_PROBES overrides the probe set (comma-separated)
+    // so a deadline-cut tail can be re-measured without re-paying the
+    // finished probes
+    val sf10OnlyProbes = sys.env.get("SPARK_GRAFT_SF10_PROBES")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq("p114_aa_degree_capped", "p110_metapath_walk",
+        "p57_closeness", "g41_foaf_pattern", "g29_sql_exists_correlated",
+        "p107_adamic_adar", "p75_copurchase"))
     jvmMarks("before_cold") = jvmSnap()
-    val (cold, _) = runAll()
+    val (cold, _) =
+      if (sf10Only) (Seq.empty[(String, Double)], Map.empty[String, Long])
+      else runAll()
     jvmMarks("after_cold") = jvmSnap()
     // steady-state = min of two post-codegen runs per query (one run
     // is hostage to GC/host noise; min-of-n is the standard estimator)
-    val (s1, gc1) = runAll()
+    val (s1, gc1) =
+      if (sf10Only) (Seq.empty[(String, Double)], Map.empty[String, Long])
+      else runAll()
     jvmMarks("after_steady1") = jvmSnap()
-    val (s2, gc2) = runAll(baseline = s1.toMap)
+    val (s2, gc2) =
+      if (sf10Only) (Seq.empty[(String, Double)], Map.empty[String, Long])
+      else runAll(baseline = s1.toMap)
     jvmMarks("after_steady2") = jvmSnap()
-    val results = s1.zip(s2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val results =
+      if (sf10Only) sf10OnlyProbes.filter(SparkEntry.queries.contains).map {
+        n =>
+          val a = runQuery(n, SparkEntry.queries(n), benchDir)
+          val b = runQuery(n, SparkEntry.queries(n), benchDir)
+          n -> (if (a > 0 && b > 0) math.min(a, b) else math.max(a, b))
+      }
+      else s1.zip(s2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // -------------------------------------------------- sf1 scale probe
     // Empirical scale validation for the heavy hitters: replicate the
@@ -293,7 +327,7 @@ object Bench {
     // record to argue from)
     var sf1Samples: Map[String, List[(Double, Long)]] = Map.empty
     val sf1Times: Seq[(String, Double)] =
-      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
+      if (sf10Only || sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
       else try {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_sf1_probe").toString
@@ -416,7 +450,7 @@ object Bench {
     var sf10Dir: String = null
     var sf10Samples: Map[String, List[(Double, Long)]] = Map.empty
     val sf10Times: Seq[(String, Double)] =
-      if (!sys.env.get("SPARK_GRAFT_SF10").contains("1")) Nil
+      if (!sf10Only && !sys.env.get("SPARK_GRAFT_SF10").contains("1")) Nil
       else try {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_sf10_probe").toString
@@ -427,26 +461,42 @@ object Bench {
         // their capped 100-TB form (p114 — must stay near-linear),
         // multi-source BFS (p57), the frontier walk (p110), and the
         // heaviest Cypher pattern joins (g41, g29)
-        val probes = Seq("p114_aa_degree_capped", "p110_metapath_walk",
-          "p57_closeness", "g41_foaf_pattern", "g29_sql_exists_correlated",
-          "p107_adamic_adar", "p75_copurchase")
-          .filter(SparkEntry.queries.contains)
-        try pipeline.GraphQueries.session(spark, dir)
-        catch { case _: Throwable => () }
+        val probes = sf10OnlyProbes.filter(SparkEntry.queries.contains)
+        // the 100x graph bulk load is expensive AND leaves persisted
+        // label-table state that competes with the probes' execution
+        // memory — build it only when a g-probe actually needs it
+        // (p-only probe sets measured cleaner without it)
+        if (probes.exists(_.startsWith("g")))
+          try pipeline.GraphQueries.session(spark, dir)
+          catch { case _: Throwable => () }
         val budget = sys.env.getOrElse("SPARK_GRAFT_SF10_SEC", "1500").toLong
         val deadline = System.nanoTime() + budget * 1000000000L
         val samples = new scala.collection.mutable.LinkedHashMap[
           String, List[(Double, Long)]]()
         def probeOnce(name: String): Unit = {
+          val t0 = System.nanoTime()
           val t = runQuery(name, SparkEntry.queries(name), dir)
           samples(name) = samples.getOrElse(name, Nil) :+
             ((t, lastGcMs.getOrDefault(name, -1L)))
+          System.err.println(f"[sf10] $name: $t%.2f s " +
+            f"(wall ${(System.nanoTime() - t0) / 1e9}%.1f)")
         }
-        for (n <- probes if System.nanoTime() < deadline) probeOnce(n)
-        System.gc(); Thread.sleep(200)
-        for (n <- probes
-             if System.nanoTime() < deadline && samples.contains(n))
-          probeOnce(n)
+        // 100x data on the bench's 32 shuffle partitions puts ~10x the
+        // sf1 per-partition state into each task (the first attempt
+        // died on 2 GB execution-page requests): raise the partition
+        // count for this phase — the SAME knob a real 100 TB deployment
+        // turns (more, smaller tasks; AQE coalesces the light stages) —
+        // and restore it after.
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SF10_SHUFFLE", "256"))
+        try {
+          for (n <- probes if System.nanoTime() < deadline) probeOnce(n)
+          System.gc(); Thread.sleep(200)
+          for (n <- probes
+               if System.nanoTime() < deadline && samples.contains(n))
+            probeOnce(n)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         sf10Samples = samples.toMap
         val dropped = probes.filterNot(samples.contains)
         if (dropped.nonEmpty)
@@ -473,7 +523,10 @@ object Bench {
     // every query under its short unique prefix (q01/g36/p13/s01) and
     // stays ~2 KB.
     val fullJson = {
-      val rows = results.indices.map { i =>
+      val rows = if (sf10Only)
+        // no cold/steady passes in this mode — min-of-2 denominators only
+        results.map { case (n, v) => s"""    "$n": {"min":${f(v)}}""" }
+      else results.indices.map { i =>
         val name = results(i)._1
         s"""    "$name": {"cold":${f(cold(i)._2)},"steady1":${f(s1(i)._2)},""" +
           s""""steady2":${f(s2(i)._2)},"min":${f(results(i)._2)},""" +
@@ -527,7 +580,9 @@ object Bench {
         s"""  "jvm": {\n$jvmSection\n  }$errField\n}\n"""
     }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullJson)
+      java.nio.file.Paths.get(
+        if (sf10Only) "bench_full_sf10.json" else "bench_full.json"),
+      fullJson)
     catch { case _: Throwable => () }
     // The harness captures only a bounded TAIL (~2.4 KB) of stdout —
     // 241 per-query entries plus 48 probe entries do not fit, and a

@@ -129,6 +129,46 @@ object Dev {
       }
       spark.stop(); return
     }
+    if (name == "sf10") {
+      // isolated sf10 probe: args(1) = comma-separated query names;
+      // builds (or reuses) a FIXED-path 100x replica so iterating on
+      // one probe doesn't re-pay the build. No graph fixture unless a
+      // g-query is probed.
+      def t[A](lbl: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $lbl: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val dir = "/tmp/graft_sf10_fixed"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/lineitem.parquet"))) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        t("replica build")(Bench.makeReplica(spark, d, dir, 100))
+      } else println("  (reusing existing replica)")
+      val names = args(1).split(",").toSeq
+      if (names.exists(_.startsWith("g")))
+        t("graph fixture")(pipeline.GraphQueries.session(spark, dir))
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SF10_SHUFFLE", "256"))
+      for (round <- 1 to 2; n <- names) {
+        // Bench.runQuery's hygiene: drop the run's own checkpoint
+        // blocks between runs or run 2 starts with run 1's pair-state
+        // still pinning the unified pool
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        t(s"$n (round $round)")(SparkEntry.queries(n)(spark, dir).count())
+        try spark.sharedState.cacheManager.clearCache()
+        catch { case _: Throwable => () }
+        try spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => before.contains(id) }
+          .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
+        catch { case _: Throwable => () }
+        System.gc()
+      }
+      if (args.length > 2 && args(2) == "explain") names.foreach { n =>
+        println(s"=== $n ===")
+        SparkEntry.queries(n)(spark, dir).explain("formatted")
+      }
+      spark.stop(); return
+    }
     if (name == "variantspike") {
       // SURVEY §1.3 deferred decision: would a Spark 4 VariantType-
       // backed properties column beat the canonical-JSON string the

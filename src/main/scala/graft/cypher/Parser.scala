@@ -80,10 +80,35 @@ object Parser {
                 case '"' => cooked += '"'
                 case '/' => cooked += '/'
                 case 'u' =>
+                  // surrogate validation per the reference lexer
+                  // (scan.l:185,279 <xeu> state): a high surrogate
+                  // must pair with an immediately following \u low
+                  // surrogate; orphans error; code point zero errors
+                  // (text cannot hold NUL)
                   val hex = s.substring(i + 2, i + 6)
-                  cooked += Integer.parseInt(hex, 16).toChar
+                  val ch = Integer.parseInt(hex, 16)
                   raw ++= hex
                   i += 4
+                  if (ch >= 0xD800 && ch <= 0xDBFF) {
+                    if (i + 8 <= s.length && s.charAt(i + 2) == '\\' &&
+                        s.charAt(i + 3) == 'u') {
+                      val hexLo = s.substring(i + 4, i + 8)
+                      val lo = Integer.parseInt(hexLo, 16)
+                      if (lo >= 0xDC00 && lo <= 0xDFFF) {
+                        cooked += ch.toChar; cooked += lo.toChar
+                        raw ++= "\\u"; raw ++= hexLo
+                        i += 6
+                      } else throw new IllegalArgumentException(
+                        "invalid Unicode surrogate pair")
+                    } else throw new IllegalArgumentException(
+                      "invalid Unicode surrogate pair")
+                  } else if (ch >= 0xDC00 && ch <= 0xDFFF)
+                    throw new IllegalArgumentException(
+                      "invalid Unicode surrogate pair")
+                  else if (ch == 0)
+                    throw new IllegalArgumentException(
+                      "invalid Unicode escape value")
+                  else cooked += ch.toChar
                 case other => cooked += other
               }
               i += 2

@@ -162,9 +162,38 @@ object Jsonb {
             case 'r'  => sb += '\r'; i += 1
             case 't'  => sb += '\t'; i += 1
             case 'u'  =>
+              // surrogate validation per the reference (jsonapi.c:684-
+              // 768, error texts json_encoding.out:56-68): a high
+              // surrogate must combine with an IMMEDIATELY following
+              // \u low surrogate; orphans and code point zero error
+              // out (our TEXT analog cannot hold NUL either). This also
+              // guarantees JValue strings never hold lone surrogates,
+              // which is what makes the UTF-8 sort-key encoding
+              // (JsonbSortKeyRT) exactly order-parallel to
+              // codepointCmp — String.getBytes(UTF_8) mangles lone
+              // surrogates to '?'.
               if (i + 4 >= s.length) fail("bad \\u escape")
-              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              val ch = Integer.parseInt(s.substring(i + 1, i + 5), 16)
               i += 5
+              if (ch >= 0xD800 && ch <= 0xDBFF) {
+                if (i + 5 < s.length && s.charAt(i) == '\\' &&
+                    s.charAt(i + 1) == 'u') {
+                  val lo = Integer.parseInt(s.substring(i + 2, i + 6), 16)
+                  if (lo >= 0xDC00 && lo <= 0xDFFF) {
+                    sb += ch.toChar; sb += lo.toChar; i += 6
+                  } else if (lo >= 0xD800 && lo <= 0xDBFF)
+                    fail("Unicode high surrogate must not follow " +
+                      "a high surrogate")
+                  else fail("Unicode low surrogate must follow " +
+                    "a high surrogate")
+                } else fail("Unicode low surrogate must follow " +
+                  "a high surrogate")
+              } else if (ch >= 0xDC00 && ch <= 0xDFFF)
+                fail("Unicode low surrogate must follow a high surrogate")
+              else if (ch == 0)
+                fail("unsupported Unicode escape sequence: \\u0000 " +
+                  "cannot be converted to text")
+              else sb += ch.toChar
             case c2 => fail(s"bad escape '\\$c2'")
           }
         } else { sb += c; i += 1 }

@@ -173,9 +173,32 @@ object JsonPath {
             case 'r'  => sb += '\r'
             case 't'  => sb += '\t'
             case 'u'  =>
+              // same surrogate rules as the json lexer (reference
+              // jsonpath_scan.l via jsonapi's checks; expected texts
+              // jsonpath_encoding.out:42-68): pairs combine, orphans
+              // and misorders error, code point zero errors
               if (i + 4 >= s.length) fail("bad \\u escape")
-              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              val ch = Integer.parseInt(s.substring(i + 1, i + 5), 16)
               i += 4
+              if (ch >= 0xD800 && ch <= 0xDBFF) {
+                if (i + 6 < s.length && s.charAt(i + 1) == '\\' &&
+                    s.charAt(i + 2) == 'u') {
+                  val lo = Integer.parseInt(s.substring(i + 3, i + 7), 16)
+                  if (lo >= 0xDC00 && lo <= 0xDFFF) {
+                    sb += ch.toChar; sb += lo.toChar; i += 6
+                  } else if (lo >= 0xD800 && lo <= 0xDBFF)
+                    fail("Unicode high surrogate must not follow " +
+                      "a high surrogate")
+                  else fail("Unicode low surrogate must follow " +
+                    "a high surrogate")
+                } else fail("Unicode low surrogate must follow " +
+                  "a high surrogate")
+              } else if (ch >= 0xDC00 && ch <= 0xDFFF)
+                fail("Unicode low surrogate must follow a high surrogate")
+              else if (ch == 0)
+                fail("unsupported Unicode escape sequence: \\u0000 " +
+                  "cannot be converted to text")
+              else sb += ch.toChar
             case c2 => sb += c2 // jsonpath allows e.g. \$ \? pass-through
           }
           i += 1

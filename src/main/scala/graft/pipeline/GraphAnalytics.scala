@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.graphx.{Edge, Graph}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** GraphX-backed whole-graph analytics (the "GraphX for analytics"
@@ -264,7 +264,28 @@ object GraphAnalytics {
     * exact APSP; the depth cap bounds it for large diameters. Returns
     * (s, v, dist) for s ≠ v with dist ≤ maxDepth.
     */
-  def allPairsDistances(pairs: DataFrame, maxDepth: Int): DataFrame = {
+  def allPairsDistances(pairs: DataFrame, maxDepth: Int): DataFrame =
+    multiSourceDistances(pairs, maxDepth, lit(true))
+
+  /** The source-restricted form of [[allPairsDistances]]: BFS only from
+    * vertices passing `sourceFilter` (over column "s"). Cost O(K·E) for
+    * K sources instead of O(V·E) — the knob that keeps distance-based
+    * centralities alive past the first scale decade (the exact
+    * all-sources form holds a (sources x reach-set) pair state that
+    * grows quadratically on hub graphs; the sf10 probe measured it
+    * exhausting execution memory at 100x while the sampled form holds).
+    */
+  def multiSourceDistances(pairs: DataFrame, maxDepth: Int,
+      sourceFilter: Column): DataFrame = {
+    // the (s, v) pair states are the memory hog of this family (reach
+    // sets multiply out on hub graphs): checkpoint them DISK_ONLY so
+    // the loop's working set never competes with execution memory —
+    // MEMORY_AND_DISK checkpoint blocks pinned the unified pool's
+    // protected storage region and starved the per-round aggregation
+    // maps outright at the 100x probe ("unable to acquire ..., got 0").
+    // Each round streams the previous round's pairs once, the access
+    // pattern disk is good at; the small `dir` edge table stays hot.
+    import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
@@ -272,7 +293,8 @@ object GraphAnalytics {
     val dir = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
     var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
-      .localCheckpoint(true)
+      .where(sourceFilter)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var frontier = visited
     var out: DataFrame = null
     var depth = 0
@@ -281,10 +303,11 @@ object GraphAnalytics {
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .select(col("s"), col("b").as("v")).distinct()
         .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
       val lvl = next.withColumn("dist", lit(depth.toLong))
       out = if (out == null) lvl else out.unionAll(lvl)
-      visited = visited.unionAll(next).localCheckpoint(true)
+      visited = visited.unionAll(next)
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
       frontier = next
     }
     if (out == null)
@@ -305,6 +328,23 @@ object GraphAnalytics {
       .groupBy(col("s").as("id"))
       .agg(count(lit(1)).as("n_reach"), sum("dist").as("sum_dist"))
 
+  /** Sampled closeness — the 100-TB form of [[closeness]]: BFS from a
+    * deterministic ~1/mod sample of vertices (id % mod == 0) and
+    * estimate EVERY vertex's closeness from the distances of the
+    * sampled sources that reach it (undirected distances are
+    * symmetric, so d(s,v) stands in for d(v,s)). The standard
+    * Eppstein-Wang style estimator: cost O((V/mod)·E) and the pair
+    * state shrinks by the same factor — the exact form's
+    * (sources x reach-set) state is what dies at the second scale
+    * decade (sf10 probe: exact p57 exhausted execution memory at 100x;
+    * this form is the documented crossover). Integer (n_src, sum_dist)
+    * so the oracle gates it exactly; callers divide at the end.
+    */
+  def closenessSampled(pairs: DataFrame, maxDepth: Int, mod: Long): DataFrame =
+    multiSourceDistances(pairs, maxDepth, pmod(col("s"), lit(mod)) === 0)
+      .groupBy(col("v").as("id"))
+      .agg(count(lit(1)).as("n_src"), sum("dist").as("sum_dist"))
+
   /** Strongly connected components by mutual reachability: one
     * multi-source DIRECTED reachability closure (the allPairsDistances
     * frontier discipline — (s,v) pairs only, visited anti-join
@@ -318,12 +358,15 @@ object GraphAnalytics {
     * component's minimum vertex id.
     */
   def stronglyConnected(edges: DataFrame, maxDepth: Int): DataFrame = {
+    // same DISK_ONLY pair-state discipline as multiSourceDistances —
+    // the reachability closure is the quadratic structure here
+    import org.apache.spark.storage.StorageLevel
     val dir = edges.select(col("u").as("a"), col("v").as("b"))
       .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
     val verts = dir.select(col("a").as("x"))
       .unionAll(dir.select(col("b").as("x"))).distinct()
     var visited = verts.select(col("x").as("s"), col("x").as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -331,8 +374,9 @@ object GraphAnalytics {
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .select(col("s"), col("b").as("v")).distinct()
         .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited.unionAll(next).localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      visited = visited.unionAll(next)
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
       frontier = next
     }
     val swap = visited.select(col("v").as("s2"), col("s").as("v2"))

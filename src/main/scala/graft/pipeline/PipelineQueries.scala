@@ -809,7 +809,10 @@ object PipelineQueries {
       // expands all sources' level-k sets at once — diameter joins
       // total, not V of them; (n_reach, sum_dist) stays integer so
       // the oracle (recursive-CTE BFS) gates it exactly, callers
-      // divide for the float centrality at the end
+      // divide for the float centrality at the end. EXACT form: its
+      // (sources x reach-set) pair state grows quadratically on hub
+      // graphs (sf10 probe: memory-dead at 100x) — p117 is the sampled
+      // 100-TB form.
       val sup = load(s, d, "supplier")
         .select((col("s_suppkey") + 200000).as("u"),
           (col("s_nationkey") + 1000).as("v"))
@@ -817,6 +820,24 @@ object PipelineQueries {
         .select((col("n_nationkey") + 1000).as("u"),
           col("n_regionkey").as("v"))
       GraphAnalytics.closeness(sup.unionAll(nat), maxDepth = 4).orderBy("id")
+    },
+
+    // Sampled closeness (Eppstein-Wang style): BFS from the id % 17
+    // == 0 vertex sample only, estimate every vertex's closeness from
+    // sampled-source distances — O((V/17)·E) and 1/17th the pair
+    // state, the documented crossover once the exact p57 form's
+    // quadratic (sources x reach-set) state stops fitting (its sf10
+    // probe died; this form's probe survives). Same integer-exact
+    // (n_src, sum_dist) oracle discipline.
+    "p117_closeness_sampled" -> { (s, d) =>
+      val sup = load(s, d, "supplier")
+        .select((col("s_suppkey") + 200000).as("u"),
+          (col("s_nationkey") + 1000).as("v"))
+      val nat = load(s, d, "nation")
+        .select((col("n_nationkey") + 1000).as("u"),
+          col("n_regionkey").as("v"))
+      GraphAnalytics.closenessSampled(sup.unionAll(nat), maxDepth = 4,
+        mod = 17).orderBy("id")
     },
 
     "p58_stress" -> { (s, d) =>
@@ -3137,6 +3158,21 @@ object PipelineQueries {
         |SELECT s AS id, CAST(count(*) AS BIGINT) AS n_reach,
         |  CAST(sum(dist) AS BIGINT) AS sum_dist
         |FROM m GROUP BY s ORDER BY id""".stripMargin,
+    "p117_closeness_sampled" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT 200000 + s_suppkey AS a, 1000 + s_nationkey AS b
+        |  FROM supplier
+        |  UNION ALL SELECT 1000 + n_nationkey, n_regionkey FROM nation),
+        |dd AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        |r AS (
+        |  SELECT a AS s, b AS v, 1 AS d FROM dd WHERE a % 17 = 0
+        |  UNION
+        |  SELECT r.s, dd.b, r.d + 1 FROM r JOIN dd ON r.v = dd.a
+        |  WHERE r.d < 4),
+        |m AS (SELECT s, v, min(d) AS dist FROM r WHERE s <> v GROUP BY s, v)
+        |SELECT v AS id, CAST(count(*) AS BIGINT) AS n_src,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist
+        |FROM m GROUP BY v ORDER BY id""".stripMargin,
     "p56_span_corruption" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
         |  FROM documents WHERE doc_id < 200),

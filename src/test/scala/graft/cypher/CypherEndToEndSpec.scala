@@ -43,6 +43,22 @@ class CypherEndToEndSpec extends AnyFunSuite {
     s
   }
 
+  test("string literal unicode escapes: pairs combine, orphans error " +
+      "(scan.l <xeu> surrogate rules)") {
+    val got = rows(agens.cypher(
+      "RETURN '\\ud83d\\ude04 ok \\u00a9' AS s")).head.head.toString
+    assert(got.contains(new String(Character.toChars(0x1F604))) &&
+      got.contains("©"), got)
+    for (bad <- Seq("RETURN '\\ud83d' AS s", "RETURN '\\ud83dX' AS s",
+        "RETURN '\\ude04' AS s", "RETURN '\\ud83d\\ud83d' AS s")) {
+      val e = intercept[IllegalArgumentException](agens.cypher(bad).collect())
+      assert(e.getMessage.contains("surrogate"), s"$bad -> ${e.getMessage}")
+    }
+    val e0 = intercept[IllegalArgumentException](
+      agens.cypher("RETURN '\\u0000' AS s").collect())
+    assert(e0.getMessage.contains("invalid Unicode escape value"))
+  }
+
   test("F1: MATCH pattern join with property constraint + ORDER BY") {
     val df = agens.cypher(
       """MATCH (g:repo {name: 'agens-graph'})-[l]->(o)

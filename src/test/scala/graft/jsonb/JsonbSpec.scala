@@ -9,6 +9,29 @@ class JsonbSpec extends AnyFunSuite {
   private def j(s: String): JValue = Jsonb.parse(s)
   private def r(v: JValue): String = v.render
 
+  // --- unicode escape surrogates (json_encoding.out:49-68) ---
+  test("surrogate pairs combine; orphans and misorders error; \\u0000 errors") {
+    // valid pair decodes to the supplementary character
+    assert(j("\"\\ud83d\\ude04\"") == JStr(
+      new String(Character.toChars(0x1F604))))
+    // two high surrogates in a row
+    val e1 = intercept[IllegalArgumentException](j("\"\\ud83d\\ud83d\""))
+    assert(e1.getMessage.contains(
+      "Unicode high surrogate must not follow a high surrogate"))
+    // wrong order / orphan high / orphan low
+    for (bad <- Seq("\"\\ude04\\ud83d\"", "\"\\ud83dX\"", "\"\\ude04X\"",
+        "\"\\ud83d\"")) {
+      val e = intercept[IllegalArgumentException](j(bad))
+      assert(e.getMessage.contains(
+        "Unicode low surrogate must follow a high surrogate"), bad)
+    }
+    // \u0000 cannot be converted to text (jsonapi.c CODE_POINT_ZERO)
+    val e0 = intercept[IllegalArgumentException](j("\"\\u0000\""))
+    assert(e0.getMessage.contains("\\u0000"))
+    // simple escapes unaffected
+    assert(j("\"\\u0024 \\u00a9\"") == JStr("$ \u00a9"))
+  }
+
   // --- literals & canonical render (cypher_expr.out list/map literal) ---
   test("list literal renders PG-style") {
     assert(r(j("""[7, 7.0, "x", true, false, null, [0,1,2], {"p":"p"}]""")) ==

@@ -59,6 +59,21 @@ def main():
         print("  none")
     print(f"  probes: {len(ns)}  (old: {len(old.get('sf1_probe_10x', {}))})")
 
+    s10 = new.get("sf10_probe_100x", {})
+    if s10:
+        print("\n== sf10 spot probes (100x; linear = ~100x ratio) ==")
+        for k, v in sorted(s10.items(), key=lambda kv: -kv[1].get("ratio", 0)):
+            runs = ",".join(f"{r:.1f}" for r in v.get("runs", []))
+            print(f"  {k:36s} sf10={v['sec']:7.2f}s  ratio "
+                  f"{v.get('ratio', 0):6.1f}x  runs [{runs}]")
+
+    out = new.get("steady2_outliers", {})
+    if out:
+        print("\n== steady2 outliers (>3x pass-1, with in-run snapshot) ==")
+        for k, v in out.items():
+            print(f"  {k:36s} {v['steady1']:.2f} -> {v['steady2']:.2f}  "
+                  f"gc={v.get('gc_ms', -1)}ms  snap={v.get('snap', {})}")
+
     if "jvm" in new:
         print("\n== jvm section ==")
         for mark, snap in new["jvm"].items():
@@ -66,8 +81,9 @@ def main():
                 f"{k}={v}" for k, v in snap.items()))
 
     for err_src, err_d in (("old", old), ("new", new)):
-        if err_d.get("sf1_error"):
-            print(f"\n  {err_src} sf1_error: {err_d['sf1_error']}")
+        for field in ("sf1_error", "sf10_error"):
+            if err_d.get(field):
+                print(f"\n  {err_src} {field}: {err_d[field]}")
 
 
 if __name__ == "__main__":
