@@ -490,13 +490,20 @@ object Bench {
         val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_SF10_SHUFFLE", "256"))
+        // frontier pair-states go DISK_ONLY at this scale (see
+        // GraphAnalytics.stateLevel — MEMORY_AND_DISK starves the
+        // unified pool at 100x even under an 80 GB heap)
+        System.setProperty("graft.state.disk", "1")
         try {
           for (n <- probes if System.nanoTime() < deadline) probeOnce(n)
           System.gc(); Thread.sleep(200)
           for (n <- probes
                if System.nanoTime() < deadline && samples.contains(n))
             probeOnce(n)
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          System.clearProperty("graft.state.disk")
+        }
         sf10Samples = samples.toMap
         val dropped = probes.filterNot(samples.contains)
         if (dropped.nonEmpty)

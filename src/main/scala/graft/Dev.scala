@@ -149,6 +149,7 @@ object Dev {
         t("graph fixture")(pipeline.GraphQueries.session(spark, dir))
       spark.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SF10_SHUFFLE", "256"))
+      System.setProperty("graft.state.disk", "1")
       for (round <- 1 to 2; n <- names) {
         // Bench.runQuery's hygiene: drop the run's own checkpoint
         // blocks between runs or run 2 starts with run 1's pair-state

@@ -1174,6 +1174,36 @@ object JsonPath {
     case other => other
   }
 
+  /** Literal prefix every `like_regex` MATCH must start with, when the
+    * pattern proves one: anchored (`^...`), no flags (`i` breaks case
+    * parity, `m` re-anchors per line, `x`/`q` change parsing), no `|`
+    * anywhere (anchors bind tighter than alternation — `^ab|cd`
+    * matches "cd" with no prefix), and the prefix run stops before any
+    * metacharacter; a trailing `?`/`*`/`{` quantifier makes its
+    * preceding char optional, so it is dropped from the proof (`+`
+    * keeps it — one-or-more). The same planner trick PG plays turning
+    * anchored regexes into index range scans (indxpath.c prefix
+    * extraction); here it feeds the `__ps_` startsWith pushdown as a
+    * necessary conjunct (the regex itself still evaluates).
+    */
+  private[jsonb] def regexLiteralPrefix(pattern: String,
+      flags: String): Option[String] = {
+    if (flags.nonEmpty || !pattern.startsWith("^") ||
+        pattern.contains("|")) None
+    else {
+      val meta = "\\^$.?*+()[]{"
+      val sb = new StringBuilder
+      var i = 1
+      while (i < pattern.length && meta.indexOf(pattern.charAt(i)) < 0) {
+        sb += pattern.charAt(i); i += 1
+      }
+      if (i < pattern.length && "?*{".indexOf(pattern.charAt(i)) >= 0 &&
+          sb.nonEmpty)
+        sb.setLength(sb.length - 1)
+      if (sb.isEmpty) None else Some(sb.toString)
+    }
+  }
+
   /** Qualifying comparison leaves on the AND-SPINE of a predicate:
     * jsonpath `&&` is 3VL — the conjunction is TRUE only when BOTH
     * sides are TRUE — so every spine leaf is independently necessary.
@@ -1230,6 +1260,14 @@ object JsonPath {
           case StartsWith(e, Lit(JStr(s))) =>
             singleKey(e).map(k => (k, "startswith",
               Right(s): Either[java.math.BigDecimal, String]))
+          case lr: LikeRegex =>
+            // anchored-regex literal prefix: a TRUE match REQUIRES the
+            // prefix (find() with ^ and no m-flag matches input start
+            // only), so the startswith pushdown is a sound conjunct
+            singleKey(lr.e).flatMap(k =>
+              regexLiteralPrefix(lr.pattern, lr.flags).map(p =>
+                (k, "startswith",
+                  Right(p): Either[java.math.BigDecimal, String])))
           case _ => None
         }
         p.expr match {
@@ -1274,6 +1312,10 @@ object JsonPath {
               case StartsWith(e, Lit(JStr(s))) if isBareCur(e) =>
                 Some((k, "startswith",
                   Right(s): Either[java.math.BigDecimal, String]))
+              case lr: LikeRegex if isBareCur(lr.e) =>
+                regexLiteralPrefix(lr.pattern, lr.flags).map(p =>
+                  (k, "startswith",
+                    Right(p): Either[java.math.BigDecimal, String]))
               case _ => None
             }
             andSpine(pred, leaf)

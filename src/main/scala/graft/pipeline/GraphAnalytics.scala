@@ -17,6 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnalytics {
 
+  /** Storage level for the frontier loops' (source, vertex) pair-state
+    * checkpoints — the memory hog of the distance/closure family
+    * (reach sets multiply out on hub graphs). MEMORY_AND_DISK by
+    * default: fastest when the state fits, and evictable to disk when
+    * it does not (measured: DISK_ONLY doubled p57's sf1 time, 8.7s →
+    * 15.8s, by paying serialization on states that fit comfortably).
+    * Set SPARK_GRAFT_STATE_DISK=1 (env) or the `graft.state.disk`
+    * system property to force DISK_ONLY when a run's pair state must
+    * never compete with execution memory — measured at the 100x probe:
+    * MEMORY_AND_DISK checkpoint blocks pin the unified pool's
+    * protected region and starve the per-round aggregation maps
+    * ("unable to acquire ..., got 0") even at 80 GB, while DISK_ONLY
+    * completes (each round streams the previous round's pairs once,
+    * the access pattern disk is good at). The bench's sf10 phase and
+    * Dev's sf10 mode set the property around their probes.
+    */
+  private def stateLevel: org.apache.spark.storage.StorageLevel =
+    if (sys.props.get("graft.state.disk").contains("1") ||
+        sys.env.get("SPARK_GRAFT_STATE_DISK").contains("1"))
+      org.apache.spark.storage.StorageLevel.DISK_ONLY
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   /** Connected components over an undirected pair relation (da, db):
     * returns (id, comp) with comp = min member id — the same contract
     * as Dedup.clusters.
@@ -277,15 +299,6 @@ object GraphAnalytics {
     */
   def multiSourceDistances(pairs: DataFrame, maxDepth: Int,
       sourceFilter: Column): DataFrame = {
-    // the (s, v) pair states are the memory hog of this family (reach
-    // sets multiply out on hub graphs): checkpoint them DISK_ONLY so
-    // the loop's working set never competes with execution memory —
-    // MEMORY_AND_DISK checkpoint blocks pinned the unified pool's
-    // protected storage region and starved the per-round aggregation
-    // maps outright at the 100x probe ("unable to acquire ..., got 0").
-    // Each round streams the previous round's pairs once, the access
-    // pattern disk is good at; the small `dir` edge table stays hot.
-    import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
@@ -294,7 +307,7 @@ object GraphAnalytics {
       .localCheckpoint(true)
     var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
       .where(sourceFilter)
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, stateLevel)
     var frontier = visited
     var out: DataFrame = null
     var depth = 0
@@ -303,11 +316,11 @@ object GraphAnalytics {
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .select(col("s"), col("b").as("v")).distinct()
         .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        .localCheckpoint(true, stateLevel)
       val lvl = next.withColumn("dist", lit(depth.toLong))
       out = if (out == null) lvl else out.unionAll(lvl)
       visited = visited.unionAll(next)
-        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        .localCheckpoint(true, stateLevel)
       frontier = next
     }
     if (out == null)
@@ -358,15 +371,14 @@ object GraphAnalytics {
     * component's minimum vertex id.
     */
   def stronglyConnected(edges: DataFrame, maxDepth: Int): DataFrame = {
-    // same DISK_ONLY pair-state discipline as multiSourceDistances —
+    // same pair-state checkpoint discipline as multiSourceDistances —
     // the reachability closure is the quadratic structure here
-    import org.apache.spark.storage.StorageLevel
     val dir = edges.select(col("u").as("a"), col("v").as("b"))
       .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
     val verts = dir.select(col("a").as("x"))
       .unionAll(dir.select(col("b").as("x"))).distinct()
     var visited = verts.select(col("x").as("s"), col("x").as("v"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, stateLevel)
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -374,9 +386,9 @@ object GraphAnalytics {
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .select(col("s"), col("b").as("v")).distinct()
         .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        .localCheckpoint(true, stateLevel)
       visited = visited.unionAll(next)
-        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        .localCheckpoint(true, stateLevel)
       frontier = next
     }
     val swap = visited.select(col("v").as("s2"), col("s").as("v2"))

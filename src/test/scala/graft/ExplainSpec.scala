@@ -207,6 +207,18 @@ class ExplainSpec extends AnyFunSuite {
       "RETURN count(*) AS n").collect().head.get(0).toString.toLong
     assert(de.collect().head.get(0).toString.toLong == viaNative &&
       viaNative > 0)
+    // anchored like_regex derives a literal-prefix startswith guard
+    val dlr = s.cypher("MATCH (c:customer) WHERE jsonb_path_match(" +
+      """properties(c), '$.mktsegment like_regex "^BU[A-Z]+"') """ +
+      "RETURN count(*) AS n")
+    val plr = dlr.queryExecution.executedPlan.toString
+    assert(plr.contains("StringStartsWith(__ps_mktsegment,BU)") ||
+      plr.contains("StartsWith(__ps_mktsegment"), plr)
+    val viaPrefix = s.cypher("MATCH (c:customer) " +
+      "WHERE c.mktsegment STARTS WITH 'BU' RETURN count(*) AS n")
+      .collect().head.get(0).toString.toLong
+    assert(dlr.collect().head.get(0).toString.toLong == viaPrefix &&
+      viaPrefix > 0)
   }
 
   test("jsonpath filter: chained member path pushes the LEADING key guard") {

@@ -267,6 +267,51 @@ class PushdownSoundnessSpec extends AnyFunSuite {
     assert(trues > 300, s"fuzz exercised too few TRUE matches: $trues")
   }
 
+  test("like_regex anchored literal prefix: extraction rules + necessity") {
+    def pfx(p: String, f: String = "") = JsonPath.regexLiteralPrefix(p, f)
+    assert(pfx("^abc").contains("abc"))
+    assert(pfx("abc").isEmpty, "unanchored")
+    assert(pfx("^abc", "i").isEmpty, "case-fold breaks byte-prefix")
+    assert(pfx("^abc", "m").isEmpty, "m re-anchors per line")
+    assert(pfx("^ab|cd").isEmpty, "alternation outranks the anchor")
+    assert(pfx("^ab?c").contains("a"), "? makes b optional")
+    assert(pfx("^ab*c").contains("a"))
+    assert(pfx("^ab{0,2}").contains("a"))
+    assert(pfx("^ab+c").contains("ab"), "+ keeps its char")
+    assert(pfx("^a\\d+").contains("a"), "escape stops the scan")
+    assert(pfx("^(ab)c").isEmpty, "group before any literal")
+    assert(pfx("^.x").isEmpty)
+    assert(pfx("^").isEmpty)
+    // the extractor wires through both pushdown doors
+    assert(JsonPath.leadingLaxPredCmp("""$.k like_regex "^foo.*bar"""")
+      .contains(("k", "startswith", Right("foo"))))
+    assert(JsonPath.leadingLaxFilterCmp("""$.k ? (@ like_regex "^foo")""")
+      .contains(("k", "startswith", Right("foo"))))
+    // necessity fuzz: whenever a prefix is derived, a TRUE match
+    // implies the value startsWith it (the pushdown can never drop a
+    // qualifying row)
+    val pats = Vector("^abc", "^ab+c", "^ab?c", "^a\\d+", "^Cust[0-9]*",
+      "^日本.", "^x{1,3}y", "^ab*")
+    val vals = Vector("abc", "ab", "abbc", "ac", "a", "a7", "a77b",
+      "Cust123", "日本語", "xy", "xxxy", "zabc", "", "Xabc", "abX")
+    var trues = 0
+    for (p <- pats; v <- vals) {
+      val path = s"""$$.k like_regex "$p""""
+      JsonPath.leadingLaxPredCmp(path).collect {
+        case ("k", "startswith", Right(pre)) =>
+          val doc = Jsonb.mkObj(Seq("k" -> JStr(v)))
+          val m = JsonPath.matches(doc, path, null, silent = true,
+            useTz = false)
+          if (m == java.lang.Boolean.TRUE) {
+            trues += 1
+            assert(v.startsWith(pre),
+              s"match TRUE but pushdown would drop: v=$v pat=$p pre=$pre")
+          }
+      }
+    }
+    assert(trues > 10, s"fuzz exercised too few TRUE matches: $trues")
+  }
+
   test("pinned: codepoint order diverges from String.compareTo on " +
       "supplementary chars, and sort key / Jsonb.compare follow codepoints") {
     val bmp = "￿"
