@@ -287,16 +287,31 @@ final class Compiler(
     case StrPred(op, l, r) =>
       // a raw-string shred column feeds StringStartsWith/EndsWith/
       // Contains directly (all pushable parquet source filters)
-      val lt = (l match {
+      val shred = l match {
         case Prop(b, k) => shredded("s", b, k)
         case _ => None
-      }).getOrElse(J.asText(toJ(compile(l))))
+      }
+      val lt = shred.getOrElse(J.asText(toJ(compile(l))))
       val rt = J.asText(toJ(compile(r)))
       val c = op match {
         case "startswith" => lt.startsWith(rt)
         case "endswith"   => lt.endsWith(rt)
         case "contains"   => lt.contains(rt)
-        case "regex"      => lt.rlike_(rt)
+        case "regex"      =>
+          val base = lt.rlike_(rt)
+          // anchored literal-pattern prefix becomes a parquet-prunable
+          // startsWith conjunct (PG turns `~ '^foo'` into an index
+          // range scan the same way); RLike is an unanchored find with
+          // `^` = input start, so a TRUE match REQUIRES the prefix —
+          // NULL-parity holds (both sides NULL on a missing key)
+          (shred, stringLit(r)) match {
+            case (Some(sc), Some(pat)) =>
+              graft.jsonb.JsonPath.regexLiteralPrefix(pat, "") match {
+                case Some(p) => sc.startsWith(lit(p)) && base
+                case None => base
+              }
+            case _ => base
+          }
       }
       CE(c, KB)
 

@@ -1186,7 +1186,7 @@ object JsonPath {
     * extraction); here it feeds the `__ps_` startsWith pushdown as a
     * necessary conjunct (the regex itself still evaluates).
     */
-  private[jsonb] def regexLiteralPrefix(pattern: String,
+  private[graft] def regexLiteralPrefix(pattern: String,
       flags: String): Option[String] = {
     if (flags.nonEmpty || !pattern.startsWith("^") ||
         pattern.contains("|")) None

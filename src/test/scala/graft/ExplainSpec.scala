@@ -219,6 +219,12 @@ class ExplainSpec extends AnyFunSuite {
       .collect().head.get(0).toString.toLong
     assert(dlr.collect().head.get(0).toString.toLong == viaPrefix &&
       viaPrefix > 0)
+    // native Cypher =~ with an anchored pattern gets the same conjunct
+    val dre = s.cypher("MATCH (c:customer) " +
+      "WHERE c.mktsegment =~ '^BU[A-Z]+' RETURN count(*) AS n")
+    val pre2 = dre.queryExecution.executedPlan.toString
+    assert(pre2.contains("StartsWith(__ps_mktsegment"), pre2)
+    assert(dre.collect().head.get(0).toString.toLong == viaPrefix)
   }
 
   test("jsonpath filter: chained member path pushes the LEADING key guard") {
