@@ -84,16 +84,28 @@ object Parser {
                   // (scan.l:185,279 <xeu> state): a high surrogate
                   // must pair with an immediately following \u low
                   // surrogate; orphans error; code point zero errors
-                  // (text cannot hold NUL)
+                  // (text cannot hold NUL). Non-hex digits raise the
+                  // lexer's own error, never a raw NumberFormatException
+                  def hex4(at: Int, err: String): Int = {
+                    if (at + 4 > s.length)
+                      throw new IllegalArgumentException(err)
+                    var v = 0; var j = at
+                    while (j < at + 4) {
+                      val d = Character.digit(s.charAt(j), 16)
+                      if (d < 0) throw new IllegalArgumentException(err)
+                      v = v * 16 + d; j += 1
+                    }
+                    v
+                  }
+                  val ch = hex4(i + 2, "invalid Unicode escape")
                   val hex = s.substring(i + 2, i + 6)
-                  val ch = Integer.parseInt(hex, 16)
                   raw ++= hex
                   i += 4
                   if (ch >= 0xD800 && ch <= 0xDBFF) {
                     if (i + 8 <= s.length && s.charAt(i + 2) == '\\' &&
                         s.charAt(i + 3) == 'u') {
+                      val lo = hex4(i + 4, "invalid Unicode surrogate pair")
                       val hexLo = s.substring(i + 4, i + 8)
-                      val lo = Integer.parseInt(hexLo, 16)
                       if (lo >= 0xDC00 && lo <= 0xDFFF) {
                         cooked += ch.toChar; cooked += lo.toChar
                         raw ++= "\\u"; raw ++= hexLo

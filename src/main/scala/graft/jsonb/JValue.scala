@@ -172,13 +172,25 @@ object Jsonb {
               // (JsonbSortKeyRT) exactly order-parallel to
               // codepointCmp — String.getBytes(UTF_8) mangles lone
               // surrogates to '?'.
+              // non-hex digits are the lexer's own error, never a raw
+              // NumberFormatException leaking from parseInt
+              def hex4(at: Int): Int = {
+                if (at + 4 > s.length) fail("bad \\u escape")
+                var v = 0; var j = at
+                while (j < at + 4) {
+                  val d = Character.digit(s.charAt(j), 16)
+                  if (d < 0) fail("bad \\u escape")
+                  v = v * 16 + d; j += 1
+                }
+                v
+              }
               if (i + 4 >= s.length) fail("bad \\u escape")
-              val ch = Integer.parseInt(s.substring(i + 1, i + 5), 16)
+              val ch = hex4(i + 1)
               i += 5
               if (ch >= 0xD800 && ch <= 0xDBFF) {
                 if (i + 5 < s.length && s.charAt(i) == '\\' &&
                     s.charAt(i + 1) == 'u') {
-                  val lo = Integer.parseInt(s.substring(i + 2, i + 6), 16)
+                  val lo = hex4(i + 2)
                   if (lo >= 0xDC00 && lo <= 0xDFFF) {
                     sb += ch.toChar; sb += lo.toChar; i += 6
                   } else if (lo >= 0xD800 && lo <= 0xDBFF)
@@ -296,8 +308,15 @@ object Jsonb {
 
   // -------------------------------------------------------------- compare
 
-  /** Total order identical to jsonb btree compare
-    * (jsonb_util.c compareJsonbContainers + compareJsonbScalarValue).
+  /** Total order shaped like jsonb btree compare (jsonb_util.c
+    * compareJsonbContainers + compareJsonbScalarValue), with one
+    * deliberate divergence: strings order by CODEPOINT. The reference
+    * btree compares strings with varstr_cmp under the database default
+    * collation, so this order equals the reference's only under C
+    * collation (UTF-8 byte order); the jsonpath half (compareStrings,
+    * jsonpath_exec.c:2201) IS codepoint order, so that half is exact.
+    * The codepoint choice is what makes the `__ps_` shred pushdown
+    * exact: it equals UTF8String/parquet binary min/max order.
     */
   def compare(a: JValue, b: JValue): Int = {
     if (a.typeRank != b.typeRank) return Integer.compare(a.typeRank, b.typeRank)

@@ -177,13 +177,25 @@ object JsonPath {
               // jsonpath_scan.l via jsonapi's checks; expected texts
               // jsonpath_encoding.out:42-68): pairs combine, orphans
               // and misorders error, code point zero errors
+              // non-hex digits are the lexer's own error, never a raw
+              // NumberFormatException leaking from parseInt
+              def hex4(at: Int): Int = {
+                if (at + 4 > s.length) fail("bad \\u escape")
+                var v = 0; var j = at
+                while (j < at + 4) {
+                  val d = Character.digit(s.charAt(j), 16)
+                  if (d < 0) fail("bad \\u escape")
+                  v = v * 16 + d; j += 1
+                }
+                v
+              }
               if (i + 4 >= s.length) fail("bad \\u escape")
-              val ch = Integer.parseInt(s.substring(i + 1, i + 5), 16)
+              val ch = hex4(i + 1)
               i += 4
               if (ch >= 0xD800 && ch <= 0xDBFF) {
                 if (i + 6 < s.length && s.charAt(i + 1) == '\\' &&
                     s.charAt(i + 2) == 'u') {
-                  val lo = Integer.parseInt(s.substring(i + 3, i + 7), 16)
+                  val lo = hex4(i + 3)
                   if (lo >= 0xDC00 && lo <= 0xDFFF) {
                     sb += ch.toChar; sb += lo.toChar; i += 6
                   } else if (lo >= 0xD800 && lo <= 0xDBFF)
@@ -1198,8 +1210,15 @@ object JsonPath {
         sb += pattern.charAt(i); i += 1
       }
       if (i < pattern.length && "?*{".indexOf(pattern.charAt(i)) >= 0 &&
-          sb.nonEmpty)
+          sb.nonEmpty) {
+        // the quantifier's atom is one CODEPOINT (java.util.regex treats
+        // a supplementary pair as a single atom): dropping only the low
+        // surrogate would leave an orphan high surrogate that UTF8String
+        // encodes as '?', silently filtering rows the regex matches
         sb.setLength(sb.length - 1)
+        if (sb.nonEmpty && Character.isHighSurrogate(sb.charAt(sb.length - 1)))
+          sb.setLength(sb.length - 1)
+      }
       if (sb.isEmpty) None else Some(sb.toString)
     }
   }

@@ -50,10 +50,16 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(got.contains(new String(Character.toChars(0x1F604))) &&
       got.contains("©"), got)
     for (bad <- Seq("RETURN '\\ud83d' AS s", "RETURN '\\ud83dX' AS s",
-        "RETURN '\\ude04' AS s", "RETURN '\\ud83d\\ud83d' AS s")) {
+        "RETURN '\\ude04' AS s", "RETURN '\\ud83d\\ud83d' AS s",
+        // non-hex after a high surrogate: the lexer's own error,
+        // never a raw NumberFormatException from parseInt
+        "RETURN '\\ud83d\\uZZZZ' AS s")) {
       val e = intercept[IllegalArgumentException](agens.cypher(bad).collect())
       assert(e.getMessage.contains("surrogate"), s"$bad -> ${e.getMessage}")
     }
+    val eh = intercept[IllegalArgumentException](
+      agens.cypher("RETURN '\\uQQQQ' AS s").collect())
+    assert(eh.getMessage.contains("invalid Unicode escape"), eh.getMessage)
     val e0 = intercept[IllegalArgumentException](
       agens.cypher("RETURN '\\u0000' AS s").collect())
     assert(e0.getMessage.contains("invalid Unicode escape value"))

@@ -28,6 +28,15 @@ class JsonbSpec extends AnyFunSuite {
     // \u0000 cannot be converted to text (jsonapi.c CODE_POINT_ZERO)
     val e0 = intercept[IllegalArgumentException](j("\"\\u0000\""))
     assert(e0.getMessage.contains("\\u0000"))
+    // non-hex digits raise the json lexer's error (never a raw
+    // NumberFormatException), including right after a high surrogate
+    for (bad <- Seq("\"\\uZZZZ\"", "\"\\ud83d\\uZZZZ\"")) {
+      val e = intercept[IllegalArgumentException](j(bad))
+      assert(e.getMessage.contains("bad \\u escape"), s"$bad -> ${e.getMessage}")
+    }
+    // truncated low half -> the orphan-high structural error
+    val et = intercept[IllegalArgumentException](j("\"\\ud83d\\ude0"))
+    assert(et.getMessage.contains("surrogate"), et.getMessage)
     // simple escapes unaffected
     assert(j("\"\\u0024 \\u00a9\"") == JStr("$ \u00a9"))
   }

@@ -282,6 +282,16 @@ class PushdownSoundnessSpec extends AnyFunSuite {
     assert(pfx("^(ab)c").isEmpty, "group before any literal")
     assert(pfx("^.x").isEmpty)
     assert(pfx("^").isEmpty)
+    // a quantifier's atom is one CODEPOINT: dropping only the low
+    // surrogate of a supplementary char would leave an orphan high
+    // surrogate prefix (UTF8String encodes it as '?') that filters out
+    // rows the regex matches
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(pfx(s"^a$emoji?").contains("a"), "drop the WHOLE optional emoji")
+    assert(pfx(s"^$emoji?x").isEmpty, "lone optional emoji leaves nothing")
+    assert(pfx(s"^$emoji*").isEmpty)
+    assert(pfx(s"^$emoji+").contains(emoji), "+ keeps the full pair")
+    assert(pfx(s"^${emoji}b?").contains(emoji), "ASCII drop keeps the pair")
     // the extractor wires through both pushdown doors
     assert(JsonPath.leadingLaxPredCmp("""$.k like_regex "^foo.*bar"""")
       .contains(("k", "startswith", Right("foo"))))
@@ -291,9 +301,11 @@ class PushdownSoundnessSpec extends AnyFunSuite {
     // implies the value startsWith it (the pushdown can never drop a
     // qualifying row)
     val pats = Vector("^abc", "^ab+c", "^ab?c", "^a\\d+", "^Cust[0-9]*",
-      "^日本.", "^x{1,3}y", "^ab*")
+      "^日本.", "^x{1,3}y", "^ab*", s"^a$emoji?", s"^a$emoji*b",
+      s"^a$emoji+")
     val vals = Vector("abc", "ab", "abbc", "ac", "a", "a7", "a77b",
-      "Cust123", "日本語", "xy", "xxxy", "zabc", "", "Xabc", "abX")
+      "Cust123", "日本語", "xy", "xxxy", "zabc", "", "Xabc", "abX",
+      s"a$emoji", "ab", s"a${emoji}b", s"a$emoji$emoji")
     var trues = 0
     for (p <- pats; v <- vals) {
       val path = s"""$$.k like_regex "$p""""
