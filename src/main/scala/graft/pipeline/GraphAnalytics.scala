@@ -33,9 +33,28 @@ object GraphAnalytics {
     * the access pattern disk is good at). The bench's sf10 phase and
     * Dev's sf10 mode set the property around their probes.
     */
+  private def forcedDisk: Boolean =
+    sys.props.get("graft.state.disk").contains("1") ||
+      sys.env.get("SPARK_GRAFT_STATE_DISK").contains("1")
+
   private def stateLevel: org.apache.spark.storage.StorageLevel =
-    if (sys.props.get("graft.state.disk").contains("1") ||
-        sys.env.get("SPARK_GRAFT_STATE_DISK").contains("1"))
+    if (forcedDisk) org.apache.spark.storage.StorageLevel.DISK_ONLY
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Auto-selected pair-state level: DISK_ONLY once the projected pair
+    * state would occupy more than a quarter of the unified pool —
+    * cached MEMORY_AND_DISK blocks pin the pool's protected region and
+    * starve the per-round join/aggregation maps long before the blocks
+    * themselves stop fitting (the measured 100× failure mode), while
+    * DISK_ONLY streams each round's pairs once, which disk serves
+    * fine. Below that, MEMORY_AND_DISK (measured ~2× faster when the
+    * state fits comfortably: p57 sf1 8.7 s vs 15.8 s). The manual
+    * forced-disk knob still wins so harnesses can pin a level.
+    */
+  private[pipeline] def pickLevel(spark: SparkSession,
+      estRows: Long): org.apache.spark.storage.StorageLevel =
+    if (forcedDisk ||
+        estRows * ScaleGuard.BytesPerPair > ScaleGuard.budgetBytes(spark) / 4)
       org.apache.spark.storage.StorageLevel.DISK_ONLY
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -299,28 +318,51 @@ object GraphAnalytics {
     */
   def multiSourceDistances(pairs: DataFrame, maxDepth: Int,
       sourceFilter: Column): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .where(col("a") =!= col("b")).distinct()
     val dir = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
+    // degree table for the per-round pre-flight projection (see loop)
+    val deg = dir.groupBy(col("a").as("_dv")).agg(count(lit(1)).as("_deg"))
+      .localCheckpoint(true)
     var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
       .where(sourceFilter)
       .localCheckpoint(true, stateLevel)
+    var visitedRows = visited.count()
     var frontier = visited
+    var frontierRows = visitedRows
     var out: DataFrame = null
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierRows > 0) {
       depth += 1
+      // pre-flight BEFORE the round's join: Σ_v nf(v)·deg(v) is the
+      // round's exact pre-prune join output — degree-aware, so hub
+      // blow-ups (the graphs the exact closure dies on) are seen at
+      // the price of one small aggregation, and the guard fails loud
+      // in seconds instead of exhausting memory mid-join
+      val projected = frontier.groupBy(col("v")).agg(count(lit(1)).as("_nf"))
+        .join(deg, col("v") === col("_dv"))
+        .agg(coalesce(sum(col("_nf") * col("_deg")), lit(0L)).as("_p"))
+        .first().getLong(0)
+      ScaleGuard.check(spark, visitedRows + projected,
+        s"the exact multi-source distance closure (round $depth)",
+        "the sampled-source form — GraphAnalytics.closenessSampled " +
+        "(Eppstein-Wang, p117 shape) or a sourceFilter restricting " +
+        "BFS sources")
+      val level = pickLevel(spark, visitedRows + projected)
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .select(col("s"), col("b").as("v")).distinct()
         .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true, stateLevel)
+        .localCheckpoint(true, level)
+      frontierRows = next.count()
       val lvl = next.withColumn("dist", lit(depth.toLong))
       out = if (out == null) lvl else out.unionAll(lvl)
       visited = visited.unionAll(next)
-        .localCheckpoint(true, stateLevel)
+        .localCheckpoint(true, level)
+      visitedRows += frontierRows
       frontier = next
     }
     if (out == null)
@@ -372,23 +414,40 @@ object GraphAnalytics {
     */
   def stronglyConnected(edges: DataFrame, maxDepth: Int): DataFrame = {
     // same pair-state checkpoint discipline as multiSourceDistances —
-    // the reachability closure is the quadratic structure here
+    // the reachability closure is the quadratic structure here, so it
+    // gets the same per-round pre-flight guard + auto disk level
+    val spark = edges.sparkSession
     val dir = edges.select(col("u").as("a"), col("v").as("b"))
       .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val deg = dir.groupBy(col("a").as("_dv")).agg(count(lit(1)).as("_deg"))
+      .localCheckpoint(true)
     val verts = dir.select(col("a").as("x"))
       .unionAll(dir.select(col("b").as("x"))).distinct()
     var visited = verts.select(col("x").as("s"), col("x").as("v"))
       .localCheckpoint(true, stateLevel)
+    var visitedRows = visited.count()
     var frontier = visited
+    var frontierRows = visitedRows
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierRows > 0) {
       depth += 1
+      val projected = frontier.groupBy(col("v")).agg(count(lit(1)).as("_nf"))
+        .join(deg, col("v") === col("_dv"))
+        .agg(coalesce(sum(col("_nf") * col("_deg")), lit(0L)).as("_p"))
+        .first().getLong(0)
+      ScaleGuard.check(spark, visitedRows + projected,
+        s"the exact mutual-reachability closure (stronglyConnected, round $depth)",
+        "a lower maxDepth cap, or pre-collapsing dense regions " +
+        "(label propagation / connected components) before the closure")
+      val level = pickLevel(spark, visitedRows + projected)
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .select(col("s"), col("b").as("v")).distinct()
         .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true, stateLevel)
+        .localCheckpoint(true, level)
+      frontierRows = next.count()
       visited = visited.unionAll(next)
-        .localCheckpoint(true, stateLevel)
+        .localCheckpoint(true, level)
+      visitedRows += frontierRows
       frontier = next
     }
     val swap = visited.select(col("v").as("s2"), col("s").as("v2"))
@@ -408,27 +467,44 @@ object GraphAnalytics {
     * in visited). Integer-exact. Returns (s, v, dist, sigma), s ≠ v.
     */
   def shortestPathCounts(pairs: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .where(col("a") =!= col("b")).distinct()
     val dir = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
+    val deg = dir.groupBy(col("a").as("_dv")).agg(count(lit(1)).as("_deg"))
       .localCheckpoint(true)
+    var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
+      .localCheckpoint(true, stateLevel)
+    var visitedRows = visited.count()
     var frontier = visited.withColumn("sigma", lit(1L))
+    var frontierRows = visitedRows
     var out: DataFrame = null
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierRows > 0) {
       depth += 1
+      val projected = frontier.groupBy(col("v")).agg(count(lit(1)).as("_nf"))
+        .join(deg, col("v") === col("_dv"))
+        .agg(coalesce(sum(col("_nf") * col("_deg")), lit(0L)).as("_p"))
+        .first().getLong(0)
+      ScaleGuard.check(spark, visitedRows + projected,
+        s"the exact shortest-path-count closure (Brandes sigma, round $depth)",
+        "restricting the source set via the `pairs` input " +
+        "(sampled-source Brandes), or a lower maxDepth")
+      val level = pickLevel(spark, visitedRows + projected)
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .groupBy(col("s"), col("b").as("v"))
         .agg(sum("sigma").as("sigma"))
         .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(true, level)
+      frontierRows = next.count()
       val lvl = next.withColumn("dist", lit(depth.toLong))
       out = if (out == null) lvl else out.unionAll(lvl)
-      visited = visited.unionAll(next.select("s", "v")).localCheckpoint(true)
+      visited = visited.unionAll(next.select("s", "v"))
+        .localCheckpoint(true, level)
+      visitedRows += frontierRows
       frontier = next
     }
     if (out == null)

@@ -1289,6 +1289,14 @@ object PipelineQueries {
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
         .localCheckpoint(true) // both wedge sides share the one shuffle
+      // loud pre-flight: the exact co-occurrence join emits
+      // Σ deg·(deg−1)/2 pairs — quadratic per basket — and dies at the
+      // 100× probe (measured 1.31e9 wedges); fail fast naming the
+      // capped twin instead of exhausting memory mid-join
+      ScaleGuard.guardWedges(cp, "c",
+        what = "the exact co-purchase self-join (p75 shape)",
+        twin = "the degree-capped wedge (p114 shape: filter middle " +
+          "vertices to deg <= cap before the join)")
       cp.alias("x").join(cp.alias("y"),
           col("x.c") === col("y.c") && col("x.p") < col("y.p"))
         .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
@@ -1576,6 +1584,12 @@ object PipelineQueries {
       val deg = cp.groupBy("p").agg(count(lit(1)).as("dp"))
         .withColumn("term", round(round(lit(1.0) / log(col("dp")), 6) * 1e6, 0)
           .cast("long"))
+      // loud pre-flight (same measured 100× hazard as p75): the exact
+      // wedge join through uncapped part middles is quadratic per hub
+      ScaleGuard.guardWedges(cp, "p",
+        what = "the exact Adamic-Adar wedge join (p107 shape)",
+        twin = "the degree-capped form p114_aa_degree_capped (same " +
+          "query with middle deg capped)")
       val cpT = cp.join(deg.select("p", "term"), "p") // same key as the self-join
       val wedges = cpT.alias("x")
         .join(cp.alias("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
