@@ -25,11 +25,15 @@ import org.apache.spark.sql.functions._
   *   misses exactly the graphs that die).
   *
   * Threshold: `spark.graft.pairState.max` (rows; ≤ 0 disables), default
-  * unified-pool bytes / 64 — ~48 serialized bytes per cached pair row
-  * plus join/aggregation scratch headroom. On the measured 100× probe
-  * box (80 GB heap → ~47 GB pool → ~740 M rows) the exact forms
-  * project 1.3–2 e9 rows and trip; every green suite query at
-  * sf ≤ 1 projects well under the default.
+  * 16 M rows × defaultParallelism. The calibration axis is per-core
+  * state, not pool bytes: the measured first-decade-green and
+  * second-decade-fatal runs have the SAME rows-per-pool-byte density
+  * (p75 sf1: 131 M wedges / 4.6 GB pool, green at 2.5 s; p75 sf10:
+  * 1.31 e9 / 47 GB, dead after 878 s), so a pool-proportional cap
+  * cannot separate them — per-core state can (~4 M/core lives,
+  * ~41 M/core dies; 16 M/core splits the decades with margin both
+  * ways). On a real cluster the cap scales with total cores, which is
+  * how the state actually distributes.
   */
 object ScaleGuard {
 
@@ -50,14 +54,16 @@ object ScaleGuard {
     spark.sparkContext.getExecutorMemoryStatus.values.map(_._1).sum
 
   /** Resolved row threshold: the conf (session conf or system
-    * property), else unified-pool bytes / 64 with a 16 M-row floor so
-    * small test heaps never trip on healthy suite states.
+    * property), else 16 M rows per core (see the calibration note in
+    * the object doc — per-core state is the axis that separates the
+    * measured-green first decade from the measured-fatal second).
     */
   def maxPairRows(spark: SparkSession): Long =
     spark.conf.getOption(ConfKey)
       .orElse(sys.props.get(ConfKey))
       .map(_.trim.toLong)
-      .getOrElse(math.max(16L << 20, budgetBytes(spark) / 64))
+      .getOrElse(
+        (16L << 20) * math.max(1, spark.sparkContext.defaultParallelism))
 
   /** Throw the loud guard error when `estRows` exceeds the cap. */
   def check(spark: SparkSession, estRows: Long, what: String,

@@ -98,10 +98,14 @@ class ScaleGuardSpec extends AnyFunSuite {
     }
   }
 
-  test("default cap derives from the unified pool with a 16M-row floor") {
+  test("default cap is 16M rows per core (the decade-separating axis)") {
     val m = ScaleGuard.maxPairRows(spark)
-    assert(m >= (16L << 20), s"floor: $m")
-    assert(m >= ScaleGuard.budgetBytes(spark) / 64, s"pool-derived: $m")
+    assert(m == (16L << 20) *
+      math.max(1, spark.sparkContext.defaultParallelism), s"default: $m")
+    // the measured-green first decade clears it, the measured-fatal
+    // second decade trips it, on the bench's own 32-core shape
+    val cap32 = (16L << 20) * 32
+    assert(131000000L < cap32 && 1310000000L > cap32)
   }
 
   test("pickLevel: DISK_ONLY past a quarter of the pool, else memory") {
