@@ -226,13 +226,21 @@ object Bench {
     val steady2Outliers =
       new scala.collection.mutable.LinkedHashMap[String, String]()
     val lastGcMs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    // last failure per query: a guard-tripped probe (the pair-state
+    // pre-flight failing FAST by design) must be distinguishable from
+    // a crash on the probe boards
+    val lastErr = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, dir).count(); true }
-        catch { case _: Throwable => false }
+        catch { case e: Throwable =>
+          lastErr.put(name, (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(160))
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       lastGcMs.put(name, gcMillis() - gc0)
       try spark.sharedState.cacheManager.clearCache()
@@ -305,6 +313,11 @@ object Bench {
     val results =
       if (sf10Only) sf10OnlyProbes.filter(SparkEntry.queries.contains).map {
         n =>
+          // one UNTIMED warm run first — the same cold/steady split as
+          // the main suite: without it the first timed denominator pays
+          // codegen/compile, inflating the denominator and understating
+          // the 100x ratio for fast queries
+          runQuery(n, SparkEntry.queries(n), benchDir)
           val a = runQuery(n, SparkEntry.queries(n), benchDir)
           val b = runQuery(n, SparkEntry.queries(n), benchDir)
           n -> (if (a > 0 && b > 0) math.min(a, b) else math.max(a, b))
@@ -523,6 +536,64 @@ object Bench {
         catch { case _: Throwable => () }
       }
     jvmMarks("after_sf10") = jvmSnap()
+    def escErr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+    // ------------------------- second-decade artifact: bench_sf10.json
+    // sf10 results live in their OWN merged file: a plain bench run
+    // must never drop the second-decade board (r9: the driver's
+    // non-sf10 run overwrote bench_full.json and lost the committed
+    // sf10_probe_100x section — the evidence survived only in git
+    // history). Per-probe merge: probes measured this run replace
+    // their row, everything else is preserved, so targeted
+    // SPARK_GRAFT_SF10_PROBES runs accumulate a complete board.
+    val sf10RowBodies: Seq[(String, String)] = sf10Times.map { case (n, v) =>
+      val base = results.collectFirst { case (bn, bv) if bn == n => bv }
+      val den = base.filter(_ > 0.005)
+        .map(b => s""","den":${f(b)}""").getOrElse("")
+      val ratio = base.filter(b => b > 0.005 && v > 0)
+        .map(b => s""","ratio":${f(v / b)}""").getOrElse("")
+      val runs = sf10Samples.getOrElse(n, Nil)
+      val detail = if (runs.isEmpty) "" else
+        s""","runs":[${runs.map(r => f(r._1)).mkString(",")}]""" +
+          s""","gc_ms":[${runs.map(_._2).mkString(",")}]"""
+      val err = if (v < 0)
+        Option(lastErr.get(n)).map(e => s""","err":"${escErr(e)}"""")
+          .getOrElse("")
+      else ""
+      n -> s"""{"sec":${f(v)}$ratio$den$detail$err}"""
+    }
+    if (sf10RowBodies.nonEmpty) try {
+      import scala.jdk.CollectionConverters._
+      val path = java.nio.file.Paths.get("bench_sf10.json")
+      val old = new scala.collection.mutable.LinkedHashMap[String, String]()
+      var oldNote: String = null
+      if (java.nio.file.Files.exists(path)) {
+        var in = false
+        java.nio.file.Files.readAllLines(path).asScala.foreach { ln =>
+          val t = ln.trim
+          if (t.startsWith("\"sf10_probe_100x\"")) in = true
+          else if (in && t.startsWith("}")) in = false
+          else if (in && t.startsWith("\"")) {
+            val name = t.drop(1).takeWhile(_ != '"')
+            old(name) = t.substring(t.indexOf(':', name.length + 2) + 1)
+              .trim.stripSuffix(",")
+          } else if (t.startsWith("\"note\":"))
+            oldNote = t.stripPrefix("\"note\":").trim.stripSuffix(",")
+        }
+      }
+      sf10RowBodies.foreach { case (n, body) => old(n) = body }
+      val note = sys.env.get("SPARK_GRAFT_SF10_NOTE")
+        .map(n => "\"" + escErr(n) + "\"")
+        .getOrElse(if (oldNote != null) oldNote else "\"\"")
+      java.nio.file.Files.writeString(path,
+        s"""{\n  "note": $note,\n  "sf10_probe_100x": {\n""" +
+          old.map { case (k, v) => s"""    "$k": $v""" }.mkString(",\n") +
+          "\n  }\n}\n")
+    } catch { case _: Throwable => () }
     // Full per-query detail (long names, cold + both steady runs) goes
     // to a FILE — the harness captures only a bounded tail (~2.4 KB) of
     // stdout, which a 150+-entry long-name line no longer fits (round
@@ -553,22 +624,6 @@ object Bench {
             s""","gc_ms":[${runs.map(_._2).mkString(",")}]"""
         s"""    "$n": {"sec":${f(v)}$ratio$detail}"""
       }
-      val sf10Rows = sf10Times.map { case (n, v) =>
-        val base = results.collectFirst { case (bn, bv) if bn == n => bv }
-        val ratio = base.filter(b => b > 0.005 && v > 0)
-          .map(b => s""","ratio":${f(v / b)}""").getOrElse("")
-        val runs = sf10Samples.getOrElse(n, Nil)
-        val detail = if (runs.isEmpty) "" else
-          s""","runs":[${runs.map(r => f(r._1)).mkString(",")}]""" +
-            s""","gc_ms":[${runs.map(_._2).mkString(",")}]"""
-        s"""    "$n": {"sec":${f(v)}$ratio$detail}"""
-      }
-      def escErr(s: String): String = s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      }
       val errField =
         (if (sf1Error != null) s""",\n  "sf1_error": "${escErr(sf1Error)}""""
          else "") +
@@ -578,11 +633,11 @@ object Bench {
         .mkString(",\n")
       val outlierSection = steady2Outliers
         .map { case (k, v) => s"""    "$k": $v""" }.mkString(",\n")
-      val sf10Section = if (sf10Rows.isEmpty) "" else
-        s"""  "sf10_probe_100x": {\n${sf10Rows.mkString(",\n")}\n  },\n"""
+      // second-decade rows live in bench_sf10.json (merged per probe,
+      // never dropped by a plain run); this file carries the pointer
       s"""{\n  "sf": "$sfDir",\n  "queries": {\n${rows.mkString(",\n")}\n  },\n""" +
         s"""  "sf1_probe_10x": {\n${sf1Rows.mkString(",\n")}\n  },\n""" +
-        sf10Section +
+        s"""  "sf10_file": "bench_sf10.json",\n""" +
         s"""  "steady2_outliers": {\n$outlierSection\n  },\n""" +
         s"""  "jvm": {\n$jvmSection\n  }$errField\n}\n"""
     }
@@ -618,15 +673,30 @@ object Bench {
     // stdout stays bounded: the probe error rides as a short flag here,
     // full text is in bench_full.json
     val sf1Flag = if (sf1Error != null) s""","sf1_error":true""" else ""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-      s""""families":$fams,"n_queries":${results.length},""" +
-      s""""cold_total_sec":${f(coldTotal)},"sf1_10x":$sf1Json,""" +
-      s""""sf1_probes":${sf1Times.length},"sf1_max_ratio":${f(sf1Max)}$sf1Flag,""" +
-      s""""sf":"$sfDir","full":"bench_full.json"}""")
-    System.out.flush()
-    spark.stop()
+    val summary =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+        s""""families":$fams,"n_queries":${results.length},""" +
+        s""""cold_total_sec":${f(coldTotal)},"sf1_10x":$sf1Json,""" +
+        s""""sf1_probes":${sf1Times.length},"sf1_max_ratio":${f(sf1Max)}$sf1Flag,""" +
+        s""""sf":"$sfDir","full":"bench_full.json"}"""
+    // the summary also goes to a FILE the harness can read directly —
+    // a stdout scrape must never be the only copy (r9: BENCH_r09.json
+    // parsed null even though the run finished green)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
+    catch { case _: Throwable => () }
     // the re-laid-out table copy is bench-local scratch — reclaim it
     if (benchDir != sfDir) try deleteRec(java.nio.file.Paths.get(benchDir))
     catch { case _: Throwable => () }
+    // Shutdown ORDER matters for the stdout parse: r9's summary line
+    // was pushed out of the harness's bounded tail capture by a
+    // RejectedExecutionException storm from executor pools tearing
+    // down at JVM exit. Stop Spark FIRST (awaits context shutdown),
+    // let straggler pool threads drain, and only then print the
+    // summary — the last thing this process writes.
+    try spark.stop() catch { case _: Throwable => () }
+    try { System.gc(); Thread.sleep(800) } catch { case _: Throwable => () }
+    println(summary)
+    System.out.flush()
   }
 }

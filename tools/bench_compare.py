@@ -59,13 +59,23 @@ def main():
         print("  none")
     print(f"  probes: {len(ns)}  (old: {len(old.get('sf1_probe_10x', {}))})")
 
+    # second-decade rows live in their own merged artifact (a plain
+    # bench run never drops them); fall back to an embedded section for
+    # pre-r10 files
     s10 = new.get("sf10_probe_100x", {})
+    if not s10:
+        import os
+        p = os.path.join(os.path.dirname(os.path.abspath(sys.argv[2])),
+                         "bench_sf10.json")
+        if os.path.exists(p):
+            s10 = json.load(open(p)).get("sf10_probe_100x", {})
     if s10:
         print("\n== sf10 spot probes (100x; linear = ~100x ratio) ==")
         for k, v in sorted(s10.items(), key=lambda kv: -kv[1].get("ratio", 0)):
             runs = ",".join(f"{r:.1f}" for r in v.get("runs", []))
+            err = f"  ERR {v['err']}" if v.get("err") else ""
             print(f"  {k:36s} sf10={v['sec']:7.2f}s  ratio "
-                  f"{v.get('ratio', 0):6.1f}x  runs [{runs}]")
+                  f"{v.get('ratio', 0):6.1f}x  runs [{runs}]{err}")
 
     out = new.get("steady2_outliers", {})
     if out:
