@@ -400,6 +400,26 @@ object GraphAnalytics {
       .groupBy(col("v").as("id"))
       .agg(count(lit(1)).as("n_src"), sum("dist").as("sum_dist"))
 
+  /** Fixed-source-COUNT sampled closeness — the documented 100-TB
+    * default. [[closenessSampled]] fixes the sample RATE (constant
+    * mod), so the source count grows ∝ V and total work ∝ V·E/mod —
+    * still superlinear in data. This form fixes the source COUNT:
+    * mod = max(1, V/k) computed from one vertex-count aggregate, so
+    * ~k BFS sources regardless of scale and total work ∝ k·E —
+    * strictly linear in the data, the estimator variance the only
+    * thing that changes with scale (Eppstein-Wang: error bounds
+    * depend on sample COUNT, which is exactly what is held fixed).
+    */
+  def closenessSampledK(pairs: DataFrame, maxDepth: Int, k: Long): DataFrame = {
+    val verts = pairs
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b"))
+    val v = verts.select(explode(array(col("a"), col("b"))).as("x"))
+      .agg(countDistinct(col("x"))).first().getLong(0)
+    closenessSampled(pairs, maxDepth, math.max(1L, v / k))
+  }
+
   /** Strongly connected components by mutual reachability: one
     * multi-source DIRECTED reachability closure (the allPairsDistances
     * frontier discipline — (s,v) pairs only, visited anti-join

@@ -840,6 +840,25 @@ object PipelineQueries {
         mod = 17).orderBy("id")
     },
 
+    // Fixed-source-COUNT sampled closeness — the 100-TB default form.
+    // p117's fixed RATE (mod = 17) grows sources ∝ V, so work is still
+    // ∝ V·E/17 (its sf10 probe ran ~linear·V, ~90x). Fixing the COUNT
+    // (mod = max(1, V/16) from one vertex-count aggregate) pins ~16 BFS
+    // sources at every scale: work ∝ 16·E, strictly linear in data —
+    // only the estimator's variance changes with V, and Eppstein-Wang
+    // error bounds depend on the sample COUNT anyway. The oracle
+    // derives the same mod from the same count, so results stay exact.
+    "p118_closeness_fixed_count" -> { (s, d) =>
+      val sup = load(s, d, "supplier")
+        .select((col("s_suppkey") + 200000).as("u"),
+          (col("s_nationkey") + 1000).as("v"))
+      val nat = load(s, d, "nation")
+        .select((col("n_nationkey") + 1000).as("u"),
+          col("n_regionkey").as("v"))
+      GraphAnalytics.closenessSampledK(sup.unionAll(nat), maxDepth = 4,
+        k = 16).orderBy("id")
+    },
+
     "p58_stress" -> { (s, d) =>
       // Stress centrality (integer betweenness-family): shortest-path
       // COUNTS ride the multi-source BFS frontier (per-level sigma
@@ -3180,6 +3199,23 @@ object PipelineQueries {
         |dd AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
         |r AS (
         |  SELECT a AS s, b AS v, 1 AS d FROM dd WHERE a % 17 = 0
+        |  UNION
+        |  SELECT r.s, dd.b, r.d + 1 FROM r JOIN dd ON r.v = dd.a
+        |  WHERE r.d < 4),
+        |m AS (SELECT s, v, min(d) AS dist FROM r WHERE s <> v GROUP BY s, v)
+        |SELECT v AS id, CAST(count(*) AS BIGINT) AS n_src,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist
+        |FROM m GROUP BY v ORDER BY id""".stripMargin,
+    "p118_closeness_fixed_count" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT 200000 + s_suppkey AS a, 1000 + s_nationkey AS b
+        |  FROM supplier
+        |  UNION ALL SELECT 1000 + n_nationkey, n_regionkey FROM nation),
+        |dd AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        |vc AS (SELECT greatest(1, count(DISTINCT a) // 16) AS md FROM dd),
+        |r AS (
+        |  SELECT a AS s, b AS v, 1 AS d FROM dd
+        |  WHERE a % (SELECT md FROM vc) = 0
         |  UNION
         |  SELECT r.s, dd.b, r.d + 1 FROM r JOIN dd ON r.v = dd.a
         |  WHERE r.d < 4),
