@@ -25,15 +25,19 @@ import org.apache.spark.sql.functions._
   *   misses exactly the graphs that die).
   *
   * Threshold: `spark.graft.pairState.max` (rows; ≤ 0 disables), default
-  * 16 M rows × defaultParallelism. The calibration axis is per-core
+  * 11 M rows × defaultParallelism. The calibration axis is per-core
   * state, not pool bytes: the measured first-decade-green and
   * second-decade-fatal runs have the SAME rows-per-pool-byte density
   * (p75 sf1: 131 M wedges / 4.6 GB pool, green at 2.5 s; p75 sf10:
   * 1.31 e9 / 47 GB, dead after 878 s), so a pool-proportional cap
-  * cannot separate them — per-core state can (~4 M/core lives,
-  * ~41 M/core dies; 16 M/core splits the decades with margin both
-  * ways). On a real cluster the cap scales with total cores, which is
-  * how the state actually distributes.
+  * cannot separate them — per-core state can. 11 M/core leaves ~2.8×
+  * margin over the largest measured-green state (p75 sf1 ≈ 4 M/core)
+  * and trips the smallest state on a measured-fatal path BEFORE it
+  * materializes (p57 sf10's round-2 expansion projects ~12.5 M/core —
+  * the exact closeness form's first big round; tripping there is what
+  * makes the failure seconds, not minutes of disk-backed state build).
+  * On a real cluster the cap scales with total cores, which is how
+  * the state actually distributes.
   */
 object ScaleGuard {
 
@@ -54,7 +58,7 @@ object ScaleGuard {
     spark.sparkContext.getExecutorMemoryStatus.values.map(_._1).sum
 
   /** Resolved row threshold: the conf (session conf or system
-    * property), else 16 M rows per core (see the calibration note in
+    * property), else 11 M rows per core (see the calibration note in
     * the object doc — per-core state is the axis that separates the
     * measured-green first decade from the measured-fatal second).
     */
@@ -63,7 +67,7 @@ object ScaleGuard {
       .orElse(sys.props.get(ConfKey))
       .map(_.trim.toLong)
       .getOrElse(
-        (16L << 20) * math.max(1, spark.sparkContext.defaultParallelism))
+        (11L << 20) * math.max(1, spark.sparkContext.defaultParallelism))
 
   /** Throw the loud guard error when `estRows` exceeds the cap. */
   def check(spark: SparkSession, estRows: Long, what: String,
@@ -72,9 +76,9 @@ object ScaleGuard {
     if (max > 0 && estRows > max)
       throw new IllegalStateException(
         s"pair-state guard: $what projects ~$estRows quadratic state " +
-        s"rows, above $ConfKey = $max (default: unified-pool bytes / " +
-        s"$BytesPerPair-byte pairs with headroom). This state exhausts " +
-        "executor memory at scale (measured: the exact forms die at " +
+        s"rows, above $ConfKey = $max (default: 11M rows per core). " +
+        "This state exhausts executor memory at scale (measured: the " +
+        "exact forms die at " +
         s"the 100x probe). Use the scale twin instead: $twin. To " +
         s"proceed anyway, raise the cap (set $ConfKey to a larger row " +
         "count) or disable it (set it <= 0).")

@@ -98,14 +98,19 @@ class ScaleGuardSpec extends AnyFunSuite {
     }
   }
 
-  test("default cap is 16M rows per core (the decade-separating axis)") {
+  test("default cap is 11M rows per core (the decade-separating axis)") {
     val m = ScaleGuard.maxPairRows(spark)
-    assert(m == (16L << 20) *
+    assert(m == (11L << 20) *
       math.max(1, spark.sparkContext.defaultParallelism), s"default: $m")
-    // the measured-green first decade clears it, the measured-fatal
-    // second decade trips it, on the bench's own 32-core shape
-    val cap32 = (16L << 20) * 32
-    assert(131000000L < cap32 && 1310000000L > cap32)
+    // on the bench's own 32-core shape: the largest measured-green
+    // state (p75 sf1 wedges, 131M) clears it with ~2.8x margin; the
+    // smallest state on a measured-fatal path (p57 sf10 round-2
+    // projection: 100k suppliers x deg(nation)=4001 ≈ 4.004e8) and the
+    // measured-fatal wedge count (1.31e9) trip it
+    val cap32 = (11L << 20) * 32
+    assert(131000000L < cap32, "p75 sf1 green")
+    assert(400400000L > cap32, "p57 sf10 round-2 trips pre-materialize")
+    assert(1310000000L > cap32, "p75 sf10 trips")
   }
 
   test("pickLevel: DISK_ONLY past a quarter of the pool, else memory") {
