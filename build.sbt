@@ -31,6 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK17 G1 GCLocker starvation under 32 JNI-critical compressed-
+  // stream threads masquerades as heap OOM on the 100x probes
+  // ("Retried waiting for GCLocker too often"); retrying allocation
+  // longer is the measured mitigation and harmless elsewhere
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
   // hundreds of whole-stage-codegen'd plans in one JVM (Bench runs
   // every query twice) overflow the default 240m code cache — once
   // full, the JIT stops compiling and late queries degrade several-fold

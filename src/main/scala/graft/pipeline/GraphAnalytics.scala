@@ -547,6 +547,19 @@ object GraphAnalytics {
     */
   def stressCentrality(pairs: DataFrame, maxDepth: Int): DataFrame = {
     val sp = shortestPathCounts(pairs, maxDepth).localCheckpoint(true)
+    // the sigma-table self-join on the middle vertex is the same
+    // quadratic family as the wedge joins: its exact pre-prune output
+    // is Σ_x (pairs ending at x)·(pairs starting at x) — guard it with
+    // the same pre-flight before committing to the join
+    val byV = sp.groupBy(col("v").as("_x")).agg(count(lit(1)).as("_nv"))
+    val byS = sp.groupBy(col("s").as("_x")).agg(count(lit(1)).as("_ns"))
+    val est = byV.join(byS, "_x")
+      .agg(coalesce(sum(col("_nv") * col("_ns")), lit(0L)).as("_e"))
+      .first().getLong(0)
+    ScaleGuard.check(sp.sparkSession, est,
+      "the stress-centrality sigma self-join",
+      "restricting the source set via the `pairs` input " +
+      "(sampled-source Brandes), or a lower maxDepth")
     val sv = sp.select(col("s"), col("v"), col("dist").as("d1"),
       col("sigma").as("g1"))
     val sp2 = sp.select(col("s").as("v_mid"), col("v").as("t"),
