@@ -486,7 +486,17 @@ object GraphAnalytics {
     * same-level edge can't contribute because its endpoint is already
     * in visited). Integer-exact. Returns (s, v, dist, sigma), s ≠ v.
     */
-  def shortestPathCounts(pairs: DataFrame, maxDepth: Int): DataFrame = {
+  def shortestPathCounts(pairs: DataFrame, maxDepth: Int): DataFrame =
+    shortestPathCounts(pairs, maxDepth, lit(true))
+
+  /** [[shortestPathCounts]] with the BFS source set restricted by
+    * `sourceFilter` (a predicate over the source column `s`) — the
+    * sampled-source Brandes forward pass: work and pair state scale
+    * with the SAMPLED source count, not V, which is what survives the
+    * scale decades the exact closure's guard trips on.
+    */
+  def shortestPathCounts(pairs: DataFrame, maxDepth: Int,
+      sourceFilter: Column): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs
       .select(least(col("u"), col("v")).as("a"),
@@ -497,6 +507,7 @@ object GraphAnalytics {
     val deg = dir.groupBy(col("a").as("_dv")).agg(count(lit(1)).as("_deg"))
       .localCheckpoint(true)
     var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
+      .where(sourceFilter)
       .localCheckpoint(true, stateLevel)
     var visitedRows = visited.count()
     var frontier = visited.withColumn("sigma", lit(1L))
@@ -511,8 +522,9 @@ object GraphAnalytics {
         .first().getLong(0)
       ScaleGuard.check(spark, visitedRows + projected,
         s"the exact shortest-path-count closure (Brandes sigma, round $depth)",
-        "restricting the source set via the `pairs` input " +
-        "(sampled-source Brandes), or a lower maxDepth")
+        "the sampled-source form — shortestPathCounts(pairs, depth, " +
+        "sourceFilter) / GraphAnalytics.stressCentralitySampled " +
+        "(p119 shape) — or a lower maxDepth")
       val level = pickLevel(spark, visitedRows + projected)
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .groupBy(col("s"), col("b").as("v"))
@@ -558,8 +570,8 @@ object GraphAnalytics {
       .first().getLong(0)
     ScaleGuard.check(sp.sparkSession, est,
       "the stress-centrality sigma self-join",
-      "restricting the source set via the `pairs` input " +
-      "(sampled-source Brandes), or a lower maxDepth")
+      "the sampled-pair form — GraphAnalytics.stressCentralitySampled " +
+      "(p119 shape) — or a lower maxDepth")
     val sv = sp.select(col("s"), col("v"), col("dist").as("d1"),
       col("sigma").as("g1"))
     val sp2 = sp.select(col("s").as("v_mid"), col("v").as("t"),
@@ -567,6 +579,53 @@ object GraphAnalytics {
     val st = sp.select(col("s").as("s3"), col("v").as("t3"),
       col("dist").as("d3"))
     sv.join(sp2, sv("v") === sp2("v_mid"))
+      .where(col("s") =!= col("t"))
+      .join(st, col("s") === col("s3") && col("t") === col("t3") &&
+        (col("d1") + col("d2")) === col("d3"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("g1") * col("g2")).as("stress"))
+  }
+
+  /** Sampled-pair stress centrality — the scale twin the exact form's
+    * guard names. Sources are restricted to `s % mod == 0`
+    * (deterministic, so the oracle reproduces it bit-for-bit), and the
+    * (s, t) pairs counted are the SAMPLED×SAMPLED ordered pairs: on the
+    * undirected graph sigma is symmetric (sigma_vt = sigma_tv), so the
+    * second join leg reads the same sampled sigma table flipped —
+    * no full-source closure anywhere. stress_sampled(v) counts the
+    * shortest paths through v between sampled pairs; the unbiased
+    * scale-up to the exact value is ·(V/|S|)² (Brandes-style pair
+    * sampling: each ordered pair is included with probability
+    * (|S|/V)²). mod = 1 degenerates to exactly [[stressCentrality]]
+    * (the flipped second leg is the same relation by symmetry), which
+    * the spec pins. Work and state are O((V/mod)·E) for the closure
+    * and the self-join shrinks by ~mod² — strictly sub-quadratic for
+    * mod ∝ √V, linear for mod ∝ V.
+    */
+  def stressCentralitySampled(pairs: DataFrame, maxDepth: Int,
+      mod: Long): DataFrame = {
+    val sp = shortestPathCounts(pairs, maxDepth, col("s") % mod === 0)
+      .localCheckpoint(true)
+    // same self-join pre-flight as the exact form — with sampled
+    // sources the estimate shrinks ~mod^2, but a too-small mod on a
+    // huge graph should still fail loud rather than die mid-join
+    // both legs are the same sampled table (one of them flipped), so
+    // the exact pre-prune join output is Σ_x nv(x)²
+    val est = sp.groupBy(col("v")).agg(count(lit(1)).as("_nv"))
+      .agg(coalesce(sum(col("_nv") * col("_nv")), lit(0L)).as("_e"))
+      .first().getLong(0)
+    ScaleGuard.check(sp.sparkSession, est,
+      s"the sampled stress-centrality sigma self-join (mod=$mod)",
+      "a larger mod (fewer sampled sources)")
+    val sv = sp.select(col("s"), col("v"), col("dist").as("d1"),
+      col("sigma").as("g1"))
+    // sigma_{v,t} for t in the sample = sigma_{t,v} (undirected): the
+    // sampled table's own rows, flipped
+    val vt = sp.select(col("v").as("v_mid"), col("s").as("t"),
+      col("dist").as("d2"), col("sigma").as("g2"))
+    val st = sp.select(col("s").as("s3"), col("v").as("t3"),
+      col("dist").as("d3"))
+    sv.join(vt, sv("v") === vt("v_mid"))
       .where(col("s") =!= col("t"))
       .join(st, col("s") === col("s3") && col("t") === col("t3") &&
         (col("d1") + col("d2")) === col("d3"))

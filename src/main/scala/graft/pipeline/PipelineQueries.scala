@@ -881,6 +881,28 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // Sampled-pair stress centrality — the shipped scale twin the p58
+    // guard names. Sources restricted to s % 5 == 0 (deterministic, so
+    // the walk-counting oracle reproduces it exactly); the second join
+    // leg is the SAME sampled sigma table flipped (undirected sigma
+    // symmetry), so no full-source closure exists anywhere in the
+    // plan: work ∝ (V/5)·E for the forward pass and the self-join
+    // shrinks ~25×. A 5× larger customer slice than p58 still runs
+    // cheaper than the exact form.
+    "p119_stress_sampled" -> { (s, d) =>
+      val cust = load(s, d, "customer").where(col("c_custkey") < 1000)
+      val nat = load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val cn = cust.select((col("c_custkey") + 100000).as("u"),
+        (col("c_nationkey") + 1000).as("v"))
+      val cr = cust.join(broadcast(nat),
+          cust("c_nationkey") === nat("n_nationkey"))
+        .select((col("c_custkey") + 100000).as("u"),
+          col("n_regionkey").as("v"))
+      GraphAnalytics.stressCentralitySampled(cn.unionAll(cr),
+        maxDepth = 4, mod = 5).orderBy("id")
+    },
+
     "p59_exact_quantiles" -> { (s, d) =>
       // EXACT distributed quantiles with NO global sort: histogram
       // pass (map-side combinable, coordinator sees only bucket
@@ -3175,6 +3197,33 @@ object PipelineQueries {
         |JOIN m m3 ON m1.s = m3.s AND m2.v = m3.v
         |  AND m1.dist + m2.dist = m3.dist
         |WHERE m1.s <> m2.v
+        |GROUP BY m1.v ORDER BY id""".stripMargin,
+    "p119_stress_sampled" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT 100000 + c_custkey AS a, 1000 + c_nationkey AS b
+        |  FROM customer WHERE c_custkey < 1000
+        |  UNION ALL
+        |  SELECT 100000 + c_custkey, n.n_regionkey
+        |  FROM customer JOIN nation n ON c_nationkey = n_nationkey
+        |  WHERE c_custkey < 1000),
+        |dd AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        |r AS (
+        |  SELECT a AS s, b AS v, 1 AS d FROM dd WHERE a % 5 = 0
+        |  UNION ALL
+        |  SELECT r.s, dd.b, r.d + 1 FROM r JOIN dd ON r.v = dd.a
+        |  WHERE r.d < 4),
+        |w AS (SELECT s, v, d, count(*) AS walks FROM r GROUP BY s, v, d),
+        |mn AS (SELECT s, v, min(d) AS dist FROM w WHERE s <> v
+        |  GROUP BY s, v),
+        |m AS (SELECT mn.s, mn.v, mn.dist, w.walks AS sigma FROM mn
+        |  JOIN w ON mn.s = w.s AND mn.v = w.v AND mn.dist = w.d)
+        |SELECT m1.v AS id, CAST(sum(m1.sigma * m2.sigma) AS BIGINT)
+        |    AS stress
+        |FROM m m1
+        |JOIN m m2 ON m1.v = m2.v
+        |JOIN m m3 ON m1.s = m3.s AND m2.s = m3.v
+        |  AND m1.dist + m2.dist = m3.dist
+        |WHERE m1.s <> m2.s
         |GROUP BY m1.v ORDER BY id""".stripMargin,
     "p57_closeness" ->
       """WITH RECURSIVE ed AS (
