@@ -585,15 +585,35 @@ object Bench {
             oldNote = t.stripPrefix("\"note\":").trim.stripSuffix(",")
         }
       }
+      // the scanner above only understands the one-row-per-line format
+      // this writer emits; a reformatted file (pretty-printed rows span
+      // lines) would parse to zero prior rows and the rewrite would
+      // silently drop the committed board — the exact r9 evidence-loss
+      // failure this file exists to prevent. Refuse to rewrite in that
+      // case: keep the run's rows in a sidecar instead and say so.
+      val reformatted = java.nio.file.Files.exists(path) && old.isEmpty
       sf10RowBodies.foreach { case (n, body) => old(n) = body }
       val note = sys.env.get("SPARK_GRAFT_SF10_NOTE")
         .map(n => "\"" + escErr(n) + "\"")
         .getOrElse(if (oldNote != null) oldNote else "\"\"")
-      java.nio.file.Files.writeString(path,
+      val merged =
         s"""{\n  "note": $note,\n  "sf10_probe_100x": {\n""" +
           old.map { case (k, v) => s"""    "$k": $v""" }.mkString(",\n") +
-          "\n  }\n}\n")
-    } catch { case _: Throwable => () }
+          "\n  }\n}\n"
+      if (reformatted) {
+        val side = java.nio.file.Paths.get("bench_sf10.unmerged.json")
+        java.nio.file.Files.writeString(side, merged)
+        System.err.println(
+          s"[bench] $path exists but no prior sf10 rows parsed (file " +
+            "reformatted?) — NOT rewriting it; this run's rows are in " +
+            s"$side, merge by hand")
+      } else java.nio.file.Files.writeString(path, merged)
+    } catch {
+      case t: Throwable =>
+        // a swallowed failure here silently discards this run's sf10
+        // measurements — at least say so on stderr
+        System.err.println(s"[bench] bench_sf10.json merge failed: $t")
+    }
     // Full per-query detail (long names, cold + both steady runs) goes
     // to a FILE — the harness captures only a bounded tail (~2.4 KB) of
     // stdout, which a 150+-entry long-name line no longer fits (round
@@ -641,10 +661,9 @@ object Bench {
         s"""  "steady2_outliers": {\n$outlierSection\n  },\n""" +
         s"""  "jvm": {\n$jvmSection\n  }$errField\n}\n"""
     }
+    val fullFile = if (sf10Only) "bench_full_sf10.json" else "bench_full.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        if (sf10Only) "bench_full_sf10.json" else "bench_full.json"),
-      fullJson)
+      java.nio.file.Paths.get(fullFile), fullJson)
     catch { case _: Throwable => () }
     // The harness captures only a bounded TAIL (~2.4 KB) of stdout —
     // 241 per-query entries plus 48 probe entries do not fit, and a
@@ -678,12 +697,16 @@ object Bench {
         s""""families":$fams,"n_queries":${results.length},""" +
         s""""cold_total_sec":${f(coldTotal)},"sf1_10x":$sf1Json,""" +
         s""""sf1_probes":${sf1Times.length},"sf1_max_ratio":${f(sf1Max)}$sf1Flag,""" +
-        s""""sf":"$sfDir","full":"bench_full.json"}"""
+        s""""sf":"$sfDir","full":"$fullFile"}"""
     // the summary also goes to a FILE the harness can read directly —
     // a stdout scrape must never be the only copy (r9: BENCH_r09.json
-    // parsed null even though the run finished green)
+    // parsed null even though the run finished green). An sf10-only
+    // run writes its OWN summary file: it must not clobber the main
+    // board's bench_summary.json with a 7-probe mini-board.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
+      java.nio.file.Paths.get(
+        if (sf10Only) "bench_summary_sf10.json" else "bench_summary.json"),
+      summary + "\n")
     catch { case _: Throwable => () }
     // the re-laid-out table copy is bench-local scratch — reclaim it
     if (benchDir != sfDir) try deleteRec(java.nio.file.Paths.get(benchDir))

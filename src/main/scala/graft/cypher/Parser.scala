@@ -86,17 +86,10 @@ object Parser {
                   // surrogate; orphans error; code point zero errors
                   // (text cannot hold NUL). Non-hex digits raise the
                   // lexer's own error, never a raw NumberFormatException
-                  def hex4(at: Int, err: String): Int = {
-                    if (at + 4 > s.length)
-                      throw new IllegalArgumentException(err)
-                    var v = 0; var j = at
-                    while (j < at + 4) {
-                      val d = Character.digit(s.charAt(j), 16)
-                      if (d < 0) throw new IllegalArgumentException(err)
-                      v = v * 16 + d; j += 1
-                    }
-                    v
-                  }
+                  // (graft.jsonb.Jsonb.hex4 — the repo's one \u parser)
+                  def hex4(at: Int, err: String): Int =
+                    graft.jsonb.Jsonb.hex4(s, at,
+                      () => throw new IllegalArgumentException(err))
                   val ch = hex4(i + 2, "invalid Unicode escape")
                   val hex = s.substring(i + 2, i + 6)
                   raw ++= hex

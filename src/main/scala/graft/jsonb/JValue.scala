@@ -60,6 +60,30 @@ final case class JObj(fields: Vector[(String, JValue)]) extends JValue {
 
 object Jsonb {
 
+  /** Parse exactly 4 ASCII hex digits at `at`, invoking `err` (which
+    * must throw) on a short or non-hex sequence — the ONE \u-escape
+    * digit parser for every lexer in the repo (json, jsonpath, Cypher),
+    * so escape errors are always the lexer's own, never a raw
+    * NumberFormatException, and non-ASCII Unicode "digits" (which
+    * Character.digit would accept) are rejected the way the
+    * reference's scanners reject them.
+    */
+  private[graft] def hex4(s: String, at: Int, err: () => Nothing): Int = {
+    if (at + 4 > s.length) err()
+    var v = 0; var j = at
+    while (j < at + 4) {
+      val c = s.charAt(j)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else -1
+      if (d < 0) err()
+      v = v * 16 + d; j += 1
+    }
+    v
+  }
+
   // ---------------------------------------------------------------- parse
 
   /** Parse JSON text to a JValue. Strict; throws on malformed input. */
@@ -172,18 +196,8 @@ object Jsonb {
               // (JsonbSortKeyRT) exactly order-parallel to
               // codepointCmp — String.getBytes(UTF_8) mangles lone
               // surrogates to '?'.
-              // non-hex digits are the lexer's own error, never a raw
-              // NumberFormatException leaking from parseInt
-              def hex4(at: Int): Int = {
-                if (at + 4 > s.length) fail("bad \\u escape")
-                var v = 0; var j = at
-                while (j < at + 4) {
-                  val d = Character.digit(s.charAt(j), 16)
-                  if (d < 0) fail("bad \\u escape")
-                  v = v * 16 + d; j += 1
-                }
-                v
-              }
+              def hex4(at: Int): Int =
+                Jsonb.hex4(s, at, () => fail("bad \\u escape"))
               if (i + 4 >= s.length) fail("bad \\u escape")
               val ch = hex4(i + 1)
               i += 5

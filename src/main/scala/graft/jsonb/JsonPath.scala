@@ -177,18 +177,8 @@ object JsonPath {
               // jsonpath_scan.l via jsonapi's checks; expected texts
               // jsonpath_encoding.out:42-68): pairs combine, orphans
               // and misorders error, code point zero errors
-              // non-hex digits are the lexer's own error, never a raw
-              // NumberFormatException leaking from parseInt
-              def hex4(at: Int): Int = {
-                if (at + 4 > s.length) fail("bad \\u escape")
-                var v = 0; var j = at
-                while (j < at + 4) {
-                  val d = Character.digit(s.charAt(j), 16)
-                  if (d < 0) fail("bad \\u escape")
-                  v = v * 16 + d; j += 1
-                }
-                v
-              }
+              def hex4(at: Int): Int =
+                Jsonb.hex4(s, at, () => fail("bad \\u escape"))
               if (i + 4 >= s.length) fail("bad \\u escape")
               val ch = hex4(i + 1)
               i += 4

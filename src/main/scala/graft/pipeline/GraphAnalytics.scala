@@ -326,8 +326,8 @@ object GraphAnalytics {
     val dir = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
     // degree table for the per-round pre-flight projection (see loop)
-    val deg = dir.groupBy(col("a").as("_dv")).agg(count(lit(1)).as("_deg"))
-      .localCheckpoint(true)
+    val deg = ScaleGuard.degreeTable(dir)
+    val maxDeg = ScaleGuard.maxDegree(deg)
     var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
       .where(sourceFilter)
       .localCheckpoint(true, stateLevel)
@@ -338,21 +338,17 @@ object GraphAnalytics {
     var depth = 0
     while (depth < maxDepth && frontierRows > 0) {
       depth += 1
-      // pre-flight BEFORE the round's join: Σ_v nf(v)·deg(v) is the
-      // round's exact pre-prune join output — degree-aware, so hub
-      // blow-ups (the graphs the exact closure dies on) are seen at
-      // the price of one small aggregation, and the guard fails loud
-      // in seconds instead of exhausting memory mid-join
-      val projected = frontier.groupBy(col("v")).agg(count(lit(1)).as("_nf"))
-        .join(deg, col("v") === col("_dv"))
-        .agg(coalesce(sum(col("_nf") * col("_deg")), lit(0L)).as("_p"))
-        .first().getLong(0)
-      ScaleGuard.check(spark, visitedRows + projected,
+      // pre-flight BEFORE the round's join (ScaleGuard.guardRound: free
+      // frontierRows·maxDeg bound, exact degree-aware projection only
+      // past a threshold) so the guard fails loud in seconds instead of
+      // exhausting memory mid-join, and costs nothing in benign rounds
+      val est = ScaleGuard.guardRound(spark, frontier, deg, maxDeg,
+        visitedRows, frontierRows,
         s"the exact multi-source distance closure (round $depth)",
         "the sampled-source form — GraphAnalytics.closenessSampled " +
         "(Eppstein-Wang, p117 shape) or a sourceFilter restricting " +
         "BFS sources")
-      val level = pickLevel(spark, visitedRows + projected)
+      val level = pickLevel(spark, est)
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .select(col("s"), col("b").as("v")).distinct()
         .join(visited, Seq("s", "v"), "left_anti")
@@ -439,8 +435,8 @@ object GraphAnalytics {
     val spark = edges.sparkSession
     val dir = edges.select(col("u").as("a"), col("v").as("b"))
       .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
-    val deg = dir.groupBy(col("a").as("_dv")).agg(count(lit(1)).as("_deg"))
-      .localCheckpoint(true)
+    val deg = ScaleGuard.degreeTable(dir)
+    val maxDeg = ScaleGuard.maxDegree(deg)
     val verts = dir.select(col("a").as("x"))
       .unionAll(dir.select(col("b").as("x"))).distinct()
     var visited = verts.select(col("x").as("s"), col("x").as("v"))
@@ -451,15 +447,12 @@ object GraphAnalytics {
     var depth = 0
     while (depth < maxDepth && frontierRows > 0) {
       depth += 1
-      val projected = frontier.groupBy(col("v")).agg(count(lit(1)).as("_nf"))
-        .join(deg, col("v") === col("_dv"))
-        .agg(coalesce(sum(col("_nf") * col("_deg")), lit(0L)).as("_p"))
-        .first().getLong(0)
-      ScaleGuard.check(spark, visitedRows + projected,
+      val est = ScaleGuard.guardRound(spark, frontier, deg, maxDeg,
+        visitedRows, frontierRows,
         s"the exact mutual-reachability closure (stronglyConnected, round $depth)",
         "a lower maxDepth cap, or pre-collapsing dense regions " +
         "(label propagation / connected components) before the closure")
-      val level = pickLevel(spark, visitedRows + projected)
+      val level = pickLevel(spark, est)
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .select(col("s"), col("b").as("v")).distinct()
         .join(visited, Seq("s", "v"), "left_anti")
@@ -504,8 +497,8 @@ object GraphAnalytics {
       .where(col("a") =!= col("b")).distinct()
     val dir = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    val deg = dir.groupBy(col("a").as("_dv")).agg(count(lit(1)).as("_deg"))
-      .localCheckpoint(true)
+    val deg = ScaleGuard.degreeTable(dir)
+    val maxDeg = ScaleGuard.maxDegree(deg)
     var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
       .where(sourceFilter)
       .localCheckpoint(true, stateLevel)
@@ -516,16 +509,13 @@ object GraphAnalytics {
     var depth = 0
     while (depth < maxDepth && frontierRows > 0) {
       depth += 1
-      val projected = frontier.groupBy(col("v")).agg(count(lit(1)).as("_nf"))
-        .join(deg, col("v") === col("_dv"))
-        .agg(coalesce(sum(col("_nf") * col("_deg")), lit(0L)).as("_p"))
-        .first().getLong(0)
-      ScaleGuard.check(spark, visitedRows + projected,
+      val est = ScaleGuard.guardRound(spark, frontier, deg, maxDeg,
+        visitedRows, frontierRows,
         s"the exact shortest-path-count closure (Brandes sigma, round $depth)",
         "the sampled-source form — shortestPathCounts(pairs, depth, " +
         "sourceFilter) / GraphAnalytics.stressCentralitySampled " +
         "(p119 shape) — or a lower maxDepth")
-      val level = pickLevel(spark, visitedRows + projected)
+      val level = pickLevel(spark, est)
       val next = frontier.join(dir, frontier("v") === dir("a"))
         .groupBy(col("s"), col("b").as("v"))
         .agg(sum("sigma").as("sigma"))

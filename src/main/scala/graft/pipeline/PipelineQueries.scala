@@ -1625,9 +1625,14 @@ object PipelineQueries {
       val deg = cp.groupBy("p").agg(count(lit(1)).as("dp"))
         .withColumn("term", round(round(lit(1.0) / log(col("dp")), 6) * 1e6, 0)
           .cast("long"))
+        .localCheckpoint(true) // two consumers: the guard est + cpT join
       // loud pre-flight (same measured 100× hazard as p75): the exact
-      // wedge join through uncapped part middles is quadratic per hub
-      ScaleGuard.guardWedges(cp, "p",
+      // wedge join through uncapped part middles is quadratic per hub.
+      // Σ dp·(dp−1)/2 comes off the degree table just built — no second
+      // scan of cp for the estimate
+      ScaleGuard.check(s, deg
+        .agg(coalesce(sum(expr("dp * (dp - 1) DIV 2")), lit(0L)).as("_w"))
+        .first().getLong(0),
         what = "the exact Adamic-Adar wedge join (p107 shape)",
         twin = "the degree-capped form p114_aa_degree_capped (same " +
           "query with middle deg capped)")

@@ -149,6 +149,15 @@ class InteropSpec extends AnyFunSuite {
       """SELECT minpop FROM mono_pops t
         |WHERE EXISTS (MATCH (c:city) WHERE c.pop > t.minpop AND c.name = 'zzz' RETURN c)"""
         .stripMargin).count() == 0)
+    // NULL outer operand: the jsonb comparison against the extremum is
+    // NULL, so EXISTS is false for that row — same as the general
+    // decorrelated path (a NULL satisfies no comparison in either form)
+    spark.sql("SELECT * FROM VALUES (5L), (CAST(NULL AS BIGINT)) v(minpop)")
+      .createOrReplaceTempView("mono_pops_null")
+    assert(s.sql(
+      """SELECT minpop FROM mono_pops_null t
+        |WHERE EXISTS (MATCH (c:city) WHERE c.pop > t.minpop RETURN c)"""
+        .stripMargin).collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
 
   test("hybrid sql(): string literals containing MATCH stay literal") {

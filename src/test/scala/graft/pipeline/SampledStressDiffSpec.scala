@@ -9,8 +9,9 @@ import scala.collection.mutable
 /** The sampled-pair stress twin (p119 shape) against two independent
   * referees: the exact operator (mod = 1 must degenerate to it — the
   * flipped second join leg equals the direct one by undirected sigma
-  * symmetry) and a plain-Scala BFS path-counter (mod = 2 must count
-  * exactly the shortest paths between sampled ordered pairs).
+  * symmetry) and a plain-Scala BFS path-counter (every mod must count
+  * exactly the shortest paths between sampled ordered pairs), on both
+  * a hand-built diamond graph and seeded random graphs.
   */
 class SampledStressDiffSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
@@ -18,19 +19,22 @@ class SampledStressDiffSpec extends AnyFunSuite {
   // diamond + tail: 0-1, 0-2, 1-3, 2-3, 3-4 — sigma(0,3) = 2, so path
   // COUNTS (not just distances) are exercised; plus a second diamond
   // 4-5, 4-6, 5-7, 6-7 so sampled sources hit both halves
-  private val edges = Seq(
+  private val diamond = Seq(
     (0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
     (4L, 5L), (4L, 6L), (5L, 7L), (6L, 7L))
 
-  private def edgesDf = {
+  private def toDf(edges: Seq[(Long, Long)]) = {
     import spark.implicits._
     edges.toDF("u", "v")
   }
 
   /** Plain-Scala BFS sigma from every vertex: (dist, sigma) per pair. */
-  private def bfsAll(maxDepth: Int): Map[(Long, Long), (Int, Long)] = {
-    val adj = mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
-    for ((a, b) <- edges) { adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+  private def bfsAll(edges: Seq[(Long, Long)],
+      maxDepth: Int): Map[(Long, Long), (Int, Long)] = {
+    val adj = mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for ((a, b) <- edges if a != b) {
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
     val verts = adj.keys.toSeq.sorted
     val out = mutable.Map.empty[(Long, Long), (Int, Long)]
     for (s <- verts) {
@@ -54,8 +58,9 @@ class SampledStressDiffSpec extends AnyFunSuite {
   /** Brute-force sampled stress: Σ over sampled ordered pairs (s, t)
     * of sigma_sv · sigma_vt where d(s,v) + d(v,t) = d(s,t).
     */
-  private def bruteStress(mod: Long, maxDepth: Int): Map[Long, Long] = {
-    val sp = bfsAll(maxDepth)
+  private def bruteStress(edges: Seq[(Long, Long)], mod: Long,
+      maxDepth: Int): Map[Long, Long] = {
+    val sp = bfsAll(edges, maxDepth)
     val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
     val sample = verts.filter(_ % mod == 0)
     val acc = mutable.Map.empty[Long, Long].withDefaultValue(0L)
@@ -76,21 +81,47 @@ class SampledStressDiffSpec extends AnyFunSuite {
 
   test("mod = 1 degenerates to the exact stress centrality") {
     val exact = collectStress(
-      GraphAnalytics.stressCentrality(edgesDf, maxDepth = 4))
+      GraphAnalytics.stressCentrality(toDf(diamond), maxDepth = 4))
     val sampled = collectStress(
-      GraphAnalytics.stressCentralitySampled(edgesDf, maxDepth = 4, mod = 1))
+      GraphAnalytics.stressCentralitySampled(toDf(diamond), maxDepth = 4,
+        mod = 1))
     assert(sampled == exact)
-    assert(exact == bruteStress(1, 4)) // and both match the referee
+    assert(exact == bruteStress(diamond, 1, 4)) // and both match the referee
   }
 
   test("mod = 2 counts exactly the sampled-pair shortest paths") {
     val sampled = collectStress(
-      GraphAnalytics.stressCentralitySampled(edgesDf, maxDepth = 4, mod = 2))
-    assert(sampled == bruteStress(2, 4))
+      GraphAnalytics.stressCentralitySampled(toDf(diamond), maxDepth = 4,
+        mod = 2))
+    assert(sampled == bruteStress(diamond, 2, 4))
     // the sample is real: strictly less mass than the exact form
     val exact = collectStress(
-      GraphAnalytics.stressCentrality(edgesDf, maxDepth = 4))
+      GraphAnalytics.stressCentrality(toDf(diamond), maxDepth = 4))
     assert(sampled.values.sum < exact.values.sum)
+  }
+
+  test("seeded random graphs: sampled == brute force for mod 1/2/3") {
+    // deterministic LCG so the graphs are reproducible across runs —
+    // dense enough for multi-path diamonds (real sigma > 1), sparse
+    // enough that depth 3 leaves unreachable pairs (exercising the
+    // m3-join's d(s,t)-exists condition)
+    var state = 0x2545F4914F6CDD1DL
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound).toInt + bound) % bound
+    }
+    for (seed <- 1 to 3) {
+      val n = 12 + seed * 2
+      val edges = (for (a <- 0 until n; b <- (a + 1) until n
+                        if nextInt(100) < 22)
+        yield (a.toLong, b.toLong)).toSeq
+      for (mod <- Seq(1L, 2L, 3L)) {
+        val got = collectStress(GraphAnalytics.stressCentralitySampled(
+          toDf(edges), maxDepth = 3, mod = mod))
+        assert(got == bruteStress(edges, mod, 3),
+          s"seed=$seed mod=$mod edges=$edges")
+      }
+    }
   }
 
   test("a too-small cap still fails loud on the sampled path") {
@@ -102,7 +133,7 @@ class SampledStressDiffSpec extends AnyFunSuite {
     spark.conf.set(ScaleGuard.ConfKey, "1")
     try {
       val e = intercept[IllegalStateException] {
-        GraphAnalytics.stressCentralitySampled(edgesDf, maxDepth = 4,
+        GraphAnalytics.stressCentralitySampled(toDf(diamond), maxDepth = 4,
           mod = 2).collect()
       }
       assert(e.getMessage.contains("pair-state guard"), e.getMessage)
