@@ -623,6 +623,27 @@ object GraphAnalytics {
       .agg(sum(col("g1") * col("g2")).as("stress"))
   }
 
+  /** Fixed-source-COUNT sampled stress — the strictly-linear 100-TB
+    * member of the stress family, the same move [[closenessSampledK]]
+    * makes for closeness: [[stressCentralitySampled]] fixes the sample
+    * RATE (constant mod → sources ∝ V → forward-pass work ∝ V·E/mod,
+    * still superlinear in data), this form fixes the source COUNT
+    * (mod = max(1, V/k) from one vertex-count aggregate → ~k sources
+    * at every scale → work ∝ k·E, strictly linear; the self-join is
+    * ~k²·diameter² rows — constant). Estimator variance depends on the
+    * sampled-pair COUNT, which is exactly what is held fixed.
+    */
+  def stressCentralitySampledK(pairs: DataFrame, maxDepth: Int,
+      k: Long): DataFrame = {
+    val verts = pairs
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b"))
+    val v = verts.select(explode(array(col("a"), col("b"))).as("x"))
+      .agg(countDistinct(col("x"))).first().getLong(0)
+    stressCentralitySampled(pairs, maxDepth, math.max(1L, v / k))
+  }
+
   /** Local clustering coefficient, integer-exact: per vertex the
     * closed-triangle count and the wedge count deg·(deg−1)/2 — the
     * coefficient's numerator and denominator WITHOUT the float

@@ -903,6 +903,25 @@ object PipelineQueries {
         maxDepth = 4, mod = 5).orderBy("id")
     },
 
+    // Fixed-source-COUNT sampled stress — the strictly-linear 100-TB
+    // member of the stress family, on the UNBOUNDED supplier graph
+    // (the p57/p117/p118 fixture, which grows with the data unlike
+    // p58/p119's bounded customer slice): mod = max(1, V/16) from one
+    // vertex-count aggregate pins ~16 BFS sources at every scale, so
+    // the forward pass is ∝ 16·E and the sigma self-join is a
+    // constant-size table join. The oracle derives the same mod from
+    // the same count in SQL, so results gate exactly.
+    "p120_stress_fixed_count" -> { (s, d) =>
+      val sup = load(s, d, "supplier")
+        .select((col("s_suppkey") + 200000).as("u"),
+          (col("s_nationkey") + 1000).as("v"))
+      val nat = load(s, d, "nation")
+        .select((col("n_nationkey") + 1000).as("u"),
+          col("n_regionkey").as("v"))
+      GraphAnalytics.stressCentralitySampledK(sup.unionAll(nat),
+        maxDepth = 4, k = 16).orderBy("id")
+    },
+
     "p59_exact_quantiles" -> { (s, d) =>
       // EXACT distributed quantiles with NO global sort: histogram
       // pass (map-side combinable, coordinator sees only bucket
@@ -3214,6 +3233,32 @@ object PipelineQueries {
         |dd AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
         |r AS (
         |  SELECT a AS s, b AS v, 1 AS d FROM dd WHERE a % 5 = 0
+        |  UNION ALL
+        |  SELECT r.s, dd.b, r.d + 1 FROM r JOIN dd ON r.v = dd.a
+        |  WHERE r.d < 4),
+        |w AS (SELECT s, v, d, count(*) AS walks FROM r GROUP BY s, v, d),
+        |mn AS (SELECT s, v, min(d) AS dist FROM w WHERE s <> v
+        |  GROUP BY s, v),
+        |m AS (SELECT mn.s, mn.v, mn.dist, w.walks AS sigma FROM mn
+        |  JOIN w ON mn.s = w.s AND mn.v = w.v AND mn.dist = w.d)
+        |SELECT m1.v AS id, CAST(sum(m1.sigma * m2.sigma) AS BIGINT)
+        |    AS stress
+        |FROM m m1
+        |JOIN m m2 ON m1.v = m2.v
+        |JOIN m m3 ON m1.s = m3.s AND m2.s = m3.v
+        |  AND m1.dist + m2.dist = m3.dist
+        |WHERE m1.s <> m2.s
+        |GROUP BY m1.v ORDER BY id""".stripMargin,
+    "p120_stress_fixed_count" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT 200000 + s_suppkey AS a, 1000 + s_nationkey AS b
+        |  FROM supplier
+        |  UNION ALL SELECT 1000 + n_nationkey, n_regionkey FROM nation),
+        |dd AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        |vc AS (SELECT greatest(1, count(DISTINCT a) // 16) AS md FROM dd),
+        |r AS (
+        |  SELECT a AS s, b AS v, 1 AS d FROM dd
+        |  WHERE a % (SELECT md FROM vc) = 0
         |  UNION ALL
         |  SELECT r.s, dd.b, r.d + 1 FROM r JOIN dd ON r.v = dd.a
         |  WHERE r.d < 4),
