@@ -310,10 +310,29 @@ object Algo {
     lazy val targets = st.df.select(tgtId0.as("__target")).distinct()
       .localCheckpoint(true)
 
+    // reference restrictions (parse_shortestpath.c): dijkstra rejects
+    // variable-length relationships outright (checkRelFormatForDijkstra,
+    // parse_shortestpath.c:1068-1079 "variable length relationship is
+    // not supported"); shortestpath allows minimal length 0 or 1 only
+    // (parse_shortestpath.c:238-247)
+    finder match {
+      case _: PathFinder.Dijkstra if rel.varLength.isDefined =>
+        throw new IllegalArgumentException(
+          "variable length relationship is not supported")
+      case _ =>
+        if (rel.varLength.flatMap(_._1).exists(_ > 1L))
+          throw new IllegalArgumentException(
+            "only 0 or 1 is allowed for minimal length")
+    }
     val (lo, hi) = rel.varLength.getOrElse((Some(1L), Some(1L)))
     val loV = lo.getOrElse(1L)
     val MaxDepth = maxDepthOf(b.spark)
     val hiV = hi.getOrElse(MaxDepth.toLong).min(MaxDepth.toLong)
+    // true when the effective bound came from the ENGINE cap, not the
+    // query (reference searches to LONG_MAX for `[*]`,
+    // parse_shortestpath.c:458) — the searches fail loud if they hit it
+    // with pairs still unmatched and paths still extending
+    val capped = hi.getOrElse(Long.MaxValue) > MaxDepth.toLong
     val relName = rel.variable.getOrElse(s"__sp_e_${p.hashCode.abs % 1000}")
 
     // Source-constrained search: expand only from the bound source
@@ -344,8 +363,10 @@ object Algo {
         val eCnt = b.edgeScan(rel.types, rel.direction, rel.only).count()
         val vCnt = b.vertexScan(None, only = false).count()
         val choice = vCnt > 0 && eCnt * 2 > vCnt * 3 // d > 1.5
-        b.spark.conf.set("spark.graft.pathSearch.lastChoice",
-          if (choice) "twosided" else "onesided")
+        // thread-local probe, NOT session conf: two concurrent queries
+        // on one session must not clobber each other's value (same fix
+        // as lastDijkstraRounds)
+        lastPathSearchChoice.set(if (choice) "twosided" else "onesided")
         choice
       case _ => false
     }
@@ -354,11 +375,13 @@ object Algo {
         dijkstra(b, rel, relName, weight, qual, limitK.getOrElse(1L), origins,
           targets)
       case PathFinder.AllShortest =>
-        if (twoSided) bfs2(b, rel, loV, hiV, keepAll = true, origins, targets)
-        else bfs(b, rel, loV, hiV, keepAll = true, origins)
+        if (twoSided)
+          bfs2(b, rel, loV, hiV, keepAll = true, origins, targets, capped)
+        else bfs(b, rel, loV, hiV, keepAll = true, origins, targets, capped)
       case _ =>
-        if (twoSided) bfs2(b, rel, loV, hiV, keepAll = false, origins, targets)
-        else bfs(b, rel, loV, hiV, keepAll = false, origins)
+        if (twoSided)
+          bfs2(b, rel, loV, hiV, keepAll = false, origins, targets, capped)
+        else bfs(b, rel, loV, hiV, keepAll = false, origins, targets, capped)
     }
 
     // join on both endpoints
@@ -394,7 +417,8 @@ object Algo {
         col("__p.__ids").as("__ids"), col("__p.__vids").as("__vids"))
 
   private def bfs(b: Builder, rel: RelPattern, lo: Long, hi: Long,
-      keepAll: Boolean, origins: DataFrame): DataFrame = {
+      keepAll: Boolean, origins: DataFrame, targets: => DataFrame,
+      capped: Boolean): DataFrame = {
     val E0 = b.edgeScan(rel.types, rel.direction, rel.only)
     val E = E0.select(col("__edge"), col("__s"), col("__e"))
     val ex = new Expander(b.spark, E, "__s")
@@ -457,6 +481,31 @@ object Algo {
       }
     }
 
+    // Loud cap, target-aware (same philosophy as the VLE cap at line
+    // ~201; the reference searches to LONG_MAX for an unbounded
+    // pattern, parse_shortestpath.c:458): when the bound came from the
+    // ENGINE cap and the frontier is still live, results may be missing
+    // pairs that first connect deeper — error UNLESS every requested
+    // (origin, target) pair already has its shortest path (then deeper
+    // frontiers cannot change the answer). The check runs only in the
+    // rare cap-hit case.
+    if (capped && !exhausted) {
+      var matched = (if (results == null) emptyIdPaths(b) else results)
+        .select(col("__start").as("__mo"), col("__cur").as("__mt")).distinct()
+      if (lo == 0L)
+        matched = matched.unionAll(origins
+          .join(targets, col("__origin") === col("__target"), "left_semi")
+          .select(col("__origin").as("__mo"), col("__origin").as("__mt")))
+      val missing = origins.crossJoin(targets)
+        .join(matched, col("__origin") === col("__mo") &&
+          col("__target") === col("__mt"), "left_anti")
+      if (missing.head(1).nonEmpty) throw new IllegalStateException(
+        s"shortest-path search exceeded the depth cap ${maxDepthOf(b.spark)} " +
+          "with endpoint pairs still unmatched and the frontier still " +
+          "extending; raise spark.graft.maxDepth or bound the pattern " +
+          "(the reference searches unbounded, parse_shortestpath.c:458)")
+    }
+
     var out = if (results == null) emptyIdPaths(b) else results
     if (lo == 0L) {
       val zero = origins
@@ -501,7 +550,8 @@ object Algo {
     * re-attach once at the end.
     */
   private def bfs2(b: Builder, rel: RelPattern, lo: Long, hi: Long,
-      keepAll: Boolean, origins: DataFrame, targets: DataFrame): DataFrame = {
+      keepAll: Boolean, origins: DataFrame, targets: DataFrame,
+      capped: Boolean): DataFrame = {
     val E0 = b.edgeScan(rel.types, rel.direction, rel.only)
     val E = E0.select(col("__edge"), col("__s"), col("__e"))
     // forward expands out of __s (out-adjacency), backward into __e
@@ -618,6 +668,34 @@ object Algo {
       }
     }
 
+    // Loud cap, target-aware (see bfs): the two-sided search already
+    // tracks met pairs, so the unmatched test is the counter it keeps
+    // (zero-length pairs join the met set below, so count them first)
+    if (capped && !exhausted && metCount < allPairs) {
+      val zeroPairs = if (lo == 0L)
+        origins.join(targets, col("__origin") === col("__target"),
+          "left_semi").count()
+      else 0L
+      val stillMissing =
+        if (met == null) allPairs > zeroPairs
+        else {
+          var m = met
+          if (lo == 0L)
+            m = m.unionAll(origins
+              .join(targets, col("__origin") === col("__target"), "left_semi")
+              .select(col("__origin").as("__ms"), col("__origin").as("__mt")))
+          origins.crossJoin(targets)
+            .join(m, col("__origin") === col("__ms") &&
+              col("__target") === col("__mt"), "left_anti")
+            .head(1).nonEmpty
+        }
+      if (stillMissing) throw new IllegalStateException(
+        s"shortest-path search exceeded the depth cap ${maxDepthOf(b.spark)} " +
+          "with endpoint pairs still unmatched and the frontier still " +
+          "extending; raise spark.graft.maxDepth or bound the pattern " +
+          "(the reference searches unbounded, parse_shortestpath.c:458)")
+    }
+
     var out = if (results == null) emptyIdPaths(b) else results
     if (lo == 0L) {
       // zero-length: origin == target pairs (isZeroLengthVLE analog)
@@ -670,11 +748,16 @@ object Algo {
     */
   private def dijkstra(b: Builder, rel: RelPattern, relName: String,
       weight: Expr, qual: Option[Expr], limitK: Long,
-      origins: DataFrame, targets: DataFrame): DataFrame = {
+      origins: DataFrame, targets: => DataFrame): DataFrame = {
     val E0 = b.edgeScan(rel.types, rel.direction, rel.only)
-    // compile weight/qual with the edge struct bound under the rel name
+    // compile weight/qual with the edge struct bound under the rel
+    // name — through the BUILDER's compiler factory, so $parameters
+    // and label()/type() resolve against the session's parameter map
+    // and labid catalog exactly as in any other expression (an empty
+    // labid map would silently resolve every label() to NULL and an
+    // empty param map would reject a legitimate $param)
     val kinds = Map(relName -> (KE: Kind))
-    val comp = new Compiler(kinds, Map.empty, Map.empty, Map.empty)
+    val comp = b.compilerFor(kinds)
     val E1 = E0.withColumn(relName, col("__edge"))
     // the qual prunes which edges are traversable — evaluate on the
     // scan; the WEIGHT is deferred to traversed edges only (the seed
@@ -779,7 +862,8 @@ object Algo {
     var rounds = 0
     var frontier = pruneFrontier(best, rounds)
     val MaxDepth = maxDepthOf(b.spark)
-    while (rounds < MaxDepth && frontier.head(1).nonEmpty) {
+    var live = frontier.head(1).nonEmpty
+    while (rounds < MaxDepth && live) {
       val expanded = withWeight(
         ex.join(frontier, col("__cur"),
           !array_contains(col("__ids"), col("__edge").getField("id"))))
@@ -794,8 +878,17 @@ object Algo {
         .localCheckpoint(true)
       rounds += 1
       frontier = pruneFrontier(best.where(col("__new") === 1), rounds)
+      live = frontier.head(1).nonEmpty
     }
     lastDijkstraRounds.set(rounds)
+    // the reference relaxes to convergence (nodeDijkstra's heap drains);
+    // stopping at the engine cap with paths still improving could
+    // return non-minimal weights — fail loud like the VLE cap instead
+    // of silently answering
+    if (rounds == MaxDepth && live) throw new IllegalStateException(
+      s"dijkstra did not converge within the depth cap $MaxDepth (paths " +
+        "still relaxing); raise spark.graft.maxDepth or restrict the " +
+        "pattern (the reference searches to convergence, nodeDijkstra.c)")
     attachVerts(b, best.drop("__w", "__dist", "__new"), V)
   }
 
@@ -808,6 +901,16 @@ object Algo {
   private val lastDijkstraRounds = new ThreadLocal[Integer]
   def lastDijkstraRoundCount: Option[Int] =
     Option(lastDijkstraRounds.get()).map(_.intValue)
+
+  /** Test-observability hook: the auto path-search strategy decision of
+    * the most recent findPaths on THIS thread (same rationale as
+    * [[lastDijkstraRoundCount]] — a session-conf probe would let
+    * concurrent queries clobber each other and mutates user-visible
+    * conf as a planning side effect).
+    */
+  private val lastPathSearchChoice = new ThreadLocal[String]
+  def lastPathSearchChoiceValue: Option[String] =
+    Option(lastPathSearchChoice.get())
 
   private def emptyIdPaths(b: Builder): DataFrame =
     b.spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),

@@ -50,6 +50,14 @@ final class Builder(
     new Compiler(st.kinds, params, labidToName, labidToLabelsJson,
       frameCols = st.df.columns.toSet)
 
+  /** Compiler over an explicit kind map but with the SESSION's
+    * parameters and labid catalogs — for expression compiles outside a
+    * frame (dijkstra weight/qual): `$param` and label()/labels() must
+    * resolve there exactly as in any other expression.
+    */
+  private[cypher] def compilerFor(kinds: Map[String, Kind]): Compiler =
+    new Compiler(kinds, params, labidToName, labidToLabelsJson)
+
   /** Drop shredded property columns from a frame. Required after a
     * write that rewrites properties (SET/MERGE): the sidecars were read
     * from the pre-write files and would serve stale values — downstream

@@ -490,8 +490,18 @@ final class Compiler(
         val from = J.toLong(toJ(compile(args(0))))
         val to = J.toLong(toJ(compile(args(1))))
         val step = if (args.length > 2) J.toLong(toJ(compile(args(2)))) else lit(1L)
+        // inverted bounds are an EMPTY list (openCypher range; PG
+        // generate_series(5,1) is zero rows) — Spark's sequence()
+        // instead throws "Illegal sequence boundaries", which would
+        // kill any data-dependent range(a, b) the moment one row has
+        // b < a. CaseWhen evaluates only the branch taken, so the
+        // sequence never runs for inverted bounds; NULL operands fall
+        // through to the otherwise branch and propagate as NULL.
+        val inverted = (step > lit(0L) && from > to) ||
+          (step < lit(0L) && from < to)
         val arr = transform(sequence(from, to, step), x => x.cast("string"))
-        CE(concat(lit("["), array_join(arr, ", "), lit("]")), KJ)
+        CE(when(inverted, lit("[]"))
+          .otherwise(concat(lit("["), array_join(arr, ", "), lit("]"))), KJ)
       case "coalesce" =>
         CE(coalesce(args.map(x => toJ(compile(x))): _*), KJ)
       case "toboolean" => CE(J.toBooleanFn(j0), KJ)
@@ -573,7 +583,11 @@ final class Compiler(
         val s = J.asText(j0)
         val sep = J.asText(toJ(compile(args(1))))
         val parts = split(s, sep, lit(-1)) // literal-ish; regex semantics accepted
-        val quoted = transform(parts, p => concat(lit("\""), p, lit("\"")))
+        // each part must be rendered as a canonical jsonb string
+        // (J.fromText escapes quotes/backslashes/control chars) — bare
+        // quote-wrapping would emit invalid jsonb for any part
+        // containing " or \
+        val quoted = transform(parts, p => J.fromText(p))
         CE(concat(lit("["), array_join(quoted, ", "), lit("]")), KJ)
       case "isempty" =>
         // isEmpty(list/map/string): size == 0; SQL NULL input -> NULL

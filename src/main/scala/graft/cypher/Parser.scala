@@ -392,11 +392,25 @@ object Parser {
         val inner = parsePathPattern()
         expectSym(",")
         val weight = parseExpr()
-        val qual = if (eatKw("where")) Some(parseExpr()) else None
-        val limit = if (eatKw("limit")) Some(parseExpr() match {
+        // the reference spells qual and LIMIT as comma-separated args
+        // (gram.y:18548-18623: dijkstra(chain, w), (chain, w, qual),
+        // (chain, w, LIMIT n), (chain, w, qual, LIMIT n)); the WHERE
+        // spelling is kept as an extension
+        var qual: Option[Expr] = None
+        var limit: Option[Long] = None
+        def parseLimitValue(): Long = parseExpr() match {
           case Lit(JNum(n)) => n.longValue
           case _ => fail("dijkstra LIMIT must be a literal")
-        }) else None
+        }
+        if (eatKw("where")) qual = Some(parseExpr())
+        else if (eatSym(",")) {
+          if (eatKw("limit")) limit = Some(parseLimitValue())
+          else {
+            qual = Some(parseExpr())
+            if (eatSym(",")) { expectKw("limit"); limit = Some(parseLimitValue()) }
+          }
+        }
+        if (limit.isEmpty && eatKw("limit")) limit = Some(parseLimitValue())
         expectSym(")")
         inner.copy(variable = variable,
           finder = PathFinder.Dijkstra(weight, qual, limit))

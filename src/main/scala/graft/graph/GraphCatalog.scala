@@ -178,8 +178,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"graph \"$name\" does not exist")
     }
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rm(_))
+      if (Files.isDirectory(p)) { val s = Files.list(p)
+        try s.iterator().asScala.foreach(rm) finally s.close() }
       Files.deleteIfExists(p)
     }
     rm(graphDir(name))
@@ -223,6 +223,14 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     m.labels.clear()
     renamed.foreach { case (n, meta) => m.labels(n) = meta }
     writeMeta(graph, m)
+    // constraints are keyed by label NAME in _constraints.json — follow
+    // the rename or they silently stop being enforced (checkConstraints
+    // matches via ancestors(label), which no longer contains the old
+    // name) and a future label reusing the old name would inherit them
+    val cs = constraints(graph)
+    if (cs.exists(_.label == from))
+      writeConstraints(graph,
+        cs.map(c => if (c.label == from) c.copy(label = to) else c))
     Files.move(labelDir(graph, from), labelDir(graph, to))
   } } }
   }
@@ -292,12 +300,17 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // labels never stall behind an index build (same-label writes
     // serialize against the reindex through the per-label write lock)
     require(keys.nonEmpty, "property index needs at least one key")
-    val lm = readMeta(graph).labels.getOrElse(label,
+    val m0 = readMeta(graph)
+    val lm = m0.labels.getOrElse(label,
       throw new IllegalStateException(s"""label "$label" does not exist"""))
     val autoKey = keys.head.takeWhile(c => c.isLetterOrDigit || c == '_')
     val nm = idxName.getOrElse(
       s"${label}_${if (autoKey.nonEmpty) autoKey else "expr"}_idx")
-    if (lm.indexes.exists(_.name == nm)) {
+    // index names are GRAPH-unique (PG: index names are schema-scoped
+    // relations), not per-label: otherwise two labels could register
+    // the same name and dropPropertyIndex — which resolves by name
+    // graph-wide — would drop an arbitrary one of them
+    if (m0.labels.values.exists(_.indexes.exists(_.name == nm))) {
       if (ifNotExists) return
       throw new IllegalStateException(s"""index "$nm" already exists""")
     }
@@ -463,7 +476,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     if (cons.exists(_.label == name))
       writeConstraints(graph, cons.filterNot(_.label == name))
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      if (Files.isDirectory(p)) { val s = Files.list(p)
+        try s.iterator().asScala.foreach(rm) finally s.close() }
       Files.deleteIfExists(p)
     }
     rm(labelDir(graph, name))
@@ -539,12 +553,16 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
 
   def graphsDf(): DataFrame = {
     import spark.implicits._
-    val gs = Files.list(Paths.get(root)).iterator()
     val names = scala.collection.mutable.ArrayBuffer[String]()
-    while (gs.hasNext) {
-      val p = gs.next()
-      if (Files.exists(p.resolve("_graph.json"))) names += p.getFileName.toString
-    }
+    val s0 = Files.list(Paths.get(root))
+    try {
+      val gs = s0.iterator()
+      while (gs.hasNext) {
+        val p = gs.next()
+        if (Files.exists(p.resolve("_graph.json")))
+          names += p.getFileName.toString
+      }
+    } finally s0.close()
     names.toSeq.sorted.map(n => (n, graphOwner(n).orNull))
       .toDF("graphname", "owner")
   }
@@ -784,8 +802,14 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
   }
 
   private def hasParquet(dir: Path): Boolean =
-    Files.exists(dir) && Files.list(dir).anyMatch(p =>
-      p.getFileName.toString.endsWith(".parquet"))
+    Files.exists(dir) && {
+      // close the stream — this runs on the scan path (once per label
+      // per MATCH) and an unclosed Files.list holds a directory fd
+      // until finalization
+      val s = Files.list(dir)
+      try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
 
   // ------------------------------------------------------------- writes
 
@@ -889,7 +913,8 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     clusterSorted(out, lm2)
       .write.mode("overwrite").parquet(staging.toString)
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      if (Files.isDirectory(p)) { val s = Files.list(p)
+        try s.iterator().asScala.foreach(rm) finally s.close() }
       Files.deleteIfExists(p)
     }
     rm(dir)

@@ -354,7 +354,11 @@ class CypherEndToEndSpec extends AnyFunSuite {
     val df = s.cypher("MATCH (x:n) RETURN stdevp(x.v) AS sp, stdev(x.v) AS sd")
       .select(J.toDouble(col("sp")).as("sp"), J.toDouble(col("sd")).as("sd"))
     val r = df.first()
-    assert(r.getDouble(0) == 2.0) // population stddev of the classic set
+    // population stddev of the classic set is exactly 2.0, but the
+    // parallel sum's accumulation order varies run to run (32
+    // partitions) — the last bit wobbles, so tolerance-compare like
+    // every other float assert in the suite
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-12, r.getDouble(0))
     assert(math.abs(r.getDouble(1) - 2.13808993529939517) < 1e-12)
     // timestamp() returns epoch millis as a jsonb number
     val ts = s.cypher("RETURN timestamp() AS t")

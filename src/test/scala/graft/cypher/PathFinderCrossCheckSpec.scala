@@ -59,7 +59,7 @@ class PathFinderCrossCheckSpec extends AnyFunSuite {
       // dense random graph (90 edges / 20 vertices → d ≫ 1.5):
       // auto must pick the meet-in-middle search AND agree with VLE
       runCase(11)
-      assert(spark.conf.get("spark.graft.pathSearch.lastChoice") == "twosided")
+      assert(Algo.lastPathSearchChoiceValue.contains("twosided"))
       // sparse chain (d ≈ 1): auto stays one-sided, same answers
       val chain = buildRandomGraph(99, 12, 0)
       (0 until 11).foreach(i => chain.cypher(
@@ -68,7 +68,7 @@ class PathFinderCrossCheckSpec extends AnyFunSuite {
         """MATCH p = shortestpath((a:v {n: 0})-[:e*..11]->(b:v {n: 5}))
           |RETURN length(p) AS l""".stripMargin).collect()
       assert(d.map(_.getString(0)) sameElements Array("5"))
-      assert(spark.conf.get("spark.graft.pathSearch.lastChoice") == "onesided")
+      assert(Algo.lastPathSearchChoiceValue.contains("onesided"))
     } finally spark.conf.unset("spark.graft.pathSearch")
   }
 
