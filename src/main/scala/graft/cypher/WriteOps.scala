@@ -126,6 +126,7 @@ object WriteOps {
       val elems: Seq[(Option[RelPattern], NodePattern)] =
         (None, p.head) +: p.tail.map { case (r, nd) => (Some(r), nd) }
       val boundNames = scala.collection.mutable.ArrayBuffer[String]()
+      val edgeNames = scala.collection.mutable.ArrayBuffer[String]()
       elems.foreach { case (relOpt, node) =>
         val nodeName = node.variable.getOrElse(s"__cv_${vars.length}_${boundNames.length}")
         if (!vars.exists(_._1 == nodeName)) {
@@ -176,6 +177,7 @@ object WriteOps {
             struct(idCol.as("id"), startId.as("start"), endId.as("end"),
               propsCol.as("properties")))
           vars = vars :+ (relName -> KE)
+          edgeNames += relName
           pendingChecks += (tpe -> { fdf: DataFrame =>
             fdf.select(col(Compiler.q(relName)).getField("properties").as("properties"))
           })
@@ -191,13 +193,15 @@ object WriteOps {
         prevName = nodeName
         boundNames += nodeName
       }
-      // bind path variable if present
+      // bind path variable if present: boundNames/edgeNames were
+      // appended in pattern order as each element bound, so they ARE
+      // the path — no positional lookup (indexOf collapses equal
+      // anonymous NodePatterns to the first occurrence) and no
+      // var-suffix arithmetic (takeRight leaked previously-bound edge
+      // vars into the path when the pattern reuses matched vertices)
       p.variable.foreach { pv =>
-        val vcols = elems.map(_._2).map(nd =>
-          col(Compiler.q(nd.variable.getOrElse(boundNames(elems.map(_._2).indexOf(nd))))))
-        // simple: vertices in pattern order; edges in pattern order
-        val ecols = vars.takeRight(elems.length * 2 - 1).filter(_._2 == KE)
-          .map(v => col(Compiler.q(v._1)))
+        val vcols = boundNames.toSeq.map(n => col(Compiler.q(n)))
+        val ecols = edgeNames.toSeq.map(n => col(Compiler.q(n)))
         df = df.withColumn(pv, struct(
           array(vcols: _*).as("vertices"),
           (if (ecols.isEmpty) b.emptyEdgeArray else array(ecols: _*)).as("edges")))
@@ -256,6 +260,15 @@ object WriteOps {
       case Prop(bse, k) => Prop(mapChildren(bse), k)
       case Index(bse, i) => Index(mapChildren(bse), mapChildren(i))
       case FnCall(nm, args, d) => FnCall(nm, args.map(mapChildren), d)
+      case Slice(bse, f, t) =>
+        Slice(mapChildren(bse), f.map(mapChildren), t.map(mapChildren))
+      case ListExpr(items) => ListExpr(items.map(mapChildren))
+      case MapExpr(fields) =>
+        MapExpr(fields.map { case (k, v) => k -> mapChildren(v) })
+      case CaseExpr(operand, whens, els) =>
+        CaseExpr(operand.map(mapChildren),
+          whens.map { case (w, t) => mapChildren(w) -> mapChildren(t) },
+          els.map(mapChildren))
       case other => other
     }
     val comp = new Compiler(selfVars.toMap, Map.empty, Map.empty, Map.empty)
@@ -273,7 +286,12 @@ object WriteOps {
             throw new IllegalStateException(
               s"""new row for label "${c.label}" violates check constraint "${c.name}"""")
         case "unique" =>
-          val keyCol = comp.toJ(comp.compile(mapChildren(body)))
+          // key identity is the memcomparable sort key, NOT the
+          // rendered string: the btree unique index compares jsonb
+          // VALUES, where 1 and 1.0 are one key (renderNum preserves
+          // display scale, so a string identity would let {id: 1.0}
+          // slip past an existing {id: 1})
+          val keyCol = J.sortKey(comp.toJ(comp.compile(mapChildren(body))))
           val newKeys = frame.select(keyCol.as("__k")).where(col("__k").isNotNull)
           // within-batch duplicates
           if (!newKeys.groupBy("__k").count().where(col("count") > 1).isEmpty)
@@ -363,7 +381,11 @@ object WriteOps {
       val labids = ids.select(shiftrightunsigned(col("id"), 48).cast("int").as("labid"))
         .distinct().collect().map(_.getInt(0))
       var removed = 0L
-      val byLabid = b.catalog.labels(b.graph).map(l => l.labid -> l.name).toMap
+      // filter by kind rather than trusting labid-global uniqueness:
+      // if labid allocation ever became per-kind, a vertex delete must
+      // not patch an edge table whose labid collides
+      val byLabid = b.catalog.labels(b.graph).filter(_.kind == kind)
+        .map(l => l.labid -> l.name).toMap
       labids.foreach { lid =>
         byLabid.get(lid).foreach { lname =>
           // file-pruned anti-join rewrite: untouched files keep their
@@ -600,7 +622,12 @@ object WriteOps {
       case _ => false
     }
     val selfRef = (m.onCreate ++ m.onMatch).exists {
-      case SetProp(_, v) => readsMergeVar(v)
+      // the TARGET can read the merged var too: SET n[n.slot] = 1 is
+      // order-dependent through its subscript expression, not its value
+      case SetProp(t, v) => readsMergeVar(v) || (t match {
+        case Index(_, i) => readsMergeVar(i)
+        case _ => false
+      })
       case SetMap(_, v, _) => readsMergeVar(v)
       case _ => false
     }
@@ -632,13 +659,37 @@ object WriteOps {
    *  guard that licenses replacing the second full pattern match with
    *  the key-join-back (execCypherMerge.c:35). Package-private so the
    *  spec can pin the predicate and the failure behavior. */
+  /** Pair the created build's new vars with the match build's, kind by
+    * kind: both builds bind the SAME pattern, and within each kind they
+    * bind in pattern order, but the interleaving differs (create()
+    * binds both endpoint NODES before the edge that needs their ids;
+    * buildMatch binds node, edge, node) — a positional zip across kinds
+    * would flag every fresh-endpoint relationship MERGE as misaligned.
+    * Named vars must pair with themselves; anonymous (fresh `__`) names
+    * may differ per build. None = genuinely misaligned.
+    */
+  private[cypher] def mergeVarPairs(
+      created: Seq[(String, Kind)], matched: Seq[(String, Kind)])
+      : Option[Seq[((String, Kind), (String, Kind))]] = {
+    if (created.length != matched.length) return None
+    val kinds = created.map(_._2).distinct
+    if (kinds.sortBy(_.toString) != matched.map(_._2).distinct.sortBy(_.toString))
+      return None
+    val pairs = kinds.flatMap { k =>
+      val cs = created.filter(_._2 == k)
+      val ms = matched.filter(_._2 == k)
+      if (cs.length != ms.length) return None
+      cs.zip(ms)
+    }
+    val ok = pairs.forall { case ((cn, _), (mn, _)) =>
+      cn == mn || (cn.startsWith("__") && mn.startsWith("__"))
+    }
+    if (ok) Some(pairs) else None
+  }
+
   private[cypher] def mergeVarsAligned(
       created: Seq[(String, Kind)], matched: Seq[(String, Kind)]): Boolean =
-    created.length == matched.length &&
-      created.zip(matched).forall { case ((cn, ck), (mn, mk)) =>
-        ck == mk && (cn == mn ||
-          (cn.startsWith("__") && mn.startsWith("__")))
-      }
+    mergeVarPairs(created, matched).isDefined
 
   /** A reached misalignment must fail, never fall back: the old full
    *  re-match diverges from the reference on self-symmetric patterns
@@ -680,14 +731,21 @@ object WriteOps {
       // + ids of any pre-bound endpoint vars
       val comp = b.compiler(State(missing, st0.vars))
       val keyCols = scala.collection.mutable.ArrayBuffer[Column]()
+      // prop-map identity is the memcomparable SORT KEY, not the
+      // rendered string: MERGE matches by jsonb equality, where {x: 1}
+      // and {x: 1.0} are ONE identity (the reference's row-at-a-time
+      // MERGE has the second row match the first row's node) — a
+      // rendered-string key would dedup them into two created elements
       (m.path.head +: m.path.tail.map(_._2)).foreach { nd =>
-        nd.props.foreach(pe => keyCols += comp.toJ(comp.compile(pe)))
+        nd.props.foreach(pe =>
+          keyCols += J.sortKey(comp.toJ(comp.compile(pe))))
         nd.variable.foreach { v =>
           if (st0.kinds.contains(v)) keyCols += col(Compiler.q(v)).getField("id")
         }
       }
       m.path.tail.map(_._1).foreach { rl =>
-        rl.props.foreach(pe => keyCols += comp.toJ(comp.compile(pe)))
+        rl.props.foreach(pe =>
+          keyCols += J.sortKey(comp.toJ(comp.compile(pe))))
       }
       missingKeyed = keyCols.toSeq.zipWithIndex.foldLeft(missing) {
         case (d, (c, i)) => d.withColumn(s"__mk_$i", c)
@@ -705,12 +763,13 @@ object WriteOps {
           createdIdsHolder += created.df.select(
             col(Compiler.q(v)).getField("id").as("id"))
       }
-      // created bindings keyed by identity, aligned positionally to the
+      // created bindings keyed by identity, aligned per-kind to the
       // match side's variable names (anonymous elements get fresh names
-      // per build, but both builds bind in pattern order)
-      if (mergeVarsAligned(createdNewVars, matchNewVars)) {
+      // per build; within each kind both builds bind in pattern order,
+      // but the node/edge interleaving differs — see mergeVarPairs)
+      mergeVarPairs(createdNewVars, matchNewVars).foreach { pairs =>
         val sel = keyCols.indices.map(i => col(s"__mk_$i").as(s"__ck_$i")) ++
-          createdNewVars.zip(matchNewVars).map { case ((cn, _), (mn, _)) =>
+          pairs.map { case ((cn, _), (mn, _)) =>
             col(Compiler.q(cn)).as(mn) }
         // materialized: the created bindings are already on disk, and
         // checkpointing breaks the self-lineage with missingKeyed

@@ -43,6 +43,20 @@ class MergeAlignmentSpec extends AnyFunSuite {
       Seq("__v1" -> KV), Seq("a" -> KV)))
   }
 
+  test("aligned: per-kind pairing bridges the node/edge interleaving") {
+    // create() binds both endpoint nodes BEFORE the edge (it needs
+    // their ids); buildMatch binds node, edge, node — the SAME pattern
+    // vars in a different interleaving must align per kind
+    assert(WriteOps.mergeVarsAligned(
+      Seq("a" -> KV, "b" -> KV, "__ce_2_1" -> KE),
+      Seq("a" -> KV, "__e_1" -> KE, "b" -> KV)))
+    val pairs = WriteOps.mergeVarPairs(
+      Seq("a" -> KV, "b" -> KV, "__ce_2_1" -> KE),
+      Seq("a" -> KV, "__e_1" -> KE, "b" -> KV)).get
+    assert(pairs.map { case ((c, _), (m, _)) => c -> m } ==
+      Seq("a" -> "a", "b" -> "b", "__ce_2_1" -> "__e_1"))
+  }
+
   test("reached misalignment throws, never proceeds") {
     val e = intercept[IllegalStateException] {
       WriteOps.mergeMisalignmentError(Seq("a", "__e1"), Seq("a", "r"))
