@@ -589,9 +589,17 @@ object Bench {
       // this writer emits; a reformatted file (pretty-printed rows span
       // lines) would parse to zero prior rows and the rewrite would
       // silently drop the committed board — the exact r9 evidence-loss
-      // failure this file exists to prevent. Refuse to rewrite in that
-      // case: keep the run's rows in a sidecar instead and say so.
-      val reformatted = java.nio.file.Files.exists(path) && old.isEmpty
+      // failure this file exists to prevent. Refuse to rewrite ONLY
+      // when the file actually carries sf10 rows we failed to parse: a
+      // legitimately row-empty file (note-only) is safe to rewrite
+      // (r10 ADVICE).
+      val fileHasRows = java.nio.file.Files.exists(path) && {
+        val compact = java.nio.file.Files.readString(path)
+          .replaceAll("\\s", "")
+        val i = compact.indexOf("\"sf10_probe_100x\":{")
+        i >= 0 && i + 19 < compact.length && compact.charAt(i + 19) != '}'
+      }
+      val reformatted = fileHasRows && old.isEmpty
       sf10RowBodies.foreach { case (n, body) => old(n) = body }
       val note = sys.env.get("SPARK_GRAFT_SF10_NOTE")
         .map(n => "\"" + escErr(n) + "\"")
@@ -686,8 +694,13 @@ object Bench {
       results.collectFirst { case (bn, bv) if bn == n && bv > 0.005 && v > 0 =>
         v / bv }.getOrElse(0.0)
     }
+    // each entry carries BOTH the sf1 seconds and the sf1/sf0.1 ratio:
+    // r10's board published bare seconds under the "_10x" key and the
+    // adjudication record read them as ratios (verdict item 4) — the
+    // object form is unambiguous for any consumer
     val sf1Json = sf1Times.sortBy(-ratioOf(_)).take(12).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }.mkString("{", ",", "}")
+      "\"" + k.takeWhile(_ != '_') + "\":{\"sec\":" + f(v) +
+        ",\"ratio\":" + f(ratioOf((k, v))) + "}" }.mkString("{", ",", "}")
     val sf1Max = sf1Times.map(ratioOf).foldLeft(0.0)(math.max)
     // stdout stays bounded: the probe error rides as a short flag here,
     // full text is in bench_full.json

@@ -379,14 +379,47 @@ final class CypherSession(
       }
       k
     }
+    def skipQuotedIdent(from: Int): Int = { // past closing " ("" escapes)
+      var k = from + 1
+      while (k < s.length) {
+        if (s.charAt(k) == '"') {
+          if (k + 1 < s.length && s.charAt(k + 1) == '"') k += 2
+          else return k + 1
+        } else k += 1
+      }
+      k
+    }
+    def skipLineComment(from: Int): Int = { // past the newline
+      var k = from
+      while (k < s.length && s.charAt(k) != '\n') k += 1
+      k
+    }
+    def skipBlockComment(from: Int): Int = { // past the closing */
+      var k = from + 2
+      while (k + 1 < s.length &&
+        !(s.charAt(k) == '*' && s.charAt(k + 1) == '/')) k += 1
+      math.min(k + 2, s.length)
+    }
+    def identChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '$'
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\'') {
         val e = skipString(i); out.append(s.substring(i, e)); i = e
+      } else if (c == '"') {
+        val e = skipQuotedIdent(i); out.append(s.substring(i, e)); i = e
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        val e = skipLineComment(i); out.append(s.substring(i, e)); i = e
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val e = skipBlockComment(i); out.append(s.substring(i, e)); i = e
       } else if (c == '(') {
         var j = i + 1
         while (j < s.length && s.charAt(j).isWhitespace) j += 1
-        if (s.regionMatches(true, j, "MATCH", 0, 5)) {
+        // `MATCH` must end at a word boundary: `(matches.score > 1)` or
+        // `(match_score + 1)` is legal SQL over an identifier, not a
+        // Cypher block (r10 verdict item 1)
+        if (s.regionMatches(true, j, "MATCH", 0, 5) &&
+            (j + 5 >= s.length || !identChar(s.charAt(j + 5)))) {
           var depth = 1
           var k = i + 1
           while (k < s.length && depth > 0) {
@@ -398,19 +431,31 @@ final class CypherSession(
             }
           }
           val inner = s.substring(i + 1, k - 1)
-          val view = s"__cypher_sub_$n"; n += 1
+          val view = s"__cypher_sub_$n"
           val isExists = out.toString.replaceAll("\\s+$", "")
             .toUpperCase.endsWith("EXISTS")
-          val fragment =
-            try {
-              cypher(inner).createOrReplaceTempView(view)
-              if (isExists) s"(SELECT * FROM $view)" else view
-            } catch {
-              case e: Exception if isExists =>
-                correlatedExists(inner, view).getOrElse(throw e)
-            }
-          out.append(fragment)
-          i = k
+          // a block that doesn't even PARSE as Cypher is not a Cypher
+          // block — emit the original text unchanged and let Spark SQL
+          // judge it (e.g. a boolean `match` column used bare in
+          // parens). Post-parse failures (unknown label, unbound outer
+          // var, ...) are genuine Cypher errors and still surface.
+          val parses =
+            try { Parser.parse(inner); true }
+            catch { case _: Exception => false }
+          if (!parses) { out.append(s.substring(i, k)); i = k }
+          else {
+            n += 1
+            val fragment =
+              try {
+                cypher(inner).createOrReplaceTempView(view)
+                if (isExists) s"(SELECT * FROM $view)" else view
+              } catch {
+                case e: Exception if isExists =>
+                  correlatedExists(inner, view).getOrElse(throw e)
+              }
+            out.append(fragment)
+            i = k
+          }
         } else { out.append(c); i += 1 }
       } else { out.append(c); i += 1 }
     }

@@ -331,8 +331,26 @@ object Algo {
     // true when the effective bound came from the ENGINE cap, not the
     // query (reference searches to LONG_MAX for `[*]`,
     // parse_shortestpath.c:458) — the searches fail loud if they hit it
-    // with pairs still unmatched and paths still extending
+    // with pairs still unmatched and paths still extending. The message
+    // distinguishes an unbounded pattern from an explicit user bound the
+    // cap CLIPPED ([*..100] with cap 64): only "raise the cap" applies
+    // to the latter (r10 ADVICE).
     val capped = hi.getOrElse(Long.MaxValue) > MaxDepth.toLong
+    val capMsg: Option[String] =
+      if (!capped) None
+      else Some(hi match {
+        case Some(u) =>
+          s"shortest-path search exceeded the depth cap $MaxDepth " +
+            s"(spark.graft.maxDepth), which clipped the query's explicit " +
+            s"upper bound [*..$u], with endpoint pairs still unmatched " +
+            s"and the frontier still extending; raise spark.graft.maxDepth " +
+            s"to at least $u"
+        case None =>
+          s"shortest-path search exceeded the depth cap $MaxDepth " +
+            "with endpoint pairs still unmatched and the frontier still " +
+            "extending; raise spark.graft.maxDepth or bound the pattern " +
+            "(the reference searches unbounded, parse_shortestpath.c:458)"
+      })
     val relName = rel.variable.getOrElse(s"__sp_e_${p.hashCode.abs % 1000}")
 
     // Source-constrained search: expand only from the bound source
@@ -376,12 +394,12 @@ object Algo {
           targets)
       case PathFinder.AllShortest =>
         if (twoSided)
-          bfs2(b, rel, loV, hiV, keepAll = true, origins, targets, capped)
-        else bfs(b, rel, loV, hiV, keepAll = true, origins, targets, capped)
+          bfs2(b, rel, loV, hiV, keepAll = true, origins, targets, capMsg)
+        else bfs(b, rel, loV, hiV, keepAll = true, origins, targets, capMsg)
       case _ =>
         if (twoSided)
-          bfs2(b, rel, loV, hiV, keepAll = false, origins, targets, capped)
-        else bfs(b, rel, loV, hiV, keepAll = false, origins, targets, capped)
+          bfs2(b, rel, loV, hiV, keepAll = false, origins, targets, capMsg)
+        else bfs(b, rel, loV, hiV, keepAll = false, origins, targets, capMsg)
     }
 
     // join on both endpoints
@@ -418,7 +436,7 @@ object Algo {
 
   private def bfs(b: Builder, rel: RelPattern, lo: Long, hi: Long,
       keepAll: Boolean, origins: DataFrame, targets: => DataFrame,
-      capped: Boolean): DataFrame = {
+      capMsg: Option[String]): DataFrame = {
     val E0 = b.edgeScan(rel.types, rel.direction, rel.only)
     val E = E0.select(col("__edge"), col("__s"), col("__e"))
     val ex = new Expander(b.spark, E, "__s")
@@ -489,21 +507,23 @@ object Algo {
     // (origin, target) pair already has its shortest path (then deeper
     // frontiers cannot change the answer). The check runs only in the
     // rare cap-hit case.
-    if (capped && !exhausted) {
+    if (capMsg.isDefined && !exhausted) {
+      // every matched (start, cur) pair has start IN origins by
+      // construction; restricting cur to the target set makes the
+      // distinct matched-pair set a SUBSET of origins x targets, so
+      // completeness is a count comparison — no |V|^2 cross-product
+      // probe just to decide whether to throw (r10 ADVICE; bfs2 keeps
+      // the same invariant via its metCount counter)
       var matched = (if (results == null) emptyIdPaths(b) else results)
-        .select(col("__start").as("__mo"), col("__cur").as("__mt")).distinct()
+        .select(col("__start").as("__mo"), col("__cur").as("__mt"))
+        .join(targets, col("__mt") === col("__target"), "left_semi")
       if (lo == 0L)
         matched = matched.unionAll(origins
           .join(targets, col("__origin") === col("__target"), "left_semi")
           .select(col("__origin").as("__mo"), col("__origin").as("__mt")))
-      val missing = origins.crossJoin(targets)
-        .join(matched, col("__origin") === col("__mo") &&
-          col("__target") === col("__mt"), "left_anti")
-      if (missing.head(1).nonEmpty) throw new IllegalStateException(
-        s"shortest-path search exceeded the depth cap ${maxDepthOf(b.spark)} " +
-          "with endpoint pairs still unmatched and the frontier still " +
-          "extending; raise spark.graft.maxDepth or bound the pattern " +
-          "(the reference searches unbounded, parse_shortestpath.c:458)")
+      val allPairs = origins.count() * targets.count()
+      if (matched.distinct().count() < allPairs)
+        throw new IllegalStateException(capMsg.get)
     }
 
     var out = if (results == null) emptyIdPaths(b) else results
@@ -551,7 +571,7 @@ object Algo {
     */
   private def bfs2(b: Builder, rel: RelPattern, lo: Long, hi: Long,
       keepAll: Boolean, origins: DataFrame, targets: DataFrame,
-      capped: Boolean): DataFrame = {
+      capMsg: Option[String]): DataFrame = {
     val E0 = b.edgeScan(rel.types, rel.direction, rel.only)
     val E = E0.select(col("__edge"), col("__s"), col("__e"))
     // forward expands out of __s (out-adjacency), backward into __e
@@ -671,7 +691,7 @@ object Algo {
     // Loud cap, target-aware (see bfs): the two-sided search already
     // tracks met pairs, so the unmatched test is the counter it keeps
     // (zero-length pairs join the met set below, so count them first)
-    if (capped && !exhausted && metCount < allPairs) {
+    if (capMsg.isDefined && !exhausted && metCount < allPairs) {
       val zeroPairs = if (lo == 0L)
         origins.join(targets, col("__origin") === col("__target"),
           "left_semi").count()
@@ -689,11 +709,7 @@ object Algo {
               col("__target") === col("__mt"), "left_anti")
             .head(1).nonEmpty
         }
-      if (stillMissing) throw new IllegalStateException(
-        s"shortest-path search exceeded the depth cap ${maxDepthOf(b.spark)} " +
-          "with endpoint pairs still unmatched and the frontier still " +
-          "extending; raise spark.graft.maxDepth or bound the pattern " +
-          "(the reference searches unbounded, parse_shortestpath.c:458)")
+      if (stillMissing) throw new IllegalStateException(capMsg.get)
     }
 
     var out = if (results == null) emptyIdPaths(b) else results

@@ -244,33 +244,43 @@ object WriteOps {
       else Some((c, hit.map(_._2).reduce(_ unionAll _)))
     }
     if (applicable.isEmpty) return
-    // compile the body against a one-var frame (__self holds the props)
+    // compile the body against a one-var frame (__self holds the props).
+    // The rewrite carries a shadow set so lambda variables of list
+    // predicates/comprehensions (`all(x IN tags WHERE x <> '')`) stay
+    // bound to the lambda, not rewritten to __self.x (r10 ADVICE).
     val selfVars: Vector[(String, Kind)] = Vector("__self" -> KV)
-    def mapChildren(e: Expr): Expr = e match {
-      case Vbl(n) => Prop(Vbl("__self"), n)
-      case BinOp(op, l, r) => BinOp(op, mapChildren(l), mapChildren(r))
-      case UnaryOp(op, x) => UnaryOp(op, mapChildren(x))
-      case Cmp(op, l, r) => Cmp(op, mapChildren(l), mapChildren(r))
-      case And(l, r) => And(mapChildren(l), mapChildren(r))
-      case Or(l, r) => Or(mapChildren(l), mapChildren(r))
-      case Not(x) => Not(mapChildren(x))
-      case IsNull(x, neg) => IsNull(mapChildren(x), neg)
-      case StrPred(op, l, r) => StrPred(op, mapChildren(l), mapChildren(r))
-      case InList(x, l, neg) => InList(mapChildren(x), mapChildren(l), neg)
-      case Prop(bse, k) => Prop(mapChildren(bse), k)
-      case Index(bse, i) => Index(mapChildren(bse), mapChildren(i))
-      case FnCall(nm, args, d) => FnCall(nm, args.map(mapChildren), d)
-      case Slice(bse, f, t) =>
-        Slice(mapChildren(bse), f.map(mapChildren), t.map(mapChildren))
-      case ListExpr(items) => ListExpr(items.map(mapChildren))
-      case MapExpr(fields) =>
-        MapExpr(fields.map { case (k, v) => k -> mapChildren(v) })
-      case CaseExpr(operand, whens, els) =>
-        CaseExpr(operand.map(mapChildren),
-          whens.map { case (w, t) => mapChildren(w) -> mapChildren(t) },
-          els.map(mapChildren))
-      case other => other
+    def rewriteTo(shadow: Set[String])(e: Expr): Expr = {
+      val mc = rewriteTo(shadow) _
+      e match {
+        case Vbl(n) => if (shadow(n)) e else Prop(Vbl("__self"), n)
+        case BinOp(op, l, r) => BinOp(op, mc(l), mc(r))
+        case UnaryOp(op, x) => UnaryOp(op, mc(x))
+        case Cmp(op, l, r) => Cmp(op, mc(l), mc(r))
+        case And(l, r) => And(mc(l), mc(r))
+        case Or(l, r) => Or(mc(l), mc(r))
+        case Not(x) => Not(mc(x))
+        case IsNull(x, neg) => IsNull(mc(x), neg)
+        case StrPred(op, l, r) => StrPred(op, mc(l), mc(r))
+        case InList(x, l, neg) => InList(mc(x), mc(l), neg)
+        case Prop(bse, k) => Prop(mc(bse), k)
+        case Index(bse, i) => Index(mc(bse), mc(i))
+        case FnCall(nm, args, d) => FnCall(nm, args.map(mc), d)
+        case Slice(bse, f, t) => Slice(mc(bse), f.map(mc), t.map(mc))
+        case ListExpr(items) => ListExpr(items.map(mc))
+        case MapExpr(fields) =>
+          MapExpr(fields.map { case (k, v) => k -> mc(v) })
+        case CaseExpr(operand, whens, els) =>
+          CaseExpr(operand.map(mc),
+            whens.map { case (w, t) => mc(w) -> mc(t) }, els.map(mc))
+        case ListPred(op, v, list, where) =>
+          ListPred(op, v, mc(list), rewriteTo(shadow + v)(where))
+        case ListComp(v, list, where, proj) =>
+          val inner = rewriteTo(shadow + v) _
+          ListComp(v, mc(list), where.map(inner), proj.map(inner))
+        case other => other
+      }
     }
+    val mapChildren = rewriteTo(Set.empty) _
     val comp = new Compiler(selfVars.toMap, Map.empty, Map.empty, Map.empty)
     applicable.foreach { case (c, newRows) =>
       val frame = newRows.select(struct(lit(0L).as("id"),

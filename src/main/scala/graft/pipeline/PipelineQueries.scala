@@ -819,7 +819,14 @@ object PipelineQueries {
       val nat = load(s, d, "nation")
         .select((col("n_nationkey") + 1000).as("u"),
           col("n_regionkey").as("v"))
-      GraphAnalytics.closeness(sup.unionAll(nat), maxDepth = 4).orderBy("id")
+      val edges = sup.unionAll(nat)
+      // spark.graft.pairState.fallback=twin (default off) degrades a
+      // tripped guard to the fixed-count sampled twin (p118 shape)
+      // with a loud warning instead of a dead job
+      ScaleGuard.orTwin(s, "p57_closeness")(
+        GraphAnalytics.closeness(edges, maxDepth = 4).orderBy("id"))(
+        GraphAnalytics.closenessSampledK(edges, maxDepth = 4, k = 16)
+          .orderBy("id"))
     },
 
     // Sampled closeness (Eppstein-Wang style): BFS from the id % 17
@@ -877,8 +884,13 @@ object PipelineQueries {
           cust("c_nationkey") === nat("n_nationkey"))
         .select((col("c_custkey") + 100000).as("u"),
           col("n_regionkey").as("v"))
-      GraphAnalytics.stressCentrality(cn.unionAll(cr), maxDepth = 4)
-        .orderBy("id")
+      val edges = cn.unionAll(cr)
+      // fallback=twin → sampled-source stress (p119 shape) on the same
+      // graph instead of a guard error (see p57)
+      ScaleGuard.orTwin(s, "p58_stress")(
+        GraphAnalytics.stressCentrality(edges, maxDepth = 4).orderBy("id"))(
+        GraphAnalytics.stressCentralitySampled(edges, maxDepth = 4, mod = 5)
+          .orderBy("id"))
     },
 
     // Sampled-pair stress centrality — the shipped scale twin the p58
@@ -1353,16 +1365,27 @@ object PipelineQueries {
       // Σ deg·(deg−1)/2 pairs — quadratic per basket — and dies at the
       // 100× probe (measured 1.31e9 wedges); fail fast naming the
       // capped twin instead of exhausting memory mid-join
-      ScaleGuard.guardWedges(cp, "c",
-        what = "the exact co-purchase self-join (p75 shape)",
-        twin = "the degree-capped wedge (p114 shape: filter middle " +
-          "vertices to deg <= cap before the join)")
-      cp.alias("x").join(cp.alias("y"),
-          col("x.c") === col("y.c") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-        .agg(count(lit(1)).as("n_cust"))
-        .orderBy(col("n_cust").desc, col("pa"), col("pb"))
-        .limit(20)
+      def wedge(adj: org.apache.spark.sql.DataFrame) =
+        adj.alias("x").join(adj.alias("y"),
+            col("x.c") === col("y.c") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy(col("n_cust").desc, col("pa"), col("pb"))
+          .limit(20)
+      // fallback=twin → the degree-capped wedge the guard names
+      // (middles capped to basket deg <= 28, p114's cap) instead of a
+      // guard error
+      ScaleGuard.orTwin(s, "p75_copurchase")({
+        ScaleGuard.guardWedges(cp, "c",
+          what = "the exact co-purchase self-join (p75 shape)",
+          twin = "the degree-capped wedge (p114 shape: filter middle " +
+            "vertices to deg <= cap before the join)")
+        wedge(cp)
+      })({
+        val capped = cp.groupBy("c").agg(count(lit(1)).as("dc"))
+          .where(col("dc") <= 28).select("c")
+        wedge(cp.join(capped, "c"))
+      })
     },
 
     "p76_markov_transitions" -> { (s, d) =>
@@ -1649,21 +1672,35 @@ object PipelineQueries {
       // wedge join through uncapped part middles is quadratic per hub.
       // Σ dp·(dp−1)/2 comes off the degree table just built — no second
       // scan of cp for the estimate
-      ScaleGuard.check(s, deg
-        .agg(coalesce(sum(expr("dp * (dp - 1) DIV 2")), lit(0L)).as("_w"))
-        .first().getLong(0),
-        what = "the exact Adamic-Adar wedge join (p107 shape)",
-        twin = "the degree-capped form p114_aa_degree_capped (same " +
-          "query with middle deg capped)")
-      val cpT = cp.join(deg.select("p", "term"), "p") // same key as the self-join
-      val wedges = cpT.alias("x")
-        .join(cp.alias("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-        .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.term").as("term"))
-      wedges.groupBy("ca", "cb")
-        .agg(round(sum(col("term")).cast("double") / 1e6, 6).as("aa"),
-          count(lit(1)).as("n_common"))
-        .orderBy(col("aa").desc, col("ca"), col("cb"))
-        .limit(25)
+      def aaRank(xSide: org.apache.spark.sql.DataFrame,
+          ySide: org.apache.spark.sql.DataFrame) =
+        xSide.alias("x")
+          .join(ySide.alias("y"),
+            col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+          .select(col("x.c").as("ca"), col("y.c").as("cb"),
+            col("x.term").as("term"))
+          .groupBy("ca", "cb")
+          .agg(round(sum(col("term")).cast("double") / 1e6, 6).as("aa"),
+            count(lit(1)).as("n_common"))
+          .orderBy(col("aa").desc, col("ca"), col("cb"))
+          .limit(25)
+      // fallback=twin → the p114 degree-capped form instead of a guard
+      // error (the cap is p114's, deg ∈ [2, 28])
+      ScaleGuard.orTwin(s, "p107_adamic_adar")({
+        ScaleGuard.check(s, deg
+          .agg(coalesce(sum(expr("dp * (dp - 1) DIV 2")), lit(0L)).as("_w"))
+          .first().getLong(0),
+          what = "the exact Adamic-Adar wedge join (p107 shape)",
+          twin = "the degree-capped form p114_aa_degree_capped (same " +
+            "query with middle deg capped)")
+        // same key as the self-join
+        aaRank(cp.join(deg.select("p", "term"), "p"), cp)
+      })({
+        val cpCapped = cp.join(
+          deg.where(col("dp") >= 2 && col("dp") <= 28)
+            .select("p", "term"), "p")
+        aaRank(cpCapped, cpCapped)
+      })
     },
 
     "p114_aa_degree_capped" -> { (s, d) =>

@@ -44,6 +44,45 @@ object ScaleGuard {
   /** Row cap for quadratic pair state; ≤ 0 disables the guard. */
   val ConfKey = "spark.graft.pairState.max"
 
+  /** Optional graceful degradation: `twin` routes a tripped guard to
+    * the query's shipped sampled/capped scale twin with a LOUD warning
+    * instead of an error — production pipelines often prefer an
+    * approximate answer to a dead job. Default (unset/anything else):
+    * the guard errors, naming the twin (unchanged r10 behavior).
+    */
+  val FallbackKey = "spark.graft.pairState.fallback"
+
+  /** Typed guard error so [[orTwin]] catches EXACTLY a tripped guard,
+    * never an unrelated IllegalStateException from the exact plan.
+    */
+  final class PairStateGuardException(msg: String)
+    extends IllegalStateException(msg)
+
+  private def fallbackToTwin(spark: SparkSession): Boolean =
+    spark.conf.getOption(FallbackKey)
+      .orElse(sys.props.get(FallbackKey))
+      .exists(_.trim.equalsIgnoreCase("twin"))
+
+  /** Run `exact`; if the pair-state guard trips AND the fallback conf
+    * is `twin`, log a loud warning and return `twin` (the caller's
+    * shipped approximate form) instead. With the conf unset the guard
+    * error propagates untouched.
+    */
+  def orTwin[T](spark: SparkSession, what: String)(exact: => T)(
+      twin: => T): T =
+    if (!fallbackToTwin(spark)) exact
+    else
+      try exact
+      catch {
+        case e: PairStateGuardException =>
+          System.err.println(
+            s"[graft] WARNING: pair-state guard tripped for $what; " +
+              s"$FallbackKey=twin routes to the sampled/capped scale " +
+              s"twin — the result is the TWIN's (approximate) answer, " +
+              s"not the exact form's. Guard said: ${e.getMessage}")
+          twin
+      }
+
   /** Serialized cost of one cached (long, long) pair-state row:
     * ~16 payload + block/row overhead, plus the same row transiting
     * the round's join and distinct/aggregation maps.
@@ -74,7 +113,7 @@ object ScaleGuard {
       twin: String): Unit = {
     val max = maxPairRows(spark)
     if (max > 0 && estRows > max)
-      throw new IllegalStateException(
+      throw new PairStateGuardException(
         s"pair-state guard: $what projects ~$estRows quadratic state " +
         s"rows, above $ConfKey = $max (default: 11M rows per core). " +
         "This state exhausts executor memory at scale (measured: the " +
@@ -143,7 +182,18 @@ object ScaleGuard {
   def guardRound(spark: SparkSession, frontier: DataFrame, deg: DataFrame,
       maxDeg: Long, visitedRows: Long, frontierRows: Long,
       what: String, twin: String): Long = {
-    val bound = visitedRows + frontierRows * math.max(1L, maxDeg)
+    // saturating multiply/add: an extreme hub graph can overflow Long
+    // here, and a negative bound would pass both comparisons below —
+    // silently skipping the guard in exactly the blow-up case it exists
+    // for (r10 ADVICE). Saturated = "definitely over every line", which
+    // correctly routes to the exact projection + check.
+    val d = math.max(1L, maxDeg)
+    val prod =
+      if (frontierRows > 0 && frontierRows > Long.MaxValue / d) Long.MaxValue
+      else frontierRows * d
+    val bound =
+      if (visitedRows > Long.MaxValue - prod) Long.MaxValue
+      else visitedRows + prod
     val cap = maxPairRows(spark)
     val diskThreshold = budgetBytes(spark) / 4 / BytesPerPair
     if ((cap <= 0 || bound <= cap) && bound <= diskThreshold) bound

@@ -259,6 +259,32 @@ class DdlSpec extends AnyFunSuite {
     assert(s.cypher("MATCH (n:p) RETURN n").count() == 1)
   }
 
+  test("check constraint with list predicate/comprehension (lambda shadowing)") {
+    val s = fresh()
+    s.createGraph("cg2b")
+    s.createVLabel("tagged")
+    // `all(x IN tags WHERE x <> '')`: the bare `tags` rewrites to the
+    // new row's property, but the lambda variable `x` must stay bound
+    // to the lambda (r10 ADVICE: pre-fix this threw "variable not
+    // defined" on EVERY write to the label)
+    s.catalog.addConstraint("cg2b", "tagged", "t_nonempty", "check",
+      "all(x IN tags WHERE x <> '')")
+    s.cypher("CREATE (:tagged {tags: ['a', 'b']})")
+    intercept[Exception] { s.cypher("CREATE (:tagged {tags: ['a', '']})") }
+    // absent property -> NULL check result -> passes (PG CHECK 3VL)
+    s.cypher("CREATE (:tagged {other: 1})")
+    assert(s.cypher("MATCH (n:tagged) RETURN n").count() == 2)
+    // comprehension form: size([x IN tags WHERE x = bad]) = 0 — `bad`
+    // is a property ref, `x` is the lambda var
+    s.createVLabel("tagged2")
+    s.catalog.addConstraint("cg2b", "tagged2", "t2_noban", "check",
+      "size([x IN tags WHERE x = banned]) = 0")
+    s.cypher("CREATE (:tagged2 {tags: ['a', 'b'], banned: 'z'})")
+    intercept[Exception] {
+      s.cypher("CREATE (:tagged2 {tags: ['a', 'z'], banned: 'z'})") }
+    assert(s.cypher("MATCH (n:tagged2) RETURN n").count() == 1)
+  }
+
   test("unique constraint applies to inheritance subtree") {
     val s = fresh()
     s.createGraph("cg3")

@@ -165,6 +165,49 @@ class InteropSpec extends AnyFunSuite {
     assert(out.collect().head.getString(0) == "(MATCH literal)")
   }
 
+  test("hybrid sql(): identifiers starting with MATCH are not Cypher blocks") {
+    import spark.implicits._
+    // r10 verdict item 1: `(matches.score > 1)` / `(match_score + 1)`
+    // are legal SQL over identifiers — a word-boundary check must keep
+    // them out of the Cypher parser
+    Seq((1, 5), (2, 0)).toDF("id", "score").createOrReplaceTempView("matches")
+    val out = s.sql(
+      "SELECT id FROM matches WHERE (matches.score > 1) ORDER BY id")
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+    Seq((1, 5)).toDF("id", "match_score").createOrReplaceTempView("ms")
+    assert(s.sql("SELECT (match_score + 1) AS v FROM ms")
+      .collect().head.getInt(0) == 6)
+  }
+
+  test("hybrid sql(): non-Cypher (MATCH...) text falls through to SQL") {
+    import spark.implicits._
+    // a parenthesized comparison over a column named `match`: starts
+    // with MATCH at a word boundary but doesn't parse as Cypher —
+    // scanner must emit the text unchanged instead of erroring
+    Seq((1, true), (2, false)).toDF("id", "match")
+      .createOrReplaceTempView("flags")
+    val out = s.sql(
+      "SELECT id FROM flags WHERE (match = true) ORDER BY id")
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("hybrid sql(): SQL comments and quoted identifiers are skipped") {
+    import spark.implicits._
+    Seq(1).toDF("v").createOrReplaceTempView("one_row")
+    // a (MATCH ...) inside a line comment, a block comment, and a
+    // double-quoted identifier must not trigger the Cypher door
+    val out = s.sql(
+      """SELECT v -- not a block: (MATCH (c:city) RETURN c)
+        |/* nor this: (MATCH (c) RETURN c) */
+        |FROM one_row""".stripMargin)
+    assert(out.collect().head.getInt(0) == 1)
+    // Spark's default mode reads double quotes as STRING literals —
+    // either way the scanner must skip to the closing quote instead of
+    // compiling the contents as Cypher
+    assert(s.sql("""SELECT "(MATCH not cypher)" AS x""")
+      .collect().head.getString(0) == "(MATCH not cypher)")
+  }
+
   test("idtext() renders the graphid display form labid.locid") {
     // graphid_out (graph.c:145-186) displays "labid.locid"; id() keeps
     // the packed long so ordering matches graphid comparison order
