@@ -462,13 +462,18 @@ object Bench {
     var sf10Error: String = null
     var sf10Dir: String = null
     var sf10Samples: Map[String, List[(Double, Long)]] = Map.empty
+    // replica factor override (default 100 = the sf10 probe). K=1000 is
+    // the sf100 / third-decade spot probe: results go to bench_sf100
+    // .json under key sf100_probe_1000x — NEVER merged into the sf10
+    // board (conflating decades is the r9 evidence-loss class of bug).
+    val sfK = sys.env.getOrElse("SPARK_GRAFT_SFK", "100").toInt
     val sf10Times: Seq[(String, Double)] =
       if (!sf10Only && !sys.env.get("SPARK_GRAFT_SF10").contains("1")) Nil
       else try {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_sf10_probe").toString
         sf10Dir = dir
-        makeReplica(spark, sfDir, dir, 100)
+        makeReplica(spark, sfDir, dir, sfK)
         // the heavy family from the sf1 board: exact wedge quadratics
         // (p107/p75 — expected superlinear, the documented crossover),
         // their capped 100-TB form (p114 — must stay near-linear),
@@ -566,16 +571,22 @@ object Bench {
       else ""
       n -> s"""{"sec":${f(v)}$ratio$den$detail$err}"""
     }
+    // K != 100 gets its OWN file + key (e.g. bench_sf100.json /
+    // "sf100_probe_1000x") so decades never mix in one board
+    val sfKFile =
+      if (sfK == 100) "bench_sf10.json" else s"bench_sf${sfK / 10}.json"
+    val sfKKey =
+      if (sfK == 100) "sf10_probe_100x" else s"sf${sfK / 10}_probe_${sfK}x"
     if (sf10RowBodies.nonEmpty) try {
       import scala.jdk.CollectionConverters._
-      val path = java.nio.file.Paths.get("bench_sf10.json")
+      val path = java.nio.file.Paths.get(sfKFile)
       val old = new scala.collection.mutable.LinkedHashMap[String, String]()
       var oldNote: String = null
       if (java.nio.file.Files.exists(path)) {
         var in = false
         java.nio.file.Files.readAllLines(path).asScala.foreach { ln =>
           val t = ln.trim
-          if (t.startsWith("\"sf10_probe_100x\"")) in = true
+          if (t.startsWith("\"" + sfKKey + "\"")) in = true
           else if (in && t.startsWith("}")) in = false
           else if (in && t.startsWith("\"")) {
             val name = t.drop(1).takeWhile(_ != '"')
@@ -596,8 +607,10 @@ object Bench {
       val fileHasRows = java.nio.file.Files.exists(path) && {
         val compact = java.nio.file.Files.readString(path)
           .replaceAll("\\s", "")
-        val i = compact.indexOf("\"sf10_probe_100x\":{")
-        i >= 0 && i + 19 < compact.length && compact.charAt(i + 19) != '}'
+        val marker = "\"" + sfKKey + "\":{"
+        val i = compact.indexOf(marker)
+        i >= 0 && i + marker.length < compact.length &&
+          compact.charAt(i + marker.length) != '}'
       }
       val reformatted = fileHasRows && old.isEmpty
       sf10RowBodies.foreach { case (n, body) => old(n) = body }
@@ -605,11 +618,11 @@ object Bench {
         .map(n => "\"" + escErr(n) + "\"")
         .getOrElse(if (oldNote != null) oldNote else "\"\"")
       val merged =
-        s"""{\n  "note": $note,\n  "sf10_probe_100x": {\n""" +
+        s"""{\n  "note": $note,\n  "$sfKKey": {\n""" +
           old.map { case (k, v) => s"""    "$k": $v""" }.mkString(",\n") +
           "\n  }\n}\n"
       if (reformatted) {
-        val side = java.nio.file.Paths.get("bench_sf10.unmerged.json")
+        val side = java.nio.file.Paths.get(sfKFile + ".unmerged")
         java.nio.file.Files.writeString(side, merged)
         System.err.println(
           s"[bench] $path exists but no prior sf10 rows parsed (file " +

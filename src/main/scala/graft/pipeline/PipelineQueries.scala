@@ -934,6 +934,126 @@ object PipelineQueries {
         maxDepth = 4, k = 16).orderBy("id")
     },
 
+    "p121_lm_perplexity" -> { (s, d) =>
+      // CCNet-style n-gram LM perplexity filter (Wenzek et al. 2019
+      // arXiv:1911.00359 §4.3; the RedPajama/CCNet quality signal):
+      // train an add-1-smoothed word-BIGRAM LM on the reference slice
+      // (lang = 'en' here — the seat wikipedia holds in CCNet), score
+      // EVERY document by its average bigram negative log-prob
+      // (cross-entropy ≈ ln(perplexity)), and gate on the rounded
+      // score. Shape at 100 TB: the model is two corpus-bounded count
+      // tables keyed on the bigram/history (map-side combinable); the
+      // scoring pass is one shuffle join of doc bigrams against them
+      // — the DSIR/p69 join shape with an LM instead of importance
+      // weights. Floats: each term is ln of the same rational on both
+      // engines; the per-doc average rounds to 6 before the threshold
+      // compare and the micro-unit sum (the repo's float discipline).
+      val docs = load(s, d, "documents")
+      val ws = docs.select(col("doc_id"), col("lang"), col("source"),
+          split(lower(col("text")), "\\s+").as("ws"))
+        .where(size(col("ws")) >= 2)
+      val bg = ws.select(col("doc_id"), col("lang"), col("source"),
+          explode(expr(
+            "transform(sequence(0, size(ws) - 2), i -> " +
+              "struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint(true) // scored side + all three model tables
+      val ref = bg.where(col("lang") === "en")
+      val cbg = ref.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+      val cu = ref.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val vocab = ref.select(col("w1"))
+        .unionAll(ref.select(col("w2").as("w1")))
+        .agg(countDistinct("w1").as("v"))
+      val sc = bg
+        .join(cbg, Seq("w1", "w2"), "left").na.fill(0L, Seq("cbg"))
+        .join(cu, Seq("w1"), "left").na.fill(0L, Seq("cu"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(round(avg(-log((col("cbg") + 1).cast("double") /
+          (col("cu") + col("v")))), 6).as("ce"))
+      sc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ce") <= 3.4, 1L).otherwise(0L)).as("n_kept"),
+          sum(round(col("ce") * 1e6, 0).cast("long")).as("ce_sum_micro"),
+          round(min(col("ce")), 6).as("ce_min"))
+        .orderBy("source")
+    },
+
+    "p122_seq_packing" -> { (s, d) =>
+      // Sequence packing (concat-then-chunk — the GPT-style training
+      // prep that concatenates documents per shard and slices fixed
+      // C-token windows): each doc's start/end bin comes off a running
+      // token cumsum, so the report carries the packing's real
+      // bookkeeping — sequences produced per shard (= ceil(tokens/C))
+      // and docs that STRADDLE a boundary (the attention-mask /
+      // document-leakage accounting). Shape at 100 TB: the window is
+      // per (source, shard) — shards bound every partition's order
+      // dependence, the standard distributed packing compromise — and
+      // everything else is integer map/agg.
+      val C = 128
+      val t = load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("doc_id DIV 128").as("shard"),
+          TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "shard").orderBy("doc_id")
+      val packed = t.withColumn("cum", sum("nt").over(w))
+        .withColumn("sbin", expr(s"(cum - nt) DIV $C"))
+        .withColumn("ebin", expr(s"(cum - 1) DIV $C"))
+        .localCheckpoint(true) // two rollups share the window pass
+      val a = packed.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum(when(col("ebin") > col("sbin"), 1L).otherwise(0L))
+            .as("n_split_docs"))
+      val b = packed.groupBy("source", "shard")
+        .agg((max("ebin") + 1).as("nseq"))
+        .groupBy("source").agg(sum("nseq").as("n_seqs"))
+      a.join(b, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_seqs"), col("n_split_docs"))
+        .orderBy("source")
+    },
+
+    "p123_mix_sample" -> { (s, d) =>
+      // Deterministic mixture subsampling to target language shares
+      // (the data-mixing step of corpus curation — e.g. The Pile /
+      // Llama recipes fix per-source sampling proportions): per-language
+      // accept rate in ppm = share × budget / available (integer
+      // arithmetic, capped at 1), gate = md5(doc_id)-derived uniform —
+      // the same salted-hash gate as the leakage-safe split (p81), so
+      // the sample is reproducible row-for-row on any engine and
+      // stable under re-partitioning. Shape at 100 TB: one bounded
+      // rate table broadcast against a pure map-side gate; no shuffle
+      // before the rollup.
+      import s.implicits._
+      val shares = Seq(("en", 40), ("de", 20), ("es", 20),
+        ("fr", 10), ("zh", 10)).toDF("l", "share_pct")
+      val docs = load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      val tot = docs.agg((count(lit(1)) / 2).cast("long").as("t"))
+      val rates = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+        .join(broadcast(shares), col("lang") === col("l"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("nl"),
+          least(lit(1000000L),
+            expr("(share_pct * t * 10000) DIV nl")).as("rate_ppm"))
+      docs
+        .withColumn("hv", expr(
+          "pmod(cast(conv(substr(md5(concat(cast(doc_id AS STRING), " +
+            "'#mix')), 1, 8), 16, 10) AS BIGINT), 1000000)"))
+        .join(broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(max(col("nl")).as("n_docs"),
+          max(col("rate_ppm")).as("rate_ppm"),
+          sum(when(col("hv") < col("rate_ppm"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("hv") < col("rate_ppm"), col("nt")).otherwise(0L))
+            .as("tok_kept"))
+        .orderBy("lang")
+    },
+
     "p59_exact_quantiles" -> { (s, d) =>
       // EXACT distributed quantiles with NO global sort: histogram
       // pass (map-side combinable, coordinator sees only bucket
@@ -3221,6 +3341,72 @@ object PipelineQueries {
         |  CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS n_wedge
         |FROM deg LEFT JOIN tcnt USING (id)
         |WHERE deg.deg >= 2 ORDER BY id""".stripMargin,
+    "p121_lm_perplexity" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+        |d2 AS (SELECT * FROM d WHERE len(ws) >= 2),
+        |bgi AS (SELECT doc_id, lang, source, ws,
+        |    unnest(generate_series(1, len(ws) - 1)) AS g FROM d2),
+        |bg AS (SELECT doc_id, lang, source, ws[g] AS w1, ws[g+1] AS w2
+        |  FROM bgi),
+        |ref AS (SELECT w1, w2 FROM bg WHERE lang = 'en'),
+        |cbg AS (SELECT w1, w2, count(*) AS cbg FROM ref GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS cu FROM ref GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |  (SELECT w1 AS w FROM ref UNION ALL SELECT w2 FROM ref)),
+        |sc AS (SELECT bg.doc_id, bg.source,
+        |    round(avg(-ln(CAST(coalesce(cbg.cbg, 0) + 1 AS DOUBLE)
+        |      / (coalesce(cu.cu, 0) + v))), 6) AS ce
+        |  FROM bg LEFT JOIN cbg ON cbg.w1 = bg.w1 AND cbg.w2 = bg.w2
+        |  LEFT JOIN cu ON cu.w1 = bg.w1 CROSS JOIN v GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ce <= 3.4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CAST(round(ce * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |    AS ce_sum_micro,
+        |  round(min(ce), 6) AS ce_min
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+    "p122_seq_packing" ->
+      """WITH t AS (SELECT doc_id, source, doc_id // 128 AS shard,
+        |    len(regexp_split_to_array(text, '\s+'))::BIGINT AS nt
+        |  FROM documents),
+        |w AS (SELECT *, sum(nt) OVER (PARTITION BY source, shard
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+        |p AS (SELECT *, (cum - nt) // 128 AS sbin, (cum - 1) // 128 AS ebin
+        |  FROM w),
+        |a AS (SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+        |    sum(CASE WHEN ebin > sbin THEN 1 ELSE 0 END) AS n_split
+        |  FROM p GROUP BY 1),
+        |b AS (SELECT source, shard, max(ebin) + 1 AS nseq FROM p
+        |  GROUP BY 1, 2),
+        |c AS (SELECT source, sum(nseq) AS n_seqs FROM b GROUP BY 1)
+        |SELECT a.source AS source, n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_seqs AS BIGINT) AS n_seqs,
+        |  CAST(n_split AS BIGINT) AS n_split_docs
+        |FROM a JOIN c ON a.source = c.source ORDER BY source""".stripMargin,
+    "p123_mix_sample" ->
+      """WITH shares(l, share_pct) AS (VALUES ('en', 40), ('de', 20),
+        |  ('es', 20), ('fr', 10), ('zh', 10)),
+        |d AS (SELECT doc_id, lang,
+        |    len(regexp_split_to_array(text, '\s+'))::BIGINT AS nt
+        |  FROM documents),
+        |tot AS (SELECT count(*) // 2 AS t FROM d),
+        |cl AS (SELECT lang, count(*) AS nl FROM d GROUP BY 1),
+        |r AS (SELECT lang, nl,
+        |    least(1000000, (share_pct * t * 10000) // nl) AS rate_ppm
+        |  FROM cl JOIN shares ON l = lang CROSS JOIN tot),
+        |g AS (SELECT d.doc_id, d.lang, d.nt, rate_ppm, nl,
+        |    ((('0x' || substr(md5(doc_id || '#mix'), 1, 8))::UBIGINT
+        |      % 1000000))::BIGINT AS hv
+        |  FROM d JOIN r ON r.lang = d.lang)
+        |SELECT lang, CAST(max(nl) AS BIGINT) AS n_docs,
+        |  CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
+        |  CAST(sum(CASE WHEN hv < rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN hv < rate_ppm THEN nt ELSE 0 END) AS BIGINT)
+        |    AS tok_kept
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
     "p59_exact_quantiles" ->
       """SELECT 'p50' AS label, CAST(percentile_disc(0.5)
         |    WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS value

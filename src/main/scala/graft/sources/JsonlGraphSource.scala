@@ -174,11 +174,17 @@ final class JsonlScanBuilder(path: String) extends ScanBuilder
     required = requiredSchema
 
   // accept id-range/equality filters (evaluated while parsing, before
-  // row materialization); everything else stays with Spark
+  // row materialization); everything else stays with Spark. Only LONG
+  // comparison values are accepted: Spark does NOT re-evaluate pushed
+  // filters post-scan, so accepting a value shape the reader's
+  // idPasses can't apply would silently return unfiltered rows.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
-      case EqualTo("id", _) | GreaterThan("id", _) | GreaterThanOrEqual("id", _)
-        | LessThan("id", _) | LessThanOrEqual("id", _) | IsNotNull("id") => true
+      case EqualTo("id", _: java.lang.Long) |
+        GreaterThan("id", _: java.lang.Long) |
+        GreaterThanOrEqual("id", _: java.lang.Long) |
+        LessThan("id", _: java.lang.Long) |
+        LessThanOrEqual("id", _: java.lang.Long) | IsNotNull("id") => true
       case _ => false
     }
     idFilters = accepted
