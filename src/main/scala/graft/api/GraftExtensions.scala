@@ -26,7 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def binary(op: String): Seq[Expression] => Expression =
-    args => JsonbBinary(op, args(0), args(1))
+    args => { arity(s"jsonb_$op", args, 2, 2)
+      JsonbBinary(op, args(0), args(1)) }
   private def arity(fn: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
     if (args.length < lo || args.length > hi)
       throw new IllegalArgumentException(
@@ -53,7 +54,8 @@ object GraftExtensions {
         else org.apache.spark.sql.catalyst.expressions.Literal(false)))
     }
   private def cmp(op: String): Seq[Expression] => Expression =
-    args => JsonbComparison(op, args(0), args(1))
+    args => { arity(s"jsonb_$op", args, 2, 2)
+      JsonbComparison(op, args(0), args(1)) }
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "jsonb_add" -> binary("add"),
@@ -93,13 +95,19 @@ object GraftExtensions {
     "jsonb_le" -> cmp("le"),
     "jsonb_gt" -> cmp("gt"),
     "jsonb_ge" -> cmp("ge"),
-    "jsonb_contains" -> (args => JsonbPredicate("contains", args(0), args(1))),
+    "jsonb_contains" -> (args => { arity("jsonb_contains", args, 2, 2)
+      JsonbPredicate("contains", args(0), args(1)) }),
     // <@ is containment with the operands swapped
-    "jsonb_contained" -> (args => JsonbPredicate("contains", args(1), args(0))),
-    "jsonb_exists" -> (args => JsonbPredicate("exists", args(0), args(1))),
-    "jsonb_exists_any" -> (args => JsonbPredicate("existsany", args(0), args(1))),
-    "jsonb_exists_all" -> (args => JsonbPredicate("existsall", args(0), args(1))),
-    "jsonb_delete_path" -> (args => JsonbBinary("delpath", args(0), args(1))),
+    "jsonb_contained" -> (args => { arity("jsonb_contained", args, 2, 2)
+      JsonbPredicate("contains", args(1), args(0)) }),
+    "jsonb_exists" -> (args => { arity("jsonb_exists", args, 2, 2)
+      JsonbPredicate("exists", args(0), args(1)) }),
+    "jsonb_exists_any" -> (args => { arity("jsonb_exists_any", args, 2, 2)
+      JsonbPredicate("existsany", args(0), args(1)) }),
+    "jsonb_exists_all" -> (args => { arity("jsonb_exists_all", args, 2, 2)
+      JsonbPredicate("existsall", args(0), args(1)) }),
+    "jsonb_delete_path" -> (args => { arity("jsonb_delete_path", args, 2, 2)
+      JsonbBinary("delpath", args(0), args(1)) }),
     // jsonb mutation/catalog fns (jsonfuncs.c; jsonb.sql:1116-)
     "jsonb_set" -> (args => {
       arity("jsonb_set", args, 3, 4)
@@ -126,7 +134,8 @@ object GraftExtensions {
           org.apache.spark.unsafe.types.UTF8String.fromString("use_json_null"),
           org.apache.spark.sql.types.StringType)))
     }),
-    "jsonb_strip_nulls" -> (args => JsonbUnary("strip_nulls", args(0))),
+    "jsonb_strip_nulls" -> (args => { arity("jsonb_strip_nulls", args, 1, 1)
+      JsonbUnary("strip_nulls", args(0)) }),
     // constructor fns (jsonfuncs.c jsonb_build_object/array, to_jsonb,
     // jsonb_object; jsonb.sql:1376-1640). Deviation: STRING args embed
     // as jsonb when they parse, quote as text otherwise (Spark has no
@@ -150,19 +159,26 @@ object GraftExtensions {
       if (args.length == 1) JsonbUnary("object1", args(0))
       else JsonbBinary("objectkv", args(0), args(1))
     }),
-    "jsonb_pretty" -> (args => JsonbUnary("pretty", args(0))),
-    "jsonb_typeof" -> (args => JsonbUnary("typeof", args(0))),
+    "jsonb_pretty" -> (args => { arity("jsonb_pretty", args, 1, 1)
+      JsonbUnary("pretty", args(0)) }),
+    "jsonb_typeof" -> (args => { arity("jsonb_typeof", args, 1, 1)
+      JsonbUnary("typeof", args(0)) }),
     // SRF analogs: the reference's set-returning jsonb_each /
     // jsonb_array_elements surface as explode-able arrays of jsonb
     // element text (Spark has no SRF registration); non-array /
     // non-object inputs error with the reference's texts
-    "jsonb_array_elements" -> (args => graft.expr.JsonbNormalize
-      .SplitArray(JsonbUnary("assert_elements_array", args(0)))),
-    "jsonb_each" -> (args => JsonbSrfArray("each", args(0))),
-    "jsonb_each_text" -> (args => JsonbSrfArray("each_text", args(0))),
-    "jsonb_object_keys" -> (args => JsonbSrfArray("object_keys", args(0))),
+    "jsonb_array_elements" -> (args => { arity("jsonb_array_elements", args, 1, 1)
+      graft.expr.JsonbNormalize
+        .SplitArray(JsonbUnary("assert_elements_array", args(0))) }),
+    "jsonb_each" -> (args => { arity("jsonb_each", args, 1, 1)
+      JsonbSrfArray("each", args(0)) }),
+    "jsonb_each_text" -> (args => { arity("jsonb_each_text", args, 1, 1)
+      JsonbSrfArray("each_text", args(0)) }),
+    "jsonb_object_keys" -> (args => { arity("jsonb_object_keys", args, 1, 1)
+      JsonbSrfArray("object_keys", args(0)) }),
     "jsonb_array_elements_text" ->
-      (args => JsonbSrfArray("array_elements_text", args(0))),
+      (args => { arity("jsonb_array_elements_text", args, 1, 1)
+        JsonbSrfArray("array_elements_text", args(0)) }),
     // `#>` / `#>>` (path as a PG text[] literal) and the variadic
     // jsonb_extract_path(_text) forms (jsonfuncs.c get_jsonb_path_all)
     "jsonb_get_path" -> binary("getpath"),
@@ -175,7 +191,8 @@ object GraftExtensions {
       arity("jsonb_extract_path_text", args, 2, 32)
       JsonbExtractPath(text = true, args)
     }),
-    "jsonb_array_length" -> (args => JsonbArrayLength(args(0))),
+    "jsonb_array_length" -> (args => { arity("jsonb_array_length", args, 1, 1)
+      JsonbArrayLength(args(0)) }),
     // SQL/JSON path (@? is jsonb_path_exists with silent=true; @@ is
     // jsonb_path_match with silent=true — pass the extra args for the
     // operator forms). jsonb_path_query is the SRF row form: an array
@@ -191,26 +208,37 @@ object GraftExtensions {
     "jsonb_path_query_array_tz" -> pathFn("query_array", tz = true),
     "jsonb_path_query_first_tz" -> pathFn("query_first", tz = true),
     "jsonb_path_query_tz" -> pathFn("query_rows", tz = true),
-    "jsonb_length" -> (args => JsonbLength(args(0))),
-    "jsonb_typerank" -> (args => JsonbTypeRank(args(0))),
-    "jsonb_astext" -> (args => JsonbUnary("astext", args(0))),
-    "jsonb_keys" -> (args => JsonbUnary("keys", args(0))),
-    "jsonb_slice" -> (args => JsonbSlice(args(0), args(1), args(2))),
-    "jsonb_set_key" -> (args => JsonbSetKey(args(0), args(1), args(2))),
-    "jsonb_to_bool" -> (args => JsonbCast("bool", args(0))),
-    "jsonb_to_double" -> (args => JsonbCast("double", args(0))),
-    "jsonb_to_long" -> (args => JsonbCast("long", args(0))),
+    "jsonb_length" -> (args => { arity("jsonb_length", args, 1, 1)
+      JsonbLength(args(0)) }),
+    "jsonb_typerank" -> (args => { arity("jsonb_typerank", args, 1, 1)
+      JsonbTypeRank(args(0)) }),
+    "jsonb_astext" -> (args => { arity("jsonb_astext", args, 1, 1)
+      JsonbUnary("astext", args(0)) }),
+    "jsonb_keys" -> (args => { arity("jsonb_keys", args, 1, 1)
+      JsonbUnary("keys", args(0)) }),
+    "jsonb_slice" -> (args => { arity("jsonb_slice", args, 3, 3)
+      JsonbSlice(args(0), args(1), args(2)) }),
+    "jsonb_set_key" -> (args => { arity("jsonb_set_key", args, 3, 3)
+      JsonbSetKey(args(0), args(1), args(2)) }),
+    "jsonb_to_bool" -> (args => { arity("jsonb_to_bool", args, 1, 1)
+      JsonbCast("bool", args(0)) }),
+    "jsonb_to_double" -> (args => { arity("jsonb_to_double", args, 1, 1)
+      JsonbCast("double", args(0)) }),
+    "jsonb_to_long" -> (args => { arity("jsonb_to_long", args, 1, 1)
+      JsonbCast("long", args(0)) }),
     // re-canonicalize JSON text (key sort, numeric canonical form) —
     // the SQL-side door into jsonb space for native values:
     // jsonb_get(jsonb_norm(to_json(named_struct('v', x))), '"v"')
-    "jsonb_norm" -> (args => graft.expr.JsonbNormalize.Normalize(args(0))),
+    "jsonb_norm" -> (args => { arity("jsonb_norm", args, 1, 1)
+      graft.expr.JsonbNormalize.Normalize(args(0)) }),
     // memcomparable key: ORDER BY / GROUP BY jsonb values from SQL
     // with PG jsonb ordering (type rank, full-precision numerics)
-    "jsonb_sort_key" -> (args => graft.expr.JsonbSortKey(args(0))),
+    "jsonb_sort_key" -> (args => { arity("jsonb_sort_key", args, 1, 1)
+      graft.expr.JsonbSortKey(args(0)) }),
     // codegen'd primitive dot product over array<float>/array<double>
     // — the ANN kernel, exposed for SQL-side similarity scoring
-    "vec_dot" -> (args =>
-      graft.expr.VectorExpressions.FloatVecDot(args(0), args(1))))
+    "vec_dot" -> (args => { arity("vec_dot", args, 2, 2)
+      graft.expr.VectorExpressions.FloatVecDot(args(0), args(1)) }))
 
   /** Register into an already-built session (tests, REPLs): the
     * extensions path only applies at session construction.

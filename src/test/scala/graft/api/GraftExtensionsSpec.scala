@@ -196,4 +196,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // compareJsonbContainers); 2 < 10 numerically, not textually
     assert(ord == Seq("null", "\"a\"", "\"b\"", "2", "10"))
   }
+
+  test("wrong-arity calls error with the function name, not an index error") {
+    graft.api.GraftExtensions.register(spark)
+    def err(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    // binary / comparison / predicate / unary / kernel shapes
+    assert(err("SELECT jsonb_add('1')").contains("jsonb_add"))
+    assert(err("SELECT jsonb_lt('1')").contains("jsonb_lt"))
+    assert(err("SELECT jsonb_contains('1')").contains("jsonb_contains"))
+    assert(err("SELECT jsonb_typeof('1', '2')").contains("jsonb_typeof"))
+    assert(err("SELECT jsonb_sort_key()").contains("jsonb_sort_key"))
+    assert(err("SELECT vec_dot(array(1.0F))").contains("vec_dot"))
+    // and the valid shapes still work after the guard
+    assert(spark.sql("SELECT jsonb_add('1', '2')")
+      .collect()(0).getString(0) == "3")
+  }
 }
