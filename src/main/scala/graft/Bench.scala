@@ -38,9 +38,15 @@ object Bench {
     val O = keySpan(ld("orders"), "o_orderkey")
     val S = keySpan(ld("supplier"), "s_suppkey")
     val P = keySpan(ld("part"), "p_partkey")
+    // batched union+append: a single K-way left-deep unionAll fold is
+    // fine at K=10/100 but at the K=1000 (sf100) probe the depth-1000
+    // plan tree taxes analysis; <=100-child unions append in waves
     def rep(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
-      (0 until K).map(i => shift(ld(t), i)).reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      (0 until K).grouped(100).zipWithIndex.foreach { case (g, gi) =>
+        g.map(i => shift(ld(t), i)).reduce(_ unionAll _)
+          .write.mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$dir/$t.parquet")
+      }
     // dims stay 1x; documents/embeddings ride along unscaled so
     // Tables.registerAll (the hybrid-SQL probe) finds every table.
     // LAYOUT PARITY: the main suite runs on the re-laid benchDir where
@@ -75,14 +81,17 @@ object Bench {
     val E = keySpan(ev, "event_id")
     // same user_id range layout as the benchDir copy (jsonb-parse-heavy
     // map side; user-bounded queries prune whole files via min/max)
-    (0 until K).map(i => ev
-        .withColumn("event_id", col("event_id") + lit(i * E))
-        .withColumn("ts", col("ts") +
-          expr(s"INTERVAL '${i * evSpan}' SECOND")))
-      .reduce(_ unionAll _)
-      .repartitionByRange(16, col("user_id"))
-      .sortWithinPartitions("user_id", "ts")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    (0 until K).grouped(100).zipWithIndex.foreach { case (g, gi) =>
+      g.map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * E))
+          .withColumn("ts", col("ts") +
+            expr(s"INTERVAL '${i * evSpan}' SECOND")))
+        .reduce(_ unionAll _)
+        .repartitionByRange(16, col("user_id"))
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode(if (gi == 0) "overwrite" else "append")
+        .parquet(s"$dir/events.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
