@@ -72,8 +72,10 @@ final class CypherSession(
     """(?is)ALTER\s+([VE])LABEL(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s+DISABLE\s+INDEX""".r
   private val ExplainRe =
     """(?is)EXPLAIN(\s*\([^)]*\))?\s+(.+)""".r
+  // PG's SET accepts both spellings: SET var { TO | = } value
+  // (gram.y VariableSetStmt; the reference reuses it for graph_path)
   private val SetGraphPathRe =
-    """(?is)SET\s+GRAPH_PATH\s*=\s*(.+)""".r
+    """(?is)SET\s+GRAPH_PATH\s*(?:=|\sTO\s)\s*(.+)""".r
   private val ShowGraphPathRe =
     """(?is)SHOW\s+GRAPH_PATH""".r
   private val AlterGraphRenameRe =
@@ -621,7 +623,10 @@ final class CypherSession(
     case b: Boolean => JBool(b)
     case i: Int => JNum(java.math.BigDecimal.valueOf(i.toLong))
     case l: Long => JNum(java.math.BigDecimal.valueOf(l))
+    case sh: Short => JNum(java.math.BigDecimal.valueOf(sh.toLong))
+    case b: Byte => JNum(java.math.BigDecimal.valueOf(b.toLong))
     case d: Double => JNum(new java.math.BigDecimal(d.toString))
+    case f: Float => JNum(new java.math.BigDecimal(f.toString))
     case bd: BigDecimal => JNum(bd.bigDecimal)
     case seq: Seq[_] => JArr(seq.map(toJValue).toVector)
     case m: Map[_, _] =>

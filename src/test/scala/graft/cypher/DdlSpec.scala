@@ -92,6 +92,11 @@ class DdlSpec extends AnyFunSuite {
     s.cypher("SET graph_path = 'gp1'")
     assert(s.graphPath == "gp1")
     intercept[Exception] { s.cypher("SET graph_path = 'gp2") }
+    // PG's SET accepts TO as well as = (gram.y VariableSetStmt)
+    s.cypher("SET graph_path TO gp2")
+    assert(s.graphPath == "gp2")
+    s.cypher("SET graph_path TO 'gp1'")
+    assert(s.graphPath == "gp1")
     intercept[Exception] { s.cypher("ALTER GRAPH nope OWNER TO x") }
     s.cypher("SET graph_path = gp2") // back for the rename assertions
     // ALTER GRAPH statements (cypher_ddl.out:41-58)
