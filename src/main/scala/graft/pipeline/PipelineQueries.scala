@@ -1054,6 +1054,42 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    "p124_gram_coverage_dedup" -> { (s, d) =>
+      // Exact n-gram COVERAGE dedup (the doc-level form of Lee et al.
+      // 2022's ExactSubstr, arXiv:2107.06499: a doc mostly made of
+      // 5-gram spans already present in LOWER-id docs is a duplicate
+      // even when no single pair is a containment — the gap p87's
+      // pairwise containment can't see). Shape at 100 TB: one
+      // inverted 5-gram posting table (min doc per gram — map-side
+      // combinable), one join back on the gram key; no pairwise
+      // anything. Drop rule (coverage > 1/2) is integer arithmetic,
+      // id-deterministic on both engines.
+      val ws = load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          split(lower(col("text")), "\\s+").as("ws"))
+        .where(size(col("ws")) >= 5)
+      val grams = ws.select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(0, size(ws) - 5), i -> " +
+              "concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], " +
+              "ws[i+4]))")).as("gram"))
+        .distinct()
+        .localCheckpoint(true) // posting build + coverage join share it
+      val mn = grams.groupBy("gram").agg(min("doc_id").as("mdoc"))
+      grams.join(mn, "gram")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("mdoc") < col("doc_id"), 1L).otherwise(0L))
+            .as("n_cov"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_cov") * 2 > col("n_grams"), 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum("n_cov").as("cov_grams"),
+          sum("n_grams").as("tot_grams"))
+        .orderBy("source")
+    },
+
     "p59_exact_quantiles" -> { (s, d) =>
       // EXACT distributed quantiles with NO global sort: histogram
       // pass (map-side combinable, coordinator sees only bucket
@@ -3341,6 +3377,25 @@ object PipelineQueries {
         |  CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS n_wedge
         |FROM deg LEFT JOIN tcnt USING (id)
         |WHERE deg.deg >= 2 ORDER BY id""".stripMargin,
+    "p124_gram_coverage_dedup" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+        |d2 AS (SELECT * FROM d WHERE len(ws) >= 5),
+        |gi AS (SELECT doc_id, source, ws,
+        |    unnest(generate_series(1, len(ws) - 4)) AS g FROM d2),
+        |grams AS (SELECT DISTINCT doc_id, source,
+        |    ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] || ' ' || ws[g+3]
+        |      || ' ' || ws[g+4] AS gram FROM gi),
+        |mn AS (SELECT gram, min(doc_id) AS mdoc FROM grams GROUP BY gram),
+        |cov AS (SELECT g.doc_id, g.source, count(*) AS n_grams,
+        |    sum(CASE WHEN mn.mdoc < g.doc_id THEN 1 ELSE 0 END) AS n_cov
+        |  FROM grams g JOIN mn ON mn.gram = g.gram GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_cov * 2 > n_grams THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(sum(n_cov) AS BIGINT) AS cov_grams,
+        |  CAST(sum(n_grams) AS BIGINT) AS tot_grams
+        |FROM cov GROUP BY source ORDER BY source""".stripMargin,
     "p121_lm_perplexity" ->
       """WITH d AS (SELECT doc_id, lang, source,
         |    regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
