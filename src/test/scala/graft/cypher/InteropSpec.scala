@@ -208,6 +208,27 @@ class InteropSpec extends AnyFunSuite {
       .collect().head.getString(0) == "(MATCH not cypher)")
   }
 
+  test("hybrid sql(): Cypher-block strings containing parens don't break depth tracking") {
+    import spark.implicits._
+    Seq(1).toDF("v").createOrReplaceTempView("one_row2")
+    // the ')' inside the Cypher string literal must not close the block
+    val hit = s.sql(
+      """SELECT v FROM one_row2
+        |WHERE EXISTS (MATCH (c:city) WHERE c.name = ')' RETURN c)
+        |   OR EXISTS (MATCH (c:city {name: 'a'}) RETURN c)""".stripMargin)
+    assert(hit.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("hybrid sql(): comment before a real Cypher block") {
+    // a commented-out (MATCH ...) must be skipped while the real block
+    // after it still compiles
+    val out = s.sql(
+      """SELECT name FROM -- dead: (MATCH (z:nope) RETURN z)
+        |  (MATCH (c:city) RETURN c.name AS name) t
+        |ORDER BY name LIMIT 1""".stripMargin)
+    assert(out.collect().head.getString(0) == "\"a\"")
+  }
+
   test("idtext() renders the graphid display form labid.locid") {
     // graphid_out (graph.c:145-186) displays "labid.locid"; id() keeps
     // the packed long so ordering matches graphid comparison order
