@@ -133,14 +133,24 @@ object Parser {
             i += 2
             val st = i
             while (i < s.length && isHex(s.charAt(i))) i += 1
-            out += TNum(new JBigDecimal(java.math.BigInteger.valueOf(
-              java.lang.Long.parseLong(s.substring(st, i), 16))))
-          } else if (c == '0' && peek(1).isDigit) { // octal
+            // lexer-owned diagnostics, never a raw NumberFormatException
+            // (same rule as \u escapes): `0x` with no digits is a
+            // syntax error; >63-bit magnitudes overflow the int8 the
+            // reference lexes hex literals into
+            if (i == st) throw new IllegalArgumentException(
+              "invalid hexadecimal integer literal")
+            val mag = new java.math.BigInteger(s.substring(st, i), 16)
+            if (mag.bitLength > 63) throw new IllegalArgumentException(
+              "hexadecimal integer literal out of range")
+            out += TNum(new JBigDecimal(mag))
+          } else if (c == '0' && peek(1) >= '0' && peek(1) <= '7') { // octal
             i += 1
             val st = i
             while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '7') i += 1
-            out += TNum(new JBigDecimal(java.math.BigInteger.valueOf(
-              java.lang.Long.parseLong(s.substring(st, i), 8))))
+            val mag = new java.math.BigInteger(s.substring(st, i), 8)
+            if (mag.bitLength > 63) throw new IllegalArgumentException(
+              "octal integer literal out of range")
+            out += TNum(new JBigDecimal(mag))
           } else {
             val st = i
             while (i < s.length && s.charAt(i).isDigit) i += 1

@@ -208,6 +208,21 @@ class CypherEndToEndSpec extends AnyFunSuite {
       Seq(Seq("-2147483647", "2147483647")))
     assert(rows(s.cypher("RETURN -017777777777 AS a, 017777777777 AS b")) ==
       Seq(Seq("-2147483647", "2147483647")))
+    // malformed / out-of-range radix literals raise the LEXER's own
+    // diagnostics, never a raw NumberFormatException (scan.l errors)
+    assert(intercept[IllegalArgumentException] {
+      s.cypher("RETURN 0x AS a") }.getMessage.contains("hexadecimal"))
+    assert(intercept[IllegalArgumentException] {
+      s.cypher("RETURN 0xFFFFFFFFFFFFFFFFFF AS a") }
+      .getMessage.contains("out of range"))
+    assert(intercept[IllegalArgumentException] {
+      s.cypher("RETURN 01777777777777777777777777 AS a") }
+      .getMessage.contains("out of range"))
+    // int8 max in both radixes; a leading zero before a non-octal
+    // digit lexes as decimal (PG's integer regex)
+    assert(rows(s.cypher(
+      "RETURN 0x7fffffffffffffff AS a, 0777777777777777777777 AS b, 08 AS c")) ==
+      Seq(Seq("9223372036854775807", "9223372036854775807", "8")))
     // E-notation prints plain; int8 boundaries keep exact values
     assert(rows(s.cypher("RETURN 6.02E23 AS x, 3.14 AS y")) ==
       Seq(Seq("602000000000000000000000", "3.14")))
