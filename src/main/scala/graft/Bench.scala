@@ -56,12 +56,39 @@ object Bench {
     // scan parallelism (r8: p29 5.4x, p61 5.1x on identical bytes).
     Seq("region", "nation").foreach(t =>
       ld(t).write.mode("overwrite").parquet(s"$dir/$t.parquet"))
-    ld("documents").repartitionByRange(16, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    ld("embeddings").repartitionByRange(16, col("vec_id"))
-      .sortWithinPartitions("vec_id")
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // corpus tables ride along UNSCALED by default (layout parity with
+    // benchDir — see the note above). SPARK_GRAFT_SCALE_CORPUS=1 opts
+    // the text/vector corpus INTO the Kx replica (key-shifted copies,
+    // so every doc gains K-1 exact duplicates — the dup-heavy corpus
+    // shape) for second-decade probes of the dedup/LM/packing family.
+    val scaleCorpus = sys.env.get("SPARK_GRAFT_SCALE_CORPUS").contains("1")
+    if (!scaleCorpus) {
+      ld("documents").repartitionByRange(16, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      ld("embeddings").repartitionByRange(16, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    } else {
+      val D = keySpan(ld("documents"), "doc_id")
+      val V = keySpan(ld("embeddings"), "vec_id")
+      (0 until K).grouped(100).zipWithIndex.foreach { case (g, gi) =>
+        g.map(i => ld("documents")
+            .withColumn("doc_id", col("doc_id") + lit(i * D)))
+          .reduce(_ unionAll _)
+          .repartitionByRange(16, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$dir/documents.parquet")
+        g.map(i => ld("embeddings")
+            .withColumn("vec_id", col("vec_id") + lit(i * V)))
+          .reduce(_ unionAll _)
+          .repartitionByRange(16, col("vec_id"))
+          .sortWithinPartitions("vec_id")
+          .write.mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$dir/embeddings.parquet")
+      }
+    }
     rep("customer")((d, i) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(i * C)))
     rep("orders")((d, i) => d
@@ -581,11 +608,19 @@ object Bench {
       n -> s"""{"sec":${f(v)}$ratio$den$detail$err}"""
     }
     // K != 100 gets its OWN file + key (e.g. bench_sf100.json /
-    // "sf100_probe_1000x") so decades never mix in one board
+    // "sf100_probe_1000x") so decades never mix in one board; a
+    // corpus-scaled replica (SPARK_GRAFT_SCALE_CORPUS=1) probes a
+    // DIFFERENT workload shape (every doc duplicated K times), so its
+    // rows get their own artifact too
+    val corpusSfx =
+      if (sys.env.get("SPARK_GRAFT_SCALE_CORPUS").contains("1")) "_corpus"
+      else ""
     val sfKFile =
-      if (sfK == 100) "bench_sf10.json" else s"bench_sf${sfK / 10}.json"
+      (if (sfK == 100) "bench_sf10" else s"bench_sf${sfK / 10}") +
+        corpusSfx + ".json"
     val sfKKey =
-      if (sfK == 100) "sf10_probe_100x" else s"sf${sfK / 10}_probe_${sfK}x"
+      (if (sfK == 100) "sf10_probe_100x" else s"sf${sfK / 10}_probe_${sfK}x") +
+        corpusSfx
     if (sf10RowBodies.nonEmpty) try {
       import scala.jdk.CollectionConverters._
       val path = java.nio.file.Paths.get(sfKFile)
