@@ -649,12 +649,27 @@ object Bench {
       // legitimately row-empty file (note-only) is safe to rewrite
       // (r10 ADVICE).
       val fileHasRows = java.nio.file.Files.exists(path) && {
-        val compact = java.nio.file.Files.readString(path)
-          .replaceAll("\\s", "")
-        val marker = "\"" + sfKKey + "\":{"
-        val i = compact.indexOf(marker)
-        i >= 0 && i + marker.length < compact.length &&
-          compact.charAt(i + marker.length) != '}'
+        // line-anchored, not whole-file substring: a note string that
+        // QUOTES the marker text must not count as rows-present (r11
+        // advice). The writer emits `"<key>": {` at line start with
+        // rows on the following lines; a key inside a note value sits
+        // mid-line after `"note":`.
+        val lines = java.nio.file.Files.readAllLines(path).asScala
+          .map(_.trim).filter(_.nonEmpty).toVector
+        val h = lines.indexWhere { ln =>
+          ln.startsWith("\"" + sfKKey + "\"") && {
+            val colon = ln.indexOf(':', sfKKey.length + 2)
+            colon >= 0 && ln.substring(colon + 1).trim.startsWith("{")
+          }
+        }
+        h >= 0 && {
+          val afterBrace = {
+            val ln = lines(h)
+            ln.substring(ln.indexOf('{') + 1).trim
+          }
+          if (afterBrace.nonEmpty) !afterBrace.startsWith("}")
+          else h + 1 < lines.length && !lines(h + 1).startsWith("}")
+        }
       }
       val reformatted = fileHasRows && old.isEmpty
       sf10RowBodies.foreach { case (n, body) => old(n) = body }

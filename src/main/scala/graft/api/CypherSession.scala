@@ -371,23 +371,29 @@ final class CypherSession(
     val out = new StringBuilder
     var i = 0
     var n = 0
-    def skipString(from: Int): Int = { // past the closing quote ('' escapes)
+    // Spark SQL's lexer honors both doubled-quote AND backslash
+    // escapes in string literals and quoted identifiers
+    def skipString(from: Int): Int = { // past the closing quote
       var k = from + 1
       while (k < s.length) {
-        if (s.charAt(k) == '\'') {
+        val ch = s.charAt(k)
+        if (ch == '\'') {
           if (k + 1 < s.length && s.charAt(k + 1) == '\'') k += 2
           else return k + 1
-        } else k += 1
+        } else if (ch == '\\') k += 2
+        else k += 1
       }
       k
     }
-    def skipQuotedIdent(from: Int): Int = { // past closing " ("" escapes)
+    def skipQuotedIdent(from: Int): Int = { // past closing "
       var k = from + 1
       while (k < s.length) {
-        if (s.charAt(k) == '"') {
+        val ch = s.charAt(k)
+        if (ch == '"') {
           if (k + 1 < s.length && s.charAt(k + 1) == '"') k += 2
           else return k + 1
-        } else k += 1
+        } else if (ch == '\\') k += 2
+        else k += 1
       }
       k
     }
@@ -396,11 +402,57 @@ final class CypherSession(
       while (k < s.length && s.charAt(k) != '\n') k += 1
       k
     }
-    def skipBlockComment(from: Int): Int = { // past the closing */
+    def skipBlockComment(from: Int): Int = { // Spark nests /* */ comments
       var k = from + 2
-      while (k + 1 < s.length &&
-        !(s.charAt(k) == '*' && s.charAt(k + 1) == '/')) k += 1
-      math.min(k + 2, s.length)
+      var depth = 1
+      while (k < s.length && depth > 0) {
+        if (k + 1 < s.length && s.charAt(k) == '/' && s.charAt(k + 1) == '*') {
+          depth += 1; k += 2
+        } else if (k + 1 < s.length &&
+            s.charAt(k) == '*' && s.charAt(k + 1) == '/') {
+          depth -= 1; k += 2
+        } else k += 1
+      }
+      k
+    }
+    // Depth scan INSIDE a (MATCH ...) candidate uses the Cypher
+    // lexer's rules (cypher/Parser.scala tokenizeWithStarts): strings
+    // may use either quote char with doubled-quote or backslash
+    // escapes, and `//` / flat `/* */` comments hide parens. Returns
+    // the index just past the matching ')' (s.length if unbalanced).
+    def cypherBlockEnd(open: Int): Int = {
+      def skipCypherString(from: Int): Int = {
+        val quote = s.charAt(from)
+        var k = from + 1
+        while (k < s.length) {
+          val ch = s.charAt(k)
+          if (ch == quote) {
+            if (k + 1 < s.length && s.charAt(k + 1) == quote) k += 2
+            else return k + 1
+          } else if (ch == '\\') k += 2
+          else k += 1
+        }
+        k
+      }
+      var depth = 1
+      var k = open + 1
+      while (k < s.length && depth > 0) {
+        s.charAt(k) match {
+          case '(' => depth += 1; k += 1
+          case ')' => depth -= 1; k += 1
+          case '\'' | '"' => k = skipCypherString(k)
+          case '/' if k + 1 < s.length && s.charAt(k + 1) == '/' =>
+            k = skipLineComment(k)
+          case '/' if k + 1 < s.length && s.charAt(k + 1) == '*' =>
+            // Cypher block comments do NOT nest (unlike Spark SQL's)
+            var m = k + 2
+            while (m + 1 < s.length &&
+              !(s.charAt(m) == '*' && s.charAt(m + 1) == '/')) m += 1
+            k = math.min(m + 2, s.length)
+          case _ => k += 1
+        }
+      }
+      k
     }
     def identChar(c: Char): Boolean =
       Character.isLetterOrDigit(c) || c == '_' || c == '$'
@@ -422,17 +474,8 @@ final class CypherSession(
         // Cypher block (r10 verdict item 1)
         if (s.regionMatches(true, j, "MATCH", 0, 5) &&
             (j + 5 >= s.length || !identChar(s.charAt(j + 5)))) {
-          var depth = 1
-          var k = i + 1
-          while (k < s.length && depth > 0) {
-            s.charAt(k) match {
-              case '(' => depth += 1; k += 1
-              case ')' => depth -= 1; k += 1
-              case '\'' => k = skipString(k)
-              case _ => k += 1
-            }
-          }
-          val inner = s.substring(i + 1, k - 1)
+          val k = cypherBlockEnd(i)
+          val inner = s.substring(i + 1, math.max(i + 1, k - 1))
           val view = s"__cypher_sub_$n"
           val isExists = out.toString.replaceAll("\\s+$", "")
             .toUpperCase.endsWith("EXISTS")
@@ -444,7 +487,10 @@ final class CypherSession(
           val parses =
             try { Parser.parse(inner); true }
             catch { case _: Exception => false }
-          if (!parses) { out.append(s.substring(i, k)); i = k }
+          // on parse failure emit ONLY the '(' and resume scanning at
+          // i+1 — a genuine nested (MATCH ...) inside the unparsable
+          // region is still discovered (r11 advice)
+          if (!parses) { out.append(c); i += 1 }
           else {
             n += 1
             val fragment =

@@ -25,8 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def binary(op: String): Seq[Expression] => Expression =
-    args => { arity(s"jsonb_$op", args, 2, 2)
+  // sqlName: registered SQL name when it differs from jsonb_$op —
+  // the wrong-arity message must name the function the user called
+  private def binary(op: String, sqlName: String = null)
+      : Seq[Expression] => Expression =
+    args => { arity(if (sqlName != null) sqlName else s"jsonb_$op",
+        args, 2, 2)
       JsonbBinary(op, args(0), args(1)) }
   private def arity(fn: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
     if (args.length < lo || args.length > hi)
@@ -181,8 +185,8 @@ object GraftExtensions {
         JsonbSrfArray("array_elements_text", args(0)) }),
     // `#>` / `#>>` (path as a PG text[] literal) and the variadic
     // jsonb_extract_path(_text) forms (jsonfuncs.c get_jsonb_path_all)
-    "jsonb_get_path" -> binary("getpath"),
-    "jsonb_get_path_text" -> binary("getpathtext"),
+    "jsonb_get_path" -> binary("getpath", "jsonb_get_path"),
+    "jsonb_get_path_text" -> binary("getpathtext", "jsonb_get_path_text"),
     "jsonb_extract_path" -> (args => {
       arity("jsonb_extract_path", args, 2, 32)
       JsonbExtractPath(text = false, args)

@@ -19,6 +19,34 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
   import Tables.load
 
+  /** Gram join keys hash to 64 bits BEFORE every shuffle (8-byte
+    * exchange keys, never n-word strings). At test scale the
+    * string-keyed oracle proves zero collisions outright; at the
+    * third decade (10^11–10^12 distinct grams) birthday collisions
+    * are statistically certain — expected pairs ≈ n²/2^65, i.e.
+    * ~10^3 at 10^11 grams and ~10^5 at 10^12 — each one slightly
+    * overcounting a coverage/frequency/LM count (bounded, never a
+    * crash or a dropped row). For exactness-critical runs set
+    * `spark.graft.gramHash.bits=128`: the key widens to a struct of
+    * two independently-salted xxhash64 values (expected collision
+    * pairs ≈ n²/2^129 — negligible at any physical corpus). Both
+    * modes gate the same oracle at test scale (GramHash128Spec).
+    */
+  private val GramSalt = -7046029254386353131L // golden-ratio odd const
+  private def gram128(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.gramHash.bits", "64").trim == "128"
+  private def gramKey(s: SparkSession, cols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column =
+    if (gram128(s))
+      struct(xxhash64(cols: _*).as("h0"),
+        xxhash64((lit(GramSalt) +: cols): _*).as("h1"))
+    else xxhash64(cols: _*)
+  // the SQL-lambda form for keys built inside expr() strings
+  private def gramKeySql(s: SparkSession, args: String): String =
+    if (gram128(s))
+      s"named_struct('h0', xxhash64($args), 'h1', xxhash64(${GramSalt}L, $args))"
+    else s"xxhash64($args)"
+
   val queries: Map[String, Q] = Map(
     // ---- dedup -------------------------------------------------------
     "p01_dedup_exact" -> { (s, d) =>
@@ -491,7 +519,7 @@ object PipelineQueries {
       val docs = load(s, d, "documents")
       val grams = docs.select(col("doc_id"), col("source"),
           explode(array_distinct(Dedup.shingles(lower(col("text")), 5))).as("g"))
-        .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+        .select(col("doc_id"), col("source"), gramKey(s, col("g")).as("gh"))
       val wg = org.apache.spark.sql.expressions.Window.partitionBy("gh")
       grams.withColumn("nd", count(lit(1)).over(wg))
         .where(col("nd") >= 2)
@@ -566,7 +594,7 @@ object PipelineQueries {
             sequence(lit(0), floor((size(ws) - 1) / 10.0).cast("long")),
             i => concat_ws(" ", slice(ws, (i * 10 + 1).cast("int"), lit(10))))))
         .select(col("doc_id"), col("source"), col("pos").as("line_idx"),
-          xxhash64(col("col")).as("lh"),
+          gramKey(s, col("col")).as("lh"),
           size(split(col("col"), " ")).as("n_toks"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lh").orderBy("doc_id", "line_idx")
@@ -960,8 +988,9 @@ object PipelineQueries {
       val bg = ws.select(col("doc_id"), col("lang"), col("source"),
           explode(expr(
             "transform(sequence(0, size(ws) - 2), i -> " +
-              "struct(xxhash64(ws[i]) AS h1, xxhash64(ws[i + 1]) AS h2, " +
-              "xxhash64(ws[i], ws[i + 1]) AS h12))")).as("b"))
+              s"struct(${gramKeySql(s, "ws[i]")} AS h1, " +
+              s"${gramKeySql(s, "ws[i + 1]")} AS h2, " +
+              s"${gramKeySql(s, "ws[i], ws[i + 1]")} AS h12))")).as("b"))
         .select(col("doc_id"), col("lang"), col("source"),
           col("b.h1").as("h1"), col("b.h2").as("h2"), col("b.h12").as("h12"))
         .localCheckpoint(true) // scored side + all three model tables
@@ -1076,13 +1105,15 @@ object PipelineQueries {
         .where(size(col("ws")) >= 5)
       // the gram never materializes as a string: the 5 words hash to
       // one 64-bit key in the projection (p112's pre-shuffle hash
-      // pattern — measured 72 s → 28 s at the 100x corpus probe; the
-      // string-keyed oracle re-derives identical counts, proving zero
-      // collisions)
+      // pattern; bench_sf10_corpus.json carries the 100x-corpus
+      // samples of THIS build — the string-keyed oracle re-derives
+      // identical counts, proving zero collisions at test scale; see
+      // COVERAGE.md "gram-hash collision budget" for the third-decade
+      // collision analysis and the 128-bit exactness mode)
       val grams = ws.select(col("doc_id"), col("source"),
           explode(expr(
             "transform(sequence(0, size(ws) - 5), i -> " +
-              "xxhash64(ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"))
+              s"${gramKeySql(s, "ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]")})"))
             .as("gram"))
         .distinct()
         .localCheckpoint(true) // posting build + coverage join share it
@@ -1148,7 +1179,7 @@ object PipelineQueries {
         .where(size(col("ws")) >= 5)
       val grams = toks.select(col("doc_id"),
           posexplode(Dedup.shingles(concat_ws(" ", col("ws")), 5)))
-        .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh"))
+        .select(col("doc_id"), col("pos"), gramKey(s, col("col")).as("gh"))
       val rep = grams
         .withColumn("cf", count(lit(1)).over(W.partitionBy("gh")))
         .where(col("cf") >= 2)
@@ -1675,7 +1706,7 @@ object PipelineQueries {
         .where(size(col("w")) >= 13)
         .select(col("doc_id"), explode(transform(
           sequence(lit(0), size(col("w")) - 13),
-          i => xxhash64(array_join(slice(col("w"), i + 1, lit(13)), " "))))
+          i => gramKey(s, array_join(slice(col("w"), i + 1, lit(13)), " "))))
           .as("h"))
         .distinct()
       val pairs = grams.alias("x")

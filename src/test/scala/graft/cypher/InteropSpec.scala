@@ -229,6 +229,79 @@ class InteropSpec extends AnyFunSuite {
     assert(out.collect().head.getString(0) == "\"a\"")
   }
 
+  test("hybrid sql(): double-quoted Cypher strings containing parens (r11 item 2)") {
+    import spark.implicits._
+    Seq(1).toDF("v").createOrReplaceTempView("one_row3")
+    // Cypher accepts BOTH quote chars — a ')' inside a double-quoted
+    // Cypher string must not close the block
+    val out = s.sql(
+      """SELECT v FROM one_row3
+        |WHERE EXISTS (MATCH (c:city) WHERE c.name = ")" RETURN c)
+        |   OR EXISTS (MATCH (c:city {name: 'a'}) RETURN c)""".stripMargin)
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("hybrid sql(): backslash-escaped quote inside a Cypher string (r11 item 2)") {
+    import spark.implicits._
+    Seq(1).toDF("v").createOrReplaceTempView("one_row4")
+    // the Cypher lexer reads \' as an escaped quote: the string is
+    // `')` and the trailing ')' after it closes the BLOCK, not the
+    // string — an un-escape-aware scan ends the string at the \' and
+    // then miscounts everything after it
+    val out = s.sql(
+      """SELECT v FROM one_row4
+        |WHERE EXISTS (MATCH (c:city) WHERE c.name = '\')' RETURN c)
+        |   OR EXISTS (MATCH (c:city {name: 'a'}) RETURN c)""".stripMargin)
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("hybrid sql(): Cypher comments inside a block hide parens (r11 item 2)") {
+    import spark.implicits._
+    Seq(1).toDF("v").createOrReplaceTempView("one_row5")
+    val out = s.sql(
+      """SELECT v FROM one_row5
+        |WHERE EXISTS (MATCH (c:city) // dead paren )
+        |              WHERE c.name = 'a' /* another ) */ RETURN c)""".stripMargin)
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("hybrid sql(): backslash escape in a SQL string before a MATCH (r11 advice)") {
+    // Spark's lexer honors \" inside a double-quoted string literal:
+    // the (MATCH ...) is part of the LITERAL and must not be compiled
+    // and substituted with a view name
+    val lit = s.sql("""SELECT "a\" then (MATCH (c:city) RETURN c)" AS x""")
+      .collect().head.getString(0)
+    assert(lit == """a" then (MATCH (c:city) RETURN c)""")
+  }
+
+  test("hybrid sql(): nested SQL block comments (r11 advice)") {
+    import spark.implicits._
+    Seq(1).toDF("v").createOrReplaceTempView("one_row6")
+    // Spark nests bracketed comments: the (MATCH :nolabel) is still
+    // inside the OUTER comment after the inner */ — compiling it would
+    // error on the unknown label
+    val out = s.sql(
+      """SELECT v /* outer /* inner */ (MATCH (x:nolabel) RETURN x) */
+        |FROM one_row6""".stripMargin)
+    assert(out.collect().head.getInt(0) == 1)
+  }
+
+  test("hybrid sql(): nested Cypher block inside an unparsable candidate (r11 advice)") {
+    import spark.implicits._
+    Seq((1, true), (2, false)).toDF("id", "match")
+      .createOrReplaceTempView("flags2")
+    // `(match = true AND EXISTS (MATCH ...))` starts with MATCH at a
+    // word boundary but is SQL over a boolean column; the parse-failed
+    // outer candidate must be re-scanned so the genuine nested Cypher
+    // block is still discovered and compiled
+    val out = s.sql(
+      """SELECT id FROM flags2
+        |WHERE (match = true AND
+        |       EXISTS (MATCH (c:city {name: 'a'}) RETURN c))
+        |ORDER BY id""".stripMargin)
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("idtext() renders the graphid display form labid.locid") {
     // graphid_out (graph.c:145-186) displays "labid.locid"; id() keeps
     // the packed long so ordering matches graphid comparison order

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Round-close hygiene gate (r11 verdict item 3).
+
+Checks, mechanically, that the test evidence matches the tree:
+  1. The set of JUnit report files under target/test-reports equals
+     the set of live ScalaTest suites in src/test (no orphan reports
+     from deleted suites, no suite missing a report).
+  2. Every report file's mtime postdates the last commit touching
+     src/ (build.sbt counts too) — i.e. the suite run is FRESH for
+     the code being shipped.
+  3. Every report carries failures="0" errors="0".
+
+Exit 0 = clean; exit 1 = violations listed on stderr.
+Run it at round close:  python3 tools/hygiene.py
+"""
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPORTS = os.path.join(REPO, "target", "test-reports")
+
+
+def live_suites():
+    suites = set()
+    for root, _, files in os.walk(os.path.join(REPO, "src", "test")):
+        for f in files:
+            if not f.endswith(".scala"):
+                continue
+            path = os.path.join(root, f)
+            text = open(path, encoding="utf-8").read()
+            pkg = re.search(r"^package\s+([\w.]+)", text, re.M)
+            pkg = pkg.group(1) if pkg else ""
+            for m in re.finditer(
+                    r"^(?:abstract\s+)?class\s+(\w+)\s+extends\s+\w*"
+                    r"(?:AnyFunSuite|AnyFlatSpec|SuiteBase)", text, re.M):
+                if "abstract" in m.group(0):
+                    continue
+                suites.add((pkg + "." if pkg else "") + m.group(1))
+    return suites
+
+
+def report_suites():
+    if not os.path.isdir(REPORTS):
+        return {}
+    out = {}
+    for f in os.listdir(REPORTS):
+        m = re.match(r"TEST-(.+)\.xml$", f)
+        if m:
+            out[m.group(1)] = os.path.join(REPORTS, f)
+    return out
+
+
+def last_source_commit_epoch():
+    out = subprocess.check_output(
+        ["git", "log", "-1", "--format=%ct", "--", "src", "build.sbt"],
+        cwd=REPO).decode().strip()
+    return int(out) if out else 0
+
+
+def main():
+    bad = []
+    live = live_suites()
+    reports = report_suites()
+    for orphan in sorted(set(reports) - live):
+        bad.append(f"orphan report (suite not in tree): {orphan}")
+    for missing in sorted(live - set(reports)):
+        bad.append(f"live suite with no report: {missing}")
+    src_t = last_source_commit_epoch()
+    for name, path in sorted(reports.items()):
+        if os.path.getmtime(path) < src_t:
+            bad.append(f"stale report (predates last src commit): {name}")
+        head = open(path, encoding="utf-8").read(4096)
+        m = re.search(r'failures="(\d+)"[^>]*errors="(\d+)"', head)
+        if not m:
+            m = re.search(r'errors="(\d+)"[^>]*failures="(\d+)"', head)
+        if not m or m.group(1) != "0" or m.group(2) != "0":
+            bad.append(f"report not green: {name}")
+    if bad:
+        for b in bad:
+            print(f"[hygiene] {b}", file=sys.stderr)
+        print(f"[hygiene] {len(bad)} violation(s)", file=sys.stderr)
+        return 1
+    print(f"[hygiene] OK: {len(live)} suites, every report fresh "
+          f"(src commit {src_t}) and green")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
