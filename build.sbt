@@ -40,4 +40,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // every query twice) overflow the default 240m code cache — once
   // full, the JIT stops compiling and late queries degrade several-fold
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // pin ALL scratch state (stream checkpoints, RocksDB working dirs,
+  // shuffle spill) to a dedicated cleaned path for probe runs — the
+  // sf10 streaming rows spread 3-4x across windows on shared-/tmp
+  // disk-state variance (r11 item 4)
+  sys.env.get("SPARK_GRAFT_TMPDIR").toSeq.flatMap(d =>
+    Seq(s"-Djava.io.tmpdir=$d", s"-Dspark.local.dir=$d"))

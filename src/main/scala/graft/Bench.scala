@@ -548,12 +548,19 @@ object Bench {
         // GraphAnalytics.stateLevel — MEMORY_AND_DISK starves the
         // unified pool at 100x even under an 80 GB heap)
         System.setProperty("graft.state.disk", "1")
+        // SPARK_GRAFT_SF10_RUNS raises the per-probe pass count (e.g.
+        // 3 for a min-of-3 adjudication row) — one invocation, one
+        // replica build, one window: samples stay co-measured
+        val passes = math.max(1,
+          sys.env.getOrElse("SPARK_GRAFT_SF10_RUNS", "2").toInt)
         try {
           for (n <- probes if System.nanoTime() < deadline) probeOnce(n)
-          System.gc(); Thread.sleep(200)
-          for (n <- probes
-               if System.nanoTime() < deadline && samples.contains(n))
-            probeOnce(n)
+          for (_ <- 2 to passes) {
+            System.gc(); Thread.sleep(200)
+            for (n <- probes
+                 if System.nanoTime() < deadline && samples.contains(n))
+              probeOnce(n)
+          }
         } finally {
           spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
           System.clearProperty("graft.state.disk")

@@ -345,8 +345,10 @@ object GraphAnalytics {
       val est = ScaleGuard.guardRound(spark, frontier, deg, maxDeg,
         visitedRows, frontierRows,
         s"the exact multi-source distance closure (round $depth)",
-        "the sampled-source form — GraphAnalytics.closenessSampled " +
-        "(Eppstein-Wang, p117 shape) or a sourceFilter restricting " +
+        "the fixed-source-count form — GraphAnalytics.closenessSampledK " +
+        "(p118 shape, the 100-TB default: work " + "∝" + " k·E, " +
+        "three-decade-measured), the rate-sampled contrast twin " +
+        "closenessSampled (p117 shape), or a sourceFilter restricting " +
         "BFS sources")
       val level = pickLevel(spark, est)
       val next = frontier.join(dir, frontier("v") === dir("a"))

@@ -1109,16 +1109,19 @@ object PipelineQueries {
       // samples of THIS build — the string-keyed oracle re-derives
       // identical counts, proving zero collisions at test scale; see
       // COVERAGE.md "gram-hash collision budget" for the third-decade
-      // collision analysis and the 128-bit exactness mode)
+      // collision analysis and the 128-bit exactness mode).
+      // In-doc gram dedup is array_distinct BEFORE the explode (per-row,
+      // zero shuffle), and min-doc-per-gram is a window over the gram
+      // partition (p29/p61's pattern) — ONE full-data exchange total,
+      // replacing r11's distinct + eager checkpoint + groupBy + join
+      // back (three exchanges and a full materialization)
       val grams = ws.select(col("doc_id"), col("source"),
           explode(expr(
-            "transform(sequence(0, size(ws) - 5), i -> " +
-              s"${gramKeySql(s, "ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]")})"))
+            "array_distinct(transform(sequence(0, size(ws) - 5), i -> " +
+              s"${gramKeySql(s, "ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]")}))"))
             .as("gram"))
-        .distinct()
-        .localCheckpoint(true) // posting build + coverage join share it
-      val mn = grams.groupBy("gram").agg(min("doc_id").as("mdoc"))
-      grams.join(mn, "gram")
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+      grams.withColumn("mdoc", min("doc_id").over(wg))
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("mdoc") < col("doc_id"), 1L).otherwise(0L))

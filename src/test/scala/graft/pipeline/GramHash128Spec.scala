@@ -42,8 +42,8 @@ class GramHash128Spec extends AnyFunSuite {
     // the gram join-key attribute is a two-long struct in 128 mode and
     // a bare long in the default
     def gramType(p: org.apache.spark.sql.DataFrame) =
-      p.queryExecution.analyzed.collectLeaves()
-        .flatMap(_.output).find(_.name == "gram").get.dataType
+      p.queryExecution.analyzed.collect { case n => n.output }
+        .flatten.find(_.name == "gram").get.dataType
     val wide = with128 {
       gramType(PipelineQueries.queries("p124_gram_coverage_dedup")(spark, d))
     }

@@ -63,7 +63,7 @@ class ScaleGuardSpec extends AnyFunSuite {
     (1 to n).map(i => (0L, i.toLong)).toDF("u", "v")
   }
 
-  test("frontier guard trips pre-join on a hub graph, naming p117") {
+  test("frontier guard trips pre-join on a hub graph, naming p118 first") {
     // 51 sources over the 50-spoke star: round 1 projects
     // Σ deg = 50 (center) + 50 (spokes) = 100, plus 51 visited
     val e = withCap(120) {
@@ -72,7 +72,12 @@ class ScaleGuardSpec extends AnyFunSuite {
           .count()
       }
     }
+    // the shipped 100-TB default (fixed-count, p118) leads; the
+    // rate-sampled contrast twin (p117) is named second (r12 fence)
+    assert(e.getMessage.contains("closenessSampledK"), e.getMessage)
     assert(e.getMessage.contains("closenessSampled"), e.getMessage)
+    assert(e.getMessage.indexOf("closenessSampledK") <
+      e.getMessage.lastIndexOf("closenessSampled"), e.getMessage)
     assert(e.getMessage.contains(ScaleGuard.ConfKey), e.getMessage)
   }
 
