@@ -62,8 +62,27 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    val isPartial = partial
+    // bounded-state guard for the PARTIAL pass (r12): one heap per
+    // distinct key means a high-cardinality key set approaches
+    // partition cardinality — the hazard Spark's own hash aggregate
+    // answers with spilling. Partial top-k is a semigroup, so instead
+    // of spilling we FLUSH: emit every current heap downstream (the
+    // exchange serializes them out) and start fresh. A hot key spanning
+    // flushes emits ≤ k rows per flush — the final pass re-merges to
+    // exactly k. The FINAL pass never flushes (it must hold each key's
+    // complete heap to honor the k bound) — its state is keys·k rows,
+    // the same order as any final hash aggregate; the knob there is
+    // shuffle partition count, as usual.
+    val flushKeys = math.max(1, conf.getConfString(
+      "spark.graft.topk.partialFlushKeys", "262144").toInt)
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // children are UnsafeRow-backed in practice, but the execute()
+      // contract only promises InternalRow (e.g. RDD-backed scans) —
+      // convert the stragglers instead of ClassCastException-ing
+      val toUnsafe = UnsafeProjection.create(
+        childOutput.map(_.asInstanceOf[Expression]), childOutput)
       val ord = PlanBridge.rowOrdering(sortOrder, childOutput)
       // per-key MAX-heap on the sort order: the root is the worst
       // retained row, evicted when a better one arrives — memory is
@@ -72,25 +91,45 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         override def compare(a: UnsafeRow, b: UnsafeRow): Int =
           -ord.compare(a, b)
       }
-      val heaps =
-        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
-        val key = keyProj(row)
-        var q = heaps.get(key)
-        if (q == null) {
-          q = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, revCmp)
-          heaps.put(key.copy(), q)
-        }
-        if (q.size < kLocal) q.add(row.copy())
-        else if (ord.compare(row, q.peek()) < 0) {
-          q.poll(); q.add(row.copy())
-        }
-      }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala
-        .flatMap(q => q.iterator().asScala)
-        .map(_.asInstanceOf[InternalRow])
+      new Iterator[InternalRow] {
+        private var heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        private var drain: Iterator[InternalRow] = Iterator.empty
+        private def insert(row0: InternalRow): Unit = {
+          val row = row0 match {
+            case u: UnsafeRow => u
+            case r => toUnsafe(r)
+          }
+          val key = keyProj(row)
+          var q = heaps.get(key)
+          if (q == null) {
+            q = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, revCmp)
+            heaps.put(key.copy(), q)
+          }
+          if (q.size < kLocal) q.add(row.copy())
+          else if (ord.compare(row, q.peek()) < 0) {
+            q.poll(); q.add(row.copy())
+          }
+        }
+        private def startDrain(): Unit = {
+          val old = heaps
+          heaps = new java.util.HashMap()
+          drain = old.values().iterator().asScala
+            .flatMap(q => q.iterator().asScala)
+            .map(_.asInstanceOf[InternalRow])
+        }
+        override def hasNext: Boolean = {
+          while (!drain.hasNext &&
+              (iter.hasNext || !heaps.isEmpty)) {
+            while (iter.hasNext &&
+              !(isPartial && heaps.size >= flushKeys)) insert(iter.next())
+            startDrain()
+          }
+          drain.hasNext
+        }
+        override def next(): InternalRow = drain.next()
+      }
     }
   }
 

@@ -71,6 +71,46 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally TopK.disableRewrite(spark)
   }
 
+  test("partial-pass flush keeps results exact under a tiny key budget (r12)") {
+    import spark.implicits._
+    // high-cardinality keys with a flush budget of 2 keys: the partial
+    // pass flushes constantly (a hot key emits <= k per flush) and the
+    // final pass must still merge back to exactly the window result
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, (i % 311).toLong, rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("id", "g", "v").repartition(8)
+    val want = windowTopK(df, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.conf.set("spark.graft.topk.partialFlushKeys", "2")
+    try {
+      val got = TopK.topKPerKey(df, Seq("g"),
+          Seq(("v", false), ("id", true)), 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally spark.conf.unset("spark.graft.topk.partialFlushKeys")
+  }
+
+  test("RDD-backed (non-UnsafeRow) children convert instead of CCE (r12)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a raw-Row RDD scan is the execute() contract's InternalRow-only
+    // corner — the operator must accept it via the UnsafeProjection
+    // fallback path
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("g", LongType), StructField("v", LongType)))
+    val rdd = spark.sparkContext.parallelize(
+      (0 until 200).map(i => Row(i.toLong, (i % 5).toLong, (i * 13 % 40).toLong)), 4)
+    val df = spark.createDataFrame(rdd, schema)
+    val want = windowTopK(df, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = TopK.topKPerKey(df, Seq("g"),
+        Seq(("v", false), ("id", true)), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("plan shape: partial below the exchange, final above, no Window/Sort") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, (i % 3).toLong, i.toLong))
