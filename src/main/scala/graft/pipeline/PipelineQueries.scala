@@ -993,7 +993,14 @@ object PipelineQueries {
               s"${gramKeySql(s, "ws[i], ws[i + 1]")} AS h12))")).as("b"))
         .select(col("doc_id"), col("lang"), col("source"),
           col("b.h1").as("h1"), col("b.h2").as("h2"), col("b.h12").as("h12"))
-        .localCheckpoint(true) // scored side + all three model tables
+      // NO checkpoint: the branches (two model tables, vocab, scored
+      // side) each recompute the scan+split+hash lineage — a few
+      // seconds per pass at the 100x corpus — where r11's eager
+      // localCheckpoint MATERIALIZED the full 100x bigram relation
+      // first (measured: 228 s cold, 62 s second run, 7.6 s only once
+      // the blocks were hot — the p124 defect class). Recompute is
+      // deterministic (pure column arithmetic, order-free aggregates),
+      // and the 'en' model branches push the lang filter into the scan.
       val ref = bg.where(col("lang") === "en")
       val cbg = ref.groupBy("h12").agg(count(lit(1)).as("cbg"))
       val cu = ref.groupBy("h1").agg(count(lit(1)).as("cu"))
