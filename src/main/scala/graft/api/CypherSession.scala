@@ -383,7 +383,7 @@ final class CypherSession(
         } else if (ch == '\\') k += 2
         else k += 1
       }
-      k
+      math.min(k, s.length) // trailing backslash must not overshoot
     }
     def skipQuotedIdent(from: Int): Int = { // past closing "
       var k = from + 1
@@ -395,7 +395,7 @@ final class CypherSession(
         } else if (ch == '\\') k += 2
         else k += 1
       }
-      k
+      math.min(k, s.length)
     }
     def skipLineComment(from: Int): Int = { // past the newline
       var k = from
@@ -432,7 +432,7 @@ final class CypherSession(
           } else if (ch == '\\') k += 2
           else k += 1
         }
-        k
+        math.min(k, s.length)
       }
       var depth = 1
       var k = open + 1

@@ -302,6 +302,14 @@ class InteropSpec extends AnyFunSuite {
     assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("hybrid sql(): trailing backslash surfaces as a parse error, not an index error") {
+    // a string whose last char is a lone backslash made the skipper
+    // overshoot the input; the scan must clamp and let Spark report
+    // the malformed SQL
+    val e = intercept[Exception] { s.sql("SELECT 'abc\\") }
+    assert(!e.isInstanceOf[StringIndexOutOfBoundsException], e.toString)
+  }
+
   test("idtext() renders the graphid display form labid.locid") {
     // graphid_out (graph.c:145-186) displays "labid.locid"; id() keeps
     // the packed long so ordering matches graphid comparison order
