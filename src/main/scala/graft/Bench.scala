@@ -510,6 +510,15 @@ object Bench {
           .createTempDirectory("graft_sf10_probe").toString
         sf10Dir = dir
         makeReplica(spark, sfDir, dir, sfK)
+        // the probe log must PROVE the replica's scale (an unscaled
+        // table would silently publish a flat "100x" ratio): one count
+        // per headline table, comparable against the base sf dir
+        for (t <- Seq("lineitem", "events", "documents")) {
+          val n = spark.read.parquet(s"$dir/$t.parquet").count()
+          val base = spark.read.parquet(s"$sfDir/$t.parquet").count()
+          System.err.println(s"[sf10] replica $t rows = $n " +
+            s"(base $base, x${if (base > 0) n / base else -1})")
+        }
         // the heavy family from the sf1 board: exact wedge quadratics
         // (p107/p75 — expected superlinear, the documented crossover),
         // their capped 100-TB form (p114 — must stay near-linear),
