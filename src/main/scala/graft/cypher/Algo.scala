@@ -21,6 +21,12 @@ object Algo {
 
   /** Checkpoint cadence for iterative loops (keeps lineage bounded). */
   private val CheckpointEvery = 4
+  // synthetic-name suffix for unnamed path/rel variables: a process
+  // counter, NOT hashCode%1000 — two unnamed shortestpath patterns in
+  // one query could collide mod 1000 and bind duplicate column names
+  // (r12 review). Names are transient plan artifacts; run-to-run
+  // stability is not required, uniqueness is.
+  private val synthSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   /** Safety cap for unbounded expansions (reference: INT_MAX,
     * execGraphVle.c:33 — we cap pragmatically; uniqueness bounds
     * terminate loops well before this on real data). Configurable per
@@ -351,7 +357,8 @@ object Algo {
             "extending; raise spark.graft.maxDepth or bound the pattern " +
             "(the reference searches unbounded, parse_shortestpath.c:458)"
       })
-    val relName = rel.variable.getOrElse(s"__sp_e_${p.hashCode.abs % 1000}")
+    val synthId = synthSeq.incrementAndGet()
+    val relName = rel.variable.getOrElse(s"__sp_e_$synthId")
 
     // Source-constrained search: expand only from the bound source
     // vertices instead of every vertex (the set-based analog of the
@@ -378,7 +385,11 @@ object Algo {
         // frontiers die out fast and one-sided avoids the second
         // frontier's bookkeeping. Both counts are footer-cheap row
         // counts of the label parquet, negligible next to the search.
-        val eCnt = b.edgeScan(rel.types, rel.direction, rel.only).count()
+        // undirected patterns union both orientations in edgeScan —
+        // halve the count or the effective out-degree doubles and the
+        // choice flips to twosided too eagerly (r12 review)
+        val eRaw = b.edgeScan(rel.types, rel.direction, rel.only).count()
+        val eCnt = if (rel.direction == 0) eRaw / 2 else eRaw
         val vCnt = b.vertexScan(None, only = false).count()
         val choice = vCnt > 0 && eCnt * 2 > vCnt * 3 // d > 1.5
         // thread-local probe, NOT session conf: two concurrent queries
@@ -408,7 +419,7 @@ object Algo {
     var df = st.df.join(paths,
       srcId === col("__start") && tgtId === col("__cur"))
     // path variable struct: vertices = [src] ++ verts, edges
-    val pv = p.variable.getOrElse(s"__sp_p_${p.hashCode.abs % 1000}")
+    val pv = p.variable.getOrElse(s"__sp_p_$synthId")
     df = df.withColumn(pv, struct(
       concat(array(col(Compiler.q(srcName))), col("__verts")).as("vertices"),
       col("__edges").as("edges")))
@@ -593,8 +604,17 @@ object Algo {
       b.emptyEdgeArray.as("__bedges"), b.emptyLongArray.as("__bids"),
       b.emptyLongArray.as("__bvids"))
 
+    // the endpoints are NOT pre-marked visited — the same invariant the
+    // one-sided search documents: a cycle back to the endpoint is a
+    // valid shortest path, and pre-seeding the depth-0 states pruned
+    // the only split of a length-1 self-loop when origin == target
+    // (r12 review; PathFinderCrossCheckSpec pins it). First re-arrival
+    // at an endpoint lands in visited like any other vertex, so later
+    // (longer) re-arrivals still prune.
     var visitedF = fwd.select(col("__start").as("__o"), col("__cur").as("__at"))
+      .where(lit(false))
     var visitedB = bwd.select(col("__tgt").as("__o"), col("__bcur").as("__at"))
+      .where(lit(false))
 
     // met (source, target) pairs: later meets for them are longer
     // paths. When every pair has met, the search is done — the classic

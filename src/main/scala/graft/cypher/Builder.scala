@@ -1348,7 +1348,13 @@ final class Builder(
         val ceTry = try Some(comp0.compile(argR)) catch { case _: Exception => None }
         ceTry match {
           case Some(ce) if ce.kind == KE =>
-            val hidden = s"__${fn.take(5)}_${math.abs(argR.hashCode) % 100000}"
+            // full unsigned-hex hash, not %100000: the name memoizes
+            // repeated startnode/endnode calls on the SAME arg (must be
+            // stable), but a mod-collision of two DIFFERENT args would
+            // silently reuse the wrong joined vertex; math.abs was also
+            // negative at Int.MinValue (r12 review)
+            val hidden =
+              s"__${fn.take(5)}_${java.lang.Integer.toHexString(argR.hashCode)}"
             if (!st.has(hidden)) {
               val endpointField = if (fn == "startnode") "start" else "end"
               val scan = vertexScan(None, only = false)

@@ -119,6 +119,15 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * deviation: the reference serializes via heavyweight table locks).
     * The lock keys on the label NAME — renameLabel holds BOTH the
     * source and target names' locks (canonical order).
+    *
+    * READERS take no lock (documented deviation, r12 review finding 4):
+    * a query overlapping overwrite/patchFiles' rm+swap window can see
+    * an empty table or fail on deleted part files — the lakehouse
+    * answer is snapshot isolation (Delta/Iceberg manifests), which this
+    * parquet-directory catalog deliberately does not reimplement; the
+    * reference holds reader locks through its buffer manager. Schedule
+    * reindex/SET-heavy maintenance away from concurrent readers, as
+    * with any non-transactional table format.
     */
   private def labelLock(g: String, label: String) =
     GraphCatalog.labelLocks.computeIfAbsent(
@@ -177,12 +186,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       if (ifExists) return
       throw new IllegalStateException(s"graph \"$name\" does not exist")
     }
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) { val s = Files.list(p)
-        try s.iterator().asScala.foreach(rm) finally s.close() }
-      Files.deleteIfExists(p)
-    }
-    rm(graphDir(name))
+    rmTree(graphDir(name))
   }
 
   def graphExists(name: String): Boolean = Files.exists(metaPath(name))
@@ -222,6 +226,10 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     }
     m.labels.clear()
     renamed.foreach { case (n, meta) => m.labels(n) = meta }
+    // the id sequence is keyed by label NAME: move it with the rename
+    // or the next CREATE under the new name restarts at locid 1 and
+    // reissues existing graphids (r12 review finding; DdlSpec pins it)
+    m.sequences.remove(from).foreach(seq => m.sequences(to) = seq)
     writeMeta(graph, m)
     // constraints are keyed by label NAME in _constraints.json — follow
     // the rename or they silently stop being enforced (checkConstraints
@@ -344,12 +352,15 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         s"""NOTICE:  unique property index "$nm" on "$label" has a """ +
           "multi-key or expression key; existing rows are not validated " +
           "— uniqueness is enforced from the next write on")
-      // the enforcement half: a unique property index IS a unique
-      // constraint over the key tuple (propertyindex.sql piv4/piv5)
-      val body = if (keys.length == 1) keys.head
-        else keys.mkString("[", ", ", "]")
-      addConstraint(graph, label, s"${nm}_uc", "unique", body)
     }
+    // the enforcement half: a unique property index IS a unique
+    // constraint over the key tuple (propertyindex.sql piv4/piv5).
+    // Installed UNDER the label write lock below — two racing
+    // identical creates serialize there, so an IF NOT EXISTS loser
+    // re-checks the committed index name instead of tripping over the
+    // winner's just-installed constraint (r12 review)
+    val ucBody = if (keys.length == 1) keys.head
+      else keys.mkString("[", ", ", "]")
     // The build runs under the LABEL WRITE lock: it drains in-flight
     // same-label appends (they hold the same exclusive lock while
     // their files land), so the validation scan sees every committed
@@ -364,8 +375,21 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // with a ShareLock held for the whole build, which would serialize
     // all writes graph-wide.
     withLabelWrite(graph, label) {
+      // fresh re-check under the lock: the racing winner's commit is
+      // visible here, so the loser takes the ifNotExists no-op path
+      // BEFORE installing a colliding constraint
+      val already = readMeta(graph).labels.values
+        .exists(_.indexes.exists(_.name == nm))
+      if (already && !ifNotExists)
+        throw new IllegalStateException(s"""index "$nm" already exists""")
+      var ucAdded = false
       val committed =
-        try {
+        if (already) false
+        else try {
+          if (unique) {
+            addConstraint(graph, label, s"${nm}_uc", "unique", ucBody)
+            ucAdded = true
+          }
           if (unique && validatable && dupScanFails()) dupError()
           withMetaLock(graph) {
             val fresh = readMeta(graph)
@@ -383,9 +407,11 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
           }
         } catch { case e: Throwable =>
           // don't leak the enforcement half if the build lost a race —
-          // but only before the commit: a post-commit reindex failure
-          // must keep index AND constraint together
-          if (unique) try dropConstraint(graph, s"${nm}_uc")
+          // but only the constraint WE added (an addConstraint name
+          // collision must not drop the pre-existing owner's), and only
+          // before the commit: a post-commit reindex failure must keep
+          // index AND constraint together
+          if (ucAdded) try dropConstraint(graph, s"${nm}_uc")
           catch { case _: Throwable => () }
           throw e
         }
@@ -462,6 +488,17 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     overwrite(graph, label, df)
   }
 
+  /** DROP VLABEL leaves edges that referenced the dropped vertices in
+    * place (documented deviation: the reference's dependency machinery
+    * forces CASCADE through edge labels; here edge labels are
+    * independent tables). Path queries over such DANGLING edges are a
+    * degraded state: vertex-attaching plans (path variables,
+    * shortestpath results) inner-join the vertex union and drop or
+    * shorten paths whose interior vertices are gone, while
+    * edge-only plans keep them — re-create the vertex label or delete
+    * the orphan edges to restore consistency (r12 review, finding 3:
+    * accepted behavior, recorded here instead of silently differing).
+    */
   def dropLabel(graph: String, name: String): Unit =
       withLabelWrite(graph, name) { withMetaLock(graph) {
     val m = readMeta(graph)
@@ -475,12 +512,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val cons = constraints(graph)
     if (cons.exists(_.label == name))
       writeConstraints(graph, cons.filterNot(_.label == name))
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) { val s = Files.list(p)
-        try s.iterator().asScala.foreach(rm) finally s.close() }
-      Files.deleteIfExists(p)
-    }
-    rm(labelDir(graph, name))
+    rmTree(labelDir(graph, name))
   } }
 
   /** DROP VLABEL/ELABEL ... CASCADE (graphcmds.c drop route, tests
@@ -747,7 +779,15 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
   def scanOnly(graph: String, name: String): DataFrame = {
     val lm = readMeta(graph).labels.getOrElse(name,
       throw new IllegalStateException(s"label \"$name\" does not exist"))
-    val dir = labelDir(graph, name)
+    scanOnly(graph, lm)
+  }
+
+  // meta-carrying overload: alignedUnion already holds every member's
+  // LabelMeta — re-reading and re-parsing _graph.json once per member
+  // made an N-label inheritance scan pay N+1 metadata file parses on
+  // the planning hot path (r12 review)
+  private def scanOnly(graph: String, lm: LabelMeta): DataFrame = {
+    val dir = labelDir(graph, lm.name)
     val schema = labelSchema(lm)
     if (hasParquet(dir)) spark.read.schema(schema).parquet(dir.toString)
     else emptyFrame(schema)
@@ -771,7 +811,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val shred = commonShred(ms)
     val shredFields = shred.toSeq.sortBy(_._1)
     ms.map { lm =>
-      val df = scanOnly(graph, lm.name)
+      val df = scanOnly(graph, lm)
       val cols = base.fields.map(f => col(f.name)) ++ shredFields.flatMap {
         case (k, t) =>
           def c(n: String, dt: DataType) =
@@ -799,6 +839,14 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val schema = if (kind == 'v') vertexSchema else edgeSchema
     if (ls.isEmpty) emptyFrame(schema)
     else alignedUnion(graph, ls)
+  }
+
+  /** Recursive directory delete (shared by drop/overwrite/patch —
+    * one definition, r12 review reuse finding). */
+  private def rmTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) { val s = Files.list(p)
+      try s.iterator().asScala.foreach(rmTree) finally s.close() }
+    Files.deleteIfExists(p)
   }
 
   private def hasParquet(dir: Path): Boolean =
@@ -912,12 +960,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val staging = graphDir(graph).resolve(s"_staging_$label")
     clusterSorted(out, lm2)
       .write.mode("overwrite").parquet(staging.toString)
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) { val s = Files.list(p)
-        try s.iterator().asScala.foreach(rm) finally s.close() }
-      Files.deleteIfExists(p)
-    }
-    rm(dir)
+    rmTree(dir)
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
     withMetaLock(graph) {
       val fresh = readMeta(graph)
@@ -1002,12 +1045,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
         }
       }
     val staging = graphDir(graph).resolve(s"_staging_$label")
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) { val s = Files.list(p)
-        try s.iterator().asScala.foreach(rm) finally s.close() }
-      Files.deleteIfExists(p)
-    }
-    rm(staging)
+    rmTree(staging)
     clusterSorted(out, lm2)
       .write.mode("overwrite").parquet(staging.toString)
     untouched.foreach { p =>
@@ -1015,7 +1053,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
       if (Files.exists(target)) target = staging.resolve(s"k-${p.getFileName}")
       Files.move(p, target)
     }
-    rm(dir)
+    rmTree(dir)
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
     if (lm2 != lm) withMetaLock(graph) {
       val fresh = readMeta(graph)

@@ -238,6 +238,44 @@ class DdlSpec extends AnyFunSuite {
     assert(!s.catalog.graphExists("rn"))
   }
 
+  test("racing CREATE UNIQUE PROPERTY INDEX IF NOT EXISTS: loser no-ops — r12 review") {
+    // the enforcement constraint installs under the label write lock,
+    // so the loser of an identical concurrent create re-checks the
+    // committed index and silently no-ops instead of erroring on the
+    // winner's constraint name
+    val s = fresh()
+    s.createGraph("race")
+    s.createVLabel("rc")
+    s.cypher("CREATE (:rc {k: 1}), (:rc {k: 2})")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = (1 to 4).map(_ => Future {
+      s.catalog.createPropertyIndex("race", "rc", None, Seq("k"),
+        unique = true, ifNotExists = true)
+    })
+    attempts.foreach(f => Await.result(f, Duration.Inf)) // none may throw
+    val lm = s.catalog.label("race", "rc").get
+    assert(lm.indexes.count(_.name == "rc_k_idx") == 1, lm.indexes)
+    assert(s.catalog.constraints("race").count(_.name == "rc_k_idx_uc") == 1)
+  }
+
+  test("CREATE after RENAME continues the id sequence (no locid reuse) — r12 review") {
+    // the label's id sequence is keyed by NAME in the meta; a rename
+    // that leaves it under the old key makes the next CREATE restart
+    // at locid 1 and silently reissue existing graphids
+    val s = fresh()
+    s.createGraph("rnseq")
+    s.createVLabel("a")
+    s.cypher("CREATE (:a {k: 1}), (:a {k: 2}), (:a {k: 3})")
+    s.renameLabel("a", "b")
+    s.cypher("CREATE (:b {k: 4}), (:b {k: 5})")
+    val ids = s.cypher("MATCH (n:b) RETURN id(n) AS i")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids.length == 5)
+    assert(ids.distinct.length == 5, s"duplicate graphids after rename: $ids")
+  }
+
   test("catalog views: labelsDf/graphsDf list the namespace (\\dG analog)") {
     val s = fresh()
     s.createGraph("cat")

@@ -72,6 +72,33 @@ class PathFinderCrossCheckSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.pathSearch")
   }
 
+  test("self-loop shortest path: origin == target, length 1 (both modes) — r12 review") {
+    // buildRandomGraph filters self-loops out, so this shape was never
+    // cross-checked: the two-sided search pre-seeded visitedF/visitedB
+    // with the depth-0 endpoint states, pruning the only split of a
+    // length-1 self-loop — one-sided found it, two-sided lost it (or
+    // returned a longer cycle as "shortest")
+    val root = Files.createTempDirectory("graft_selfloop").toString
+    val s = new CypherSession(spark, new GraphCatalog(spark, root))
+    s.createGraph("sl")
+    s.createVLabel("v")
+    s.createELabel("e")
+    s.cypher("CREATE (:v {n: 0}), (:v {n: 1})")
+    s.cypher("MATCH (x:v {n: 0}) CREATE (x)-[:e]->(x)") // self-loop
+    // a 2-cycle through n=1 — the WRONG answer if the loop is lost
+    s.cypher("MATCH (x:v {n: 0}), (y:v {n: 1}) CREATE (x)-[:e]->(y), (y)-[:e]->(x)")
+    for (mode <- Seq("onesided", "twosided")) {
+      spark.conf.set("spark.graft.pathSearch", mode)
+      try {
+        val out = s.cypher(
+          """MATCH p = shortestpath((a:v {n: 0})-[:e*1..4]->(b:v {n: 0}))
+            |RETURN length(p) AS l""".stripMargin).collect()
+        assert(out.map(_.getString(0)).toSeq == Seq("1"),
+          s"mode=$mode: ${out.mkString(",")}")
+      } finally spark.conf.unset("spark.graft.pathSearch")
+    }
+  }
+
   private def runCase(seed: Int): Unit = {
       val s = buildRandomGraph(seed, n = 10, nEdges = 26)
       val expect = vleMinPaths(s)
