@@ -415,42 +415,39 @@ final class CypherSession(
       }
       k
     }
-    // Depth scan INSIDE a (MATCH ...) candidate uses the Cypher
-    // lexer's rules (cypher/Parser.scala tokenizeWithStarts): strings
-    // may use either quote char with doubled-quote or backslash
-    // escapes, and `//` / flat `/* */` comments hide parens. Returns
-    // the index just past the matching ')' (s.length if unbalanced).
-    def cypherBlockEnd(open: Int): Int = {
-      def skipCypherString(from: Int): Int = {
-        val quote = s.charAt(from)
-        var k = from + 1
-        while (k < s.length) {
-          val ch = s.charAt(k)
-          if (ch == quote) {
-            if (k + 1 < s.length && s.charAt(k + 1) == quote) k += 2
-            else return k + 1
-          } else if (ch == '\\') k += 2
-          else k += 1
-        }
-        math.min(k, s.length)
+    // Depth scan INSIDE a (MATCH ...) candidate is driven by the REAL
+    // Cypher lexer (Parser.Lexer.matchingParen): every token class the
+    // parser accepts — either-quote strings with doubled or backslash
+    // escapes, backtick-quoted identifiers (which may legally contain
+    // parens), comments — is skipped as one token by construction, so
+    // a new token class can never desync this scan from the parser
+    // again (r10→r12 each leaked one class from the hand-rolled
+    // version). A lexer throw means the block is malformed AS CYPHER
+    // (it could not have parsed either) — fall back to a bare char
+    // scan so the downstream parse gate rejects it loudly.
+    def cypherBlockEnd(open: Int): Int =
+      try Parser.Lexer.matchingParen(s, open)
+      catch {
+        case _: Exception =>
+          var depth = 1
+          var k = open + 1
+          while (k < s.length && depth > 0) {
+            s.charAt(k) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _   => ()
+            }
+            k += 1
+          }
+          k
       }
-      var depth = 1
-      var k = open + 1
-      while (k < s.length && depth > 0) {
-        s.charAt(k) match {
-          case '(' => depth += 1; k += 1
-          case ')' => depth -= 1; k += 1
-          case '\'' | '"' => k = skipCypherString(k)
-          case '/' if k + 1 < s.length && s.charAt(k + 1) == '/' =>
-            k = skipLineComment(k)
-          case '/' if k + 1 < s.length && s.charAt(k + 1) == '*' =>
-            // Cypher block comments do NOT nest (unlike Spark SQL's)
-            var m = k + 2
-            while (m + 1 < s.length &&
-              !(s.charAt(m) == '*' && s.charAt(m + 1) == '/')) m += 1
-            k = math.min(m + 2, s.length)
-          case _ => k += 1
-        }
+    def skipBacktick(from: Int): Int = { // past closing ` (`` escapes)
+      var k = from + 1
+      while (k < s.length) {
+        if (s.charAt(k) == '`') {
+          if (k + 1 < s.length && s.charAt(k + 1) == '`') k += 2
+          else return k + 1
+        } else k += 1
       }
       k
     }
@@ -462,6 +459,10 @@ final class CypherSession(
         val e = skipString(i); out.append(s.substring(i, e)); i = e
       } else if (c == '"') {
         val e = skipQuotedIdent(i); out.append(s.substring(i, e)); i = e
+      } else if (c == '`') {
+        // Spark SQL backtick-quoted identifier: copy through verbatim
+        // so `a(match b` can never open a Cypher block
+        val e = skipBacktick(i); out.append(s.substring(i, e)); i = e
       } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         val e = skipLineComment(i); out.append(s.substring(i, e)); i = e
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {

@@ -387,7 +387,13 @@ object Algo {
         // counts of the label parquet, negligible next to the search.
         // undirected patterns union both orientations in edgeScan —
         // halve the count or the effective out-degree doubles and the
-        // choice flips to twosided too eagerly (r12 review)
+        // choice flips to twosided too eagerly (r12 review). The /2 is
+        // an APPROXIMATION in the presence of self-loops (a self-loop
+        // contributes two identical rows to the union, so eCnt slightly
+        // undercounts a true undirected edge count) — acceptable here
+        // because this feeds only the d > 1.5 cost heuristic, never a
+        // result (r12 advice; count distinct edge ids if exactness
+        // ever matters)
         val eRaw = b.edgeScan(rel.types, rel.direction, rel.only).count()
         val eCnt = if (rel.direction == 0) eRaw / 2 else eRaw
         val vCnt = b.vertexScan(None, only = false).count()

@@ -1333,6 +1333,10 @@ final class Builder(
   /** Replace startnode(e)/endnode(e) with hidden vertex vars joined by
     * endpoint id (left join: dangling endpoints yield SQL NULL).
     */
+  // hidden endpoint-var name -> the exact arg it was created for
+  // (collision-proof memoization; see rewriteEndpointFns)
+  private val endpointVarArgs = scala.collection.mutable.Map[String, Expr]()
+
   private def rewriteEndpointFns(st0: State, p: Projection): (State, Projection) = {
     var st = st0
     def rewriteExpr(e: Expr): Expr = e match {
@@ -1348,14 +1352,23 @@ final class Builder(
         val ceTry = try Some(comp0.compile(argR)) catch { case _: Exception => None }
         ceTry match {
           case Some(ce) if ce.kind == KE =>
-            // full unsigned-hex hash, not %100000: the name memoizes
-            // repeated startnode/endnode calls on the SAME arg (must be
-            // stable), but a mod-collision of two DIFFERENT args would
-            // silently reuse the wrong joined vertex; math.abs was also
-            // negative at Int.MinValue (r12 review)
-            val hidden =
+            // memoize by the EXACT arg, not any hash of it: the name
+            // must be stable for repeated startnode/endnode calls on
+            // the same arg, but two different args may share any
+            // 32-bit hash — endpointVarArgs records which arg owns a
+            // name, and a mismatch appends a counter instead of
+            // silently joining the wrong endpoint vertex (r12 advice)
+            val base =
               s"__${fn.take(5)}_${java.lang.Integer.toHexString(argR.hashCode)}"
+            var hidden = base
+            var bump = 0
+            while (st.has(hidden) &&
+                !endpointVarArgs.get(hidden).contains(argR)) {
+              bump += 1
+              hidden = s"${base}_$bump"
+            }
             if (!st.has(hidden)) {
+              endpointVarArgs(hidden) = argR
               val endpointField = if (fn == "startnode") "start" else "end"
               val scan = vertexScan(None, only = false)
                 .select(struct(col("id"), col("properties")).as(hidden))

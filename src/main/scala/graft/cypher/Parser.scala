@@ -43,10 +43,55 @@ object Parser {
       val out = new ArrayBuffer[Tok]()
       val starts = new ArrayBuffer[Int]()
       var i = 0
-      def peek(k: Int = 0): Char = if (i + k < s.length) s.charAt(i + k) else '\u0000'
       while (i < s.length) {
-        val c = s.charAt(i)
         val tokStart = i
+        i = step(s, i, out)
+        while (starts.length < out.length) starts += tokStart
+      }
+      out += TEnd
+      starts += s.length
+      (out.toVector, starts.toVector)
+    }
+
+    /** Index just past the ')' matching the '(' at `open`, scanning
+      * with the REAL token rules (either-quote strings with doubled or
+      * backslash escapes, backtick-quoted identifiers, line and flat
+      * block comments) so no token class can hide a paren from the
+      * depth count — hybrid sql() block extraction drives this
+      * (api/CypherSession.scala). Stops AT the matching paren: text
+      * beyond it (the enclosing SQL) is never lexed. Returns s.length
+      * when unbalanced. Throws only on a token malformed INSIDE the
+      * block — such a block cannot parse as Cypher either, so callers
+      * treat a throw as "not a Cypher block".
+      */
+    def matchingParen(s: String, open: Int): Int = {
+      require(open < s.length && s.charAt(open) == '(', "not at a '('")
+      val toks = new ArrayBuffer[Tok]()
+      var i = open + 1
+      var depth = 1
+      while (i < s.length && depth > 0) {
+        toks.clear()
+        i = step(s, i, toks)
+        toks.headOption match {
+          case Some(TSym("(")) => depth += 1
+          case Some(TSym(")")) => depth -= 1
+          case _ => ()
+        }
+      }
+      i
+    }
+
+    /** Lex one token (or skip one whitespace/comment run) starting at
+      * `from`: appends 0 or 1 tokens to `out` and returns the index
+      * just past the consumed text. The single source of truth for
+      * token boundaries — tokenizeWithStarts and matchingParen both
+      * drive it, so the block scanner can never disagree with the
+      * parser about where a token ends. */
+    private def step(s: String, from: Int, out: ArrayBuffer[Tok]): Int = {
+      var i = from
+      def peek(k: Int = 0): Char = if (i + k < s.length) s.charAt(i + k) else '\u0000'
+      locally {
+        val c = s.charAt(i)
         if (c.isWhitespace) i += 1
         else if (c == '/' && peek(1) == '/') { while (i < s.length && s.charAt(i) != '\n') i += 1 }
         else if (c == '/' && peek(1) == '*') {
@@ -125,7 +170,9 @@ object Parser {
           val sb = new StringBuilder
           i += 1
           while (i < s.length && s.charAt(i) != '`') { sb += s.charAt(i); i += 1 }
-          i += 1
+          // unterminated backtick: consume to end WITHOUT overshooting
+          // past s.length (matchingParen reports unbalanced as s.length)
+          if (i < s.length) i += 1
           out += TId(sb.toString)
         }
         else if (c.isDigit) {
@@ -193,11 +240,8 @@ object Parser {
               out += TSym(c.toString); i += 1
           }
         }
-        while (starts.length < out.length) starts += tokStart
       }
-      out += TEnd
-      starts += s.length
-      (out.toVector, starts.toVector)
+      i
     }
     private def isHex(c: Char): Boolean =
       c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')

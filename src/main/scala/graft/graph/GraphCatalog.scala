@@ -679,7 +679,7 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     * path — every write statement pays this, so one parse pass
     * matters). Returns a sorted map, matching batchKeys order.
     */
-  private def batchKeyTypes(df: DataFrame): scala.collection.immutable.TreeMap[String, String] = {
+  private[graph] def batchKeyTypes(df: DataFrame): scala.collection.immutable.TreeMap[String, String] = {
     import org.apache.spark.sql.functions._
     // keys that can't be shredded (anything beyond [A-Za-z0-9_]) are
     // dropped BEFORE the dynamic lookup: quoting such a key with plain
@@ -693,9 +693,17 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     // construction, so plain quoting re-enters jsonb space safely
     val v = graft.expr.J.getDyn(col("properties"),
       concat(lit("\""), col("k"), lit("\"")))
+    // the collect is HARD-BOUNDED at ShredMaxKeys + 1 rows: a batch
+    // with machine-generated keys (k_000001…, common in scraped/LLM
+    // corpora) may hold millions of distinct keys, and collecting them
+    // all to the driver before the cap check would sink the 100-TB
+    // ingest path. Hitting the limit returns a map of size
+    // ShredMaxKeys + 1, which every caller's `> ShredMaxKeys` check
+    // routes to shredOff — same decision, O(cap) driver memory.
     val rows = exploded.groupBy("k").agg(
       count(when(v.isNotNull && !v.rlike(ShredNumRe), 1)).as("nn"),
-      count(when(v.isNotNull && !v.startsWith("\""), 1)).as("ns")).collect()
+      count(when(v.isNotNull && !v.startsWith("\""), 1)).as("ns"))
+      .limit(ShredMaxKeys + 1).collect()
     val pairs = rows.iterator.map { r =>
       val t = if (r.getAs[Long]("nn") == 0L) "n"
         else if (r.getAs[Long]("ns") == 0L) "s"

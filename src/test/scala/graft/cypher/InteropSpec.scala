@@ -321,6 +321,49 @@ class InteropSpec extends AnyFunSuite {
     assert(r.getString(0) == expect)
   }
 
+  test("hybrid sql(): backtick-quoted label with parens in a MATCH block (r12 item 1)") {
+    // the block scanner is now lexer-driven (Parser.Lexer.matchingParen):
+    // a backtick-quoted identifier may legally contain parens, and the
+    // pre-r13 char scanner closed the block at the quoted ')' and
+    // rejected a legal query
+    s.createVLabel("weird)label")
+    s.cypher("CREATE (:`weird)label` {name: 'z'})")
+    val out = s.sql(
+      "SELECT name FROM (MATCH (n:`weird)label`) RETURN n.name AS name) t")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("\"z\""))
+  }
+
+  test("hybrid sql(): backtick-quoted variable containing '(' in a block") {
+    val out = s.sql(
+      "SELECT nm FROM (MATCH (`a(b`:city) RETURN `a(b`.name AS nm) t ORDER BY nm")
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("\"a\"", "\"b\"", "\"c\""))
+  }
+
+  test("hybrid sql(): backticked SQL identifier containing '(match' is not a block") {
+    import spark.implicits._
+    Seq(("x", 1)).toDF("a", "b").createOrReplaceTempView("bt_ident")
+    val out = s.sql("SELECT a AS `col (match y` FROM bt_ident")
+    assert(out.columns.toSeq == Seq("col (match y"))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
+
+  test("Lexer.matchingParen: no token class can hide a paren") {
+    import Parser.Lexer.matchingParen
+    val s1 = "(a ')' b) tail"
+    assert(matchingParen(s1, 0) == s1.indexOf(" tail"))
+    val s2 = "(`x)y` + 1) rest"
+    assert(matchingParen(s2, 0) == s2.indexOf(" rest"))
+    val s3 = "(a // )\n) z"
+    assert(matchingParen(s3, 0) == s3.indexOf(" z"))
+    val s4 = "(a /* ) */ b) w"
+    assert(matchingParen(s4, 0) == s4.indexOf(" w"))
+    val s5 = "(unbalanced `also(unclosed"
+    assert(matchingParen(s5, 0) == s5.length)
+    val s6 = "((n)-[:r]->(m)) q"
+    assert(matchingParen(s6, 0) == s6.indexOf(" q"))
+  }
+
   test("RETURN * projects all named variables") {
     val out = s.cypher("MATCH (c:city {name: 'a'})-[e:road]->(d) RETURN *")
     assert(out.columns.toSeq == Seq("c", "e", "d"))

@@ -109,6 +109,26 @@ class ShreddingSpec extends AnyFunSuite {
     assert(s.cypher("MATCH (x:big) WHERE x.k7 = 7 RETURN x").count() == 1)
   }
 
+  test("shred-key discovery never collects more than the cap (r12 item 2)") {
+    // a write batch with machine-generated keys (k_000001..., common in
+    // scraped/LLM corpora) may hold millions of distinct keys; the
+    // classify agg's driver collect is hard-bounded at ShredMaxKeys + 1
+    // rows, and hitting the bound routes callers to shredOff — same
+    // decision, O(cap) driver memory on the 100-TB ingest path
+    val s = freshSession()
+    import spark.implicits._
+    val df = (1 to 500)
+      .map(i => f"""{"k_$i%06d": $i}""").toDF("properties")
+    val types = s.catalog.batchKeyTypes(df)
+    assert(types.size == 33, s"collect must cap at ShredMaxKeys+1, got ${types.size}")
+    // end to end: the capped discovery still disables shredding
+    s.createVLabel("wide")
+    val props = (1 to 64).map(i => s"g_$i: $i").mkString(", ")
+    s.cypher(s"CREATE (:wide {$props})")
+    assert(s.catalog.label("sg", "wide").get.shredOff)
+    assert(s.cypher("MATCH (x:wide) WHERE x.g_33 = 33 RETURN x").count() == 1)
+  }
+
   test("edge properties shred too: predicates use the typed sidecar") {
     val s = freshSession()
     s.createVLabel("v")

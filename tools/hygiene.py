@@ -32,8 +32,14 @@ def live_suites():
             text = open(path, encoding="utf-8").read()
             pkg = re.search(r"^package\s+([\w.]+)", text, re.M)
             pkg = pkg.group(1) if pkg else ""
+            # tolerant of wrapped `extends` clauses (\s+ spans
+            # newlines), type/constructor params on the class, and a
+            # dotted base-class path — r12 advice: a stricter pattern
+            # missed legal suite shapes and flagged their legitimate
+            # reports as orphans
             for m in re.finditer(
-                    r"^(?:abstract\s+)?class\s+(\w+)\s+extends\s+\w*"
+                    r"^(?:abstract\s+)?class\s+(\w+)(?:\[[^\]]*\])?"
+                    r"(?:\([^)]*\))?\s+extends\s+[\w.]*"
                     r"(?:AnyFunSuite|AnyFlatSpec|SuiteBase)", text, re.M):
                 if "abstract" in m.group(0):
                     continue
