@@ -34,6 +34,14 @@ object Bench {
     def ld(t: String) = relational.Tables.load(spark, sfDir, t)
     def keySpan(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1L
+    // SPARK_GRAFT_REPLICA_TABLES (comma list): restrict the Kx
+    // treatment to the named tables; everything else copies at 1x with
+    // the same layout. A corpus-family third-decade probe (K = 1000,
+    // documents/embeddings only) must not pay the ~35-minute / ~17 GB
+    // 1000x TPC-H build it never reads.
+    val onlyTables = sys.env.get("SPARK_GRAFT_REPLICA_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def scaledT(t: String): Boolean = onlyTables.forall(_.contains(t))
     val C = keySpan(ld("customer"), "c_custkey")
     val O = keySpan(ld("orders"), "o_orderkey")
     val S = keySpan(ld("supplier"), "s_suppkey")
@@ -42,7 +50,9 @@ object Bench {
     // fine at K=10/100 but at the K=1000 (sf100) probe the depth-1000
     // plan tree taxes analysis; <=100-child unions append in waves
     def rep(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
-      (0 until K).grouped(100).zipWithIndex.foreach { case (g, gi) =>
+      if (!scaledT(t))
+        ld(t).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      else (0 until K).grouped(100).zipWithIndex.foreach { case (g, gi) =>
         g.map(i => shift(ld(t), i)).reduce(_ unionAll _)
           .write.mode(if (gi == 0) "overwrite" else "append")
           .parquet(s"$dir/$t.parquet")
@@ -61,7 +71,8 @@ object Bench {
     // the text/vector corpus INTO the Kx replica (key-shifted copies,
     // so every doc gains K-1 exact duplicates — the dup-heavy corpus
     // shape) for second-decade probes of the dedup/LM/packing family.
-    val scaleCorpus = sys.env.get("SPARK_GRAFT_SCALE_CORPUS").contains("1")
+    val scaleCorpus = sys.env.get("SPARK_GRAFT_SCALE_CORPUS").contains("1") &&
+      scaledT("documents")
     if (!scaleCorpus) {
       ld("documents").repartitionByRange(16, col("doc_id"))
         .sortWithinPartitions("doc_id")
@@ -108,7 +119,8 @@ object Bench {
     val E = keySpan(ev, "event_id")
     // same user_id range layout as the benchDir copy (jsonb-parse-heavy
     // map side; user-bounded queries prune whole files via min/max)
-    (0 until K).grouped(100).zipWithIndex.foreach { case (g, gi) =>
+    val evWaves = if (scaledT("events")) (0 until K) else (0 until 1)
+    evWaves.grouped(100).zipWithIndex.foreach { case (g, gi) =>
       g.map(i => ev
           .withColumn("event_id", col("event_id") + lit(i * E))
           .withColumn("ts", col("ts") +

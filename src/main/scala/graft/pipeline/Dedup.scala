@@ -280,13 +280,17 @@ object Dedup {
       score: org.apache.spark.sql.Column): DataFrame = {
     val cl = clusters(pairs)
     val withComp = docs.join(cl, docs(idCol) === cl("id"), "left")
-      .withColumn("__comp", coalesce(col("comp"), docs(idCol)))
+      .withColumn("__comp", coalesce(cl("comp"), docs(idCol)))
       .withColumn("__score", score)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__comp")
       .orderBy(col("__score").desc, docs(idCol))
     withComp.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
-      .drop("id", "comp", "__comp", "__score", "__rn")
+      // drop the CLUSTER side's columns by reference, not by name: a
+      // caller whose docs carry their own "id"/"comp" column (e.g.
+      // idCol = "id") must get it back untouched (r13 review)
+      .drop(cl("id")).drop(cl("comp"))
+      .drop("__comp", "__score", "__rn")
   }
 
   /** 64-bit SimHash per document: sign of per-bit weighted token-hash
@@ -439,12 +443,16 @@ object Dedup {
       .toDF("__id", "band", "piece")
     val l = bands.select(col("band"), col("piece"), col("__id").as("da"))
     val r = bands.select(col("band"), col("piece"), col("__id").as("db"))
-    val cand = l.join(r, Seq("band", "piece")).where(col("da") < col("db")).distinct()
-    val withH = cand
+    // project to (da, db) BEFORE the dedup: the pre-r13 distinct kept
+    // (band, piece) so a pair colliding in all 4 bands reached the
+    // verify join 4 times — 4x sketch-join work for identical output
+    val cand = l.join(r, Seq("band", "piece")).where(col("da") < col("db"))
+      .select("da", "db").distinct()
+    cand
       .join(sh.select(col("__id").as("da"), col("simhash").as("ha")), "da")
       .join(sh.select(col("__id").as("db"), col("simhash").as("hb")), "db")
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("dist") <= maxDist)
-    withH.select("da", "db", "dist").distinct()
+      .select("da", "db", "dist")
   }
 }

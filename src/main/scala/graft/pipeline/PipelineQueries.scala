@@ -1924,27 +1924,42 @@ object PipelineQueries {
       // worst-case quadratic into a constant per middle. The cap is
       // part of the operator's spec, so results stay exact and
       // oracle-gated (same long-scaled micro-unit sums as p107).
+      // r13 plan: ONE keyed exchange generates every wedge map-side.
+      // The r11 shape (eager localCheckpoint of the ~48M-row 100x
+      // adjacency + deg agg + capped join + self-join = 6 exchanges
+      // with a pool-pinning cached relation) measured 148-424 s at the
+      // 100x probe with 29 s GC; here the per-part degree comes from a
+      // count window over the p partition, the cap filters BEFORE any
+      // per-part array materializes (hub-safe: no group ever collects
+      // more than cap = 28 customers), the groupBy(p) reuses the
+      // window's hash partitioning (no extra exchange), and the ≤
+      // C(28,2) = 378 ordered pairs per part explode map-side — the
+      // only remaining full-data shuffles are the distinct, the window,
+      // and the (ca, cb) aggregation. Same rows out, same oracle.
       val cp = load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(load(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint(true)
-      val deg = cp.groupBy("p").agg(count(lit(1)).as("dp"))
+      val wdp = org.apache.spark.sql.expressions.Window.partitionBy("p")
+      val grouped = cp
+        .withColumn("dp", count(lit(1)).over(wdp))
         .where(col("dp") >= 2 && col("dp") <= 28)
+        .groupBy("p")
         // per-part micro-unit term (see p107): computed P times, not
-        // once per wedge row, and carried through the self-join
-        .withColumn("term", round(round(lit(1.0) / log(col("dp")), 6) * 1e6, 0)
-          .cast("long"))
-      // filter the adjacency BY the capped middle set first: wedges
-      // never form through a hub at all (the join, not a post-filter)
-      val cpCapped = cp.join(deg.select("p", "term"), "p")
-      val wedges = cpCapped.alias("x")
-        .join(cpCapped.alias("y"),
-          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-        .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.term").as("term"))
-      wedges.groupBy("ca", "cb")
+        // once per wedge row
+        .agg(sort_array(collect_list(col("c"))).as("cs"),
+          round(round(lit(1.0) / log(first(col("dp"))), 6) * 1e6, 0)
+            .cast("long").as("term"))
+      val cs = col("cs")
+      val pairs = grouped.select(col("term"),
+        explode(flatten(transform(sequence(lit(1), size(cs) - 1), i =>
+          transform(slice(cs, i + 1, size(cs) - i),
+            c2 => struct(element_at(cs, i).as("ca"), c2.as("cb"))))))
+          .as("pr"))
+        .select(col("pr.ca").as("ca"), col("pr.cb").as("cb"), col("term"))
+      pairs.groupBy("ca", "cb")
         .agg(round(sum(col("term")).cast("double") / 1e6, 6).as("aa"),
           count(lit(1)).as("n_common"))
         .orderBy(col("aa").desc, col("ca"), col("cb"))

@@ -746,4 +746,24 @@ class PipelineSpec extends AnyFunSuite {
         ("YUV4MPEG2 W2 H2 C420\nFRAME\n" + " " * 6).getBytes("ISO-8859-1"))
     }
   }
+
+  test("keepBest/keepRepresentatives preserve a caller's own id column (r13 review)") {
+    import spark.implicits._
+    // docs whose id column is literally named "id": the pre-r13
+    // drop("id", "comp") removed the CALLER's column too
+    val docs = Seq((1L, "aaaa", 9L), (2L, "bb", 9L), (3L, "c", 7L))
+      .toDF("id", "text", "other")
+    val pairs = Seq((1L, 2L)).toDF("da", "db")
+    val best = graft.pipeline.Dedup.keepBest(docs, "id", pairs,
+      org.apache.spark.sql.functions.length(col("text")))
+    assert(best.columns.toSeq == Seq("id", "text", "other"))
+    // cluster {1,2}: doc 1 has the longer text; singleton 3 survives
+    assert(best.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    val reps = graft.pipeline.Dedup.keepRepresentatives(docs, "id", pairs)
+    assert(reps.columns.toSeq == Seq("id", "text", "other"))
+    assert(reps.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
 }
