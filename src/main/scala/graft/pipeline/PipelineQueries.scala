@@ -47,6 +47,42 @@ object PipelineQueries {
       s"named_struct('h0', xxhash64($args), 'h1', xxhash64(${GramSalt}L, $args))"
     else s"xxhash64($args)"
 
+
+  /** Shared single-keyed degree-capped Adamic-Adar plan (p114, and
+    * p107's guard-fallback twin): count window over the part
+    * partition, cap filter BEFORE collect_list (no group materializes
+    * more than cap = 28 customers — hub-safe), map-side ordered-pair
+    * explosion (≤ C(28,2) = 378 pairs per part), one (ca, cb)
+    * aggregation. Replaces the r11 6-exchange self-join shape that
+    * measured 148-424 s at the 100x probe; same rows, same oracle.
+    * Terms follow the repo's float-ordering discipline: 1/ln(dp)
+    * rounds to 6 digits, scales to exact long micro-units, sums as
+    * integers, and only the final display value returns to double.
+    */
+  private def cappedAdamicAdar(cp: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wdp = org.apache.spark.sql.expressions.Window.partitionBy("p")
+    val grouped = cp
+      .withColumn("dp", count(lit(1)).over(wdp))
+      .where(col("dp") >= 2 && col("dp") <= 28)
+      .groupBy("p")
+      .agg(sort_array(collect_list(col("c"))).as("cs"),
+        round(round(lit(1.0) / log(first(col("dp"))), 6) * 1e6, 0)
+          .cast("long").as("term"))
+    val cs = col("cs")
+    val pairs = grouped.select(col("term"),
+      explode(flatten(transform(sequence(lit(1), size(cs) - 1), i =>
+        transform(slice(cs, i + 1, size(cs) - i),
+          c2 => struct(element_at(cs, i).as("ca"), c2.as("cb"))))))
+        .as("pr"))
+      .select(col("pr.ca").as("ca"), col("pr.cb").as("cb"), col("term"))
+    pairs.groupBy("ca", "cb")
+      .agg(round(sum(col("term")).cast("double") / 1e6, 6).as("aa"),
+        count(lit(1)).as("n_common"))
+      .orderBy(col("aa").desc, col("ca"), col("cb"))
+      .limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- dedup -------------------------------------------------------
     "p01_dedup_exact" -> { (s, d) =>
@@ -1904,10 +1940,11 @@ object PipelineQueries {
         // same key as the self-join
         aaRank(cp.join(deg.select("p", "term"), "p"), cp)
       })({
-        val cpCapped = cp.join(
-          deg.where(col("dp") >= 2 && col("dp") <= 28)
-            .select("p", "term"), "p")
-        aaRank(cpCapped, cpCapped)
+        // same single-keyed plan as p114 (r13): cap BEFORE any per-part
+        // array, map-side pair explosion — the twin must be the shape
+        // that survives the scale that tripped the guard, not a second
+        // copy of the wedge self-join
+        cappedAdamicAdar(cp)
       })
     },
 
@@ -1936,34 +1973,12 @@ object PipelineQueries {
       // C(28,2) = 378 ordered pairs per part explode map-side — the
       // only remaining full-data shuffles are the distinct, the window,
       // and the (ca, cb) aggregation. Same rows out, same oracle.
-      val cp = load(s, d, "orders")
+      cappedAdamicAdar(load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(load(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
-      val wdp = org.apache.spark.sql.expressions.Window.partitionBy("p")
-      val grouped = cp
-        .withColumn("dp", count(lit(1)).over(wdp))
-        .where(col("dp") >= 2 && col("dp") <= 28)
-        .groupBy("p")
-        // per-part micro-unit term (see p107): computed P times, not
-        // once per wedge row
-        .agg(sort_array(collect_list(col("c"))).as("cs"),
-          round(round(lit(1.0) / log(first(col("dp"))), 6) * 1e6, 0)
-            .cast("long").as("term"))
-      val cs = col("cs")
-      val pairs = grouped.select(col("term"),
-        explode(flatten(transform(sequence(lit(1), size(cs) - 1), i =>
-          transform(slice(cs, i + 1, size(cs) - i),
-            c2 => struct(element_at(cs, i).as("ca"), c2.as("cb"))))))
-          .as("pr"))
-        .select(col("pr.ca").as("ca"), col("pr.cb").as("cb"), col("term"))
-      pairs.groupBy("ca", "cb")
-        .agg(round(sum(col("term")).cast("double") / 1e6, 6).as("aa"),
-          count(lit(1)).as("n_common"))
-        .orderBy(col("aa").desc, col("ca"), col("cb"))
-        .limit(25)
+        .distinct())
     },
 
     "p115_repetition_filter" -> { (s, d) =>
