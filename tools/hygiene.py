@@ -5,9 +5,10 @@ Checks, mechanically, that the test evidence matches the tree:
   1. The set of JUnit report files under target/test-reports equals
      the set of live ScalaTest suites in src/test (no orphan reports
      from deleted suites, no suite missing a report).
-  2. Every report file's mtime postdates the last commit touching
-     src/ (build.sbt counts too) — i.e. the suite run is FRESH for
-     the code being shipped.
+  2. Every report file's mtime postdates the newest source-file
+     mtime (src/ + build.sbt) — i.e. the suite run is FRESH for the
+     code being shipped (file mtimes, not commit time: a commit made
+     right after a green run must not mark its own reports stale).
   3. Every report carries failures="0" errors="0".
 
 Exit 0 = clean; exit 1 = violations listed on stderr.
@@ -15,7 +16,6 @@ Run it at round close:  python3 tools/hygiene.py
 """
 import os
 import re
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -58,11 +58,24 @@ def report_suites():
     return out
 
 
-def last_source_commit_epoch():
-    out = subprocess.check_output(
-        ["git", "log", "-1", "--format=%ct", "--", "src", "build.sbt"],
-        cwd=REPO).decode().strip()
-    return int(out) if out else 0
+def last_source_edit_epoch():
+    """Freshness baseline = the newest SOURCE FILE mtime (src/ +
+    build.sbt), not the last commit time: a commit made right after a
+    green run must not mark reports stale — the reports were produced
+    from exactly that tree. File mtimes capture "tests ran after the
+    last edit", which is the property the gate actually wants."""
+    latest = 0.0
+    for root, _, files in os.walk(os.path.join(REPO, "src")):
+        for f in files:
+            p = os.path.join(root, f)
+            try:
+                latest = max(latest, os.path.getmtime(p))
+            except OSError:
+                pass
+    bs = os.path.join(REPO, "build.sbt")
+    if os.path.exists(bs):
+        latest = max(latest, os.path.getmtime(bs))
+    return latest
 
 
 def main():
@@ -73,10 +86,10 @@ def main():
         bad.append(f"orphan report (suite not in tree): {orphan}")
     for missing in sorted(live - set(reports)):
         bad.append(f"live suite with no report: {missing}")
-    src_t = last_source_commit_epoch()
+    src_t = last_source_edit_epoch()
     for name, path in sorted(reports.items()):
         if os.path.getmtime(path) < src_t:
-            bad.append(f"stale report (predates last src commit): {name}")
+            bad.append(f"stale report (predates last src edit): {name}")
         head = open(path, encoding="utf-8").read(4096)
         m = re.search(r'failures="(\d+)"[^>]*errors="(\d+)"', head)
         if not m:
@@ -89,7 +102,7 @@ def main():
         print(f"[hygiene] {len(bad)} violation(s)", file=sys.stderr)
         return 1
     print(f"[hygiene] OK: {len(live)} suites, every report fresh "
-          f"(src commit {src_t}) and green")
+          f"(last src edit {src_t:.0f}) and green")
     return 0
 
 
