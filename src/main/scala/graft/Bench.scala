@@ -82,7 +82,6 @@ object Bench {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     } else {
       val D = keySpan(ld("documents"), "doc_id")
-      val V = keySpan(ld("embeddings"), "vec_id")
       (0 until K).grouped(100).zipWithIndex.foreach { case (g, gi) =>
         g.map(i => ld("documents")
             .withColumn("doc_id", col("doc_id") + lit(i * D)))
@@ -91,14 +90,25 @@ object Bench {
           .sortWithinPartitions("doc_id")
           .write.mode(if (gi == 0) "overwrite" else "append")
           .parquet(s"$dir/documents.parquet")
-        g.map(i => ld("embeddings")
-            .withColumn("vec_id", col("vec_id") + lit(i * V)))
-          .reduce(_ unionAll _)
-          .repartitionByRange(16, col("vec_id"))
-          .sortWithinPartitions("vec_id")
-          .write.mode(if (gi == 0) "overwrite" else "append")
-          .parquet(s"$dir/embeddings.parquet")
       }
+      // embeddings scale ONLY when SPARK_GRAFT_REPLICA_TABLES names
+      // them (r13 advice: a documents-only replica list must not pay a
+      // Kx embeddings build it never reads); otherwise they ride along
+      // at 1x with the same 16-way range layout as the benchDir copy
+      if (scaledT("embeddings")) {
+        val V = keySpan(ld("embeddings"), "vec_id")
+        (0 until K).grouped(100).zipWithIndex.foreach { case (g, gi) =>
+          g.map(i => ld("embeddings")
+              .withColumn("vec_id", col("vec_id") + lit(i * V)))
+            .reduce(_ unionAll _)
+            .repartitionByRange(16, col("vec_id"))
+            .sortWithinPartitions("vec_id")
+            .write.mode(if (gi == 0) "overwrite" else "append")
+            .parquet(s"$dir/embeddings.parquet")
+        }
+      } else ld("embeddings").repartitionByRange(16, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
     rep("customer")((d, i) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(i * C)))
@@ -390,6 +400,134 @@ object Bench {
       }
       else s1.zip(s2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def escErr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+    // ------------------- global wall budget (r13 verdict item 1b)
+    // The driver gives the whole bench invocation a finite window
+    // (~60 min at r13, and it killed the run: rc 124, parsed null).
+    // Probe phases must budget against what is LEFT of that window,
+    // not against their own start. Elapsed = this JVM's uptime, which
+    // includes sbt compile + fixture build — exactly the time the
+    // driver charges against the window.
+    val wallBudgetSec = sys.env.get("SPARK_GRAFT_WALL_BUDGET")
+      .flatMap(_.trim.toLongOption).getOrElse(3300L)
+    def elapsedSec: Long =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000L
+    // 180 s reserve: artifact writes, replica cleanup, spark.stop and
+    // the final stdout line must all land inside the driver's window
+    def remainingBudgetSec: Long =
+      math.max(0L, wallBudgetSec - elapsedSec - 180L)
+    // ---------------- board writer (r13 verdict item 1a): called TWICE
+    // — once right after steady2 with an empty probe section (a
+    // complete, parseable board on disk before the long probe phases
+    // start), then again with the probe results. A driver kill mid-
+    // probe can no longer erase the finished passes' evidence.
+    def writeBoards(sf1T: Seq[(String, Double)],
+        sf1S: Map[String, List[(Double, Long)]], sf1E: String,
+        sf10E: String, partial: String): String = {
+      val fullJson = {
+        val rows = if (sf10Only)
+          // no cold/steady passes in this mode — min-of-2 denominators only
+          results.map { case (n, v) => s"""    "$n": {"min":${f(v)}}""" }
+        else results.indices.map { i =>
+          val name = results(i)._1
+          s"""    "$name": {"cold":${f(cold(i)._2)},"steady1":${f(s1(i)._2)},""" +
+            s""""steady2":${f(s2(i)._2)},"min":${f(results(i)._2)},""" +
+            s""""gc1_ms":${gc1.getOrElse(name, -1L)},"gc2_ms":${gc2.getOrElse(name, -1L)}}"""
+        }
+        val sf1Rows = sf1T.map { case (n, v) =>
+          // per-query sf1/sf0.1 ratio alongside the raw time so scale
+          // regressions read directly off the file; every raw sample +
+          // its gc delta rides along so an outlier row carries its own
+          // adjudication evidence (retried samples are the tail entries)
+          val base = results.collectFirst { case (bn, bv) if bn == n => bv }
+          val ratio = base.filter(b => b > 0.005 && v > 0)
+            .map(b => s""","ratio":${f(v / b)}""").getOrElse("")
+          val runs = sf1S.getOrElse(n, Nil)
+          val detail = if (runs.isEmpty) "" else
+            s""","runs":[${runs.map(r => f(r._1)).mkString(",")}]""" +
+              s""","gc_ms":[${runs.map(_._2).mkString(",")}]"""
+          s"""    "$n": {"sec":${f(v)}$ratio$detail}"""
+        }
+        val errField =
+          (if (sf1E != null) s""",\n  "sf1_error": "${escErr(sf1E)}""""
+           else "") +
+            (if (sf10E != null)
+              s""",\n  "sf10_error": "${escErr(sf10E)}"""" else "") +
+            (if (partial != null)
+              s""",\n  "partial": "${escErr(partial)}"""" else "")
+        val jvmSection = jvmMarks.map { case (k, v) => s"""    "$k": $v""" }
+          .mkString(",\n")
+        val outlierSection = steady2Outliers
+          .map { case (k, v) => s"""    "$k": $v""" }.mkString(",\n")
+        // second-decade rows live in bench_sf10.json (merged per probe,
+        // never dropped by a plain run); this file carries the pointer
+        s"""{\n  "sf": "$sfDir",\n  "queries": {\n${rows.mkString(",\n")}\n  },\n""" +
+          s"""  "sf1_probe_10x": {\n${sf1Rows.mkString(",\n")}\n  },\n""" +
+          s"""  "sf10_file": "bench_sf10.json",\n""" +
+          s"""  "steady2_outliers": {\n$outlierSection\n  },\n""" +
+          s"""  "jvm": {\n$jvmSection\n  }$errField\n}\n"""
+      }
+      val fullFile = if (sf10Only) "bench_full_sf10.json" else "bench_full.json"
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(fullFile), fullJson)
+      catch { case _: Throwable => () }
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
+      val qs = results.sortBy(-_._2).take(60).map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val fams = results.groupBy(_._1.head).toSeq.sortBy(_._1).map {
+        case (fam, rs) => "\"" + fam + "\":" + f(rs.map(_._2).sum)
+      }.mkString("{", ",", "}")
+      // value = steady-state (min over runs); cold_total_sec = 1st run,
+      // which pays one-time codegen/planning per plan shape.
+      val ratioOf: ((String, Double)) => Double = { case (n, v) =>
+        results.collectFirst { case (bn, bv) if bn == n && bv > 0.005 && v > 0 =>
+          v / bv }.getOrElse(0.0)
+      }
+      // each entry carries BOTH the sf1 seconds and the sf1/sf0.1 ratio:
+      // r10's board published bare seconds under the "_10x" key and the
+      // adjudication record read them as ratios (verdict item 4) — the
+      // object form is unambiguous for any consumer
+      val sf1Json = sf1T.sortBy(-ratioOf(_)).take(12).map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":{\"sec\":" + f(v) +
+          ",\"ratio\":" + f(ratioOf((k, v))) + "}" }.mkString("{", ",", "}")
+      val sf1Max = sf1T.map(ratioOf).foldLeft(0.0)(math.max)
+      // stdout stays bounded: the probe error rides as a short flag here,
+      // full text is in bench_full.json
+      val sf1Flag = if (sf1E != null) s""","sf1_error":true""" else ""
+      val partialFlag =
+        if (partial != null) s""","partial":"${escErr(partial)}"""" else ""
+      val summary =
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+          s""""families":$fams,"n_queries":${results.length},""" +
+          s""""cold_total_sec":${f(coldTotal)},"sf1_10x":$sf1Json,""" +
+          s""""sf1_probes":${sf1T.length},"sf1_max_ratio":${f(sf1Max)}$sf1Flag$partialFlag,""" +
+          s""""hygiene":"${escErr(hygiene)}","sf":"$sfDir","full":"$fullFile"}"""
+      // the summary also goes to a FILE the harness can read directly —
+      // a stdout scrape must never be the only copy (r9: BENCH_r09.json
+      // parsed null even though the run finished green). An sf10-only
+      // run writes its OWN summary file: it must not clobber the main
+      // board's bench_summary.json with a 7-probe mini-board.
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          if (sf10Only) "bench_summary_sf10.json" else "bench_summary.json"),
+        summary + "\n")
+      catch { case _: Throwable => () }
+      summary
+    }
+    if (!sf10Only) {
+      writeBoards(Nil, Map.empty, null, null,
+        "steady passes complete; sf1 probes pending")
+      System.err.println(s"[bench] steady board written " +
+        s"(elapsed ${elapsedSec}s, budget ${wallBudgetSec}s, " +
+        s"remaining ${remainingBudgetSec}s)")
+    }
     // -------------------------------------------------- sf1 scale probe
     // Empirical scale validation for the heavy hitters: replicate the
     // sf0.1 tables 10x with consistently shifted entity keys (dimension
@@ -407,7 +545,14 @@ object Bench {
     var sf1Samples: Map[String, List[(Double, Long)]] = Map.empty
     val sf1Times: Seq[(String, Double)] =
       if (sf10Only || sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
-      else try {
+      else if (remainingBudgetSec < 120) {
+        // not enough window left even for the replica build: record
+        // WHY the probe section is empty instead of overrunning the
+        // driver's kill (r13: rc 124 erased the whole board)
+        sf1Error = s"wall budget exhausted before sf1 probes " +
+          s"(elapsed ${elapsedSec}s of ${wallBudgetSec}s)"
+        Nil
+      } else try {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_sf1_probe").toString
         sf1Dir = dir // assigned BEFORE the build so a failure cleans up
@@ -440,7 +585,16 @@ object Bench {
         catch { case _: Throwable => () }
         val resolved = probes.filter(SparkEntry.queries.contains)
         val unknown = probes.filterNot(SparkEntry.queries.contains)
-        val deadline = System.nanoTime() + 1800L * 1000000000L
+        // phase deadline = min(own 1800 s cap, remaining GLOBAL wall
+        // budget): r13's run spent its window before this phase and the
+        // 1800 s self-budget ran the program straight past the driver's
+        // kill. The probe loop already drops and records deadline-cut
+        // probes — a tiny remainder yields a parsed board with a
+        // "deadline dropped N probes" note instead of rc 124.
+        val phaseSec = math.min(1800L, remainingBudgetSec)
+        System.err.println(s"[bench] sf1 probe phase budget: ${phaseSec}s " +
+          s"(elapsed ${elapsedSec}s of ${wallBudgetSec}s wall budget)")
+        val deadline = System.nanoTime() + phaseSec * 1000000000L
         // each probe's samples: (sec, gc_ms) per run, in run order
         val samples = new scala.collection.mutable.LinkedHashMap[
           String, List[(Double, Long)]]()
@@ -528,6 +682,10 @@ object Bench {
     var sf10Error: String = null
     var sf10Dir: String = null
     var sf10Samples: Map[String, List[(Double, Long)]] = Map.empty
+    // per-probe UNTIMED warm-pass seconds (r13 verdict item 2) — kept
+    // out of the min-of-N estimator but published on the row so the
+    // post-replica-build I/O cost stays on record
+    var sf10Warm: Map[String, Double] = Map.empty
     // replica factor override (default 100 = the sf10 probe). K=1000 is
     // the sf100 / third-decade spot probe: results go to bench_sf100
     // .json under key sf100_probe_1000x — NEVER merged into the sf10
@@ -562,7 +720,12 @@ object Bench {
         if (probes.exists(_.startsWith("g")))
           try pipeline.GraphQueries.session(spark, dir)
           catch { case _: Throwable => () }
-        val budget = sys.env.getOrElse("SPARK_GRAFT_SF10_SEC", "1500").toLong
+        // own cap AND the remaining global wall budget (see the sf1
+        // phase note): opt-in solo runs usually have a huge wall
+        // budget, driver runs do not
+        val budget = math.min(
+          sys.env.getOrElse("SPARK_GRAFT_SF10_SEC", "1500").toLong,
+          remainingBudgetSec)
         val deadline = System.nanoTime() + budget * 1000000000L
         val samples = new scala.collection.mutable.LinkedHashMap[
           String, List[(Double, Long)]]()
@@ -597,11 +760,26 @@ object Bench {
         // unified pool at 100x even under an 80 GB heap)
         System.setProperty("graft.state.disk", "1")
         try {
-          for (n <- probes if System.nanoTime() < deadline) probeOnce(n)
-          for (_ <- 2 to passes) {
+          // one UNTIMED warm pass after the replica build (r13 verdict
+          // item 2 — same rule the sf1 path already applies): the first
+          // post-build pass pays replica-write page-cache eviction +
+          // first-read I/O (r13: p114 763 s warm vs 111 s min, a 7x
+          // in-row spread that undermined the envelope reading). Warm
+          // seconds are recorded on the row but never enter min-of-N.
+          val warm = new scala.collection.mutable.LinkedHashMap[String, Double]()
+          for (n <- probes if System.nanoTime() < deadline) {
+            val t0 = System.nanoTime()
+            runQuery(n, SparkEntry.queries(n), dir)
+            warm(n) = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[sf10] $n warm (untimed): ${warm(n)}%.2f s")
+          }
+          sf10Warm = warm.toMap
+          for (_ <- 1 to passes) {
             System.gc(); Thread.sleep(200)
+            // only probes whose warm pass ran: a deadline-cut probe
+            // must not sneak in a cold first timed sample
             for (n <- probes
-                 if System.nanoTime() < deadline && samples.contains(n))
+                 if System.nanoTime() < deadline && warm.contains(n))
               probeOnce(n)
           }
         } finally {
@@ -627,12 +805,6 @@ object Bench {
         catch { case _: Throwable => () }
       }
     jvmMarks("after_sf10") = jvmSnap()
-    def escErr(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    }
     // ------------------------- second-decade artifact: bench_sf10.json
     // sf10 results live in their OWN merged file: a plain bench run
     // must never drop the second-decade board (r9: the driver's
@@ -648,6 +820,7 @@ object Bench {
       val ratio = base.filter(b => b > 0.005 && v > 0)
         .map(b => s""","ratio":${f(v / b)}""").getOrElse("")
       val runs = sf10Samples.getOrElse(n, Nil)
+      val warm = sf10Warm.get(n).map(w => s""","warm":${f(w)}""").getOrElse("")
       val detail = if (runs.isEmpty) "" else
         s""","runs":[${runs.map(r => f(r._1)).mkString(",")}]""" +
           s""","gc_ms":[${runs.map(_._2).mkString(",")}]"""
@@ -657,14 +830,16 @@ object Bench {
       else ""
       // every row states its measurement protocol (r12 verdict item 5:
       // no more ambiguity about which rows are history vs fresh):
-      // minN = per-probe pass count this invocation, solo+pinned when
-      // scratch state was pinned to a dedicated dir
+      // minN = per-probe pass count this invocation, -warm when the
+      // untimed post-replica-build pass ran first (r13 item 2),
+      // solo+pinned when scratch state was pinned to a dedicated dir
       val protocol = {
         val pinned =
           if (sys.env.contains("SPARK_GRAFT_TMPDIR")) "-pinned" else ""
-        s""","protocol":"min${runs.length}$pinned""""
+        val w = if (sf10Warm.contains(n)) "-warm" else ""
+        s""","protocol":"min${runs.length}$w$pinned""""
       }
-      n -> s"""{"sec":${f(v)}$ratio$den$detail$err$protocol}"""
+      n -> s"""{"sec":${f(v)}$ratio$den$warm$detail$err$protocol}"""
     }
     // K != 100 gets its OWN file + key (e.g. bench_sf100.json /
     // "sf100_probe_1000x") so decades never mix in one board; a
@@ -768,104 +943,13 @@ object Bench {
         System.err.println(s"[bench] bench_sf10.json merge failed: $t")
     }
     // Full per-query detail (long names, cold + both steady runs) goes
-    // to a FILE — the harness captures only a bounded tail (~2.4 KB) of
-    // stdout, which a 150+-entry long-name line no longer fits (round
-    // 3's line was truncated to "parsed": null). The stdout line keeps
-    // every query under its short unique prefix (q01/g36/p13/s01) and
-    // stays ~2 KB.
-    val fullJson = {
-      val rows = if (sf10Only)
-        // no cold/steady passes in this mode — min-of-2 denominators only
-        results.map { case (n, v) => s"""    "$n": {"min":${f(v)}}""" }
-      else results.indices.map { i =>
-        val name = results(i)._1
-        s"""    "$name": {"cold":${f(cold(i)._2)},"steady1":${f(s1(i)._2)},""" +
-          s""""steady2":${f(s2(i)._2)},"min":${f(results(i)._2)},""" +
-          s""""gc1_ms":${gc1.getOrElse(name, -1L)},"gc2_ms":${gc2.getOrElse(name, -1L)}}"""
-      }
-      val sf1Rows = sf1Times.map { case (n, v) =>
-        // per-query sf1/sf0.1 ratio alongside the raw time so scale
-        // regressions read directly off the file; every raw sample +
-        // its gc delta rides along so an outlier row carries its own
-        // adjudication evidence (retried samples are the tail entries)
-        val base = results.collectFirst { case (bn, bv) if bn == n => bv }
-        val ratio = base.filter(b => b > 0.005 && v > 0)
-          .map(b => s""","ratio":${f(v / b)}""").getOrElse("")
-        val runs = sf1Samples.getOrElse(n, Nil)
-        val detail = if (runs.isEmpty) "" else
-          s""","runs":[${runs.map(r => f(r._1)).mkString(",")}]""" +
-            s""","gc_ms":[${runs.map(_._2).mkString(",")}]"""
-        s"""    "$n": {"sec":${f(v)}$ratio$detail}"""
-      }
-      val errField =
-        (if (sf1Error != null) s""",\n  "sf1_error": "${escErr(sf1Error)}""""
-         else "") +
-          (if (sf10Error != null)
-            s""",\n  "sf10_error": "${escErr(sf10Error)}"""" else "")
-      val jvmSection = jvmMarks.map { case (k, v) => s"""    "$k": $v""" }
-        .mkString(",\n")
-      val outlierSection = steady2Outliers
-        .map { case (k, v) => s"""    "$k": $v""" }.mkString(",\n")
-      // second-decade rows live in bench_sf10.json (merged per probe,
-      // never dropped by a plain run); this file carries the pointer
-      s"""{\n  "sf": "$sfDir",\n  "queries": {\n${rows.mkString(",\n")}\n  },\n""" +
-        s"""  "sf1_probe_10x": {\n${sf1Rows.mkString(",\n")}\n  },\n""" +
-        s"""  "sf10_file": "bench_sf10.json",\n""" +
-        s"""  "steady2_outliers": {\n$outlierSection\n  },\n""" +
-        s"""  "jvm": {\n$jvmSection\n  }$errField\n}\n"""
-    }
-    val fullFile = if (sf10Only) "bench_full_sf10.json" else "bench_full.json"
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(fullFile), fullJson)
-    catch { case _: Throwable => () }
-    // The harness captures only a bounded TAIL (~2.4 KB) of stdout —
-    // 241 per-query entries plus 48 probe entries do not fit, and a
-    // front-truncated line parses as null (the fate of the r4/r5
-    // records). The stdout line therefore carries aggregates,
-    // per-family totals, the slowest queries, and the worst sf1
-    // ratios; bench_full.json (now committed, not gitignored) holds
-    // every number.
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
-    val qs = results.sortBy(-_._2).take(60).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val fams = results.groupBy(_._1.head).toSeq.sortBy(_._1).map {
-      case (fam, rs) => "\"" + fam + "\":" + f(rs.map(_._2).sum)
-    }.mkString("{", ",", "}")
-    // value = steady-state (min over runs); cold_total_sec = 1st run,
-    // which pays one-time codegen/planning per plan shape.
-    val ratioOf: ((String, Double)) => Double = { case (n, v) =>
-      results.collectFirst { case (bn, bv) if bn == n && bv > 0.005 && v > 0 =>
-        v / bv }.getOrElse(0.0)
-    }
-    // each entry carries BOTH the sf1 seconds and the sf1/sf0.1 ratio:
-    // r10's board published bare seconds under the "_10x" key and the
-    // adjudication record read them as ratios (verdict item 4) — the
-    // object form is unambiguous for any consumer
-    val sf1Json = sf1Times.sortBy(-ratioOf(_)).take(12).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":{\"sec\":" + f(v) +
-        ",\"ratio\":" + f(ratioOf((k, v))) + "}" }.mkString("{", ",", "}")
-    val sf1Max = sf1Times.map(ratioOf).foldLeft(0.0)(math.max)
-    // stdout stays bounded: the probe error rides as a short flag here,
-    // full text is in bench_full.json
-    val sf1Flag = if (sf1Error != null) s""","sf1_error":true""" else ""
+    // to a FILE via writeBoards — the harness captures only a bounded
+    // tail (~2.4 KB) of stdout, which a 150+-entry long-name line no
+    // longer fits (round 3's line was truncated to "parsed": null).
+    // This second writeBoards call replaces the post-steady2 partial
+    // board with the complete one (probe sections filled in).
     val summary =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""families":$fams,"n_queries":${results.length},""" +
-        s""""cold_total_sec":${f(coldTotal)},"sf1_10x":$sf1Json,""" +
-        s""""sf1_probes":${sf1Times.length},"sf1_max_ratio":${f(sf1Max)}$sf1Flag,""" +
-        s""""hygiene":"${escErr(hygiene)}","sf":"$sfDir","full":"$fullFile"}"""
-    // the summary also goes to a FILE the harness can read directly —
-    // a stdout scrape must never be the only copy (r9: BENCH_r09.json
-    // parsed null even though the run finished green). An sf10-only
-    // run writes its OWN summary file: it must not clobber the main
-    // board's bench_summary.json with a 7-probe mini-board.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        if (sf10Only) "bench_summary_sf10.json" else "bench_summary.json"),
-      summary + "\n")
-    catch { case _: Throwable => () }
+      writeBoards(sf1Times, sf1Samples, sf1Error, sf10Error, null)
     // the re-laid-out table copy is bench-local scratch — reclaim it
     if (benchDir != sfDir) try deleteRec(java.nio.file.Paths.get(benchDir))
     catch { case _: Throwable => () }

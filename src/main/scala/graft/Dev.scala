@@ -265,6 +265,46 @@ object Dev {
       }
       spark.stop(); return
     }
+    if (name == "jobs") {
+      // per-job wall-time attribution for one query: args(1) = query.
+      // Shows whether a loop-shaped operator spends its seconds in
+      // compute or in per-round job overhead (N tiny jobs x fixed tax).
+      val qn = args(1)
+      val fn = SparkEntry.queries(qn)
+      fn(spark, d).count() // warm (fixture build + codegen)
+      fn(spark, d).count()
+      case class J(id: Int, t0: Long, var t1: Long = -1L,
+        var tasks: Int = 0, var desc: String = "")
+      val jobs = new scala.collection.mutable.LinkedHashMap[Int, J]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val j = J(e.jobId, e.time)
+          j.tasks = e.stageInfos.map(_.numTasks).sum
+          j.desc = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          jobs.synchronized { jobs(e.jobId) = j }
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs.synchronized { jobs.get(e.jobId).foreach(_.t1 = e.time) }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      fn(spark, d).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      val js = jobs.values.toSeq
+      val jsum = js.map(j => math.max(0L, j.t1 - j.t0)).sum / 1e3
+      println(f"WALL $wall%.2f s, ${js.length} jobs, job-time sum $jsum%.2f s")
+      js.foreach { j =>
+        println(f"  job ${j.id}%4d  ${math.max(0L, j.t1 - j.t0) / 1e3}%6.2f s  " +
+          f"${j.tasks}%5d tasks  ${j.desc.take(70)}")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     // warm
     fn(spark, d).count()

@@ -97,7 +97,11 @@ object Parser {
         else if (c == '/' && peek(1) == '*') {
           i += 2
           while (i + 1 < s.length && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
-          i += 2
+          // clamp: an unterminated '/*' at end of input must not
+          // overshoot s.length (matchingParen's contract returns
+          // s.length when unbalanced; an overshoot breaks the hybrid
+          // sql() scanner's substring arithmetic)
+          i = math.min(i + 2, s.length)
         }
         else if (c == '\'' || c == '"') {
           val quote = c
