@@ -721,7 +721,13 @@ object WriteOps {
     def matchOnce(s: State): State =
       b.buildMatch(s, Match(Seq(m.path), optional = false, where = None))
 
-    // 1. try to match the whole pattern
+    // 1. try to match the whole pattern. Deliberately NOT materialized:
+    //    each consumer (missing-rows anti-join, create() via `missing`,
+    //    the final union, ON SET routing) prunes the match subtree to
+    //    the columns it needs — the isEmpty probe computes only __mrow.
+    //    A localCheckpoint here forces the full wide match (every var's
+    //    jsonb struct) and measured 25-60% SLOWER across the MERGE
+    //    family at bench scale.
     val firstTry = matchOnce(base)
     val matchedRows = firstTry.df.select(col("__mrow")).distinct()
     val missing = tagged.join(matchedRows, Seq("__mrow"), "left_anti")

@@ -1014,13 +1014,24 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val full = spark.read.schema(schema).parquet(dir.toString)
     // per-file id ranges (one narrow-column pass), then touched files =
     // files whose [lo, hi] contains at least one victim id
+    // per-file row counts ride the same narrow pass: rowsBefore for the
+    // touched subset then comes off this (files-sized) result instead
+    // of a second full-column scan of the touched files
     val stats = full.groupBy(input_file_name().as("__f"))
-      .agg(min("id").as("__lo"), max("id").as("__hi"))
+      .agg(min("id").as("__lo"), max("id").as("__hi"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     val touched = victimIds.select(col("id").as("__vid")).distinct()
       .join(broadcast(stats), col("__vid").between(col("__lo"), col("__hi")))
       .select("__f").distinct().collect().map(_.getString(0)).sorted
     if (touched.isEmpty) return (0L, 0L)
     val touchedSet = touched.toSet
+    val rowsBefore = {
+      import scala.jdk.CollectionConverters._
+      stats.select("__f", "__n").collect()
+        .filter(r => touchedSet.contains(r.getString(0)))
+        .map(_.getLong(1)).sum
+    }
     val allFiles = {
       val s = Files.list(dir)
       try s.iterator().asScala.toVector.filter(
@@ -1030,7 +1041,6 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val untouched = allFiles.filterNot(p => touchedSet.contains(p.toUri.toString))
     val base = if (lm.kind == 'v') vertexSchema else edgeSchema
     val touchedDf = spark.read.schema(schema).parquet(touched: _*)
-    val rowsBefore = touchedDf.count()
     // snapshot BEFORE deleting the source files (the patch plan reads
     // the files being replaced)
     val patched = patch(touchedDf.select(base.fields.map(f => col(f.name)): _*))

@@ -358,8 +358,11 @@ object GraphAnalytics {
       frontierRows = next.count()
       val lvl = next.withColumn("dist", lit(depth.toLong))
       out = if (out == null) lvl else out.unionAll(lvl)
+      // visited = union of ALREADY-checkpointed levels: re-materializing
+      // the whole set each round copied O(|visited|) rows per round for
+      // no lineage benefit (each leg is its own checkpoint; the union
+      // plan depth is the depth cap, a handful)
       visited = visited.unionAll(next)
-        .localCheckpoint(true, level)
       visitedRows += frontierRows
       frontier = next
     }
@@ -460,8 +463,8 @@ object GraphAnalytics {
         .join(visited, Seq("s", "v"), "left_anti")
         .localCheckpoint(true, level)
       frontierRows = next.count()
+      // union of already-checkpointed levels (see multiSourceDistances)
       visited = visited.unionAll(next)
-        .localCheckpoint(true, level)
       visitedRows += frontierRows
       frontier = next
     }
@@ -526,8 +529,8 @@ object GraphAnalytics {
       frontierRows = next.count()
       val lvl = next.withColumn("dist", lit(depth.toLong))
       out = if (out == null) lvl else out.unionAll(lvl)
+      // union of already-checkpointed levels (see multiSourceDistances)
       visited = visited.unionAll(next.select("s", "v"))
-        .localCheckpoint(true, level)
       visitedRows += frontierRows
       frontier = next
     }

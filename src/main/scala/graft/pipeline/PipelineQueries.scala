@@ -2123,6 +2123,14 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cw"))
       val ct = cw.groupBy("l").agg(sum("cw").as("ctot"))
       val vocab = toks.agg(countDistinct("w").as("v"))
+      // NOTE (r14): two restructures were measured and REVERTED — (a)
+      // pre-aggregating tokens to (doc, word) counts before the lang
+      // cross join, (b) the inner-join-on-hits + per-(doc,lang)
+      // constant-term algebra. Both added shuffles that cost more than
+      // the occurrence rows they saved at this corpus' repetition
+      // factor (1.3 s -> 1.5 s / 2.0 s): the original shape is ONE
+      // partial-aggregated shuffle fed map-side through broadcast
+      // joins, which is already the §2.3 ideal here.
       val ll = toks.crossJoin(broadcast(langs.select("l")))
         .join(cw, Seq("l", "w"), "left").na.fill(0L, Seq("cw"))
         .join(ct, "l").crossJoin(broadcast(vocab))

@@ -154,9 +154,15 @@ object TextOps {
       .distinct()
     val qvocab = qterms.select("term").distinct()
     val toksQ = toks.join(broadcast(qvocab), Seq("term"))
+    // tf is the matching-postings table (docs x query terms — tiny
+    // next to the corpus): materialize it once so its two consumers
+    // (the score join and df_t) don't each re-tokenize the corpus,
+    // and derive df_t FROM it (tf rows are distinct (doc, term) by
+    // construction, so count-per-term IS the document frequency) —
+    // the separate distinct() pass was a third full corpus scan.
     val tf = toksQ.groupBy(idCol, "term").agg(count(lit(1)).as("n_t"))
-    val dfreq = toksQ.select(col(idCol), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df_t"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qidCol).orderBy(col("score").desc, col(idCol))
     tf.join(broadcast(qterms), Seq("term"))
