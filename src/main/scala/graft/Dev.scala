@@ -295,6 +295,35 @@ object Dev {
       }
       spark.stop(); return
     }
+    if (name == "plansweep") {
+      // dump every query's formatted plan to a dir + print smell
+      // counters (cartesian products, exchange counts, unpushed scans)
+      val outDir = if (args.length > 1) args(1) else "/tmp/graft_plans"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        if (only.isEmpty || only.exists(n.startsWith)) {
+          try {
+            val df = fn(spark, d)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$outDir/$n.txt"), plan)
+            def c(p: String) = p.r.findAllIn(plan).length
+            val cart = c("CartesianProduct")
+            val exch = c("Exchange") - c("ReusedExchange") - c("BroadcastExchange")
+            val smj = c("SortMergeJoin")
+            val gen = c("Generate")
+            val nopush = "PushedFilters: \\[\\]".r.findAllIn(plan).length
+            println(f"$n%-32s exch=$exch%2d smj=$smj%2d cart=$cart%2d " +
+              f"gen=$gen%2d scans_nofilter=$nopush%2d")
+          } catch { case e: Throwable =>
+            println(s"$n FAILED: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(80)}")
+          }
+        }
+      }
+      spark.stop(); return
+    }
     if (name == "bm25ab") {
       // old (3-corpus-scan) vs new (tf-checkpointed) bm25, interleaved
       import org.apache.spark.sql.DataFrame

@@ -2073,7 +2073,11 @@ object PipelineQueries {
         .localCheckpoint(true) // probed map-side by all four hops
       def pick(step: Int): org.apache.spark.sql.Column =
         pmod(col("walk") * 1103515245L + lit(step) * 12345L, col("deg"))
-      // step 0: walkers start at customers 1..50 that have purchases
+      // step 0: walkers start at customers 1..50 that have purchases.
+      // (r14 note: pinning the ≤50-row frontier as a driver-side
+      // LocalRelation instead of a localCheckpoint was measured 3x
+      // SLOWER — the checkpointed-RDD shape keeps each hop's probe on
+      // cached blocks and AQE's broadcast path; reverted.)
       var cur = cp.where(col("c") <= 50).select(col("c")).distinct()
         .select(col("c").as("walk"), col("c").as("cur"))
         .localCheckpoint(true)
