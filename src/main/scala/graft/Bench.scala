@@ -693,7 +693,14 @@ object Bench {
     val sfK = sys.env.getOrElse("SPARK_GRAFT_SFK", "100").toInt
     val sf10Times: Seq[(String, Double)] =
       if (!sf10Only && !sys.env.get("SPARK_GRAFT_SF10").contains("1")) Nil
-      else try {
+      else if (remainingBudgetSec < 120) {
+        // mirror the sf1 pre-build guard (r14 ADVICE): with a nearly
+        // exhausted wall budget the Kx replica build alone can overrun
+        // the driver's kill — record WHY the section is empty instead
+        sf10Error = s"wall budget exhausted before sf10 probes " +
+          s"(elapsed ${elapsedSec}s of ${wallBudgetSec}s)"
+        Nil
+      } else try {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_sf10_probe").toString
         sf10Dir = dir
@@ -840,6 +847,15 @@ object Bench {
         s""","protocol":"min${runs.length}$w$pinned""""
       }
       n -> s"""{"sec":${f(v)}$ratio$den$warm$detail$err$protocol}"""
+    } ++ {
+      // a probe whose untimed warm pass ran but whose every timed pass
+      // was deadline-cut still publishes its measured evidence (r14
+      // ADVICE): a warm-only row with an explicit protocol marker
+      val timed = sf10Times.map(_._1).toSet
+      sf10Warm.toSeq.filterNot { case (n, _) => timed.contains(n) }
+        .map { case (n, w) =>
+          n -> s"""{"warm":${f(w)},"protocol":"warm-only"}"""
+        }
     }
     // K != 100 gets its OWN file + key (e.g. bench_sf100.json /
     // "sf100_probe_1000x") so decades never mix in one board; a

@@ -21,8 +21,11 @@ object Dev {
       import org.apache.spark.sql.functions.col
       val src = "/root/testdata/sf0.1"
       val relaid = "/tmp/graft_dev_layout"
+      // reuse gates on the _SUCCESS marker written AFTER the full loop
+      // (r14 ADVICE): a crash partway through the relayout must not be
+      // silently reused as a complete layout by every later invocation
       if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$relaid/lineitem.parquet"))) {
+          java.nio.file.Paths.get(s"$relaid/_SUCCESS"))) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(relaid))
         relational.Tables.all.foreach { t =>
           val df = relational.Tables.load(spark, src, t)
@@ -40,10 +43,35 @@ object Dev {
           }
           out.write.mode("overwrite").parquet(s"$relaid/$t.parquet")
         }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$relaid/_SUCCESS"), "")
       }
       relaid
     }
     val name = args(0)
+    if (name == "obsspike") {
+      // does Observation fire on localCheckpoint(true) and on a parquet
+      // write? (decides whether count() actions can fold into existing
+      // materializations on the write path)
+      import org.apache.spark.sql.functions._
+      val df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+      def tryGet(o: org.apache.spark.sql.Observation, lbl: String): Unit = {
+        val t = new Thread(() => println(s"$lbl = " + o.get))
+        t.setDaemon(true); t.start(); t.join(3000)
+        if (t.isAlive) println(s"$lbl = TIMED OUT (metrics did not fire)")
+      }
+      val obs1 = org.apache.spark.sql.Observation("cp")
+      val cp = df.observe(obs1, count(lit(1)).as("n")).localCheckpoint(true)
+      println("checkpoint done")
+      tryGet(obs1, "obs1")
+      val obs2 = org.apache.spark.sql.Observation("wr")
+      val out = java.nio.file.Files.createTempDirectory("obsspike").toString
+      cp.observe(obs2, count(lit(1)).as("n"), max(col("k")).as("mk"))
+        .sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(s"$out/t.parquet")
+      tryGet(obs2, "obs2")
+      spark.stop(); return
+    }
     if (name == "g18parts") {
       val s = pipeline.GraphQueries.session(spark, d)
       s.createVLabel("scr", ifNotExists = true)
@@ -416,6 +444,37 @@ object Dev {
         s.cypher(stmt).explain("formatted")
       spark.stop(); return
     }
+    if (name == "confab") {
+      // interleaved conf A/B in ONE JVM (the only protocol that
+      // survives +-40% host noise): args(1)=confA "k=v,..." ("-"=none),
+      // args(2)=confB, args(3)=queries. min-of-5 each, alternating.
+      def applyConf(spec: String): Unit = if (spec != "-")
+        spec.split(",").foreach { kv =>
+          val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) }
+      def clearConf(spec: String): Unit = if (spec != "-")
+        spec.split(",").foreach { kv => spark.conf.unset(kv.split("=", 2)(0)) }
+      val (ca, cb) = (args(1), args(2))
+      val names = args(3).split(",").toSeq
+      names.foreach { n =>
+        val fn = SparkEntry.queries(n)
+        applyConf(ca); fn(spark, d).count(); clearConf(ca)
+        applyConf(cb); fn(spark, d).count(); clearConf(cb) // warm both
+        val ta = scala.collection.mutable.ArrayBuffer[Double]()
+        val tb = scala.collection.mutable.ArrayBuffer[Double]()
+        for (_ <- 1 to 5) {
+          applyConf(ca)
+          var t0 = System.nanoTime(); fn(spark, d).count()
+          ta += (System.nanoTime() - t0) / 1e9
+          clearConf(ca); applyConf(cb)
+          t0 = System.nanoTime(); fn(spark, d).count()
+          tb += (System.nanoTime() - t0) / 1e9
+          clearConf(cb)
+        }
+        println(f"  $n A[$ca] min ${ta.min}%.2f runs ${ta.map(t => f"$t%.2f").mkString(" ")}")
+        println(f"  $n B[$cb] min ${tb.min}%.2f runs ${tb.map(t => f"$t%.2f").mkString(" ")}")
+      }
+      spark.stop(); return
+    }
     if (name == "conf") {
       // diagnostic: min-of-3 steady timing for args(2..) queries under
       // a conf override "k=v,k=v" in args(1) ("-" = none)
@@ -443,7 +502,7 @@ object Dev {
       fn(spark, d).count() // warm (fixture build + codegen)
       fn(spark, d).count()
       case class J(id: Int, t0: Long, var t1: Long = -1L,
-        var tasks: Int = 0, var desc: String = "")
+        var tasks: Int = 0, var desc: String = "", var graft: String = "")
       val jobs = new scala.collection.mutable.LinkedHashMap[Int, J]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -454,6 +513,12 @@ object Dev {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .getOrElse("") + " | " +
             e.stageInfos.map(si => si.name.take(40)).mkString(";").take(120)
+          // first graft.* frame of each stage's submission stack — the
+          // operator-level attribution the truncated stage name loses
+          j.graft = e.stageInfos.map(_.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("Dev"))
+              .map(_.trim.stripPrefix("at ").take(60)).getOrElse("?"))
+            .mkString(" ; ").take(200)
           jobs.synchronized { jobs(e.jobId) = j }
         }
         override def onJobEnd(
@@ -515,6 +580,7 @@ object Dev {
       js.foreach { j =>
         println(f"  job ${j.id}%4d  ${math.max(0L, j.t1 - j.t0) / 1e3}%6.2f s  " +
           f"${j.tasks}%5d tasks  ${j.desc.take(70)}")
+        if (j.t1 - j.t0 >= 150) println(f"       graft: ${j.graft}")
       }
       spark.stop(); return
     }

@@ -1594,9 +1594,35 @@ final class Builder(
   /** Stable per-row index for id assignment (two-pass, per-partition
     * contiguous — the distributed-safe id allocator; SURVEY §7.3 item 4).
     */
-  private[cypher] def withRowIndex(df: DataFrame, name: String): DataFrame = {
-    val schema = df.schema.add(StructField(name, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
+  private[cypher] def withRowIndex(df: DataFrame, name: String): DataFrame =
+    withRowIndexCounted(df, name)._1
+
+  /** (indexed frame, row count). Pure DataFrame-space implementation:
+    * monotonically_increasing_id packs (partitionId << 33 | row-in-
+    * partition), so a contiguous 0..n-1 index is that local index plus
+    * a per-partition offset from one narrow count-per-partition job —
+    * whose collect also yields the total row count for free. The
+    * previous rdd.zipWithIndex round-trip decoded EVERY row (jsonb
+    * documents included) to external objects and re-encoded them — a
+    * full decode+encode pass of the batch on every write statement.
+    * Same determinism contract as zipWithIndex: both passes evaluate
+    * the same deterministic plan, so each row keeps its partition and
+    * position; callers snapshot (localCheckpoint) right after.
+    */
+  private[cypher] def withRowIndexCounted(df: DataFrame,
+      name: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions._
+    val counts = df.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+    val out = df.withColumn("__rix_mid", monotonically_increasing_id())
+      .withColumn(name,
+        element_at(typedLit(offsets),
+          shiftrightunsigned(col("__rix_mid"), 33).cast("int")) +
+          col("__rix_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__rix_mid")
+    (out, n)
   }
 }

@@ -19,6 +19,18 @@ import Kind._
   */
 object WriteOps {
 
+  /** Materialize a frame (localCheckpoint) and return its row count
+    * from the SAME action: the count rides the checkpoint job as an
+    * observed metric instead of a second pass over the cached blocks —
+    * every write statement pays this pair, and at scale the saved pass
+    * is O(batch), not just driver overhead.
+    */
+  private def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val cp = df.observe(obs, count(lit(1)).as("__n")).localCheckpoint(true)
+    (cp, obs.get("__n").asInstanceOf[Long])
+  }
+
   // ============================================================= CREATE
 
   /** CREATE pattern per input row (ExecCreateGraph execCypherCreate.c:30).
@@ -39,10 +51,14 @@ object WriteOps {
 
   def create(b: Builder, st0: State, paths: Seq[PathPattern]): State = {
     var st = st0
-    // one pass: count rows & materialize input (the write makes the
-    // frame's lineage side-effecting; localCheckpoint isolates it)
-    var df = b.withRowIndex(st.df, "__cidx").localCheckpoint(true)
-    val n = df.count()
+    // snapshot the input FIRST (the write makes the frame's lineage
+    // side-effecting; localCheckpoint isolates it), then index over the
+    // cached blocks: the partition-counts pass and every __cidx
+    // consumer are cheap cached projections, and the input plan
+    // executes exactly once. The row count rides the counts collect.
+    val (indexed, n) = b.withRowIndexCounted(
+      st.df.localCheckpoint(true), "__cidx")
+    var df = indexed
     var vars = st.vars
 
     val pathVarsSeen = scala.collection.mutable.Set.empty[String]
@@ -386,30 +402,51 @@ object WriteOps {
     }
     val eIdsF = if (eIds == null) null else eIds.distinct().localCheckpoint(true)
 
-    def applyDeletes(ids: DataFrame, kind: Char): Long = {
-      if (ids == null) return 0L
+    // One task per (kind, label). Both victim-id sets are snapshotted
+    // (localCheckpoint) before any file changes, and each label's patch
+    // touches only its own directory under its own label lock with an
+    // atomic meta merge — the patches are fully independent, so they
+    // run CONCURRENTLY: each patch is a chain of small driver-bound
+    // actions (stats join, snapshot, staging write), and overlapping
+    // them collapses the per-statement driver wait (guide §2.6 —
+    // overlap independent jobs; a DETACH DELETE previously serialized
+    // its edge-label and vertex-label rewrites).
+    def patchTasks(ids: DataFrame, kind: Char): Seq[(Char, String, DataFrame)] = {
+      if (ids == null) return Nil
       val labids = ids.select(shiftrightunsigned(col("id"), 48).cast("int").as("labid"))
         .distinct().collect().map(_.getInt(0))
-      var removed = 0L
       // filter by kind rather than trusting labid-global uniqueness:
       // if labid allocation ever became per-kind, a vertex delete must
       // not patch an edge table whose labid collides
       val byLabid = b.catalog.labels(b.graph).filter(_.kind == kind)
         .map(l => l.labid -> l.name).toMap
-      labids.foreach { lid =>
-        byLabid.get(lid).foreach { lname =>
-          // file-pruned anti-join rewrite: untouched files keep their
-          // bytes; removal count comes from the touched subset alone
-          val (before, after) = b.catalog.patchFiles(b.graph, lname, ids) {
-            cur => cur.join(ids, Seq("id"), "left_anti")
-          }
-          removed += before - after
-        }
-      }
-      removed
+      labids.toSeq.flatMap(lid => byLabid.get(lid).map(n => (kind, n, ids)))
     }
-    b.deletedEdges += applyDeletes(eIdsF, 'e')
-    b.deletedVertices += applyDeletes(vIds, 'v')
+    val tasks = patchTasks(eIdsF, 'e') ++ patchTasks(vIds, 'v')
+    def runPatch(t: (Char, String, DataFrame)): (Char, Long) = {
+      val (kind, lname, ids) = t
+      // file-pruned anti-join rewrite: untouched files keep their
+      // bytes; removal count comes from the touched subset alone
+      val (before, after) = b.catalog.patchFiles(b.graph, lname, ids) {
+        cur => cur.join(ids, Seq("id"), "left_anti")
+      }
+      (kind, before - after)
+    }
+    val removed: Seq[(Char, Long)] =
+      if (tasks.length <= 1) tasks.map(runPatch)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(tasks.length, 4))
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try Await.result(
+          Future.sequence(tasks.map(t => Future(runPatch(t)))), Duration.Inf)
+        finally pool.shutdown()
+      }
+    b.deletedEdges += removed.collect { case ('e', n) => n }.sum
+    b.deletedVertices += removed.collect { case ('v', n) => n }.sum
     State(frame, st.vars)
   }
 
@@ -472,14 +509,13 @@ object WriteOps {
       // elements (bounded sample — the count is the aggregate signal).
       val multiOk = b.spark.conf
         .get("spark.graft.enableMultipleUpdate", "true") != "false"
-      val updates = newDf.where(cond)
+      val (updates, nUpd) = checkpointWithCount(newDf.where(cond)
         .select(col(Compiler.q(v)).getField("id").as("id"),
           newProps.as("__np"), col("__setord"))
         .groupBy("id").agg(
           (if (multiOk) max_by(col("__np"), col("__setord"))
            else min_by(col("__np"), col("__setord"))).as("__np"),
-          count(lit(1)).as("__nupd"))
-        .localCheckpoint(true)
+          count(lit(1)).as("__nupd")))
       if (!multiOk) {
         val repeated = updates.where(col("__nupd") > 1)
         val total = repeated.count()
@@ -492,7 +528,6 @@ object WriteOps {
         if (total > 5) System.err.println(
           s"WARNING:  ... and ${total - 5} more elements SET multiple times")
       }
-      val nUpd = updates.count()
       b.updatedProperties += nUpd
       // rewrite affected label tables — file-pruned: only the files
       // whose id range holds a victim are rewritten, the rest of the
@@ -642,10 +677,12 @@ object WriteOps {
       case _ => false
     }
     if (selfRef) {
-      val n = st0.df.count()
+      // snapshot first, index over the cached blocks (same rule as
+      // create(): one execution of the input plan, counts ride along)
+      val (tagged, n) = b.withRowIndexCounted(
+        st0.df.localCheckpoint(true), "__seq")
       require(n <= 10000,
         "row-sequential MERGE (self-referential ON SET) limited to 10k input rows")
-      val tagged = b.withRowIndex(st0.df, "__seq").localCheckpoint(true)
       var result: State = null
       (0L until n).foreach { i =>
         val rowState = State(tagged.where(col("__seq") === i).drop("__seq"), st0.vars)
@@ -714,6 +751,9 @@ object WriteOps {
         "please report — the join-back precondition was violated")
 
   private def mergeBatch(b: Builder, st0: State, m: MergeClause): State = {
+    // (measured, not kept: repartitioning a 1-partition statement input
+    // across cores before the merge cycle — no win at bench scale, the
+    // per-row jsonb key render is not the bottleneck; r15)
     val tagged = st0.df.withColumn("__mrow", monotonically_increasing_id())
       .localCheckpoint(true)
     val base = State(tagged, st0.vars)
@@ -793,13 +833,13 @@ object WriteOps {
           keyCols.length))
       }
     }
-    val createdIds =
+    val (createdIds, createdCnt) =
       if (createdIdsHolder.isEmpty)
-        b.spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        (b.spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType, false))))
-      else createdIdsHolder.reduce(_ unionAll _).distinct().localCheckpoint(true)
+              org.apache.spark.sql.types.LongType, false)))), 0L)
+      else checkpointWithCount(createdIdsHolder.reduce(_ unionAll _).distinct())
 
     // 3. re-match. A row that matched in step 1 keeps exactly its
     //    original matches: every element created in step 2 carries some
@@ -858,8 +898,8 @@ object WriteOps {
     val firstVar = finalMatch.vars.drop(base.vars.length).headOption
     if ((m.onCreate.nonEmpty || m.onMatch.nonEmpty) && firstVar.isDefined) {
       val (fv, _) = firstVar.get
-      // createdIds is already materialized (localCheckpoint) — count is cheap
-      val small = createdIdsHolder.isEmpty || createdIds.count() < 1000000L
+      // createdCnt rode the createdIds checkpoint as an observed metric
+      val small = createdIdsHolder.isEmpty || createdCnt < 1000000L
       val tagSrc0 = createdIds.select(col("id").as("__cre_id"),
         lit(true).as("__cre_tag"))
       val tagSrc = if (small) broadcast(tagSrc0) else tagSrc0

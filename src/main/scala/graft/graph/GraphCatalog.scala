@@ -870,10 +870,25 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
   // ------------------------------------------------------------- writes
 
   /** Append rows to a label table, computing shred sidecar columns for
-    * the batch (two extra passes: key discovery + type classification —
+    * the batch (one extra pass: key discovery + type classification —
     * the write-side cost of read-side pushdown).
     */
   def append(graph: String, label: String, df: DataFrame): Unit =
+    append(graph, label, df, knownTypes = None)
+
+  /** Bulk-ingest fast path: when the caller KNOWS the batch's shred
+    * key classification (props constructed from typed source columns,
+    * e.g. the TPC-H graph fixture), the discovery/classification scan
+    * is skipped — ONE pass over the batch instead of two (§6 one-pass
+    * ingest; the inference pass re-executes the full input plan
+    * including the jsonb normalization). The caller must guarantee the
+    * map matches what batchKeyTypes would infer: every key matches
+    * ShredKeyRe, "n" keys render as plain decimals on every row, "s"
+    * keys as strings on every row — a wrong claim writes typed sidecar
+    * columns that disagree with the documents.
+    */
+  def append(graph: String, label: String, df: DataFrame,
+      knownTypes: Option[Map[String, String]]): Unit =
       withLabelWrite(graph, label) {
     val m = readMeta(graph)
     val lm = m.labels.getOrElse(label,
@@ -883,7 +898,9 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val (out, lm2) =
       if (lm.shredOff) (clean, lm)
       else {
-        val batchTypes = batchKeyTypes(clean)
+        val batchTypes = knownTypes
+          .map(t => scala.collection.immutable.TreeMap[String, String]() ++ t)
+          .getOrElse(batchKeyTypes(clean))
         if ((lm.shred.keySet ++ batchTypes.keySet).size > ShredMaxKeys)
           (clean, lm.copy(shredOff = true))
         else {
@@ -1012,26 +1029,23 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     if (!hasParquet(dir)) return (0L, 0L)
     val schema = labelSchema(lm)
     val full = spark.read.schema(schema).parquet(dir.toString)
-    // per-file id ranges (one narrow-column pass), then touched files =
-    // files whose [lo, hi] contains at least one victim id
-    // per-file row counts ride the same narrow pass: rowsBefore for the
-    // touched subset then comes off this (files-sized) result instead
-    // of a second full-column scan of the touched files
+    // per-file id ranges + row counts (one narrow-column pass), then
+    // touched files = files whose [lo, hi] contains at least one victim
+    // id. The stats subtree has exactly ONE consumer — the broadcast
+    // build of this join — so it needs no checkpoint, and the collected
+    // rows carry the per-file count: the touched set and rowsBefore
+    // come out of a single action (was: stats checkpoint + touched
+    // collect + rowsBefore collect, three driver round-trips per patch)
     val stats = full.groupBy(input_file_name().as("__f"))
       .agg(min("id").as("__lo"), max("id").as("__hi"),
         count(lit(1)).as("__n"))
-      .localCheckpoint(true)
-    val touched = victimIds.select(col("id").as("__vid")).distinct()
+    val touchedRows = victimIds.select(col("id").as("__vid")).distinct()
       .join(broadcast(stats), col("__vid").between(col("__lo"), col("__hi")))
-      .select("__f").distinct().collect().map(_.getString(0)).sorted
+      .select("__f", "__n").distinct().collect()
+    val touched = touchedRows.map(_.getString(0)).sorted
     if (touched.isEmpty) return (0L, 0L)
     val touchedSet = touched.toSet
-    val rowsBefore = {
-      import scala.jdk.CollectionConverters._
-      stats.select("__f", "__n").collect()
-        .filter(r => touchedSet.contains(r.getString(0)))
-        .map(_.getLong(1)).sum
-    }
+    val rowsBefore = touchedRows.map(_.getLong(1)).sum
     val allFiles = {
       val s = Files.list(dir)
       try s.iterator().asScala.toVector.filter(
@@ -1042,11 +1056,15 @@ final class GraphCatalog(val spark: SparkSession, val root: String) {
     val base = if (lm.kind == 'v') vertexSchema else edgeSchema
     val touchedDf = spark.read.schema(schema).parquet(touched: _*)
     // snapshot BEFORE deleting the source files (the patch plan reads
-    // the files being replaced)
+    // the files being replaced); rowsAfter rides the checkpoint's own
+    // materialization as an observed metric instead of a second pass
+    // over the cached batch
+    val obs = org.apache.spark.sql.Observation()
     val patched = patch(touchedDf.select(base.fields.map(f => col(f.name)): _*))
       .select(base.fields.map(f => col(f.name)): _*)
+      .observe(obs, count(lit(1)).as("__n"))
       .localCheckpoint(true)
-    val rowsAfter = patched.count()
+    val rowsAfter = obs.get("__n").asInstanceOf[Long]
     // shred sidecars for the rewritten batch follow append's merge
     // rule (untouched files keep their layout; readers treat absent
     // columns as absent keys)

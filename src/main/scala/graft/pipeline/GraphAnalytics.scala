@@ -41,6 +41,20 @@ object GraphAnalytics {
     if (forcedDisk) org.apache.spark.storage.StorageLevel.DISK_ONLY
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  /** localCheckpoint at `level` with the frame's row count riding the
+    * SAME materialization as an observed metric — the frontier loops
+    * previously paid a separate count() action per round on top of the
+    * checkpoint (one extra driver round-trip per level, and at scale
+    * one extra pass over the cached frontier).
+    */
+  private def checkpointCounted(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val cp = df.observe(obs, count(lit(1)).as("__n"))
+      .localCheckpoint(true, level)
+    (cp, obs.get("__n").asInstanceOf[Long])
+  }
+
   /** Auto-selected pair-state level: DISK_ONLY once the projected pair
     * state would occupy more than a quarter of the unified pool —
     * cached MEMORY_AND_DISK blocks pin the pool's protected region and
@@ -196,11 +210,16 @@ object GraphAnalytics {
     val maxRounds = 4096 // pathological chains peel O(V) rounds; fail
     // loudly rather than return a stale (non-core) degree set
     while (!done && rounds < maxRounds) {
+      // the victim count rides the degree checkpoint as an observed
+      // metric: the separate victims.isEmpty probe was a third action
+      // per peeling round (2 actions/round now, was 3)
+      val obs = org.apache.spark.sql.Observation()
       deg = edges.select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy("id").count().withColumnRenamed("count", "deg")
+        .observe(obs, count(when(col("deg") < k, 1)).as("__nv"))
         .localCheckpoint(true)
       val victims = deg.where(col("deg") < k).select("id")
-      if (victims.isEmpty) done = true
+      if (obs.get("__nv").asInstanceOf[Long] == 0L) done = true
       else {
         edges = edges
           .join(victims, edges("a") === victims("id"), "left_anti")
@@ -328,10 +347,9 @@ object GraphAnalytics {
     // degree table for the per-round pre-flight projection (see loop)
     val deg = ScaleGuard.degreeTable(dir)
     val maxDeg = ScaleGuard.maxDegree(deg)
-    var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
-      .where(sourceFilter)
-      .localCheckpoint(true, stateLevel)
-    var visitedRows = visited.count()
+    var (visited, visitedRows) = checkpointCounted(
+      dir.select(col("a").as("s"), col("a").as("v")).distinct()
+        .where(sourceFilter), stateLevel)
     var frontier = visited
     var frontierRows = visitedRows
     var out: DataFrame = null
@@ -351,11 +369,11 @@ object GraphAnalytics {
         "closenessSampled (p117 shape), or a sourceFilter restricting " +
         "BFS sources")
       val level = pickLevel(spark, est)
-      val next = frontier.join(dir, frontier("v") === dir("a"))
-        .select(col("s"), col("b").as("v")).distinct()
-        .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true, level)
-      frontierRows = next.count()
+      val (next, nRows) = checkpointCounted(
+        frontier.join(dir, frontier("v") === dir("a"))
+          .select(col("s"), col("b").as("v")).distinct()
+          .join(visited, Seq("s", "v"), "left_anti"), level)
+      frontierRows = nRows
       val lvl = next.withColumn("dist", lit(depth.toLong))
       out = if (out == null) lvl else out.unionAll(lvl)
       // visited = union of ALREADY-checkpointed levels: re-materializing
@@ -444,9 +462,8 @@ object GraphAnalytics {
     val maxDeg = ScaleGuard.maxDegree(deg)
     val verts = dir.select(col("a").as("x"))
       .unionAll(dir.select(col("b").as("x"))).distinct()
-    var visited = verts.select(col("x").as("s"), col("x").as("v"))
-      .localCheckpoint(true, stateLevel)
-    var visitedRows = visited.count()
+    var (visited, visitedRows) = checkpointCounted(
+      verts.select(col("x").as("s"), col("x").as("v")), stateLevel)
     var frontier = visited
     var frontierRows = visitedRows
     var depth = 0
@@ -458,11 +475,11 @@ object GraphAnalytics {
         "a lower maxDepth cap, or pre-collapsing dense regions " +
         "(label propagation / connected components) before the closure")
       val level = pickLevel(spark, est)
-      val next = frontier.join(dir, frontier("v") === dir("a"))
-        .select(col("s"), col("b").as("v")).distinct()
-        .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true, level)
-      frontierRows = next.count()
+      val (next, nRows) = checkpointCounted(
+        frontier.join(dir, frontier("v") === dir("a"))
+          .select(col("s"), col("b").as("v")).distinct()
+          .join(visited, Seq("s", "v"), "left_anti"), level)
+      frontierRows = nRows
       // union of already-checkpointed levels (see multiSourceDistances)
       visited = visited.unionAll(next)
       visitedRows += frontierRows
@@ -504,10 +521,9 @@ object GraphAnalytics {
       .localCheckpoint(true)
     val deg = ScaleGuard.degreeTable(dir)
     val maxDeg = ScaleGuard.maxDegree(deg)
-    var visited = dir.select(col("a").as("s"), col("a").as("v")).distinct()
-      .where(sourceFilter)
-      .localCheckpoint(true, stateLevel)
-    var visitedRows = visited.count()
+    var (visited, visitedRows) = checkpointCounted(
+      dir.select(col("a").as("s"), col("a").as("v")).distinct()
+        .where(sourceFilter), stateLevel)
     var frontier = visited.withColumn("sigma", lit(1L))
     var frontierRows = visitedRows
     var out: DataFrame = null
@@ -521,12 +537,12 @@ object GraphAnalytics {
         "sourceFilter) / GraphAnalytics.stressCentralitySampled " +
         "(p119 shape) — or a lower maxDepth")
       val level = pickLevel(spark, est)
-      val next = frontier.join(dir, frontier("v") === dir("a"))
-        .groupBy(col("s"), col("b").as("v"))
-        .agg(sum("sigma").as("sigma"))
-        .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true, level)
-      frontierRows = next.count()
+      val (next, nRows) = checkpointCounted(
+        frontier.join(dir, frontier("v") === dir("a"))
+          .groupBy(col("s"), col("b").as("v"))
+          .agg(sum("sigma").as("sigma"))
+          .join(visited, Seq("s", "v"), "left_anti"), level)
+      frontierRows = nRows
       val lvl = next.withColumn("dist", lit(depth.toLong))
       out = if (out == null) lvl else out.unionAll(lvl)
       // union of already-checkpointed levels (see multiSourceDistances)

@@ -96,24 +96,29 @@ object GraphQueries {
       Future {
         s.catalog.append(g, "region", region.select(
           (rId + col("r_regionkey")).cast("long").as("id"),
-          props("name" -> col("r_name")).as("properties")))
+          props("name" -> col("r_name")).as("properties")),
+          knownTypes = Some(Map("name" -> "s")))
       },
       Future {
         s.catalog.append(g, "nation", nation.select(
           (nId + col("n_nationkey")).cast("long").as("id"),
-          props("name" -> col("n_name")).as("properties")))
+          props("name" -> col("n_name")).as("properties")),
+          knownTypes = Some(Map("name" -> "s")))
       },
       Future {
         s.catalog.append(g, "customer", chk(spread(customer.select(
           (cId + col("c_custkey")).cast("long").as("id"),
           props("name" -> col("c_name"), "acctbal" -> col("c_acctbal"),
-            "mktsegment" -> col("c_mktsegment")).as("properties")), "id")))
+            "mktsegment" -> col("c_mktsegment")).as("properties")), "id")),
+          knownTypes = Some(Map(
+            "name" -> "s", "acctbal" -> "n", "mktsegment" -> "s")))
       },
       Future {
         s.catalog.append(g, "order", chk(spread(orders.select(
           (oId + col("o_orderkey")).cast("long").as("id"),
           props("totalprice" -> col("o_totalprice"),
-            "status" -> col("o_orderstatus")).as("properties")), "id")))
+            "status" -> col("o_orderstatus")).as("properties")), "id")),
+          knownTypes = Some(Map("totalprice" -> "n", "status" -> "s")))
       },
       Future {
         // edges: nation -in-> region; customer -in-> nation (locids
@@ -123,19 +128,21 @@ object GraphQueries {
           (inId + col("n_nationkey")).cast("long").as("id"),
           (nId + col("n_nationkey")).cast("long").as("start"),
           (rId + col("n_regionkey")).cast("long").as("end"),
-          lit("{}").as("properties")))
+          lit("{}").as("properties")), knownTypes = Some(Map.empty))
         s.catalog.append(g, "in", spread(customer.select(
           (inId + lit(100L) + col("c_custkey")).cast("long").as("id"),
           (cId + col("c_custkey")).cast("long").as("start"),
           (nId + col("c_nationkey")).cast("long").as("end"),
-          lit("{}").as("properties")), "start"))
+          lit("{}").as("properties")), "start"),
+          knownTypes = Some(Map.empty))
       },
       Future {
         s.catalog.append(g, "placed", spread(orders.select(
           (plId + col("o_orderkey")).cast("long").as("id"),
           (cId + col("o_custkey")).cast("long").as("start"),
           (oId + col("o_orderkey")).cast("long").as("end"),
-          lit("{}").as("properties")), "start"))
+          lit("{}").as("properties")), "start"),
+          knownTypes = Some(Map.empty))
       },
       Future {
         // supplier -ships-> part from lineitem: a MULTIgraph (parallel
@@ -143,12 +150,14 @@ object GraphQueries {
         // what makes allshortestpaths return multiple paths per pair
         s.catalog.append(g, "supplier", supplier.select(
           (sId + col("s_suppkey")).cast("long").as("id"),
-          props("name" -> col("s_name")).as("properties")))
+          props("name" -> col("s_name")).as("properties")),
+          knownTypes = Some(Map("name" -> "s")))
       },
       Future {
         s.catalog.append(g, "part", chk(spread(part.select(
           (pId + col("p_partkey")).cast("long").as("id"),
-          props("name" -> col("p_name")).as("properties")), "id")))
+          props("name" -> col("p_name")).as("properties")), "id")),
+          knownTypes = Some(Map("name" -> "s")))
       },
       Future {
         // locid = orderkey*8 + linenumber (linenumber <= 7) — unique
@@ -156,7 +165,8 @@ object GraphQueries {
           (shId + col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("id"),
           (sId + col("l_suppkey")).cast("long").as("start"),
           (pId + col("l_partkey")).cast("long").as("end"),
-          props("qty" -> col("l_quantity")).as("properties")), "start")))
+          props("qty" -> col("l_quantity")).as("properties")), "start")),
+          knownTypes = Some(Map("qty" -> "n")))
       })
     tasks.foreach(Await.result(_, Duration.Inf))
     s

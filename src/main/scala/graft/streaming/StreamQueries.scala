@@ -48,6 +48,32 @@ object StreamQueries {
     }
   }
 
+  /** State-partition count derived from the SOURCE DATA VOLUME, not
+    * the core count: one shuffle partition — i.e. one state-store
+    * instance per stateful operator — per ~64 MB of input, floor 2,
+    * cap 200. A RocksDB store instance has a fixed open/commit/
+    * changelog-upload cost that dominates tiny states (bench scale:
+    * events is ~2 MB, so 8 fixed stores were pure overhead), while at
+    * 100 TB the same rule yields hundreds of parallel stores.
+    * `storeWeight` divides the target for operators that keep several
+    * stores per partition (stream-stream joins hold four).
+    */
+  private val srcBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def statePartitions(d: String, table: String,
+      storeWeight: Int = 1): Int = {
+    val bytes = srcBytes.computeIfAbsent(s"$d/$table", { _ =>
+      try {
+        val p = java.nio.file.Paths.get(d, s"$table.parquet")
+        val st = java.nio.file.Files.walk(p)
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum
+        finally st.close()
+      } catch { case _: Throwable => 0L }
+    })
+    val target = (bytes / (64L << 20) + 1L).toInt
+    math.max(2, math.min(200, target / storeWeight + 1))
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * fresh memory sink and return its contents.
     */
@@ -69,15 +95,16 @@ object StreamQueries {
     // state size; snapshots still happen in the background for replay
     s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
       ".changelogCheckpointing.enabled", "true")
-    // a state store instance exists per shuffle partition: at this
-    // window/session cardinality 8 stores is plenty, and 32 mostly
-    // pays open/commit overhead (each run uses a fresh temp
-    // checkpoint, so the pinned partition count does not leak).
-    // Stream-stream joins keep FOUR stores per partition — callers
-    // pass a lower count there.
+    // a state store instance exists per shuffle partition: callers
+    // derive the count from SOURCE DATA VOLUME via statePartitions()
+    // (each run uses a fresh temp checkpoint, so the pinned partition
+    // count does not leak between runs).
+    // measurement override for the adaptive count (Dev confab A/Bs)
+    val effParts = s.conf.getOption("spark.graft.streamParts")
+      .flatMap(_.toIntOption).getOrElse(partitions)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      s.conf.set("spark.sql.shuffle.partitions", effParts.toString)
       streamed.writeStream
         .format("memory").queryName(sink)
         .outputMode(mode)
@@ -103,7 +130,7 @@ object StreamQueries {
     "s01_stream_tumbling" -> { (s, d) =>
       val windows = EventStreams.tumblingCounts(
         eventStream(s, d).where(col("user_id") < 100), "1 day", "1 hour")
-      runToSink(s, windows)
+      runToSink(s, windows, partitions = statePartitions(d, "events"))
         .select(col("w_start").cast("date").as("day"), col("event_type"),
           col("n"), round(col("total").cast("double"), 2).as("total"))
         .where(col("day") < lit("2024-01-28").cast("date"))
@@ -121,7 +148,7 @@ object StreamQueries {
     "s03_stream_session" -> { (s, d) =>
       val sess = EventStreams.sessionWindows(
         eventStream(s, d).where(col("user_id") < 40), "5 minutes", "1 hour")
-      runToSink(s, sess)
+      runToSink(s, sess, partitions = statePartitions(d, "events"))
         .where(col("s_end") < lit("2024-01-29").cast("timestamp"))
         .select(col("user_id"), unix_micros(col("s_start")).as("start_us"),
           col("n_events"),
@@ -139,7 +166,7 @@ object StreamQueries {
         .select(col("user_id"), col("event_type"), col("ts"))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
-      runToSink(s, deduped)
+      runToSink(s, deduped, partitions = statePartitions(d, "events"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")
@@ -154,7 +181,7 @@ object StreamQueries {
       val act = EventStreams.slidingUserActivity(
         eventStream(s, d).where(col("user_id") < 60),
         "1 day", "6 hours", "1 hour")
-      runToSink(s, act)
+      runToSink(s, act, partitions = statePartitions(d, "events"))
         .where(col("w_start") < lit("2024-01-27").cast("timestamp"))
         .select(unix_micros(col("w_start")).as("start_us"),
           col("user_id"), col("n_events"))
@@ -174,7 +201,8 @@ object StreamQueries {
         .where(col("user_id") < 50 && col("event_type") === "click")
       val joined = EventStreams.intervalJoin(views, clicks,
         watermark = "1 hour", within = "10 minutes")
-      runToSink(s, joined, partitions = 4)
+      runToSink(s, joined,
+          partitions = statePartitions(d, "events", storeWeight = 4))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct("imp_id").as("n_views"),
@@ -197,7 +225,7 @@ object StreamQueries {
       // blocks are epoch-aligned in both engines.
       val res = EventStreams.chainedWindowAgg(
         eventStream(s, d), "1 hour", "6 hours", "1 hour")
-      runToSink(s, res)
+      runToSink(s, res, partitions = statePartitions(d, "events"))
         .select(expr("unix_micros(w_start) div 1000000").as("w_start_s"),
           col("event_type"), col("n_events"), col("max_inner"), col("n_inner"))
         .where(col("w_start_s") < 1706400000L)
@@ -215,7 +243,8 @@ object StreamQueries {
       val keyed = eventStream(s, d)
         .select(concat(lit("user_"), col("user_id")).as("k"))
       val regs = graft.pipeline.Sketches.hllRegisters(keyed, "k", 64)
-      runToSink(s, regs, mode = "complete").orderBy("bucket")
+      runToSink(s, regs, mode = "complete",
+        partitions = statePartitions(d, "events")).orderBy("bucket")
     },
 
     // Streaming top-k: ORDER BY + LIMIT inside a streaming query are
@@ -229,7 +258,8 @@ object StreamQueries {
           sum(col("value").cast("decimal(28,4)")).as("total"))
         .orderBy(col("n").desc, col("event_type"))
         .limit(3)
-      runToSink(s, ranked, mode = "complete")
+      runToSink(s, ranked, mode = "complete",
+        partitions = statePartitions(d, "events"))
         .select(col("event_type"), col("n"),
           round(col("total").cast("double"), 2).as("total"))
         .orderBy("event_type")
@@ -242,7 +272,8 @@ object StreamQueries {
         .where(col("user_id") < 50 && col("event_type") === "click")
       val joined = EventStreams.intervalJoinOuter(views, clicks,
         watermark = "1 hour", within = "10 minutes")
-      runToSink(s, joined, partitions = 4)
+      runToSink(s, joined,
+          partitions = statePartitions(d, "events", storeWeight = 4))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_rows"),
           count(col("click_id")).as("n_matched"),
@@ -266,7 +297,8 @@ object StreamQueries {
           col("event_type"), col("value"))
         .as[EventStreams.Event]
       val totals = EventStreams.runningUserTotals(ev)
-      runToSink(s, totals.toDF(), mode = "update")
+      runToSink(s, totals.toDF(), mode = "update",
+        partitions = statePartitions(d, "events"))
         .groupBy("user_id")
         .agg(max(col("n_events")).as("n_events"))
         .orderBy("user_id")
@@ -287,7 +319,8 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(28,4)") * col("weight"))
             .as("wsum"))
-      runToSink(s, agg, mode = "complete")
+      runToSink(s, agg, mode = "complete",
+        partitions = statePartitions(d, "events"))
         .select(col("event_type"), col("n"),
           round(col("wsum").cast("double"), 2).as("weighted"))
         .orderBy("event_type")
@@ -429,7 +462,7 @@ object StreamQueries {
               (id, src, id != minAll)
             }.iterator
         }.toDF("doc_id", "source", "is_dup")
-      runToSink(s, flagged)
+      runToSink(s, flagged, partitions = statePartitions(d, "documents"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
