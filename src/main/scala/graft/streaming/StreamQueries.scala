@@ -59,7 +59,7 @@ object StreamQueries {
     * stores per partition (stream-stream joins hold four).
     */
   private val srcBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def statePartitions(d: String, table: String,
+  private[streaming] def statePartitions(d: String, table: String,
       storeWeight: Int = 1): Int = {
     val bytes = srcBytes.computeIfAbsent(s"$d/$table", { _ =>
       try {
