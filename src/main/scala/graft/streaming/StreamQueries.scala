@@ -55,12 +55,18 @@ object StreamQueries {
     * changelog-upload cost that dominates tiny states (bench scale:
     * events is ~2 MB, so 8 fixed stores were pure overhead), while at
     * 100 TB the same rule yields hundreds of parallel stores.
-    * `storeWeight` divides the target for operators that keep several
-    * stores per partition (stream-stream joins hold four).
+    *
+    * No discount for operators that keep several stores per partition
+    * (stream-stream joins hold four): an earlier r15 form divided the
+    * target by that store count, which only changes the answer ABOVE
+    * the floor — i.e. only at scale, exactly where it serialized the
+    * state-heaviest operator in the suite (100x probe: the interval
+    * join at 2 partitions ran 90.8 s min vs 38.3 s on the r12-history
+    * row at 4 — the per-partition fixed cost the divisor saved is
+    * noise next to the lost parallelism once state outgrows one task).
     */
   private val srcBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private[streaming] def statePartitions(d: String, table: String,
-      storeWeight: Int = 1): Int = {
+  private[streaming] def statePartitions(d: String, table: String): Int = {
     val bytes = srcBytes.computeIfAbsent(s"$d/$table", { _ =>
       try {
         val p = java.nio.file.Paths.get(d, s"$table.parquet")
@@ -71,7 +77,7 @@ object StreamQueries {
       } catch { case _: Throwable => 0L }
     })
     val target = (bytes / (64L << 20) + 1L).toInt
-    math.max(2, math.min(200, target / storeWeight + 1))
+    math.max(2, math.min(200, target + 1))
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
@@ -202,7 +208,7 @@ object StreamQueries {
       val joined = EventStreams.intervalJoin(views, clicks,
         watermark = "1 hour", within = "10 minutes")
       runToSink(s, joined,
-          partitions = statePartitions(d, "events", storeWeight = 4))
+          partitions = statePartitions(d, "events"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct("imp_id").as("n_views"),
@@ -273,7 +279,7 @@ object StreamQueries {
       val joined = EventStreams.intervalJoinOuter(views, clicks,
         watermark = "1 hour", within = "10 minutes")
       runToSink(s, joined,
-          partitions = statePartitions(d, "events", storeWeight = 4))
+          partitions = statePartitions(d, "events"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_rows"),
           count(col("click_id")).as("n_matched"),
