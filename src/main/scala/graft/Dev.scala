@@ -207,6 +207,12 @@ object Dev {
         t("graph fixture")(pipeline.GraphQueries.session(spark, dir))
       spark.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SF10_SHUFFLE", "256"))
+      // measurement-only conf overrides for this probe window, e.g.
+      // SPARK_GRAFT_DEV_CONF="spark.graft.changelog=false"
+      sys.env.get("SPARK_GRAFT_DEV_CONF").foreach(_.split(",")
+        .filter(_.contains("=")).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+        })
       System.setProperty("graft.state.disk", "1")
       for (round <- 1 to 2; n <- names) {
         // Bench.runQuery's hygiene: drop the run's own checkpoint

@@ -98,9 +98,13 @@ object StreamQueries {
     // since Spark 3.4): commits upload the per-batch changelog instead
     // of a full state snapshot — measured 0.5-1.4 s per stateful query
     // at bench cardinality (s10 3.5 -> 2.1 s) and the win grows with
-    // state size; snapshots still happen in the background for replay
+    // state size; snapshots still happen in the background for replay.
+    // spark.graft.changelog=false is a MEASUREMENT override (Dev A/Bs
+    // at the 100x probe, where the AvailableNow replay is one batch and
+    // the changelog is the whole state) — the default stays on.
     s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
-      ".changelogCheckpointing.enabled", "true")
+      ".changelogCheckpointing.enabled",
+      s.conf.getOption("spark.graft.changelog").getOrElse("true"))
     // a state store instance exists per shuffle partition: callers
     // derive the count from SOURCE DATA VOLUME via statePartitions()
     // (each run uses a fresh temp checkpoint, so the pinned partition
